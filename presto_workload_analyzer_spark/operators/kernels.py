@@ -14,6 +14,8 @@ is partial+final hash aggregation over the full corpus.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 REST_LABEL = "All the rest"
@@ -141,7 +143,9 @@ def selectivity_histogram(
         "__bin", F.abs(F.bround(F.col("__sel") - step / 2.0, 1))
     )
     spark = df.sparkSession
-    n_pad = int(max_selectivity / step)  # numpy.arange(0, max_selectivity, step)
+    # numpy.arange(0, max_selectivity, step) length = ceil(stop/step) under fp
+    # (0.2/0.01 is 19.999999999999996 -> int() would drop the last bin)
+    n_pad = math.ceil(max_selectivity / step)
     scaffold = spark.range(n_pad).select(
         (F.col("id") * step).alias("__bin"), F.lit(0.0).alias("__w"), F.lit(None).cast("double").alias("__sel")
     )
