@@ -1,0 +1,91 @@
+"""CLI parity with the reference's extract.py / analyze.py entry points.
+
+  python -m presto_workload_analyzer_spark.cli extract -i <queryinfo_dir> -o <summary_dir>
+  python -m presto_workload_analyzer_spark.cli analyze -i <summary> -o output.html|.zip|.json
+      [--filter NAME] [--limit N] [--fail-on-error] [--scatter-limit N]
+
+`extract` mirrors reference extract.py:172-213 (dir of *.json/*.json.gz ->
+gzipped JSONL summary); `analyze` mirrors analyze.py:1196-1292 (summary ->
+report with all analyzers, --filter single-chart mode, --limit row cap,
+--fail-on-error strictness).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from presto_workload_analyzer_spark.pipeline import ANALYZERS, build_silver
+from presto_workload_analyzer_spark.report.emitter import build_report, write_report
+from presto_workload_analyzer_spark.session import get_spark
+from presto_workload_analyzer_spark.sources.queryinfo import (
+    extract_queryinfo,
+    read_summary_jsonl,
+    write_summary_jsonl,
+)
+
+
+def cmd_extract(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="pwa-extract")
+    df = extract_queryinfo(spark, args.input_dir)
+    if args.limit:
+        df = df.limit(args.limit)
+    write_summary_jsonl(df, args.output)
+    n = read_summary_jsonl(spark, args.output).count()
+    print(f"extracted {n} summaries -> {args.output}")
+    return 0
+
+
+def cmd_analyze(args: argparse.Namespace) -> int:
+    spark = get_spark(app_name="pwa-analyze")
+    summary = read_summary_jsonl(spark, args.input)
+    if args.limit:
+        summary = summary.limit(args.limit)
+    only = None
+    if args.filter:
+        if args.filter not in ANALYZERS:
+            print(
+                f"unknown analyzer {args.filter!r}; available: {', '.join(sorted(ANALYZERS))}",
+                file=sys.stderr,
+            )
+            return 2
+        only = [args.filter]
+    silver = build_silver(summary)
+    report = build_report(
+        silver,
+        only=only,
+        scatter_limit=args.scatter_limit,
+        fail_on_error=args.fail_on_error,
+    )
+    write_report(report, args.output)
+    n_charts = len(report["charts"])
+    n_err = len(report["errors"])
+    print(f"wrote {args.output}: {n_charts} charts, {n_err} errors")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="presto_workload_analyzer_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pe = sub.add_parser("extract", help="QueryInfo dir -> summary JSONL")
+    pe.add_argument("-i", "--input-dir", required=True)
+    pe.add_argument("-o", "--output", required=True)
+    pe.add_argument("-l", "--limit", type=int, default=None)
+    pe.set_defaults(fn=cmd_extract)
+
+    pa = sub.add_parser("analyze", help="summary JSONL -> report")
+    pa.add_argument("-i", "--input", required=True)
+    pa.add_argument("-o", "--output", required=True)
+    pa.add_argument("--filter", default=None, help="emit a single analyzer")
+    pa.add_argument("-l", "--limit", type=int, default=None)
+    pa.add_argument("--fail-on-error", action="store_true")
+    pa.add_argument("--scatter-limit", type=int, default=50_000)
+    pa.set_defaults(fn=cmd_analyze)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,106 @@
+"""End-to-end pipeline: summary records -> silver tables -> all analyzers.
+
+The reference materializes the whole corpus in RAM and makes 28 eager
+passes (analyze.py:1229-1241). Here the corpus is ONE cached DataFrame
+per silver table and the 28 analyzers are lazy aggregates over them:
+Catalyst prunes columns per analyzer, and the cache is populated by the
+first action.
+
+100 TB posture: `build_silver` accepts any summary DataFrame — at scale
+that is a date-partitioned parquet silver layer (write_silver) rather than
+an in-memory cache; analyzers are identical either way.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+from presto_workload_analyzer_spark.functions.timeutil import query_timestamp
+from presto_workload_analyzer_spark.operators import analyzers as A
+from presto_workload_analyzer_spark.plans.flatten import flatten_plan_nodes, flatten_tasks
+
+# analyzer name -> (callable, silver inputs it takes)
+ANALYZERS: dict[str, tuple[Callable[..., DataFrame], tuple[str, ...]]] = {
+    "scheduled_by_date": (A.scheduled_by_date, ("queries",)),
+    "scheduled_by_hour": (A.scheduled_by_hour, ("queries",)),
+    "input_by_date": (A.input_by_date, ("queries",)),
+    "input_by_hour": (A.input_by_hour, ("queries",)),
+    "queries_by_date": (A.queries_by_date, ("queries",)),
+    "queries_by_hour": (A.queries_by_hour, ("queries",)),
+    "peak_mem_by_query": (A.peak_mem_by_query, ("queries",)),
+    "input_size_by_query": (A.input_size_by_query, ("queries",)),
+    "elapsed_time_by_query": (A.elapsed_time_by_query, ("queries",)),
+    "queries_by_user": (A.queries_by_user, ("queries",)),
+    "scheduled_by_user": (A.scheduled_by_user, ("queries",)),
+    "scheduled_by_update": (A.scheduled_by_update, ("queries",)),
+    "input_by_user": (A.input_by_user, ("queries",)),
+    "output_vs_input": (A.output_vs_input, ("queries",)),
+    "scheduled_vs_input": (A.scheduled_vs_input, ("queries",)),
+    "elapsed_vs_input": (A.elapsed_vs_input, ("queries",)),
+    "operator_wall": (A.operator_wall, ("operators",)),
+    "wall_by_table_scan": (A.wall_by_table_scan, ("operators", "plan_nodes")),
+    "wall_by_selectivity_10": (A.wall_by_selectivity_10, ("operators",)),
+    "wall_by_selectivity_100_first_20": (A.wall_by_selectivity_100_first_20, ("operators",)),
+    "filter_selectivity_1": (A.filter_selectivity_1, ("operators",)),
+    "walltime_vs_selectivity": (A.walltime_vs_selectivity, ("operators", "plan_nodes")),
+    "inputrows_vs_selectivity": (A.inputrows_vs_selectivity, ("operators", "plan_nodes")),
+    "input_size_by_table_scan": (A.input_size_by_table_scan, ("operators", "plan_nodes")),
+    "operator_input": (A.operator_input, ("operators",)),
+    "operator_rows": (A.operator_rows, ("operators",)),
+    "joins_sides": (A.joins_sides, ("operators", "plan_nodes")),
+    "joins_selectivity": (A.joins_selectivity, ("operators", "plan_nodes")),
+}
+
+
+def build_silver(summary: DataFrame, cache: bool = True) -> dict[str, DataFrame]:
+    """Summary records -> {queries, operators, plan_nodes, tasks}.
+
+    FAILED queries are dropped up front (reference analyze.py:1233-1234);
+    all downstream tables derive from the filtered corpus.
+    """
+    queries = summary.filter(F.col("state") != "FAILED").withColumn(
+        "query_ts", query_timestamp("query_id")
+    )
+    if cache:
+        queries = queries.cache()
+    operators = queries.select("query_id", F.explode("operators").alias("op")).select(
+        "query_id", "op.*"
+    )
+    plan_nodes = flatten_plan_nodes(queries)
+    tasks = flatten_tasks(queries)
+    if cache:
+        operators = operators.cache()
+        plan_nodes = plan_nodes.cache()
+    return {
+        "queries": queries,
+        "operators": operators,
+        "plan_nodes": plan_nodes,
+        "tasks": tasks,
+    }
+
+
+def run_analyzers(
+    silver: dict[str, DataFrame], only: list[str] | None = None
+) -> dict[str, DataFrame]:
+    """All analyzer outputs (lazy) keyed by name; `only` mirrors --filter."""
+    names = only or list(ANALYZERS)
+    out = {}
+    for name in names:
+        fn, inputs = ANALYZERS[name]
+        out[name] = fn(*[silver[i] for i in inputs])
+    return out
+
+
+def collect_metrics(silver: dict[str, DataFrame]) -> DataFrame:
+    return A.collect_metrics(silver["queries"])
+
+
+def write_silver(silver: dict[str, DataFrame], out_dir: str) -> None:
+    """Persist silver tables as parquet, date-partitioned for pruning at scale."""
+    q = silver["queries"].withColumn("query_date", F.to_date("query_ts"))
+    q.write.mode("overwrite").partitionBy("query_date").parquet(f"{out_dir}/queries")
+    silver["operators"].write.mode("overwrite").parquet(f"{out_dir}/operators")
+    silver["plan_nodes"].write.mode("overwrite").parquet(f"{out_dir}/plan_nodes")
+    silver["tasks"].write.mode("overwrite").parquet(f"{out_dir}/tasks")
