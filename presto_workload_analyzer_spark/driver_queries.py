@@ -704,3 +704,327 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     return dict(_ORACLES)
+
+
+# --------------------------------------------------------------------------
+# Extension queries (SURVEY.md §7 phase 8): dedup / similarity / text /
+# multimodal over the documents + embeddings tables.
+# --------------------------------------------------------------------------
+
+from presto_workload_analyzer_spark.extensions import (  # noqa: E402
+    dedup as X_dedup,
+    multimodal as X_mm,
+    similarity as X_sim,
+    textstats as X_text,
+)
+
+_SHINGLE_SQL = r"""
+tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
+sh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
+       FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i))
+"""
+
+_register(
+    "x01_dedup_exact",
+    lambda spark, sf: X_dedup.exact_dedup_groups(
+        read_sf_table(spark, sf, "documents"), ["text"], "doc_id"
+    ).select("canonical_id", "n_copies"),
+    "SELECT min(doc_id) AS canonical_id, count(*) AS n_copies"
+    " FROM documents GROUP BY text",
+)
+
+
+def _x02(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+
+
+_X02_SIGS = ", ".join(f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(16))
+_X02_BANDS = " UNION ALL ".join(
+    f"SELECT id, {b} AS band, md5(concat_ws('|', sig_{b*4}, sig_{b*4+1},"
+    f" sig_{b*4+2}, sig_{b*4+3})) AS band_hash FROM sig"
+    for b in range(4)
+)
+
+_register(
+    "x02_minhash_lsh_pairs",
+    _x02,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS})"
+    " SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    " FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id",
+)
+
+
+def _x03(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    return X_dedup.ngram_jaccard(sh).select(
+        # +1e-9 before rounding: ratio-of-integers values can land exactly on
+        # the 5e-7 half-grid where Spark (decimal-string HALF_UP) and DuckDB
+        # (fp-product round) disagree; the nudge moves both off the boundary
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard")
+    )
+
+
+_register(
+    "x03_ngram_jaccard",
+    _x03,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents WHERE doc_id < 60),"
+    " sh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle"
+    "        FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),"
+    " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+    " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni"
+    "           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2)"
+    " SELECT id_a, id_b,"
+    "  round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) + 1e-9, 6) AS jaccard"
+    " FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b",
+)
+
+
+def _x04_sql() -> str:
+    bit_sums = []
+    for j in range(16):
+        pos, shift = 1 + j // 4, 3 - j % 4
+        d = f"(strpos('0123456789abcdef', substr(h, {pos}, 1)) - 1)"
+        bit_sums.append(
+            f"sum(CASE WHEN ({d} // {2 ** shift}) % 2 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        )
+    packed = " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {2 ** j} ELSE 0 END)" for j in range(16)
+    )
+    return (
+        "WITH tk AS (SELECT doc_id AS id,"
+        " unnest(string_split_regex(trim(text), '\\s+')) AS tok FROM documents),"
+        " th AS (SELECT id, md5(tok) AS h FROM tk),"
+        f" bits AS (SELECT id, {', '.join(bit_sums)} FROM th GROUP BY id)"
+        f" SELECT id, CAST({packed} AS BIGINT) AS simhash FROM bits"
+    )
+
+
+_register(
+    "x04_simhash",
+    lambda spark, sf: X_dedup.simhash16(
+        read_sf_table(spark, sf, "documents"), "doc_id", "text"
+    ),
+    _x04_sql(),
+)
+
+
+def _x05(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_COS = (
+    "list_dot_product(qv, cv) /"
+    " (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))"
+)
+
+_register(
+    "x05_cosine_topk",
+    _x05,
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+    " FROM embeddings WHERE vec_id < 10),"
+    " c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),"
+    f" s AS (SELECT query_id, neighbor_id, {_COS} AS cosine"
+    " FROM q, c WHERE query_id <> neighbor_id),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+    " ORDER BY cosine DESC, neighbor_id) AS rank FROM s)"
+    " SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5",
+)
+
+
+def _x06(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings").filter(F.col("vec_id") < 150)
+    out = X_dedup.embedding_near_dup_pairs(emb, "vec_id", "embedding", threshold=0.25)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+_register(
+    "x06_embedding_near_dups",
+    _x06,
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+    " FROM embeddings WHERE vec_id < 150)"
+    " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+    " round(list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine"
+    " FROM e a JOIN e b ON a.vec_id < b.vec_id"
+    " WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v))) > 0.25",
+)
+
+
+def _x07(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        X_text.token_count("text").cast("long").alias("n_tokens"),
+        X_text.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+        F.round(X_text.mean_token_length("text") + 1e-9, 6).alias("mean_token_len"),
+        F.round(X_text.punct_ratio("text") + 1e-9, 6).alias("punct_ratio"),
+    )
+
+
+_register(
+    "x07_text_stats",
+    _x07,
+    "SELECT doc_id,"
+    " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,"
+    " CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT)"
+    "   AS n_bpe_tokens,"
+    " round(CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+    "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+')) + 1e-9, 6)"
+    "   AS mean_token_len,"
+    " round(CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+    "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    "        / len(regexp_replace(text, '\\s', '', 'g'))"
+    "   ELSE 0.0 END + 1e-9, 6) AS punct_ratio"
+    " FROM documents",
+)
+
+_EN_LIST = "('the', 'a', 'of', 'and', 'to', 'in', 'is', 'it')"
+_RATIO_SQL = (
+    "CAST(len(list_filter(list_transform(string_split_regex(trim(text), '\\s+'),"
+    " x -> lower(x)), x -> x IN {lst})) AS DOUBLE)"
+    " / len(string_split_regex(trim(text), '\\s+'))"
+)
+
+
+def _x08(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id", F.round(X_text.quality_score("text") + 1e-9, 6).alias("quality")
+    )
+
+
+_register(
+    "x08_quality_score",
+    _x08,
+    "SELECT doc_id, round("
+    f" 0.4 * least(({_RATIO_SQL.format(lst=_EN_LIST)}) / 0.25, 1.0)"
+    " + 0.3 * (1.0 - least((CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+    "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END) * 5.0, 1.0))"
+    " + 0.3 * least((CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+    "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))) / 8.0, 1.0)"
+    " + 1e-9, 6) AS quality FROM documents",
+)
+
+
+def _x09(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        X_text.language_id("text").alias("pred_lang"),
+        F.round(
+            X_text.stopword_ratio("text", X_text.LANG_MARKERS["en"]) + 1e-9, 6
+        ).alias("en_score"),
+    )
+
+
+_X09_LISTS = {
+    "en": _EN_LIST,
+    "de": "('der', 'die', 'das', 'und', 'ist', 'ein', 'nicht')",
+    "fr": "('le', 'la', 'les', 'et', 'est', 'une', 'pas')",
+    "es": "('el', 'la', 'los', 'y', 'es', 'una', 'no')",
+    "zh": "('de', 'shi', 'le', 'bu', 'wo')",
+}
+
+_register(
+    "x09_language_id",
+    _x09,
+    "WITH r AS (SELECT doc_id, "
+    + ", ".join(
+        f"({_RATIO_SQL.format(lst=lst)}) AS r_{lang}"
+        for lang, lst in _X09_LISTS.items()
+    )
+    + " FROM documents)"
+    " SELECT doc_id,"
+    " CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es AND r_en >= r_zh THEN 'en'"
+    "      WHEN r_de >= r_fr AND r_de >= r_es AND r_de >= r_zh THEN 'de'"
+    "      WHEN r_fr >= r_es AND r_fr >= r_zh THEN 'fr'"
+    "      WHEN r_es >= r_zh THEN 'es'"
+    "      ELSE 'zh' END AS pred_lang,"
+    " round(r_en + 1e-9, 6) AS en_score FROM r",
+)
+
+_register(
+    "x10_fingerprint",
+    lambda spark, sf: read_sf_table(spark, sf, "documents").select(
+        "doc_id", X_text.fingerprint("text").alias("fp")
+    ),
+    "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text),"
+    " '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp FROM documents",
+)
+
+
+def _x11(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    media = X_mm.attach_binary(docs, "doc_id", "text", mime="text/plain")
+    frames = X_mm.frame_sample(media, every_n_bytes=64).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return media.select(
+        "doc_id", F.col("meta.n_bytes").alias("n_bytes")
+    ).join(frames, on="doc_id")
+
+
+_register(
+    "x11_multimodal_meta",
+    _x11,
+    "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
+    " CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames"
+    " FROM documents",
+)
+
+
+def _x12(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_sim.lsh_topk(emb, n_planes=8, k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+def _x12_sql() -> str:
+    import hashlib
+
+    def sign(p: int, i: int) -> int:
+        return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
+
+    n_dims = 64
+    terms = []
+    for p in range(8):
+        arr = "[" + ", ".join(f"{float(sign(p, i))!r}" for i in range(n_dims)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return (
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        f" bk AS (SELECT id, v, {bucket} AS bucket FROM e),"
+        " s AS (SELECT a.id AS query_id, b.id AS neighbor_id,"
+        " list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v))) AS cosine"
+        " FROM bk a JOIN bk b USING (bucket) WHERE a.id <> b.id),"
+        " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+        " ORDER BY cosine DESC, neighbor_id) AS rank FROM s)"
+        " SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank"
+        " FROM r WHERE rank <= 5"
+    )
+
+
+_register("x12_lsh_ann_topk", _x12, _x12_sql())

@@ -1,0 +1,224 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+  * everything is shuffle-on-key DataFrame composition — no driver loops,
+    no collect; candidate generation is LSH-band equi-join (the classic
+    shingle -> minhash -> band -> bucket-join pipeline), so the quadratic
+    all-pairs comparison only ever happens within a bucket;
+  * two hash modes: 'xxhash64' (JVM xxhash64, the 100 TB path) and 'md5'
+    (hex-string min; bit-identical in DuckDB, used by the correctness
+    oracle). Lexicographic MIN over fixed-width lowercase hex == numeric
+    min, which keeps MinHash well-defined in both engines;
+  * skewed buckets (a viral shingle) are bounded by banding; AQE skew-join
+    handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicate group.
+
+    Returns (key_cols..., canonical_id = min id, n_copies). Keeping the
+    minimum id is the deterministic survivor rule.
+    """
+    return df.groupBy(*key_cols).agg(
+        F.min(id_col).alias("canonical_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep only the min-id row of each duplicate group (distributed)."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per document: (id, shingle).
+
+    Tokens come from whitespace splitting of the trimmed text; shingle i is
+    words[i..i+k-1] joined by a single space. Pure Column expressions
+    (transform over a sequence of start offsets) — no UDF.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0] — docs
+    # shorter than k words must yield no shingles, not garbage slices
+    starts = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    sh = F.transform(
+        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+        .distinct()
+    )
+
+
+def _hash_expr(col: Column, seed: int, mode: str) -> Column:
+    if mode == "md5":
+        # fixed-width lowercase hex; MIN is lexicographic == numeric
+        return F.md5(F.concat(col, F.lit(f"#{seed}")))
+    if mode == "xxhash64":
+        return F.xxhash64(col, F.lit(seed)).cast("string")
+    raise ValueError(f"unknown hash mode {mode!r}")
+
+
+def minhash_signatures(
+    shingle_df: DataFrame, num_hashes: int = 16, mode: str = "md5"
+) -> DataFrame:
+    """(id, shingle) -> (id, sig_0..sig_{H-1}): per-doc MinHash signature.
+
+    One shuffle (groupBy id) computes all H component minima as parallel
+    aggregates — map-side partial min makes this a light shuffle even at
+    billions of shingles.
+    """
+    aggs = [
+        F.min(_hash_expr(F.col("shingle"), i, mode)).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return shingle_df.groupBy("id").agg(*aggs)
+
+
+def lsh_bands(sig_df: DataFrame, bands: int, rows_per_band: int, mode: str = "md5") -> DataFrame:
+    """Signature -> (id, band, band_hash): hash rows_per_band components per band."""
+    out = []
+    for b in range(bands):
+        cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_hash = F.md5(F.concat_ws("|", *cols)) if mode == "md5" else F.xxhash64(*cols).cast("string")
+        out.append(
+            sig_df.select(
+                F.col("id"), F.lit(b).alias("band"), band_hash.alias("band_hash")
+            )
+        )
+    res = out[0]
+    for df in out[1:]:
+        res = res.unionByName(df)
+    return res
+
+
+def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
+    """Bucket self-join -> distinct candidate pairs (id_a < id_b).
+
+    The equi-join on (band, band_hash) is the whole trick: only same-bucket
+    docs ever meet, so cost is sum of bucket^2, not corpus^2.
+    """
+    a = band_df.select(
+        F.col("band"), F.col("band_hash"), F.col("id").alias("id_a")
+    )
+    b = band_df.select(
+        F.col("band"), F.col("band_hash"), F.col("id").alias("id_b")
+    )
+    return (
+        a.join(b, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    mode: str = "md5",
+) -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join, end to end."""
+    sh = shingles(df, id_col, text_col, k)
+    sig = minhash_signatures(sh, num_hashes=num_hashes, mode=mode)
+    band_df = lsh_bands(sig, bands=bands, rows_per_band=num_hashes // bands, mode=mode)
+    return lsh_candidate_pairs(band_df)
+
+
+def ngram_jaccard(
+    shingle_df: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Exact Jaccard similarity over shingle sets.
+
+    With `pairs` given, verifies only those candidates (the LSH flow);
+    without, scores every pair sharing >= 1 shingle (exact but quadratic in
+    bucket size — fine after blocking, unusable raw at 100 TB).
+    Output: (id_a, id_b, jaccard).
+    """
+    sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
+    b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """16-bit SimHash over word unigrams (md5-derived bits, oracle-portable).
+
+    Each token contributes +-1 to 16 bit positions taken from the first 4
+    hex digits of md5(token); the packed majority sign vector is the
+    fingerprint. Near-duplicate docs differ in few bits (compare by
+    popcount of xor downstream). 64-bit + xxhash64 is the scale variant —
+    same shape, different width.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("tok"),
+    )
+    h = F.md5(F.col("tok"))
+    # hex digit d = conv(substr(h, 1+j/4, 1)); bit = (d >> (3 - j%4)) & 1
+    bit_aggs = []
+    for j in range(16):
+        digit = F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
+        bit = F.floor(digit / (2 ** (3 - j % 4))).cast("int") % 2
+        contrib = F.when(bit == 1, 1).otherwise(-1)
+        bit_aggs.append(F.sum(contrib).alias(f"b{j}"))
+    sums = toks.withColumn("h", h).groupBy("id").agg(*bit_aggs)
+    packed = None
+    for j in range(16):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(2**j)).otherwise(F.lit(0))
+        packed = term if packed is None else packed + term
+    return sums.select("id", packed.cast("long").alias("simhash"))
+
+
+def embedding_near_dup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """All pairs with cosine similarity above threshold (exact, blocked upstream).
+
+    Inputs are expected pre-blocked (LSH buckets / IVF cells / partition
+    stripes) — raw all-pairs is quadratic. Output: (id_a, id_b, cosine).
+    """
+    from presto_workload_analyzer_spark.extensions.similarity import cosine_expr
+
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return pairs.select(
+        "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
+    ).filter(F.col("cosine") > threshold)

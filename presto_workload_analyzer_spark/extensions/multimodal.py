@@ -1,0 +1,106 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the engine as `binary` columns plus a
+metadata struct; decode / feature-extract / resize / frame-sample run as
+Arrow-batched Pandas stages over `mapInPandas`. The media codec libraries
+are NOT in this container, so the decode kernels are STUBBED with a
+deterministic fake (clearly marked); the Spark-side plumbing — schema,
+batch iteration, partitioning, UDF signatures — is real and tested, and a
+real decoder drops into `_decode_bytes` without touching anything else.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField("meta", T.StructType(
+            [
+                T.StructField("mime", T.StringType()),
+                T.StructField("n_bytes", T.LongType()),
+            ]
+        )),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+    ]
+)
+
+
+def attach_binary(df: DataFrame, id_col: str, text_col: str, mime: str = "application/octet-stream") -> DataFrame:
+    """Demonstration source: utf-8 payload + metadata struct.
+
+    In production the payload column comes straight from parquet binary;
+    the metadata struct shape is the contract analyzers rely on.
+    """
+    payload = F.encode(F.col(text_col), "utf-8")
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.octet_length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_bytes(payload: bytes) -> tuple[int, int, int, float]:
+    """STUB image decode — deterministic fake, NOT a real codec.
+
+    A real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
+    the fake derives a plausible (width, height, channels, mean) from the
+    byte content so downstream plumbing is exercised deterministically.
+    """
+    n = len(payload)
+    width = 16 + n % 64
+    height = 16 + (n // 64) % 64
+    mean = (sum(payload[:256]) / max(min(n, 256), 1)) / 255.0
+    return width, height, 3, mean
+
+
+def decode_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Arrow-batched decode stage: media frame -> decoded feature frame.
+
+    mapInPandas keeps the payload bytes inside the executor (never on the
+    driver) and amortizes Python transition cost per batch. Partitioning is
+    inherited; repartition upstream by size if payloads are skewed.
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                w, h, c, m = _decode_bytes(bytes(payload))
+                rows.append((doc_id, w, h, c, m))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "mean_intensity"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(gen, DECODED_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
+    """STUB video frame sampler: emits one row per sampled 'frame'.
+
+    Real version: decode container, sample every Nth frame. The fake emits
+    ceil(n_bytes / every_n_bytes) rows so the 1->N explode shape (and its
+    partition growth) is real.
+    """
+    n_frames = F.ceil(F.col("meta.n_bytes") / every_n_bytes).cast("int")
+    return media.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    )

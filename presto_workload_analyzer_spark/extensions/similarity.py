@@ -1,0 +1,130 @@
+"""Similarity search over embedding columns: brute-force + LSH-bucketed ANN.
+
+The embedding column is array<float>; all math casts to double first so
+results are bit-stable across engines (DuckDB list_dot_product on
+DOUBLE[] matches Spark's in-order zip_with/aggregate fold exactly).
+
+Scale path: brute-force top-k is the exact baseline (fine when the query
+set is small — it broadcasts); random-hyperplane LSH bucketing bounds the
+candidate set for corpus-vs-corpus workloads. An IVF variant (coarse
+k-means cells) would slot in the same shape: assign -> per-cell join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _to_double(v: Column) -> Column:
+    return F.transform(v, lambda x: x.cast("double"))
+
+
+def dot_expr(a: Column, b: Column) -> Column:
+    """In-order fold of elementwise products (deterministic fp order)."""
+    prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_expr(a: Column) -> Column:
+    return F.sqrt(dot_expr(a, a))
+
+
+def cosine_expr(a: Column, b: Column) -> Column:
+    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    queries is broadcast (small side); ranking window partitions by query
+    id with (similarity desc, neighbor id) deterministic tiebreak.
+    Output: (query_id, neighbor_id, cosine, rank); self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_buckets(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit vector of n_planes projections.
+
+    The 'random' hyperplanes are deterministic: coefficient for (plane p,
+    dim i) is +1 if a bit of md5("p|i") is set else -1 — reproducible in
+    any engine, no state to ship. Cosine-similar vectors collide with
+    probability 1 - theta/pi per plane.
+    Output: (id, bucket) — equi-join on bucket bounds ANN candidates.
+    """
+    import hashlib
+
+    def sign(p: int, i: int) -> int:
+        return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
+
+    v = _to_double(F.col(vec_col))
+    bucket = None
+    # n_dims from the first row is metadata-only; planes are per-dim literals
+    n_dims = len(emb.select(vec_col).head()[0])
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(float(sign(p, i))) for i in range(n_dims)])
+        proj = F.aggregate(
+            F.zip_with(v, coeffs, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
+        )
+        bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return emb.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
+
+
+def lsh_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k within LSH buckets: assign -> same-bucket join -> rank.
+
+    Recall < 1 by construction (bucket misses); cheap at scale because the
+    join key prunes the candidate set ~2^n_planes-fold.
+    """
+    buckets = hyperplane_buckets(emb, id_col, vec_col, n_planes)
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        buckets, on="id"
+    )
+    a = vecs.select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    b = vecs.select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "bucket"
+    )
+    scored = a.join(b, on="bucket").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

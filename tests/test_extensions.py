@@ -1,0 +1,160 @@
+"""Semantic tests for the LLM-data-pipeline extensions: planted duplicates
+and known-answer inputs (the DuckDB oracles cover engine-vs-engine equality;
+these cover 'does the operator actually find what it should')."""
+
+import math
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from presto_workload_analyzer_spark.extensions import dedup, multimodal, similarity, textstats
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find some food for the winter"
+    )
+    near = base.replace("green", "dark")  # one-word change -> near-dup
+    other = "completely different content about spark query engines and analytics workloads at scale"
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base),      # exact dup of 1
+        Row(doc_id=3, text=near),      # near dup of 1
+        Row(doc_id=4, text=other),
+        Row(doc_id=5, text="tiny"),    # shorter than shingle size
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs, ["text"], "doc_id")
+    dup = groups.filter(F.col("n_copies") > 1).collect()
+    assert len(dup) == 1 and dup[0].canonical_id == 1 and dup[0].n_copies == 2
+    kept = dedup.drop_exact_duplicates(docs, ["text"], "doc_id")
+    assert kept.count() == 4
+    assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_shingles_short_doc(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    assert sh.filter(F.col("id") == 5).count() == 0  # 'tiny' has no 3-shingle
+
+
+def test_minhash_lsh_finds_dups(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got          # identical signatures always collide
+    assert (1, 3) in got or (2, 3) in got  # near-dup should band-collide
+    assert (1, 4) not in got      # unrelated must not
+
+
+def test_minhash_xxhash_mode(docs):
+    pairs = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64"
+    )
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert (1, 2) in got
+
+
+def test_ngram_jaccard(docs):
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    j = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(sh).collect()}
+    assert math.isclose(j[(1, 2)], 1.0)
+    assert 0.5 < j[(1, 3)] < 1.0
+    assert (1, 4) not in j  # no shared shingle
+
+
+def test_simhash_similarity(docs):
+    sh = {r.id: r.simhash for r in dedup.simhash16(docs, "doc_id", "text").collect()}
+    assert sh[1] == sh[2]
+    ham_near = bin(sh[1] ^ sh[3]).count("1")
+    ham_far = bin(sh[1] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+    assert ham_near <= 4
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = []
+    base = [rnd.uniform(-1, 1) for _ in range(16)]
+    near = list(base)
+    near[0] += 0.01
+    rows.append(Row(vec_id=0, embedding=[float(x) for x in base]))
+    rows.append(Row(vec_id=1, embedding=[float(x) for x in near]))
+    for i in range(2, 40):
+        rows.append(Row(vec_id=i, embedding=[float(rnd.uniform(-1, 1)) for _ in range(16)]))
+    return spark.createDataFrame(rows)
+
+
+def test_cosine_topk_finds_planted_neighbor(vectors):
+    out = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") == 0), k=3)
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 1  # the planted near-duplicate
+    assert rows[0].cosine > 0.999
+
+
+def test_embedding_near_dup_pairs(vectors):
+    pairs = dedup.embedding_near_dup_pairs(vectors, "vec_id", "embedding", threshold=0.99)
+    got = {(r.id_a, r.id_b) for r in pairs.collect()}
+    assert got == {(0, 1)}
+
+
+def test_lsh_topk_recall_on_planted_pair(vectors):
+    out = similarity.lsh_topk(vectors, n_planes=4, k=3)
+    mine = [r for r in out.collect() if r.query_id == 0]
+    # near-identical vectors agree on every hyperplane sign -> same bucket
+    assert any(r.neighbor_id == 1 for r in mine)
+
+
+def test_textstats_known_answers(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="The cat, and THE dog!  ")])
+    r = df.select(
+        textstats.token_count("text").alias("n"),
+        textstats.bpe_ish_token_count("text").alias("nb"),
+        F.round(textstats.stopword_ratio("text", ["the", "and"]), 6).alias("sw"),
+        textstats.fingerprint("text").alias("fp"),
+        textstats.language_id("text").alias("lang"),
+    ).collect()[0]
+    assert r.n == 5  # The/cat,/and/THE/dog!
+    assert r.nb == 7  # The cat , and THE dog !
+    assert math.isclose(r.sw, 3 / 5)
+    assert r.lang == "en"
+    # fingerprint invariant under case/punct/whitespace noise
+    df2 = spark.createDataFrame([Row(doc_id=2, text="the cat and the dog")])
+    fp2 = df2.select(textstats.fingerprint("text").alias("fp")).collect()[0].fp
+    assert r.fp == fp2
+
+
+def test_language_id_german(spark):
+    df = spark.createDataFrame([Row(text="der hund und die katze ist ein tier")])
+    assert df.select(textstats.language_id("text").alias("l")).collect()[0].l == "de"
+
+
+def test_quality_score_bounds(spark):
+    df = spark.createDataFrame(
+        [Row(text="the cat is in the house and it is warm"), Row(text="@@@ ### !!!")]
+    )
+    rows = df.select(textstats.quality_score("text").alias("q")).collect()
+    assert all(0.0 <= r.q <= 1.0 for r in rows)
+    assert rows[0].q > rows[1].q
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame([Row(doc_id=1, text="x" * 100), Row(doc_id=2, text="y" * 10)])
+    media = multimodal.attach_binary(df, "doc_id", "text")
+    m = {r.doc_id: r for r in media.collect()}
+    assert m[1].meta.n_bytes == 100 and m[1].meta.mime == "application/octet-stream"
+    decoded = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
+    assert decoded[1].n_channels == 3
+    assert 0.0 <= decoded[1].mean_intensity <= 1.0
+    # deterministic: same payload -> same fake decode
+    again = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
+    assert again[1] == decoded[1]
+    frames = multimodal.frame_sample(media, every_n_bytes=32)
+    counts = {r[0]: r[1] for r in frames.groupBy("doc_id").count().collect()}
+    assert counts == {1: 4, 2: 1}  # ceil(100/32)=4, ceil(10/32)=1
