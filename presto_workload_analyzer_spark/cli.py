@@ -64,6 +64,34 @@ def cmd_analyze(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_process(args: argparse.Namespace) -> int:
+    from presto_workload_analyzer_spark.privacy import process_summary
+
+    spark = get_spark(app_name="pwa-process")
+    df = read_summary_jsonl(spark, args.input)
+    if args.limit:
+        df = df.limit(args.limit)
+    out, tables = process_summary(
+        df,
+        filter_schema=args.filter_schema,
+        remove_query=args.remove_query,
+        rename_schemas=args.rename_schemas,
+        rename_catalogs=args.rename_catalogs,
+        remove_locations=args.remove_locations,
+        rename_user=args.rename_user,
+        rename_partitions=args.rename_partitions,
+    )
+    write_summary_jsonl(out, args.output)
+    n = read_summary_jsonl(spark, args.output).count()
+    print(f"processed {n} summaries -> {args.output}")
+    # translation tables (reference jsonl_process.py:186-194)
+    for group, tdf in tables.items():
+        print(f"{group.capitalize()}s translation table:")
+        for r in tdf.orderBy("new_name").collect():
+            print(f"  {r['name']!r}: {r['new_name']!r}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="presto_workload_analyzer_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -82,6 +110,19 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--fail-on-error", action="store_true")
     pa.add_argument("--scatter-limit", type=int, default=50_000)
     pa.set_defaults(fn=cmd_analyze)
+
+    pp = sub.add_parser("process", help="summary JSONL -> filtered/obfuscated JSONL")
+    pp.add_argument("-i", "--input", required=True)
+    pp.add_argument("-o", "--output", required=True)
+    pp.add_argument("-l", "--limit", type=int, default=None)
+    pp.add_argument("--filter-schema", default=None)
+    pp.add_argument("--remove-query", action="store_true")
+    pp.add_argument("--rename-schemas", action="store_true")
+    pp.add_argument("--rename-catalogs", action="store_true")
+    pp.add_argument("--remove-locations", action="store_true")
+    pp.add_argument("--rename-user", action="store_true")
+    pp.add_argument("--rename-partitions", action="store_true")
+    pp.set_defaults(fn=cmd_process)
 
     args = p.parse_args(argv)
     return args.fn(args)

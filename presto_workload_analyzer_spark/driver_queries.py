@@ -1028,3 +1028,33 @@ def _x12_sql() -> str:
 
 
 _register("x12_lsh_ann_topk", _x12, _x12_sql())
+
+
+# --------------------------------------------------------------------------
+# Privacy kernel (SURVEY.md §2B-UDF, jsonl_process parity): first-seen
+# ordinal name map (NameObfuscator, reference jsonl_process.py:53-64) as a
+# distributed window kernel, driven by the real build_translation code.
+# --------------------------------------------------------------------------
+
+from presto_workload_analyzer_spark.privacy import build_translation  # noqa: E402
+
+
+def _p01(spark: SparkSession, sf: str) -> DataFrame:
+    orders = read_sf_table(spark, sf, "orders")
+    names = orders.select(
+        F.lit("user").alias("group"),
+        F.col("o_orderpriority").alias("name"),
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias("query_id"),
+    )
+    return build_translation(names).select("name", "new_name")
+
+
+_register(
+    "p01_name_obfuscation_map",
+    _p01,
+    "WITH n AS (SELECT o_orderpriority AS name,"
+    " min(lpad(CAST(o_orderkey AS VARCHAR), 12, '0')) AS fs"
+    " FROM orders GROUP BY 1)"
+    " SELECT name, 'user' || CAST(row_number() OVER (ORDER BY fs, name) - 1 AS VARCHAR)"
+    " AS new_name FROM n",
+)
