@@ -1,0 +1,17 @@
+from presto_workload_analyzer_spark.streaming.ingest import (
+    input_by_window,
+    queries_by_window,
+    run_to_memory,
+    scheduled_by_window,
+    stream_summaries,
+    write_stream_parquet,
+)
+
+__all__ = [
+    "input_by_window",
+    "queries_by_window",
+    "run_to_memory",
+    "scheduled_by_window",
+    "stream_summaries",
+    "write_stream_parquet",
+]

@@ -1,0 +1,133 @@
+"""Structured Streaming ingest: continuous workload-log analytics.
+
+Reference surface: the collector's poll loop (collect.py:83-122) — an
+unbounded, at-least-once, dedup-by-file-id ingest of completed queries —
+plus the hourly/daily analyzers which, on a live cluster, are naturally
+continuous (SURVEY.md §2B-streaming). The reference has no streaming
+engine; it re-runs analyze.py over the whole corpus. Rebuild: the landing
+directory written by a thin collector becomes a file-source stream, and the
+time-bucketed analyzers become watermarked tumbling-window aggregations, so
+the cluster-load dashboards update incrementally instead of re-scanning
+history.
+
+Scale posture:
+  * file source with `maxFilesPerTrigger` — bounded micro-batches no matter
+    how far behind the stream falls;
+  * dedup state bounded by `dropDuplicatesWithinWatermark` — the reference
+    dedups by file existence forever (collect.py:101-103), which is
+    unbounded state; a watermark on the query timestamp (encoded in
+    query_id) keeps state proportional to the late-data horizon;
+  * windowed aggs emit in append mode after watermark close — the sink
+    receives each hour bucket exactly once, so the downstream report read
+    is a plain parquet scan, no upsert logic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from presto_workload_analyzer_spark.functions import query_timestamp
+from presto_workload_analyzer_spark.sources.queryinfo import SUMMARY_SCHEMA
+
+DEFAULT_WATERMARK = "2 hours"
+
+
+def stream_summaries(
+    spark: SparkSession,
+    landing_dir: str,
+    watermark: str = DEFAULT_WATERMARK,
+    max_files_per_trigger: int | None = None,
+    dedup: bool = True,
+) -> DataFrame:
+    """Landing dir of summary JSONL(.gz) -> deduped streaming DataFrame.
+
+    Adds `query_ts` (from the query_id prefix, analyze.py:62-63) and a
+    watermark; duplicate query_ids within the watermark horizon are dropped
+    (the collector's at-least-once delivery, collect.py:101-103).
+    """
+    reader = spark.readStream.schema(SUMMARY_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = (
+        reader.json(landing_dir)
+        .withColumn("query_ts", query_timestamp(F.col("query_id")))
+        .withWatermark("query_ts", watermark)
+    )
+    if dedup:
+        df = df.dropDuplicatesWithinWatermark(["query_id"])
+    return df
+
+
+def _finished(df: DataFrame) -> DataFrame:
+    # FAILED rows are collected but not analyzed (reference analyze.py:1233-1234)
+    return df.filter(F.col("state") != "FAILED")
+
+
+def scheduled_by_window(df: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Streaming twin of scheduled_by_hour/date (analyze.py:83-130).
+
+    Tumbling window over query_ts; sum of scheduled time scaled to hours
+    (1h windows) or days (1d windows).
+    """
+    divisor = 86400.0 if duration in ("1 day", "24 hours") else 3600.0
+    return (
+        _finished(df)
+        .groupBy(F.window("query_ts", duration).alias("bucket"))
+        .agg((F.sum("scheduled_time") / divisor).alias("scheduled"))
+        .select(F.col("bucket.start").alias("bucket"), "scheduled")
+    )
+
+
+def queries_by_window(df: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Streaming twin of queries_by_hour/date (analyze.py:175-214)."""
+    return (
+        _finished(df)
+        .groupBy(F.window("query_ts", duration).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .select(F.col("bucket.start").alias("bucket"), "n_queries")
+    )
+
+
+def input_by_window(df: DataFrame, duration: str = "1 hour") -> DataFrame:
+    """Streaming twin of input_by_hour/date (analyze.py:133-172); TB read."""
+    return (
+        _finished(df)
+        .groupBy(F.window("query_ts", duration).alias("bucket"))
+        .agg((F.sum("input_size") / 1e12).alias("input_tb"))
+        .select(F.col("bucket.start").alias("bucket"), "input_tb")
+    )
+
+
+def write_stream_parquet(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    output_mode: str = "append",
+    available_now: bool = False,
+):
+    """Windowed aggregate stream -> parquet sink with checkpointing.
+
+    append mode + watermark ⇒ each closed window lands exactly once.
+    `available_now=True` drains the backlog and stops (batch-like runs and
+    tests); otherwise the query runs until stopped.
+    """
+    writer = (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode(output_mode)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
+    """Drain the stream into an in-memory table (tests/dev only)."""
+    return (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,126 @@
+"""Structured Streaming ingest: dedup, windowed aggs, incremental drain.
+
+Strategy: write summary JSONL files into a landing dir, drain with
+availableNow triggers, assert against the batch analyzer results on the
+same data (stream/batch parity), then append late + duplicate files and
+assert dedup and incremental window emission.
+"""
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_workload_analyzer_spark.sources.queryinfo import SUMMARY_SCHEMA
+from presto_workload_analyzer_spark.streaming import (
+    queries_by_window,
+    run_to_memory,
+    scheduled_by_window,
+    stream_summaries,
+)
+
+
+def _line(query_id: str, scheduled: float = 3600.0, state: str = "FINISHED") -> str:
+    return json.dumps(
+        {
+            "query": "SELECT 1",
+            "query_id": query_id,
+            "user": "alice",
+            "state": state,
+            "elapsed_time": 1.0,
+            "cpu_time": 1.0,
+            "scheduled_time": scheduled,
+            "blocked_time": 0.0,
+            "input_size": 1e9,
+            "output_size": 0.0,
+            "input_rows": 10,
+            "output_rows": 1,
+            "peak_mem": 0.0,
+            "operators": [],
+        }
+    )
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    d = tmp_path / "landing"
+    d.mkdir()
+    (d / "batch1.jsonl").write_text(
+        "\n".join(
+            [
+                _line("20240101_080500_00001_aaaaa", scheduled=1800.0),
+                _line("20240101_081500_00002_aaaaa", scheduled=1800.0),
+                _line("20240101_091000_00003_aaaaa", scheduled=7200.0),
+                _line("20240101_091500_00004_aaaaa", state="FAILED"),
+            ]
+        )
+    )
+    return d
+
+
+def _drain(spark, name, df, output_mode="append"):
+    q = run_to_memory(df, name, output_mode=output_mode)
+    q.awaitTermination(120)
+    return spark.table(name)
+
+
+def test_stream_dedup_and_schema(spark, landing):
+    stream = stream_summaries(spark, str(landing))
+    assert stream.isStreaming
+    out = _drain(spark, "t_raw", stream)
+    assert out.count() == 4
+    assert {f.name for f in SUMMARY_SCHEMA.fields} <= {c for c in out.columns}
+
+    # duplicate + one new arrival in a second file: only the new id lands
+    (landing / "batch2.jsonl").write_text(
+        "\n".join(
+            [
+                _line("20240101_080500_00001_aaaaa"),  # dup within watermark
+                _line("20240101_093000_00005_aaaaa", scheduled=3600.0),
+            ]
+        )
+    )
+    stream2 = stream_summaries(spark, str(landing))
+    q = run_to_memory(stream2, "t_raw2")
+    q.awaitTermination(120)
+    ids = [r.query_id for r in spark.table("t_raw2").select("query_id").collect()]
+    assert sorted(ids) == [
+        "20240101_080500_00001_aaaaa",
+        "20240101_081500_00002_aaaaa",
+        "20240101_091000_00003_aaaaa",
+        "20240101_091500_00004_aaaaa",
+        "20240101_093000_00005_aaaaa",
+    ]
+
+
+def test_windowed_scheduled_matches_batch(spark, landing):
+    stream = stream_summaries(spark, str(landing), dedup=False)
+    agg = scheduled_by_window(stream, "1 hour")
+    # complete mode: emit every open window (no watermark wait in one drain)
+    out = _drain(spark, "t_sched", agg, output_mode="complete")
+    rows = {str(r.bucket): r.scheduled for r in out.collect()}
+    # 08:00 bucket: (1800+1800)/3600 = 1.0 h; 09:00: 7200/3600 = 2.0 (FAILED dropped)
+    assert rows["2024-01-01 08:00:00"] == pytest.approx(1.0)
+    assert rows["2024-01-01 09:00:00"] == pytest.approx(2.0)
+
+
+def test_windowed_counts(spark, landing):
+    stream = stream_summaries(spark, str(landing), dedup=False)
+    out = _drain(spark, "t_cnt", queries_by_window(stream, "1 hour"), "complete")
+    rows = {str(r.bucket): r.n_queries for r in out.collect()}
+    assert rows["2024-01-01 08:00:00"] == 2
+    assert rows["2024-01-01 09:00:00"] == 1  # FAILED dropped
+
+
+def test_append_mode_emits_closed_windows(spark, landing, tmp_path):
+    """Watermark semantics: a later batch advancing the watermark closes the
+    earlier window, which then lands exactly once in append mode."""
+    # event at 10:00 advances the watermark to 09:30 >= 09:00, closing the
+    # 08:00-09:00 window; the 09:00 window (ends 10:00 > 09:30) stays open.
+    (landing / "late.jsonl").write_text(_line("20240101_100000_00009_aaaaa"))
+    stream = stream_summaries(spark, str(landing), watermark="30 minutes", dedup=False)
+    agg = scheduled_by_window(stream, "1 hour")
+    q = run_to_memory(agg, "t_append", output_mode="append")
+    q.awaitTermination(120)
+    emitted = {str(r.bucket) for r in spark.table("t_append").collect()}
+    assert emitted == {"2024-01-01 08:00:00"}
