@@ -92,9 +92,48 @@ def cmd_process(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_collect(args: argparse.Namespace) -> int:
+    from presto_workload_analyzer_spark.sources.collector import Client, collect
+
+    client = Client(
+        username=args.username,
+        password=args.password,
+        certificate_verification=args.certificate_verification,
+        username_request_header=args.username_request_header,
+    )
+    n = collect(
+        coordinator=args.coordinator,
+        query_endpoint=args.query_endpoint,
+        output_dir=args.output_dir,
+        delay=args.delay,
+        loop=args.loop,
+        loop_delay=args.loop_delay,
+        client=client,
+    )
+    print(f"collected {n} queries -> {args.output_dir}")
+    return 0
+
+
+def _str_to_bool(v: str) -> bool:
+    return str(v).lower() in ("yes", "true", "t", "y", "1")
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="presto_workload_analyzer_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
+
+    pc = sub.add_parser("collect", help="coordinator REST -> QueryInfo landing dir")
+    pc.add_argument("-c", "--coordinator", default="http://localhost:8080")
+    pc.add_argument("-e", "--query-endpoint", default="/v1/query")
+    pc.add_argument("-u", "--username", default=None)
+    pc.add_argument("--username-request-header", default=None)
+    pc.add_argument("-p", "--password", default=None)
+    pc.add_argument("--certificate-verification", default=True, type=_str_to_bool)
+    pc.add_argument("-o", "--output-dir", default="JSONs")
+    pc.add_argument("-d", "--delay", default=0.1, type=float)
+    pc.add_argument("--loop", action="store_true")
+    pc.add_argument("--loop-delay", type=float, default=1.0)
+    pc.set_defaults(fn=cmd_collect)
 
     pe = sub.add_parser("extract", help="QueryInfo dir -> summary JSONL")
     pe.add_argument("-i", "--input-dir", required=True)

@@ -213,7 +213,9 @@ def extract_queryinfo(spark: SparkSession, input_path: str | list[str]) -> DataF
     loop (extract.py:190-206) becomes partition parallelism.
     """
     if isinstance(input_path, str):
-        paths = [f"{input_path}/*.json", f"{input_path}/*.json.gz"]
+        # one glob for both *.json and *.json.gz: a collector landing dir
+        # typically holds only .json.gz, and a non-matching glob is an error
+        paths = [f"{input_path}/*.json*"]
     else:
         paths = list(input_path)
     raw = spark.read.text(paths, wholetext=True)
