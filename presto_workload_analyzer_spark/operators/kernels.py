@@ -71,18 +71,21 @@ def pie_collapse(
         .withColumn("__rnk", F.row_number().over(w_rank))
         .withColumn("__keep", (100.0 * F.col("__val") / F.col("__total") > 0.1) & (F.col("__rnk") < top))
     )
-    kept = base.filter(F.col("__keep")).select(
-        F.col(label_col).alias("label"), F.col("__val").alias("val"), F.col("__rnk").alias("__ord")
+    # Collapse kept labels + 'All the rest' in ONE aggregation instead of a
+    # union of two filtered branches: a union would make Catalyst evaluate
+    # the (potentially heavy) upstream aggregate twice — once per branch —
+    # since common-subplan reuse only applies to identical exchanges. Kept
+    # rows group by (label, rank) so they never merge; all dropped rows
+    # share the sentinel ord and fold into one 'All the rest' row, which
+    # exists iff at least one label was dropped (possibly with val=0.0).
+    merged = (
+        base.groupBy(
+            F.when(F.col("__keep"), F.col(label_col)).otherwise(F.lit(REST_LABEL)).alias("label"),
+            F.when(F.col("__keep"), F.col("__rnk")).otherwise(F.lit(2_000_000_000)).alias("__ord"),
+        )
+        .agg(F.sum("__val").alias("val"))
+        .select("label", "val", "__ord")
     )
-    # one 'All the rest' row iff any label was dropped (possibly with val=0.0)
-    rest = (
-        base.filter(~F.col("__keep"))
-        .groupBy()
-        .agg(F.sum("__val").alias("val"), F.count(F.lit(1)).alias("__n"))
-        .filter(F.col("__n") > 0)
-        .select(F.lit(REST_LABEL).alias("label"), F.col("val"), F.lit(2_000_000_000).alias("__ord"))
-    )
-    merged = kept.unionByName(rest)
     w_all2 = Window.partitionBy()
     w_last = Window.orderBy(F.desc("__ord"))
     out = (
