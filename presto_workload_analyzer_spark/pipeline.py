@@ -104,3 +104,41 @@ def write_silver(silver: dict[str, DataFrame], out_dir: str) -> None:
     silver["operators"].write.mode("overwrite").parquet(f"{out_dir}/operators")
     silver["plan_nodes"].write.mode("overwrite").parquet(f"{out_dir}/plan_nodes")
     silver["tasks"].write.mode("overwrite").parquet(f"{out_dir}/tasks")
+
+
+def write_silver_bucketed(
+    silver: dict[str, DataFrame], prefix: str = "pwa", buckets: int = 32
+) -> None:
+    """Persist operators + plan_nodes as bucketed catalog tables.
+
+    The table-attribution analyzers (#18, 22-24) and the join-shape pair
+    matching (#27, 28) all equi-join operators to plan_nodes on
+    (query_id, node_id). At 100 TB those are the two biggest silver tables
+    and the join would shuffle both ends on every report run. Bucketing
+    both by (query_id, node_id) — exactly the equi-join keys, which is
+    what Spark requires to enable the bucketed scan — makes the join
+    co-located: Catalyst plans it with zero Exchange on either side, so the
+    shuffle is paid once at silver-build time and amortized over every
+    analysis. query_id is the high-cardinality component (no skew: one
+    query's operators ~ dozens of rows). `buckets` should scale with corpus
+    size (~target 128 MB/bucket-file per date partition).
+    """
+    spark = silver["operators"].sparkSession
+    for name in ("operators", "plan_nodes"):
+        spark.sql(f"DROP TABLE IF EXISTS {prefix}_{name}")
+        (
+            silver[name]
+            .write.mode("overwrite")
+            .bucketBy(buckets, "query_id", "node_id")
+            .sortBy("query_id", "node_id")
+            .format("parquet")
+            .saveAsTable(f"{prefix}_{name}")
+        )
+
+
+def read_silver_bucketed(spark, prefix: str = "pwa") -> dict[str, DataFrame]:
+    """Load the bucketed silver tables written by write_silver_bucketed."""
+    return {
+        "operators": spark.table(f"{prefix}_operators"),
+        "plan_nodes": spark.table(f"{prefix}_plan_nodes"),
+    }

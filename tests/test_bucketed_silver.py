@@ -1,0 +1,65 @@
+"""Bucketed silver layer: the operators ⨝ plan_nodes attribution join must
+be co-located (zero shuffle on either join input) when both tables are
+bucketed by query_id — the 100 TB posture for the report pipeline."""
+
+import json
+import pathlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from presto_workload_analyzer_spark.operators import analyzers as A
+from presto_workload_analyzer_spark.pipeline import (
+    build_silver,
+    read_silver_bucketed,
+    write_silver_bucketed,
+)
+from presto_workload_analyzer_spark.sources.queryinfo import extract_queryinfo
+
+from queryinfo_fixtures import fixtures
+
+
+@pytest.fixture(scope="module")
+def bucketed(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("bucketed_corpus")
+    for i, doc in enumerate(fixtures()):
+        (d / f"q{i:03d}.json").write_text(json.dumps(doc))
+    silver = build_silver(extract_queryinfo(spark, str(d)))
+    write_silver_bucketed(silver, prefix="pwa_test", buckets=4)
+    yield read_silver_bucketed(spark, prefix="pwa_test")
+    spark.sql("DROP TABLE IF EXISTS pwa_test_operators")
+    spark.sql("DROP TABLE IF EXISTS pwa_test_plan_nodes")
+
+
+def test_bucketed_join_no_shuffle(spark, bucketed):
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the sort-merge path (what a 100 TB run would take)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = bucketed["operators"].join(
+            bucketed["plan_nodes"], on=["query_id", "node_id"]
+        )
+        joined.count()  # materialize so executedPlan is final
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        # both scans read bucketed; no hash-repartition exchange feeds the join
+        assert plan.count("Bucketed: true") == 2
+        assert "Exchange hashpartitioning" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_results_match_unbucketed(spark, bucketed):
+    out = A.wall_by_table_scan(bucketed["operators"], bucketed["plan_nodes"])
+    rows = {r["label"]: r["val"] for r in out.collect()}
+    assert "hive.web.logs" in rows
+    assert all(v >= 0 for v in rows.values())
+    # totals line up with a direct (unbucketed) aggregation over operators
+    direct = (
+        bucketed["operators"]
+        .join(bucketed["plan_nodes"], on=["query_id", "node_id"])
+        .filter(F.col("op_type").contains("Scan"))
+        .agg(F.sum(F.col("input_wall") + F.col("output_wall") + F.col("finish_wall")))
+        .collect()[0][0]
+    )
+    assert sum(rows.values()) == pytest.approx(direct)
