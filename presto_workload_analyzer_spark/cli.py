@@ -56,6 +56,7 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         only=only,
         scatter_limit=args.scatter_limit,
         fail_on_error=args.fail_on_error,
+        high_contrast=args.high_contrast_mode,
     )
     write_report(report, args.output)
     n_charts = len(report["charts"])
@@ -147,6 +148,7 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--filter", default=None, help="emit a single analyzer")
     pa.add_argument("-l", "--limit", type=int, default=None)
     pa.add_argument("--fail-on-error", action="store_true")
+    pa.add_argument("--high-contrast-mode", action="store_true")
     pa.add_argument("--scatter-limit", type=int, default=50_000)
     pa.set_defaults(fn=cmd_analyze)
 

@@ -47,20 +47,65 @@ _SCATTER = {
 }
 
 
-def _chart_payload(name: str, df: DataFrame, scatter_limit: int) -> dict[str, Any] | None:
+# pie-style analyzers: labels are shortened for display and a categorical
+# palette is attached (colorblind-safe under --high-contrast-mode)
+_PIES = {
+    "queries_by_user",
+    "scheduled_by_user",
+    "scheduled_by_update",
+    "input_by_user",
+    "operator_wall",
+    "wall_by_table_scan",
+    "input_size_by_table_scan",
+    "operator_input",
+    "operator_rows",
+}
+
+# default: the reference uses Bokeh Category20; high-contrast: Okabe-Ito
+# colorblind-safe palette (the reference's --high-contrast-mode switches to
+# Bokeh's Colorblind palette, analyze.py:1211-1215, 1245-1248)
+_PALETTE_DEFAULT = [
+    "#1f77b4", "#aec7e8", "#ff7f0e", "#ffbb78", "#2ca02c", "#98df8a",
+    "#d62728", "#ff9896", "#9467bd", "#c5b0d5", "#8c564b", "#c49c94",
+    "#e377c2", "#f7b6d2", "#7f7f7f", "#c7c7c7", "#bcbd22", "#dbdb8d",
+    "#17becf", "#9edae5",
+]
+_PALETTE_HIGH_CONTRAST = [
+    "#0072B2", "#E69F00", "#F0E442", "#009E73",
+    "#56B4E9", "#D55E00", "#CC79A7", "#000000",
+]
+
+
+def shorten(label: str, max_len: int = 30) -> str:
+    """Truncate long chart labels (reference analyze.py:518-521)."""
+    if isinstance(label, str) and len(label) > max_len:
+        return label[:max_len] + "..."
+    return label
+
+
+def _chart_payload(
+    name: str, df: DataFrame, scatter_limit: int, high_contrast: bool = False
+) -> dict[str, Any] | None:
     if name in _SCATTER:
         df = df.limit(scatter_limit)
     rows = df.collect()
     if not rows:
         return None  # "not enough data" -> no chart (analyze.py:1250-1252)
     fn, _ = ANALYZERS[name]
-    return {
+    data = [[_json_safe(v) for v in row] for row in rows]
+    payload: dict[str, Any] = {
         "id": name,
         "title": name.replace("_", " "),
         "description": (fn.__doc__ or "").strip(),
         "columns": df.columns,
-        "data": [[_json_safe(v) for v in row] for row in rows],
+        "data": data,
     }
+    if name in _PIES:
+        label_ix = df.columns.index("label") if "label" in df.columns else 0
+        for row in data:
+            row[label_ix] = shorten(row[label_ix])
+        payload["palette"] = _PALETTE_HIGH_CONTRAST if high_contrast else _PALETTE_DEFAULT
+    return payload
 
 
 def _json_safe(v: Any) -> Any:
@@ -74,6 +119,7 @@ def build_report(
     only: list[str] | None = None,
     scatter_limit: int = 50_000,
     fail_on_error: bool = False,
+    high_contrast: bool = False,
 ) -> dict[str, Any]:
     """Run analyzers + metrics, return the report document (pure data)."""
     charts = []
@@ -81,7 +127,7 @@ def build_report(
     outputs = run_analyzers(silver, only=only)
     for name, df in outputs.items():
         try:
-            payload = _chart_payload(name, df, scatter_limit)
+            payload = _chart_payload(name, df, scatter_limit, high_contrast)
         except Exception as e:  # noqa: BLE001 — per-chart tolerance, analyze.py:1269-1272
             if fail_on_error:
                 raise

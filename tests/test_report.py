@@ -1,0 +1,95 @@
+"""Report emitter: chart payload contract, pie label shortening, palettes,
+scatter caps, error tolerance, and the html/zip/json sinks."""
+
+import json
+import zipfile
+
+import pytest
+
+from presto_workload_analyzer_spark.pipeline import build_silver
+from presto_workload_analyzer_spark.report.emitter import (
+    _PALETTE_DEFAULT,
+    _PALETTE_HIGH_CONTRAST,
+    build_report,
+    render_html,
+    shorten,
+    write_report,
+)
+from presto_workload_analyzer_spark.sources.queryinfo import extract_queryinfo
+
+import queryinfo_fixtures as QF
+
+
+@pytest.fixture(scope="module")
+def silver(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("report_corpus")
+    docs = QF.fixtures()
+    # one user with a >30-char name to exercise label shortening
+    docs.append(
+        QF.make_queryinfo(
+            "20240104_080000_00020_aaaaa",
+            user="a_very_long_user_name_that_exceeds_thirty_chars",
+        )
+    )
+    for i, doc in enumerate(docs):
+        (d / f"q{i:03d}.json").write_text(json.dumps(doc))
+    return build_silver(extract_queryinfo(spark, str(d)))
+
+
+@pytest.fixture(scope="module")
+def report(silver):
+    return build_report(silver)
+
+
+def test_shorten():
+    assert shorten("short") == "short"
+    assert shorten("x" * 31) == "x" * 30 + "..."
+    assert len(shorten("x" * 100)) == 33
+
+
+def test_report_structure(report):
+    assert report["errors"] == {}
+    ids = {c["id"] for c in report["charts"]}
+    # every chart carries the contract fields
+    for c in report["charts"]:
+        assert set(c) >= {"id", "title", "description", "columns", "data"}
+        assert c["data"], c["id"]
+    assert "scheduled_by_date" in ids and "joins_sides" in ids
+    m = report["structure"]["metrics"]
+    assert m["n_queries"] > 0
+
+
+def test_pie_labels_shortened_and_palette(report):
+    by_id = {c["id"]: c for c in report["charts"]}
+    pie = by_id["queries_by_user"]
+    labels = [row[pie["columns"].index("label")] for row in pie["data"]]
+    assert "a_very_long_user_name_that_exc..." in labels
+    assert all(len(l) <= 33 for l in labels)
+    assert pie["palette"] == _PALETTE_DEFAULT
+    # scatter charts carry no palette
+    assert "palette" not in by_id["joins_sides"]
+
+
+def test_high_contrast_palette(silver):
+    rep = build_report(silver, only=["queries_by_user"], high_contrast=True)
+    assert rep["charts"][0]["palette"] == _PALETTE_HIGH_CONTRAST
+
+
+def test_scatter_limit(silver):
+    rep = build_report(silver, only=["elapsed_time_by_query"], scatter_limit=2)
+    assert len(rep["charts"][0]["data"]) == 2
+
+
+def test_sinks(report, tmp_path):
+    html = render_html(report)
+    assert "</script>" in html and "Presto workload analysis" in html
+
+    for suffix in ("report.html", "report.zip", "report.json"):
+        out = tmp_path / suffix
+        write_report(report, str(out))
+        assert out.stat().st_size > 0
+    with zipfile.ZipFile(tmp_path / "report.zip") as z:
+        assert z.namelist() == ["output.html"]
+        assert b"Presto workload analysis" in z.read("output.html")
+    loaded = json.loads((tmp_path / "report.json").read_text())
+    assert {c["id"] for c in loaded["charts"]} == {c["id"] for c in report["charts"]}
