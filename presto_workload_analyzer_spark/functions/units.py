@@ -40,15 +40,29 @@ SIZE_UNITS: list[tuple[str, float]] = [
 ]
 
 
+def _py_float(col: Column) -> Column:
+    """String -> double with Python float() acceptance rules.
+
+    Spark's cast delegates to Java parseDouble, which accepts a trailing
+    d/D/f/F type suffix ("1.0d" -> 1.0) that Python float() — and therefore
+    the reference's parser — rejects. Mask those before casting so the
+    DataFrame path and the mapInPandas path agree on every input.
+    """
+    return F.when(col.rlike(r"[dDfF]\s*$"), F.lit(None).cast("double")).otherwise(
+        col.try_cast("double")
+    )
+
+
 def _parse_units(col: Column, units: list[tuple[str, float]]) -> Column:
     expr = None
     for suffix, factor in units:
-        # try_cast: malformed numbers -> NULL even under ANSI mode (the
-        # reference's float() would raise; permissive is the scan-safe choice)
-        value = col.substr(F.lit(1), F.length(col) - len(suffix)).try_cast("double") * factor
+        # try_cast via _py_float: malformed numbers -> NULL even under ANSI
+        # mode (the reference's float() would raise; permissive is the
+        # scan-safe choice)
+        value = _py_float(col.substr(F.lit(1), F.length(col) - len(suffix))) * factor
         cond = col.endswith(suffix)
         expr = F.when(cond, value) if expr is None else expr.when(cond, value)
-    return expr.otherwise(col.try_cast("double"))
+    return expr.otherwise(_py_float(col))
 
 
 def parse_time(col: Column | str) -> Column:

@@ -1,0 +1,125 @@
+"""Property tests (SURVEY.md §5.3): unit-parsing round-trips across every
+suffix × magnitude, Python-vs-Column parser agreement on one generated
+batch, and pie/histogram kernel invariants."""
+
+import math
+import random
+
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from presto_workload_analyzer_spark.functions.pyunits import parse_size_py, parse_time_py
+from presto_workload_analyzer_spark.functions.units import (
+    SIZE_UNITS,
+    TIME_UNITS,
+    parse_size,
+    parse_time,
+)
+from presto_workload_analyzer_spark.operators.kernels import pie_collapse, selectivity_histogram
+
+_TIME_SUFFIXES = [s for s, _ in TIME_UNITS]
+_SIZE_SUFFIXES = [s for s, _ in SIZE_UNITS]
+
+magnitudes = st.floats(
+    min_value=0.0, max_value=1e15, allow_nan=False, allow_infinity=False
+)
+
+
+@given(x=magnitudes, suffix=st.sampled_from(_TIME_SUFFIXES))
+@settings(max_examples=300, deadline=None)
+def test_time_roundtrip(x, suffix):
+    factor = dict(TIME_UNITS)[suffix]
+    assert parse_time_py(f"{x!r}{suffix}") == pytest.approx(x * factor, rel=1e-12)
+
+
+@given(x=magnitudes, suffix=st.sampled_from(_SIZE_SUFFIXES))
+@settings(max_examples=300, deadline=None)
+def test_size_roundtrip(x, suffix):
+    factor = dict(SIZE_UNITS)[suffix]
+    assert parse_size_py(f"{x!r}{suffix}") == pytest.approx(x * factor, rel=1e-12)
+
+
+@given(x=magnitudes)
+@settings(max_examples=100, deadline=None)
+def test_bare_float_fallthrough(x):
+    # suffix-less strings fall through to float() (reference extract.py:55)
+    assert parse_time_py(repr(x)) == pytest.approx(x)
+    assert parse_size_py(repr(x)) == pytest.approx(x)
+
+
+def test_none_and_garbage():
+    assert parse_time_py(None) is None
+    assert parse_size_py(None) is None
+    assert parse_time_py("not a number") is None
+    assert parse_size_py("12 bananas") is None
+
+
+def test_suffix_order_ms_before_s():
+    # '5ms' must parse as milliseconds, never strip the trailing 's' first
+    assert parse_time_py("5ms") == 0.005
+    assert parse_time_py("5s") == 5.0
+    assert parse_size_py("5kB") == 5 * 1024.0
+    assert parse_size_py("5B") == 5.0
+
+
+def test_column_parser_agrees_with_python(spark):
+    """One generated batch through both the Column-expression parser (the
+    DataFrame path) and the plain-Python twin (the mapInPandas path)."""
+    rng = random.Random(20240813)
+    cases = [None, "", "garbage", "1.5", "0"]
+    for _ in range(200):
+        mag = rng.choice([0, 1, 0.001, 3.25, 17.0, 1e6, 1e12, rng.random() * 1e4])
+        suffix = rng.choice(_TIME_SUFFIXES + _SIZE_SUFFIXES + [""])
+        cases.append(f"{mag}{suffix}")
+    df = spark.createDataFrame([(c,) for c in cases], ["raw"]).coalesce(1)
+    out = df.select(
+        "raw",
+        parse_time(F.col("raw")).alias("t"),
+        parse_size(F.col("raw")).alias("b"),
+    ).collect()
+    for r in out:
+        pt, pb = parse_time_py(r.raw), parse_size_py(r.raw)
+        for got, want in ((r.t, pt), (r.b, pb)):
+            if want is None:
+                assert got is None, r.raw
+            else:
+                assert got == pytest.approx(want, rel=1e-12), r.raw
+
+
+def test_pie_invariants(spark):
+    """pct sums to exactly 100.00, at most `top` slices, 'All the rest'
+    present iff something was dropped — over several generated inputs."""
+    rng = random.Random(7)
+    for case in range(4):
+        n = rng.choice([1, 5, 25, 60])
+        rows = [(f"label_{i}", rng.random() * (10 ** rng.randint(0, 4))) for i in range(n)]
+        df = spark.createDataFrame(rows, ["label", "val"])
+        out = pie_collapse(df).collect()
+        assert 0 < len(out) <= 20
+        assert round(sum(r.pct for r in out), 2) == 100.0
+        labels = [r.label for r in out]
+        if n > 20:
+            assert labels[-1] == "All the rest"
+        assert math.isclose(
+            sum(r.val for r in out), sum(v for _, v in rows), rel_tol=1e-9
+        )
+
+
+def test_histogram_invariants(spark):
+    """Every scaffold bin present even when empty; percentages sum to 100;
+    'Above' holds the overflow mass."""
+    rng = random.Random(11)
+    rows = [(min(rng.random() * 1.2, 1.3), rng.random() * 100) for _ in range(300)]
+    df = spark.createDataFrame(rows, ["sel", "w"])
+    for bins, max_sel in ((10, 1.0), (100, 0.2)):
+        out = selectivity_histogram(df, "sel", "w", bins=bins, max_selectivity=max_sel).collect()
+        labels = [r.bin for r in out]
+        assert len(labels) == len(set(labels))
+        # scaffold: every step-bin label below max_sel is present
+        step = 1.0 / bins
+        expected = {f"{i * step:.2f}" for i in range(math.ceil(max_sel / step))}
+        assert expected <= set(labels)
+        assert round(sum(r.wall_pct for r in out), 6) == pytest.approx(100.0)
+        if max_sel < 1.0:
+            assert "Above" in labels
