@@ -1058,3 +1058,76 @@ _register(
     " SELECT name, 'user' || CAST(row_number() OVER (ORDER BY fs, name) - 1 AS VARCHAR)"
     " AS new_name FROM n",
 )
+
+
+# --------------------------------------------------------------------------
+# Skew operator (salted two-phase aggregation) + Structured Streaming query
+# --------------------------------------------------------------------------
+
+from presto_workload_analyzer_spark.operators.skew import salted_agg  # noqa: E402
+
+
+def _p02(spark: SparkSession, sf: str) -> DataFrame:
+    li = read_sf_table(spark, sf, "lineitem")
+    out = salted_agg(
+        li,
+        ["l_returnflag"],
+        {
+            "sum_qty": ("sum", "l_quantity"),
+            "n_items": ("count", "l_orderkey"),
+            "min_price": ("min", "l_extendedprice"),
+            "max_price": ("max", "l_extendedprice"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+        F.col("n_items").cast("long").alias("n_items"),
+        "min_price",
+        "max_price",
+    )
+
+
+_register(
+    "p02_salted_skew_agg",
+    _p02,
+    "SELECT l_returnflag, CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,"
+    " CAST(count(l_orderkey) AS BIGINT) AS n_items,"
+    " min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price"
+    " FROM lineitem GROUP BY 1",
+)
+
+
+def _s01(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming daily event rollup, drained with an availableNow trigger.
+
+    The same tumbling-window aggregation a live cluster dashboard runs
+    continuously (streaming/ingest.py); complete-mode memory sink makes the
+    drained result comparable 1:1 with the batch oracle.
+    """
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import run_to_memory, stream_sf_table
+
+    ev = stream_sf_table(spark, sf, "events")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    name = f"s01_mem_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agg, name, output_mode="complete")
+    q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("w.start").alias("bucket"), "n_events", "total_value"
+    )
+    # materialize before the memory table goes stale, keep result small
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s01_stream_events_by_day",
+    _s01,
+    "SELECT date_trunc('day', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events,"
+    " round(sum(\"value\"), 6) AS total_value FROM events GROUP BY 1",
+)

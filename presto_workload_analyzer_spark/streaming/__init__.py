@@ -3,6 +3,7 @@ from presto_workload_analyzer_spark.streaming.ingest import (
     queries_by_window,
     run_to_memory,
     scheduled_by_window,
+    stream_sf_table,
     stream_summaries,
     write_stream_parquet,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "queries_by_window",
     "run_to_memory",
     "scheduled_by_window",
+    "stream_sf_table",
     "stream_summaries",
     "write_stream_parquet",
 ]

@@ -24,7 +24,7 @@ Scale posture:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from presto_workload_analyzer_spark.functions import query_timestamp
 from presto_workload_analyzer_spark.sources.queryinfo import SUMMARY_SCHEMA
@@ -120,6 +120,37 @@ def write_stream_parquet(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """A synthetic testdata table as a file-source stream.
+
+    Handles the two quirks of the driver's parquet: single-file layout (the
+    file source requires a directory or glob — a one-character glob class
+    keeps basePath a directory) and TIMESTAMP(NANOS) columns (arriving as
+    nano longs under nanosAsLong; converted to micros like sources.tables).
+    """
+    import os
+
+    from presto_workload_analyzer_spark.sources.tables import (
+        _nano_ts_columns,
+        read_table,
+    )
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = read_table(spark, path).schema
+    nano_cols = set(_nano_ts_columns(path))
+    raw_schema = T.StructType(
+        [
+            T.StructField(f.name, T.LongType() if f.name in nano_cols else f.dataType)
+            for f in schema.fields
+        ]
+    )
+    glob_path = f"{path[:-1]}[{path[-1]}]"
+    df = spark.readStream.schema(raw_schema).parquet(glob_path)
+    for c in nano_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    return df
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
