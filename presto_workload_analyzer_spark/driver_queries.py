@@ -1131,3 +1131,46 @@ _register(
     "SELECT date_trunc('day', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events,"
     " round(sum(\"value\"), 6) AS total_value FROM events GROUP BY 1",
 )
+
+
+# --------------------------------------------------------------------------
+# Task-tree analyzer (beyond-reference straggler analysis) via the adapter
+# pattern: events -> tasks silver contract, then the real analyzer.
+# --------------------------------------------------------------------------
+
+
+def _a29(spark: SparkSession, sf: str) -> DataFrame:
+    ev = read_sf_table(spark, sf, "events")
+    tasks = ev.select(
+        (F.col("user_id") % 50).cast("string").alias("query_id"),
+        F.col("event_type").alias("stage_path"),
+        F.col("event_id").cast("string").alias("task_id"),
+        F.lit("FINISHED").alias("task_state"),
+        F.col("value").alias("scheduled_time"),
+        (F.col("value") * 0.5).alias("cpu_time"),
+        (F.col("value") * 0.25).alias("blocked_time"),
+    )
+    out = A.task_stage_stats(tasks)
+    return out.select(
+        "query_id",
+        "stage_path",
+        F.col("n_tasks").cast("long").alias("n_tasks"),
+        F.round("scheduled_sum", 6).alias("scheduled_sum"),
+        F.round("cpu_sum", 6).alias("cpu_sum"),
+        F.round("blocked_sum", 6).alias("blocked_sum"),
+        F.round("straggler_ratio", 6).alias("straggler_ratio"),
+    )
+
+
+_register(
+    "a29_task_stage_stats",
+    _a29,
+    "SELECT CAST(user_id % 50 AS VARCHAR) AS query_id, event_type AS stage_path,"
+    " CAST(count(*) AS BIGINT) AS n_tasks,"
+    " round(sum(\"value\"), 6) AS scheduled_sum,"
+    " round(sum(\"value\" * 0.5), 6) AS cpu_sum,"
+    " round(sum(\"value\" * 0.25), 6) AS blocked_sum,"
+    " round(CASE WHEN avg(\"value\") > 0 THEN max(\"value\") / avg(\"value\") END, 6)"
+    "   AS straggler_ratio"
+    " FROM events GROUP BY 1, 2",
+)

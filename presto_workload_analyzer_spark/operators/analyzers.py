@@ -343,6 +343,33 @@ def joins_selectivity(operators: DataFrame, plan_nodes: DataFrame) -> DataFrame:
     )
 
 
+# --- task-tree analysis (beyond-reference) -----------------------------------
+
+
+def task_stage_stats(tasks: DataFrame) -> DataFrame:
+    """Per (query, stage) task rollup with straggler ratio.
+
+    Consumes the substages task tree the reference collects but never
+    analyzes (extract.py:102-120; noted as report-surface reserve in
+    SURVEY.md §1.2). straggler_ratio = max/mean scheduled time across the
+    stage's tasks — the classic skewed-split smell; 1.0 is perfectly
+    balanced.
+    """
+    return (
+        tasks.groupBy("query_id", "stage_path")
+        .agg(
+            F.count(F.lit(1)).alias("n_tasks"),
+            F.sum("scheduled_time").alias("scheduled_sum"),
+            F.sum("cpu_time").alias("cpu_sum"),
+            F.sum("blocked_time").alias("blocked_sum"),
+            F.when(
+                F.mean("scheduled_time") > 0,
+                F.max("scheduled_time") / F.mean("scheduled_time"),
+            ).alias("straggler_ratio"),
+        )
+    )
+
+
 # --- report header metrics (reference analyze.py:1177-1193) ------------------
 
 

@@ -51,6 +51,8 @@ ANALYZERS: dict[str, tuple[Callable[..., DataFrame], tuple[str, ...]]] = {
     "operator_rows": (A.operator_rows, ("operators",)),
     "joins_sides": (A.joins_sides, ("operators", "plan_nodes")),
     "joins_selectivity": (A.joins_selectivity, ("operators", "plan_nodes")),
+    # beyond-reference: task-tree straggler analysis (SURVEY.md §1.2 reserve)
+    "task_stage_stats": (A.task_stage_stats, ("tasks",)),
 }
 
 

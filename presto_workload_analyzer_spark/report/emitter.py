@@ -44,6 +44,7 @@ _SCATTER = {
     "inputrows_vs_selectivity",
     "joins_sides",
     "joins_selectivity",
+    "task_stage_stats",
 }
 
 

@@ -213,3 +213,18 @@ def test_resolve_table_name_unit():
         )
         == "cat.s.t"
     )
+
+
+def test_task_stage_stats(silver):
+    from presto_workload_analyzer_spark.operators.analyzers import task_stage_stats
+
+    out = task_stage_stats(silver["tasks"]).collect()
+    # exactly one fixture (q_scan_agg) carries a substage with one task
+    assert len(out) == 1
+    r = out[0]
+    assert r.query_id == "20240101_080000_00001_aaaaa"
+    assert r.n_tasks == 1
+    assert r.scheduled_sum == pytest.approx(1.0)
+    assert r.cpu_sum == pytest.approx(0.5)
+    assert r.blocked_sum == pytest.approx(0.0)
+    assert r.straggler_ratio == pytest.approx(1.0)
