@@ -124,3 +124,41 @@ def test_append_mode_emits_closed_windows(spark, landing, tmp_path):
     q.awaitTermination(120)
     emitted = {str(r.bucket) for r in spark.table("t_append").collect()}
     assert emitted == {"2024-01-01 08:00:00"}
+
+
+def test_parquet_sink_checkpoint_restart(spark, landing, tmp_path):
+    """Production sink: windowed agg -> parquet with checkpoint. A restart
+    with new data must append only newly-closed windows (exactly-once)."""
+    from presto_workload_analyzer_spark.streaming import write_stream_parquet
+
+    out, ckpt = str(tmp_path / "gold"), str(tmp_path / "ckpt")
+
+    def run():
+        stream = stream_summaries(spark, str(landing), watermark="30 minutes", dedup=False)
+        q = write_stream_parquet(
+            scheduled_by_window(stream, "1 hour"), out, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    # batch1 max ts 09:15 -> watermark 08:45: nothing closed yet
+    run()
+    first = spark.read.parquet(out)
+    assert first.count() == 0
+
+    # a 10:00 event closes the 08:00 window
+    (landing / "late1.jsonl").write_text(_line("20240101_100000_00010_aaaaa"))
+    run()
+    second = spark.read.parquet(out).collect()
+    assert {str(r.bucket) for r in second} == {"2024-01-01 08:00:00"}
+    assert second[0].scheduled == pytest.approx(1.0)
+
+    # an 11:00 event (watermark 10:30) closes 09:00; 10:00 (ends 11:00)
+    # stays open, and 08:00 must NOT be re-emitted
+    (landing / "late2.jsonl").write_text(_line("20240101_110000_00011_aaaaa"))
+    run()
+    rows = {str(r.bucket): r.scheduled for r in spark.read.parquet(out).collect()}
+    assert sorted(rows) == [
+        "2024-01-01 08:00:00",
+        "2024-01-01 09:00:00",
+    ]
+    assert rows["2024-01-01 09:00:00"] == pytest.approx(2.0)  # FAILED dropped
