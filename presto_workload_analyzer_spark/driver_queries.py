@@ -1174,3 +1174,21 @@ _register(
     "   AS straggler_ratio"
     " FROM events GROUP BY 1, 2",
 )
+
+
+def _x13(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN top-k. No oracle: KMeans centroids are not reproducible in
+    ANSI SQL, so the driver records the weaker rows-only check; exactness
+    of the n_probe=n_cells degenerate case and recall vs brute force are
+    asserted in tests/test_extensions.py instead."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_sim.ivf_topk(emb, n_cells=8, n_probe=2, k=5, seed=42)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_register("x13_ivf_ann_topk", _x13, None)

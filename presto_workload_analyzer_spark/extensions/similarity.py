@@ -99,6 +99,75 @@ def hyperplane_buckets(
     return emb.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
 
 
+def ivf_topk(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    n_probe: int = 2,
+    k: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse k-means cells, probe the nearest few.
+
+    The classic IVF index expressed relationally:
+      1. KMeans (MLlib, seeded) learns `n_cells` coarse centroids;
+      2. every corpus vector is assigned to its nearest cell — the
+        "inverted lists" are just a cell_id column, so the cell join is an
+        ordinary (broadcastable-key) equi-join, and at 100 TB the corpus
+        can be written bucketed/partitioned BY cell_id once and scanned
+        per-probe thereafter;
+      3. each query scores only vectors in its `n_probe` nearest cells.
+    Recall rises with n_probe (n_probe == n_cells is exact search). The
+    centroid table is tiny (n_cells rows) and broadcast everywhere.
+    Output: (query_id, neighbor_id, cosine, rank).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        _to_double(F.col(vec_col)).alias("v"),
+    )
+    train = vecs.select(array_to_vector("v").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    centroids = train.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+
+    # nearest cells by (negative) L2^2 = ||v||^2 - 2<v,c> + ||c||^2; rank 1
+    # assigns corpus vectors, rank <= n_probe picks query probes
+    d2 = (
+        dot_expr(F.col("v"), F.col("v"))
+        - 2.0 * dot_expr(F.col("v"), F.col("centroid"))
+        + dot_expr(F.col("centroid"), F.col("centroid"))
+    )
+    ranked = (
+        vecs.join(F.broadcast(centroids))
+        .select("id", "v", "cell_id", d2.alias("d2"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
+            ),
+        )
+    )
+    corpus = ranked.filter(F.col("cell_rank") == 1).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell_id"
+    )
+    probes = ranked.filter(F.col("cell_rank") <= n_probe).select(
+        F.col("id").alias("query_id"), F.col("v").alias("qv"), "cell_id"
+    )
+    scored = probes.join(corpus, on="cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -158,3 +158,42 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.frame_sample(media, every_n_bytes=32)
     counts = {r[0]: r[1] for r in frames.groupBy("doc_id").count().collect()}
     assert counts == {1: 4, 2: 1}  # ceil(100/32)=4, ceil(10/32)=1
+
+
+def test_ivf_topk_structure_and_recall(spark, sf_dir):
+    """IVF ANN: valid top-k structure; recall@k vs exact brute force must
+    beat random cell assignment by a wide margin; n_probe=n_cells is exact."""
+    from presto_workload_analyzer_spark.extensions import similarity as S
+    from presto_workload_analyzer_spark.sources.tables import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings").limit(120).cache()
+    k = 5
+    approx = S.ivf_topk(emb, n_cells=4, n_probe=2, k=k, seed=7)
+    rows = approx.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, nbrs in by_q.items():
+        ranks = sorted(n.rank for n in nbrs)
+        assert ranks == list(range(1, len(nbrs) + 1))
+        cosines = [n.cosine for n in sorted(nbrs, key=lambda n: n.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+    exact = S.cosine_topk(emb, emb, k=k)
+    exact_sets = {}
+    for r in exact.collect():
+        exact_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    hits = total = 0
+    for q, true_nbrs in exact_sets.items():
+        got = {n.neighbor_id for n in by_q.get(q, [])}
+        hits += len(got & true_nbrs)
+        total += len(true_nbrs)
+    recall = hits / total
+    assert recall > 0.35, recall  # 2/4 cells probed
+
+    # probing every cell degenerates to exact search
+    full = S.ivf_topk(emb, n_cells=4, n_probe=4, k=k, seed=7)
+    full_sets = {}
+    for r in full.collect():
+        full_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert full_sets == exact_sets
