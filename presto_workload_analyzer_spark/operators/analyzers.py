@@ -373,14 +373,22 @@ def task_stage_stats(tasks: DataFrame) -> DataFrame:
 # --- report header metrics (reference analyze.py:1177-1193) ------------------
 
 
-def collect_metrics(queries: DataFrame) -> DataFrame:
-    """Single-row corpus metrics for the report header."""
+def collect_metrics(queries: DataFrame, approximate: bool = False) -> DataFrame:
+    """Single-row corpus metrics for the report header.
+
+    approximate=True swaps the two exact count-distincts for HyperLogLog++
+    sketches (SURVEY.md §2B-agg): at 100 TB the exact variant plans an
+    Expand (one replicated pass per distinct aggregate) while the sketch is
+    a single-pass partial aggregate with ~2% relative error — the right
+    trade for a dashboard header.
+    """
+    cd = F.approx_count_distinct if approximate else F.countDistinct
     return queries.agg(
         F.count(F.lit(1)).alias("n_queries"),
         (F.sum("cpu_time") / SECONDS_PER_DAY).alias("cpu_days"),
         (F.sum("scheduled_time") / SECONDS_PER_DAY).alias("scheduled_days"),
         F.sum("input_rows").alias("input_rows"),
         (F.sum("input_size") / BYTES_PER_TB).alias("input_tb"),
-        F.countDistinct(trunc_date("query_ts")).alias("n_days"),
-        F.countDistinct("user").alias("n_users"),
+        cd(trunc_date("query_ts")).alias("n_days"),
+        cd("user").alias("n_users"),
     )

@@ -228,3 +228,15 @@ def test_task_stage_stats(silver):
     assert r.cpu_sum == pytest.approx(0.5)
     assert r.blocked_sum == pytest.approx(0.0)
     assert r.straggler_ratio == pytest.approx(1.0)
+
+
+def test_collect_metrics_approximate(silver):
+    from presto_workload_analyzer_spark.operators.analyzers import collect_metrics
+
+    exact = collect_metrics(silver["queries"]).collect()[0]
+    approx = collect_metrics(silver["queries"], approximate=True).collect()[0]
+    assert approx.n_queries == exact.n_queries
+    assert approx.input_rows == exact.input_rows
+    # HLL++ on tiny cardinalities is exact; at scale the bound is ~2% rsd
+    assert abs(approx.n_users - exact.n_users) <= max(1, 0.05 * exact.n_users)
+    assert abs(approx.n_days - exact.n_days) <= max(1, 0.05 * exact.n_days)
