@@ -1182,7 +1182,13 @@ def _x13(spark: SparkSession, sf: str) -> DataFrame:
     of the n_probe=n_cells degenerate case and recall vs brute force are
     asserted in tests/test_extensions.py instead."""
     emb = read_sf_table(spark, sf, "embeddings")
-    out = X_sim.ivf_topk(emb, n_cells=8, n_probe=2, k=5, seed=42)
+    # corpus-vs-subset: every vector is indexed, vec_id<200 act as queries
+    # (full corpus-vs-corpus with few cells is quadratic-per-cell; the cell
+    # count, not the query count, is what the scale path tunes)
+    out = X_sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 200).coalesce(4),
+        n_cells=16, n_probe=2, k=5, seed=42, max_iter=8,
+    )
     return out.select(
         "query_id",
         "neighbor_id",

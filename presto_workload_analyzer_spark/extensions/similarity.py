@@ -107,6 +107,7 @@ def ivf_topk(
     n_probe: int = 2,
     k: int = 10,
     seed: int = 42,
+    max_iter: int = 20,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse k-means cells, probe the nearest few.
 
@@ -129,8 +130,11 @@ def ivf_topk(
         F.col(id_col).alias("id"),
         _to_double(F.col(vec_col)).alias("v"),
     )
-    train = vecs.select(array_to_vector("v").alias("features"))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="features").fit(train)
+    # cache: KMeans makes max_iter passes, and the assignment/probe stages
+    # below reuse the same vectors — without this the whole upstream
+    # lineage (scan + cast) re-executes per pass
+    train = vecs.select(array_to_vector("v").alias("features")).cache()
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
     centroids = train.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cell_id INT, centroid ARRAY<DOUBLE>",
@@ -152,6 +156,7 @@ def ivf_topk(
                 Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
             ),
         )
+        .cache()  # consumed twice: corpus assignment + query probes
     )
     corpus = ranked.filter(F.col("cell_rank") == 1).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell_id"
