@@ -121,21 +121,52 @@ def build_report(
     scatter_limit: int = 50_000,
     fail_on_error: bool = False,
     high_contrast: bool = False,
+    parallelism: int = 8,
 ) -> dict[str, Any]:
-    """Run analyzers + metrics, return the report document (pure data)."""
-    charts = []
-    errors = {}
+    """Run analyzers + metrics, return the report document (pure data).
+
+    Charts are collected concurrently (Spark schedules jobs from multiple
+    driver threads): useful on a busy cluster where per-job queueing
+    latency dominates small aggregates — overlapping requests hides it.
+    Measured neutral on warm local[32] (job latency there is already
+    sub-second); results and chart order are identical either way, so the
+    knob is safe to leave on. Output ordering stays deterministic
+    (registry order) regardless of completion order.
+    """
+    from concurrent.futures import ThreadPoolExecutor
+
+    errors: dict[str, str] = {}
     outputs = run_analyzers(silver, only=only)
-    for name, df in outputs.items():
-        try:
-            payload = _chart_payload(name, df, scatter_limit, high_contrast)
-        except Exception as e:  # noqa: BLE001 — per-chart tolerance, analyze.py:1269-1272
-            if fail_on_error:
-                raise
-            errors[name] = f"{type(e).__name__}: {e}"
-            continue
-        if payload is not None:
-            charts.append(payload)
+
+    def run_one(item):
+        name, df = item
+        return name, _chart_payload(name, df, scatter_limit, high_contrast)
+
+    results: dict[str, Any] = {}
+    if parallelism > 1:
+        with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            futures = {name: pool.submit(run_one, (name, df)) for name, df in outputs.items()}
+            for name, fut in futures.items():
+                try:
+                    results[name] = fut.result()[1]
+                except Exception as e:  # noqa: BLE001 — per-chart tolerance, analyze.py:1269-1272
+                    if fail_on_error:
+                        raise
+                    errors[name] = f"{type(e).__name__}: {e}"
+    else:
+        for name, df in outputs.items():
+            try:
+                results[name] = run_one((name, df))[1]
+            except Exception as e:  # noqa: BLE001
+                if fail_on_error:
+                    raise
+                errors[name] = f"{type(e).__name__}: {e}"
+
+    charts = [
+        results[name]
+        for name in outputs
+        if name in results and results[name] is not None
+    ]
     metrics_row = collect_metrics(silver).collect()[0]
     return {
         "structure": {"metrics": metrics_row.asDict()},
