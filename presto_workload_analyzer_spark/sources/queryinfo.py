@@ -32,7 +32,7 @@ import json
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession, types as T
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from presto_workload_analyzer_spark.functions.pyunits import parse_size_py, parse_time_py
 
@@ -241,9 +241,16 @@ def read_summary_jsonl(spark: SparkSession, path: str) -> DataFrame:
 
     Reference analyze.py:1221-1229 / jsonl_process.py:157-165. The schema is
     fixed (no inference) so column pruning and predicate pushdown work from
-    the first scan.
+    the first scan. Lines that fail to parse materialize as all-null rows
+    under a fixed schema; query_id is mandatory on every real record
+    (extract.py:141), so the null filter drops exactly the corrupt lines
+    (the reference would crash on them, analyze.py:1230).
     """
-    return spark.read.schema(SUMMARY_SCHEMA).json(path)
+    return (
+        spark.read.schema(SUMMARY_SCHEMA)
+        .json(path)
+        .filter(F.col("query_id").isNotNull())
+    )
 
 
 def write_summary_jsonl(df: DataFrame, path: str) -> None:

@@ -240,3 +240,14 @@ def test_collect_metrics_approximate(silver):
     # HLL++ on tiny cardinalities is exact; at scale the bound is ~2% rsd
     assert abs(approx.n_users - exact.n_users) <= max(1, 0.05 * exact.n_users)
     assert abs(approx.n_days - exact.n_days) <= max(1, 0.05 * exact.n_days)
+
+
+def test_read_summary_drops_corrupt_lines(spark, tmp_path):
+    """A corrupt JSONL line materializes as an all-null row under the fixed
+    schema; the reader must drop it (the reference crashes there)."""
+    p = tmp_path / "s.jsonl"
+    good = '{"query_id": "20240101_080000_00001_aaaaa", "user": "a", "state": "FINISHED"}'
+    p.write_text("\n".join([good, "not json {{{", good.replace("00001", "00002")]))
+    df = read_summary_jsonl(spark, str(p))
+    assert df.count() == 2
+    assert df.filter(F.col("query_id").isNull()).count() == 0
