@@ -1,3 +1,4 @@
+from presto_workload_analyzer_spark.streaming.sessions import query_sessions
 from presto_workload_analyzer_spark.streaming.ingest import (
     input_by_window,
     queries_by_window,
@@ -9,6 +10,7 @@ from presto_workload_analyzer_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "query_sessions",
     "input_by_window",
     "queries_by_window",
     "run_to_memory",

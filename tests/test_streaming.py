@@ -162,3 +162,44 @@ def test_parquet_sink_checkpoint_restart(spark, landing, tmp_path):
         "2024-01-01 09:00:00",
     ]
     assert rows["2024-01-01 09:00:00"] == pytest.approx(2.0)  # FAILED dropped
+
+
+def test_query_sessions_stateful(spark, landing, tmp_path):
+    """applyInPandasWithState sessionization: in-batch gap splits emit
+    immediately; the open session closes only when the watermark passes
+    last_seen + gap (checkpointed across restarts)."""
+    from presto_workload_analyzer_spark.streaming import write_stream_parquet
+    from presto_workload_analyzer_spark.streaming.sessions import query_sessions
+
+    out, ckpt = str(tmp_path / "sessions"), str(tmp_path / "ckpt_s")
+
+    def run():
+        stream = stream_summaries(spark, str(landing), watermark="10 minutes", dedup=False)
+        q = write_stream_parquet(
+            query_sessions(stream, gap_seconds=1800.0), out, ckpt, available_now=True
+        )
+        q.awaitTermination(120)
+
+    # batch1 (alice): 08:05, 08:15 then 09:10 — the >30min jump closes the
+    # first session in-batch; [09:10] stays open in state
+    run()
+    first = spark.read.parquet(out).collect()
+    assert len(first) == 1
+    s = first[0]
+    assert s.user == "alice"
+    assert str(s.session_start) == "2024-01-01 08:05:00"
+    assert str(s.session_end) == "2024-01-01 08:15:00"
+    assert s.n_queries == 2
+    assert s.scheduled_sum == pytest.approx(3600.0)
+
+    # an 11:00 event pushes the watermark (10:50) past 09:10+30min=09:40:
+    # the held session times out and is emitted; [11:00] becomes the open one
+    (landing / "late_s.jsonl").write_text(_line("20240101_110000_00021_aaaaa"))
+    run()
+    rows = sorted(
+        spark.read.parquet(out).collect(), key=lambda r: r.session_start
+    )
+    assert [(str(r.session_start), r.n_queries) for r in rows] == [
+        ("2024-01-01 08:05:00", 2),
+        ("2024-01-01 09:10:00", 1),
+    ]
