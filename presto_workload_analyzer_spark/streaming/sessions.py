@@ -74,7 +74,10 @@ def _session_fn(gap_seconds: float):
         else:
             events = pd.concat(list(pdfs), ignore_index=True)
             events = events.sort_values("query_ts")
-            ts_us = events["query_ts"].astype("int64") // 1000
+            # normalize to ns first: Arrow may deliver datetime64[us] or
+            # [ns] depending on version, and a silent unit mismatch would
+            # skew every boundary 1000x
+            ts_us = events["query_ts"].astype("datetime64[ns]").astype("int64") // 1000
             sched = events["scheduled_time"].fillna(0.0)
 
             cur = list(state.get) if state.exists else None
