@@ -92,6 +92,36 @@ def decode_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(gen, DECODED_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB resize stage: media frame -> media frame with resized payload.
+
+    Real version decodes, resamples to (width, height), re-encodes —
+    drop-in at the marked line. The fake deterministically truncates/pads
+    the payload to width*height bytes so the contract every downstream
+    stage relies on is exercised for real: same MEDIA_SCHEMA out as in,
+    meta.n_bytes consistent with the new payload, partitioning inherited,
+    payload bytes never leaving the executors.
+    """
+    target = width * height
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
+                raw = bytes(payload)
+                resized = raw[:target].ljust(target, b"\0")  # <- real resample here
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "payload": resized,
+                        "meta": {"mime": meta["mime"], "n_bytes": len(resized)},
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload", "meta"])
+
+    return media.mapInPandas(gen, MEDIA_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     """STUB video frame sampler: emits one row per sampled 'frame'.
 

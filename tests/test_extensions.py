@@ -197,3 +197,26 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir):
     for r in full.collect():
         full_sets.setdefault(r.query_id, set()).add(r.neighbor_id)
     assert full_sets == exact_sets
+
+
+def test_multimodal_resize_contract(spark):
+    """resize keeps MEDIA_SCHEMA, makes n_bytes consistent, payload exact."""
+    from pyspark.sql import Row
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="hello world " * 10), Row(doc_id=2, text="x")]
+    )
+    media = multimodal.attach_binary(docs, "doc_id", "text", mime="image/fake")
+    resized = multimodal.resize_media(media, 8, 4)
+    # same shape; nullability may differ (mapInPandas is permissively nullable)
+    assert resized.schema.simpleString() == media.schema.simpleString()
+    rows = {r.doc_id: r for r in resized.collect()}
+    for r in rows.values():
+        assert len(bytes(r.payload)) == 32
+        assert r.meta.n_bytes == 32
+        assert r.meta.mime == "image/fake"
+    assert bytes(rows[1].payload) == b"hello world hello world hello wo"
+    assert bytes(rows[2].payload) == b"x" + b"\0" * 31
+    # composes with downstream stages
+    decoded = multimodal.decode_media(resized)
+    assert decoded.count() == 2
