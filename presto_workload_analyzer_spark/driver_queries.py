@@ -1198,3 +1198,60 @@ def _x13(spark: SparkSession, sf: str) -> DataFrame:
 
 
 _register("x13_ivf_ann_topk", _x13, None)
+
+
+def _s02(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming sessionization (applyInPandasWithState), drained
+    with availableNow and hash-checked against a SQL window sessionization.
+
+    Emission semantics under one availableNow batch + trailing no-data
+    batch: every non-final session per user closes in-batch (a successor
+    event > gap later exists); the final session closes iff the terminal
+    watermark (max_ts - delay) strictly passed last_seen + gap. The oracle
+    reproduces exactly that predicate.
+    """
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import run_to_memory, stream_sf_table
+    from presto_workload_analyzer_spark.streaming.sessions import query_sessions
+
+    ev = stream_sf_table(spark, sf, "events")
+    stream = ev.select(
+        F.col("user_id").cast("string").alias("user"),
+        F.col("ts").alias("query_ts"),
+        F.col("value").alias("scheduled_time"),
+        F.lit("FINISHED").alias("state"),
+    ).withWatermark("query_ts", "1 minute")
+    sessions = query_sessions(stream, gap_seconds=86400.0)
+    name = f"s02_mem_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(sessions, name, output_mode="append")
+    q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("user").cast("long").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_queries").cast("long").alias("n_events"),
+        F.round("scheduled_sum", 6).alias("value_sum"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s02_stream_user_sessions",
+    _s02,
+    "WITH d AS (SELECT user_id, ts, \"value\","
+    "  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)"
+    "       > INTERVAL 86400 SECONDS THEN 1 ELSE 0 END AS brk"
+    "  FROM events),"
+    " s AS (SELECT user_id, ts, \"value\","
+    "  sum(brk) OVER (PARTITION BY user_id ORDER BY ts"
+    "                 ROWS UNBOUNDED PRECEDING) AS sid FROM d),"
+    " g AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end,"
+    "  CAST(count(*) AS BIGINT) AS n_events, round(sum(\"value\"), 6) AS value_sum"
+    "  FROM s GROUP BY 1, 2),"
+    " m AS (SELECT max(ts) AS max_ts FROM events)"
+    " SELECT user_id, session_start, session_end, n_events, value_sum"
+    " FROM g, m"
+    " WHERE sid < (SELECT max(sid) FROM s s2 WHERE s2.user_id = g.user_id)"
+    "    OR session_end + INTERVAL 86400 SECONDS < max_ts - INTERVAL 60 SECONDS",
+)
