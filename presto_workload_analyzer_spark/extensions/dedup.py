@@ -88,20 +88,21 @@ def minhash_signatures(
 
 
 def lsh_bands(sig_df: DataFrame, bands: int, rows_per_band: int, mode: str = "md5") -> DataFrame:
-    """Signature -> (id, band, band_hash): hash rows_per_band components per band."""
-    out = []
+    """Signature -> (id, band, band_hash): hash rows_per_band components per band.
+
+    One pass: all band structs are built per row and exploded. (A union of
+    per-band selects would make Catalyst re-evaluate the whole upstream
+    shingle->signature lineage once per band — measured 4x the work for
+    4 bands; same trap as the pie kernel's union, see BASELINE.md.)
+    """
+    structs = []
     for b in range(bands):
         cols = [F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)]
         band_hash = F.md5(F.concat_ws("|", *cols)) if mode == "md5" else F.xxhash64(*cols).cast("string")
-        out.append(
-            sig_df.select(
-                F.col("id"), F.lit(b).alias("band"), band_hash.alias("band_hash")
-            )
-        )
-    res = out[0]
-    for df in out[1:]:
-        res = res.unionByName(df)
-    return res
+        structs.append(F.struct(F.lit(b).alias("band"), band_hash.alias("band_hash")))
+    return sig_df.select(F.col("id"), F.explode(F.array(*structs)).alias("__bb")).select(
+        "id", F.col("__bb.band").alias("band"), F.col("__bb.band_hash").alias("band_hash")
+    )
 
 
 def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
