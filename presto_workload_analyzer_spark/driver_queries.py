@@ -758,6 +758,57 @@ _register(
 )
 
 
+# x14/x15: the LSH candidate pairs from x02 completed into duplicate
+# clusters (connected components) and an actually-deduplicated corpus.
+# DuckDB oracle: reachability via WITH RECURSIVE, min label per component.
+
+_X14_CC_SQL = (
+    f"WITH RECURSIVE {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({{bands}}),"
+    " pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "   FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " edges AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+    "   UNION SELECT id_b, id_a FROM pairs),"
+    " walk(id, lab) AS ("
+    "   SELECT src, src FROM edges"
+    "   UNION"
+    "   SELECT e.src, w.lab FROM walk w JOIN edges e ON e.dst = w.id),"
+    " cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)"
+)
+
+
+def _x14(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    return X_dedup.connected_components(pairs)
+
+
+_register(
+    "x14_dedup_clusters",
+    _x14,
+    _X14_CC_SQL.format(bands=_X02_BANDS) + " SELECT id, cluster_id FROM cc",
+)
+
+
+def _x15(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    return X_dedup.drop_near_duplicates(docs, "doc_id", pairs).select("doc_id")
+
+
+_register(
+    "x15_near_dedup_keep",
+    _x15,
+    _X14_CC_SQL.format(bands=_X02_BANDS)
+    + " SELECT doc_id FROM documents"
+    " WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)",
+)
+
+
 def _x03(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
     sh = X_dedup.shingles(docs, "doc_id", "text", k=3)

@@ -40,12 +40,18 @@ def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> Da
     )
 
 
-def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
-    """Distinct word k-shingles per document: (id, shingle).
+def shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
+) -> DataFrame:
+    """Word k-shingles per document: (id, shingle), distinct by default.
 
     Tokens come from whitespace splitting of the trimmed text; shingle i is
     words[i..i+k-1] joined by a single space. Pure Column expressions
     (transform over a sequence of start offsets) — no UDF.
+
+    distinct=False skips the set-dedup shuffle; use it when the consumer is
+    min/max-idempotent (MinHash: min(hash) over a multiset == over its set),
+    NOT for set-cardinality math like Jaccard.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0] — docs
@@ -56,10 +62,8 @@ def shingles(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame
     sh = F.transform(
         starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
     )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
-        .distinct()
-    )
+    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def _hash_expr(col: Column, seed: int, mode: str) -> Column:
@@ -134,11 +138,100 @@ def minhash_lsh_pairs(
     bands: int = 4,
     mode: str = "md5",
 ) -> DataFrame:
-    """shingle -> minhash -> band -> bucket-join, end to end."""
-    sh = shingles(df, id_col, text_col, k)
+    """shingle -> minhash -> band -> bucket-join, end to end.
+
+    distinct=False on the shingle stage: the signature groupBy's min is
+    idempotent over repeated shingles, so the set-dedup shuffle is pure
+    overhead here (one full shuffle of the shingle corpus saved).
+    """
+    sh = shingles(df, id_col, text_col, k, distinct=False)
     sig = minhash_signatures(sh, num_hashes=num_hashes, mode=mode)
     band_df = lsh_bands(sig, bands=bands, rows_per_band=num_hashes // bands, mode=mode)
     return lsh_candidate_pairs(band_df)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Candidate pairs (id_a, id_b) -> (id, cluster_id): duplicate clustering.
+
+    Near-dup candidate pairs form a graph whose connected components are the
+    duplicate groups; cluster_id is the component's minimum id (deterministic
+    canonical-survivor rule, same as exact_dedup_groups).
+
+    Algorithm: iterative hash-min label propagation — each round every node
+    takes the min of its own label and its neighbors' labels (one equi-join +
+    one groupBy per round, all shuffle-on-key, no driver data). Converges in
+    O(graph diameter) rounds; dedup components are near-cliques (every member
+    band-collides with most others), so diameter is tiny in practice.
+    `localCheckpoint` truncates lineage each round so plans stay flat.
+    Raises RuntimeError if max_iter rounds don't reach a fixpoint — a silently
+    half-merged clustering must never be returned.
+
+    Only ids that appear in some pair are emitted; singleton documents never
+    enter the graph (drop_near_duplicates passes them through).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("cluster_id"))
+        .localCheckpoint(eager=True)
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                edges.join(
+                    labels.select(
+                        F.col("id").alias("dst"), F.col("cluster_id").alias("dst_cluster")
+                    ),
+                    on="dst",
+                )
+                .groupBy("src")
+                .agg(F.min("dst_cluster").alias("nbr_cluster"))
+            )
+            updated = (
+                labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+                .select(
+                    labels["id"],
+                    F.least(
+                        F.col("cluster_id"),
+                        F.coalesce(F.col("nbr_cluster"), F.col("cluster_id")),
+                    ).alias("cluster_id"),
+                    (F.col("nbr_cluster") < F.col("cluster_id")).alias("__chg"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            n_changed = updated.filter(F.col("__chg")).count()
+            labels = updated.drop("__chg")
+            if n_changed == 0:
+                return labels
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds; "
+            "raise max_iter (needed rounds ~ graph diameter)"
+        )
+    finally:
+        edges.unpersist()
+
+
+def drop_near_duplicates(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """Keep one document per near-dup component (the min-id canonical).
+
+    `pairs` is any candidate-pair frame (minhash_lsh_pairs output, a
+    thresholded ngram_jaccard, embedding_near_dup_pairs, ...). Documents in
+    no pair pass through untouched — the anti-join only removes non-canonical
+    component members, so the pair frame being sparse is the cheap case.
+    """
+    cc = connected_components(pairs, max_iter=max_iter)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")
 
 
 def ngram_jaccard(

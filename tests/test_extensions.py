@@ -58,6 +58,33 @@ def test_minhash_xxhash_mode(docs):
     assert (1, 2) in got
 
 
+def test_connected_components(spark):
+    # two components: path 1-2-3 and edge 10-11
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=10, id_b=11)]
+    )
+    got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    # a 4-node path needs 3 propagation rounds; max_iter=1 must fail loudly,
+    # never return a half-merged clustering
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=3, id_b=4)]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.connected_components(pairs, max_iter=1)
+
+
+def test_drop_near_duplicates(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=4)
+    kept = dedup.drop_near_duplicates(docs, "doc_id", pairs)
+    # docs 1/2/3 form one near-dup component -> canonical 1 survives;
+    # 4 and 5 are in no pair and pass through
+    assert {r.doc_id for r in kept.collect()} == {1, 4, 5}
+
+
 def test_ngram_jaccard(docs):
     sh = dedup.shingles(docs, "doc_id", "text", k=3)
     j = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(sh).collect()}
