@@ -714,6 +714,7 @@ def oracle_sql() -> dict[str, str]:
 from presto_workload_analyzer_spark.extensions import (  # noqa: E402
     dedup as X_dedup,
     multimodal as X_mm,
+    sampling as X_samp,
     similarity as X_sim,
     textstats as X_text,
 )
@@ -1079,6 +1080,62 @@ def _x12_sql() -> str:
 
 
 _register("x12_lsh_ann_topk", _x12, _x12_sql())
+
+
+# x16/x17: reproducible corpus sampling — md5-bucket split assignment and
+# per-group cap. The oracle reproduces the bucket digit arithmetic exactly.
+
+_X16_BUCKET_SQL = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+)
+
+
+def _x16(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_samp.hash_split(docs, "doc_id")  # train 0.90 / val 0.05 / test 0.05
+    return out.select("doc_id", "split")
+
+
+_register(
+    "x16_hash_split",
+    _x16,
+    f"WITH b AS (SELECT doc_id, {_X16_BUCKET_SQL} AS bucket FROM documents)"
+    " SELECT doc_id,"
+    " CASE WHEN bucket < 230 THEN 'train'"
+    "      WHEN bucket < 243 THEN 'val'"
+    "      WHEN bucket < 256 THEN 'test' END AS split FROM b",
+)
+
+
+def _x17(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    langs = docs.select("doc_id", X_text.language_id("text").alias("pred_lang"))
+    return X_samp.stratified_cap(langs, ["pred_lang"], "doc_id", cap=50)
+
+
+_X17_LANG_SQL = (
+    "SELECT doc_id,"
+    " CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es AND r_en >= r_zh THEN 'en'"
+    "      WHEN r_de >= r_fr AND r_de >= r_es AND r_de >= r_zh THEN 'de'"
+    "      WHEN r_fr >= r_es AND r_fr >= r_zh THEN 'fr'"
+    "      WHEN r_es >= r_zh THEN 'es'"
+    "      ELSE 'zh' END AS pred_lang"
+    " FROM (SELECT doc_id, "
+    + ", ".join(
+        f"({_RATIO_SQL.format(lst=lst)}) AS r_{lang}" for lang, lst in _X09_LISTS.items()
+    )
+    + " FROM documents)"
+)
+
+_register(
+    "x17_stratified_cap",
+    _x17,
+    f"WITH langs AS ({_X17_LANG_SQL}),"
+    " r AS (SELECT doc_id, pred_lang,"
+    "   row_number() OVER (PARTITION BY pred_lang ORDER BY doc_id) AS rn FROM langs)"
+    " SELECT doc_id, pred_lang FROM r WHERE rn <= 50",
+)
 
 
 # --------------------------------------------------------------------------

@@ -7,6 +7,12 @@ similarity search (brute-force + LSH-bucketed ANN), text analysis
 column plumbing — all designed for 100 TB corpora.
 """
 
-from presto_workload_analyzer_spark.extensions import dedup, multimodal, similarity, textstats
+from presto_workload_analyzer_spark.extensions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 
-__all__ = ["dedup", "multimodal", "similarity", "textstats"]
+__all__ = ["dedup", "multimodal", "sampling", "similarity", "textstats"]

@@ -7,7 +7,13 @@ import math
 import pytest
 from pyspark.sql import Row, functions as F
 
-from presto_workload_analyzer_spark.extensions import dedup, multimodal, similarity, textstats
+from presto_workload_analyzer_spark.extensions import (
+    dedup,
+    multimodal,
+    sampling,
+    similarity,
+    textstats,
+)
 
 
 @pytest.fixture(scope="module")
@@ -247,3 +253,36 @@ def test_multimodal_resize_contract(spark):
     # composes with downstream stages
     decoded = multimodal.decode_media(resized)
     assert decoded.count() == 2
+
+
+def test_hash_split_deterministic_and_complete(spark):
+    df = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    out = sampling.hash_split(df, "doc_id")
+    counts = {r.split: r.n for r in out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}  # fractions sum to 1 -> no None
+    assert counts["train"] > counts["val"] and counts["train"] > counts["test"]
+    # reproducible: second run assigns identical labels
+    again = {r.doc_id: r.split for r in sampling.hash_split(df, "doc_id").collect()}
+    first = {r.doc_id: r.split for r in out.collect()}
+    assert first == again
+    # composes across tables sharing the id: same rows survive a 10% sample
+    s1 = {r.doc_id for r in sampling.hash_sample(df, "doc_id", 0.1).collect()}
+    s2 = {r.doc_id for r in sampling.hash_sample(df, "doc_id", 0.1).collect()}
+    assert s1 == s2 and 0 < len(s1) < 500
+
+
+def test_hash_split_rejects_overallocation(spark):
+    df = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        sampling.hash_split(df, "doc_id", splits={"a": 0.7, "b": 0.7})
+
+
+def test_stratified_cap(spark):
+    rows = [Row(g="a", i=i) for i in range(10)] + [Row(g="b", i=i) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = sampling.stratified_cap(df, ["g"], "i", cap=5)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, set()).add(r.i)
+    assert got["a"] == {0, 1, 2, 3, 4}  # deterministic: the 5 smallest
+    assert got["b"] == {0, 1, 2}        # under cap -> untouched
