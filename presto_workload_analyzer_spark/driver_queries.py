@@ -742,7 +742,11 @@ def _x02(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_X02_SIGS = ", ".join(f"min(md5(shingle || '#{i}')) AS sig_{i}" for i in range(16))
+# 4 x 32-bit slices per md5 call, mirroring minhash_signatures' md5 mode
+_X02_SIGS = ", ".join(
+    f"min(substr(md5(shingle || '#{i // 4}'), {1 + 8 * (i % 4)}, 8)) AS sig_{i}"
+    for i in range(16)
+)
 _X02_BANDS = " UNION ALL ".join(
     f"SELECT id, {b} AS band, md5(concat_ws('|', sig_{b*4}, sig_{b*4+1},"
     f" sig_{b*4+2}, sig_{b*4+3})) AS band_hash FROM sig"
@@ -1080,6 +1084,27 @@ def _x12_sql() -> str:
 
 
 _register("x12_lsh_ann_topk", _x12, _x12_sql())
+
+
+def _x18(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.round(X_text.repetition_ratio("text") + 1e-9, 6).alias("rep_ratio"),
+    )
+
+
+_register(
+    "x18_repetition_ratio",
+    _x18,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents),"
+    " g AS (SELECT doc_id, list_transform(range(1, len(w)),"
+    "   i -> array_to_string(w[i:i+1], ' ')) AS grams FROM tok)"
+    " SELECT doc_id, round(CASE WHEN len(grams) > 0"
+    "   THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)"
+    "   ELSE 0.0 END + 1e-9, 6) AS rep_ratio FROM g",
+)
 
 
 # x16/x17: reproducible corpus sampling — md5-bucket split assignment and

@@ -83,7 +83,27 @@ def minhash_signatures(
     One shuffle (groupBy id) computes all H component minima as parallel
     aggregates — map-side partial min makes this a light shuffle even at
     billions of shingles.
+
+    md5 mode derives FOUR 32-bit hash components (8-hex-char slices) per md5
+    call — md5 is the dominant cost of the pipeline and its 128 output bits
+    are independent, so slicing cuts the hash work 4x (measured ~2x on the
+    whole x02 query). Lexicographic min over fixed-width lowercase hex
+    slices == numeric min, and the oracle reproduces the same substr.
     """
+    if mode == "md5":
+        n_full = (num_hashes + 3) // 4
+        proj = shingle_df.select(
+            "id",
+            *[
+                F.md5(F.concat(F.col("shingle"), F.lit(f"#{g}"))).alias(f"__h{g}")
+                for g in range(n_full)
+            ],
+        )
+        aggs = [
+            F.min(F.substring(F.col(f"__h{i // 4}"), 1 + 8 * (i % 4), 8)).alias(f"sig_{i}")
+            for i in range(num_hashes)
+        ]
+        return proj.groupBy("id").agg(*aggs)
     aggs = [
         F.min(_hash_expr(F.col("shingle"), i, mode)).alias(f"sig_{i}")
         for i in range(num_hashes)

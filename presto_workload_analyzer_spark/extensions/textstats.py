@@ -64,6 +64,25 @@ def punct_ratio(text: Column | str) -> Column:
     return F.when(nonspace > 0, punct.cast("double") / nonspace).otherwise(0.0)
 
 
+def repetition_ratio(text: Column | str, n: int = 2) -> Column:
+    """Fraction of word n-grams that are repeats of an earlier n-gram.
+
+    The Gopher-style repetition quality signal: boilerplate / spam /
+    template text repeats phrases, natural prose mostly doesn't.
+    1 - distinct_ngrams/total_ngrams; 0.0 for docs too short to have an
+    n-gram. Pure Column expressions (array transform + array_distinct).
+    """
+    toks = tokens(text)
+    starts = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(1), F.size(toks) - (n - 1))
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    return F.when(
+        F.size(grams) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(grams)).cast("double") / F.size(grams),
+    ).otherwise(F.lit(0.0))
+
+
 def quality_score(text: Column | str) -> Column:
     """Composite document-quality heuristic in [0, 1].
 

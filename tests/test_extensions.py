@@ -286,3 +286,22 @@ def test_stratified_cap(spark):
         got.setdefault(r.g, set()).add(r.i)
     assert got["a"] == {0, 1, 2, 3, 4}  # deterministic: the 5 smallest
     assert got["b"] == {0, 1, 2}        # under cap -> untouched
+
+
+def test_repetition_ratio(spark):
+    rows = [
+        Row(doc_id=1, text="the cat sat on the mat"),          # no repeated bigram
+        Row(doc_id=2, text="buy now buy now buy now"),          # heavy repetition
+        Row(doc_id=3, text="word"),                             # too short -> 0
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        r.doc_id: r.rep
+        for r in df.select(
+            "doc_id", F.round(textstats.repetition_ratio("text"), 6).alias("rep")
+        ).collect()
+    }
+    assert got[1] == 0.0
+    # 5 bigrams, 2 distinct ("buy now", "now buy") -> 3/5 repeats
+    assert math.isclose(got[2], 0.6)
+    assert got[3] == 0.0
