@@ -899,6 +899,24 @@ _register(
     " SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank FROM r WHERE rank <= 5",
 )
 
+_ORACLES["x19_cosine_topk_pandas"] = _ORACLES["x05_cosine_topk"]
+
+
+def _x19(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_sim.cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+# same oracle as x05: the Arrow/BLAS physical path must produce the same
+# answer as the Column in-order-fold path (round(6) absorbs last-ulp sums)
+_register("x19_cosine_topk_pandas", _x19, None)  # oracle attached below
+
 
 def _x06(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_sf_table(spark, sf, "embeddings").filter(F.col("vec_id") < 150)

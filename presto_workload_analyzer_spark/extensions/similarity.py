@@ -66,6 +66,71 @@ def cosine_topk(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k cosine neighbors, Arrow-batched numpy variant.
+
+    Same contract as cosine_topk, different physical strategy: the (small)
+    query matrix is collected, row-normalized, and broadcast once; each
+    corpus partition then scores a whole Arrow batch with ONE C @ Q.T BLAS
+    matmul and emits only its per-query partial top-(k+1) — so executor
+    output is bounded by batches * queries * (k+1) rows, never |corpus| *
+    |queries|. A final window takes the exact global top-k.
+
+    This is the wide-vector / big-batch scale path (BLAS beats the per-row
+    zip_with fold by orders of magnitude there); cosine_topk's Column path
+    stays the oracle-exact in-order-fold baseline. Last-ulp sums can differ
+    between the two (pairwise/SIMD vs in-order) — downstream rounding
+    absorbs it.
+    """
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
+
+    take = k + 1  # self-match is filtered after ranking; keep one spare
+
+    def score(batches):
+        ids, qn = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c_ids = pdf["__cid"].to_numpy(dtype=np.int64)
+            c_mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
+            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_mat @ qn.T  # (batch, queries)
+            n = min(take, len(c_ids))
+            for j in range(len(ids)):
+                # lexsort: deterministic under cosine ties (neighbor id asc)
+                order = np.lexsort((c_ids, -sims[:, j]))[:n]
+                yield pd.DataFrame(
+                    {
+                        "query_id": ids[j],
+                        "neighbor_id": c_ids[order],
+                        "cosine": sims[order, j],
+                    }
+                )
+
+    partial = corpus.select(
+        F.col(id_col).alias("__cid"), _to_double(F.col(vec_col)).alias("__cv")
+    ).mapInPandas(score, "query_id long, neighbor_id long, cosine double")
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        partial.filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def hyperplane_buckets(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -305,3 +305,11 @@ def test_repetition_ratio(spark):
     # 5 bigrams, 2 distinct ("buy now", "now buy") -> 3/5 repeats
     assert math.isclose(got[2], 0.6)
     assert got[3] == 0.0
+
+
+def test_cosine_topk_pandas_matches_column_path(vectors):
+    col_path = similarity.cosine_topk(vectors, vectors.filter(F.col("vec_id") < 3), k=4)
+    blas_path = similarity.cosine_topk_pandas(vectors, vectors.filter(F.col("vec_id") < 3), k=4)
+    a = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in col_path.collect()}
+    b = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in blas_path.collect()}
+    assert a == b
