@@ -54,14 +54,17 @@ def shingles(
     NOT for set-cardinality math like Jaccard.
     """
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # guard: Spark sequence(1, 0) would generate a DESCENDING [1, 0] — docs
-    # shorter than k words must yield no shingles, not garbage slices
-    starts = F.when(
-        F.size(toks) >= k, F.sequence(F.lit(1), F.size(toks) - (k - 1))
-    ).otherwise(F.array().cast("array<int>"))
-    sh = F.transform(
-        starts, lambda i: F.concat_ws(" ", F.slice(toks, i, k))
-    )
+    m = F.size(toks) - (k - 1)
+    # shift-and-zip: shingle i = toks[i..i+k-1] via folding k shifted slices
+    # with zip_with — O(k*len) per doc (per-position slice-in-transform is
+    # O(len^2)); the when-guard keeps docs shorter than k words at zero
+    # shingles (and keeps the negative-length slices unevaluated)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    sh = F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
     out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
     return out.distinct() if distinct else out
 
