@@ -32,6 +32,14 @@ def main() -> None:
     spark = get_spark(app_name="pwa-bench")
     # warm up the JVM + parquet footers once
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # warm the streaming machinery (state store, stateful python workers) at
+    # tiny scale so timed s-queries measure steady state, not first-stream
+    # init (worth ~7 s of one-time cost otherwise booked to s01/s02)
+    for _name in ("s01_stream_events_by_day", "s02_stream_user_sessions"):
+        try:
+            driver_queries.queries()[_name](spark, "/root/testdata/sf0.001")
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, fn in sorted(driver_queries.queries().items()):

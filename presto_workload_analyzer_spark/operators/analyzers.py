@@ -377,18 +377,41 @@ def collect_metrics(queries: DataFrame, approximate: bool = False) -> DataFrame:
     """Single-row corpus metrics for the report header.
 
     approximate=True swaps the two exact count-distincts for HyperLogLog++
-    sketches (SURVEY.md §2B-agg): at 100 TB the exact variant plans an
-    Expand (one replicated pass per distinct aggregate) while the sketch is
-    a single-pass partial aggregate with ~2% relative error — the right
-    trade for a dashboard header.
+    sketches (SURVEY.md §2B-agg): single-pass partial aggregate with ~2%
+    relative error — the right trade for a dashboard header.
+
+    The exact variant pre-aggregates by (day, user) first: a naive
+    multi-countDistinct agg plans an Expand (one replicated pass over the
+    FULL corpus per distinct aggregate); grouping to the (day, user) grain
+    is map-side combinable and shrinks the corpus to days*users rows, so
+    the Expand runs over a tiny frame. Sums are recombined from the
+    pre-aggregate (fp reassociation absorbed by report-side rounding).
     """
-    cd = F.approx_count_distinct if approximate else F.countDistinct
-    return queries.agg(
-        F.count(F.lit(1)).alias("n_queries"),
-        (F.sum("cpu_time") / SECONDS_PER_DAY).alias("cpu_days"),
-        (F.sum("scheduled_time") / SECONDS_PER_DAY).alias("scheduled_days"),
-        F.sum("input_rows").alias("input_rows"),
-        (F.sum("input_size") / BYTES_PER_TB).alias("input_tb"),
-        cd(trunc_date("query_ts")).alias("n_days"),
-        cd("user").alias("n_users"),
+    if approximate:
+        return queries.agg(
+            F.count(F.lit(1)).alias("n_queries"),
+            (F.sum("cpu_time") / SECONDS_PER_DAY).alias("cpu_days"),
+            (F.sum("scheduled_time") / SECONDS_PER_DAY).alias("scheduled_days"),
+            F.sum("input_rows").alias("input_rows"),
+            (F.sum("input_size") / BYTES_PER_TB).alias("input_tb"),
+            F.approx_count_distinct(trunc_date("query_ts")).alias("n_days"),
+            F.approx_count_distinct("user").alias("n_users"),
+        )
+    pre = queries.groupBy(
+        trunc_date("query_ts").alias("__day"), F.col("user").alias("__user")
+    ).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("cpu_time").alias("__cpu"),
+        F.sum("scheduled_time").alias("__sched"),
+        F.sum("input_rows").alias("__rows"),
+        F.sum("input_size").alias("__bytes"),
+    )
+    return pre.agg(
+        F.sum("__n").alias("n_queries"),
+        (F.sum("__cpu") / SECONDS_PER_DAY).alias("cpu_days"),
+        (F.sum("__sched") / SECONDS_PER_DAY).alias("scheduled_days"),
+        F.sum("__rows").alias("input_rows"),
+        (F.sum("__bytes") / BYTES_PER_TB).alias("input_tb"),
+        F.countDistinct("__day").alias("n_days"),
+        F.countDistinct("__user").alias("n_users"),
     )
