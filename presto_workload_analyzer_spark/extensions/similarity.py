@@ -238,6 +238,112 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def build_ivf_index(
+    emb: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> None:
+    """Persist an IVF index: corpus parquet partitioned BY cell_id + centroids.
+
+    The on-disk layout IS the index: `{path}/corpus/cell_id=N/` holds each
+    inverted list, so a probe of C cells reads exactly C directories —
+    partition pruning does the candidate-set cut before any row is
+    deserialized. `{path}/centroids` is the tiny (n_cells) routing table.
+    Build cost is one KMeans fit + one corpus-sized write; at 100 TB this is
+    the amortize-once artifact every subsequent ANN query reuses.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = emb.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    train = vecs.select(array_to_vector("v").alias("features")).cache()
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter, featuresCol="features").fit(train)
+    centroids = emb.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cell_id INT, centroid ARRAY<DOUBLE>",
+    )
+    d2 = (
+        dot_expr(F.col("v"), F.col("v"))
+        - 2.0 * dot_expr(F.col("v"), F.col("centroid"))
+        + dot_expr(F.col("centroid"), F.col("centroid"))
+    )
+    assigned = (
+        vecs.join(F.broadcast(centroids))
+        .select("id", "v", "cell_id", d2.alias("d2"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(F.asc("d2"), F.asc("cell_id"))
+            ),
+        )
+        .filter(F.col("cell_rank") == 1)
+        .select("id", "v", "cell_id")
+    )
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(f"{path}/corpus")
+    centroids.write.mode("overwrite").parquet(f"{path}/centroids")
+    train.unpersist()
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 2,
+    k: int = 10,
+) -> DataFrame:
+    """ANN top-k against a persisted IVF index (build_ivf_index layout).
+
+    Probe cells per query come from the broadcast centroid table; the union
+    of probe cells (<= n_cells values) becomes a LITERAL isin() predicate on
+    the corpus partition column, so Catalyst statically prunes to the probed
+    `cell_id=N/` directories (`PartitionFilters` in the scan — asserted in
+    tests). Reading cost scales with probed cells, not corpus size.
+    """
+    centroids = F.broadcast(spark.read.parquet(f"{path}/centroids"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _to_double(F.col(vec_col)).alias("qv")
+    )
+    d2 = (
+        dot_expr(F.col("qv"), F.col("qv"))
+        - 2.0 * dot_expr(F.col("qv"), F.col("centroid"))
+        + dot_expr(F.col("centroid"), F.col("centroid"))
+    )
+    probes = (
+        q.join(centroids)
+        .select("query_id", "qv", "cell_id", d2.alias("d2"))
+        .withColumn(
+            "cell_rank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("cell_id"))
+            ),
+        )
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("query_id", "qv", "cell_id")
+    )
+    # literal cell list (bounded by n_cells, tiny) -> static partition pruning
+    probe_cells = sorted({r.cell_id for r in probes.select("cell_id").distinct().collect()})
+    corpus = (
+        spark.read.parquet(f"{path}/corpus")
+        .filter(F.col("cell_id").isin(probe_cells))
+        .select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell_id")
+    )
+    scored = probes.join(corpus, on="cell_id").filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id", "neighbor_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def lsh_topk(
     emb: DataFrame,
     id_col: str = "vec_id",

@@ -313,3 +313,34 @@ def test_cosine_topk_pandas_matches_column_path(vectors):
     a = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in col_path.collect()}
     b = {(r.query_id, r.rank): (r.neighbor_id, round(r.cosine, 9)) for r in blas_path.collect()}
     assert a == b
+
+
+def test_ivf_index_persist_prune_and_match(spark, tmp_path):
+    """Persisted IVF index: pruned scan reads only probed cells, results match
+    the in-memory ivf_topk with identical seed/params."""
+    sf_dir = "/root/testdata/sf0.001"
+    from presto_workload_analyzer_spark.sources.tables import read_sf_table
+
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    idx = str(tmp_path / "ivf")
+    similarity.build_ivf_index(emb, idx, n_cells=8, seed=42, max_iter=8)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    out = similarity.ivf_topk_indexed(spark, idx, queries, n_probe=2, k=3)
+    direct = similarity.ivf_topk(emb, n_cells=8, n_probe=2, k=3, seed=42, max_iter=8)
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    want = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in direct.collect()
+        if r.query_id < 5
+    }
+    assert got == want and len(got) > 0
+
+    # pruning proof: the corpus scan carries a partition filter on cell_id
+    # (inputFiles() can't be used — it lists the FileIndex pre-pruning)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell_id" in plan
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cell_id[^\]]*)\]", plan)
+    assert m and "IN" in m.group(1).upper()
