@@ -763,6 +763,20 @@ _register(
 )
 
 
+def _x20(spark: SparkSession, sf: str) -> DataFrame:
+    """The PRODUCTION minhash path (xxhash64, JVM codegen) — same pipeline
+    as x02 at the same params. No oracle (DuckDB has no xxhash64); candidate
+    quality is covered by test_minhash_xxhash_mode, and this entry puts the
+    scale path's throughput in the recorded bench next to the md5 mode."""
+    docs = read_sf_table(spark, sf, "documents")
+    return X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64"
+    )
+
+
+_register("x20_minhash_xxhash_pairs", _x20, None)
+
+
 # x14/x15: the LSH candidate pairs from x02 completed into duplicate
 # clusters (connected components) and an actually-deduplicated corpus.
 # DuckDB oracle: reachability via WITH RECURSIVE, min label per component.

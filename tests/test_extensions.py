@@ -344,3 +344,36 @@ def test_ivf_index_persist_prune_and_match(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*cell_id[^\]]*)\]", plan)
     assert m and "IN" in m.group(1).upper()
+
+
+def test_connected_components_matches_union_find(spark):
+    """Equivalence vs a reference union-find on seeded random graphs."""
+    import random
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        n = 30
+        edges = sorted(
+            {
+                tuple(sorted(rnd.sample(range(n), 2)))
+                for _ in range(25)
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        touched = {v for e in edges for v in e}
+        want = {v: min(u for u in touched if find(u) == find(v)) for v in touched}
+
+        pairs = spark.createDataFrame(
+            [Row(id_a=a, id_b=b) for a, b in edges]
+        )
+        got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
+        assert got == want, f"seed {seed}"
