@@ -192,9 +192,20 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Only ids that appear in some pair are emitted; singleton documents never
     enter the graph (drop_near_duplicates passes them through).
     """
+    # both edge directions from ONE pass over pairs (explode, not union —
+    # a union would re-execute the whole upstream candidate-pair lineage,
+    # e.g. the full minhash pipeline, once per branch; same trap as the pie
+    # kernel's union, see BASELINE.md)
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+                    F.struct(F.col("id_b").alias("src"), F.col("id_a").alias("dst")),
+                )
+            ).alias("e")
+        )
+        .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
         .distinct()
         .persist()
     )
