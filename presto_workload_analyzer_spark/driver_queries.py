@@ -1420,3 +1420,87 @@ _register(
     " WHERE sid < (SELECT max(sid) FROM s s2 WHERE s2.user_id = g.user_id)"
     "    OR session_end + INTERVAL 86400 SECONDS < max_ts - INTERVAL 60 SECONDS",
 )
+
+
+def _x21(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 60)
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    return X_dedup.shingle_containment(sh).select(
+        # same half-grid nudge as x03: ratio-of-integers values can land on
+        # the rounding boundary where the engines disagree
+        "id_a", "id_b", F.round(F.col("containment") + 1e-9, 6).alias("containment")
+    )
+
+
+_register(
+    "x21_shingle_containment",
+    _x21,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents WHERE doc_id < 60),"
+    " sh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle"
+    "        FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),"
+    " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+    " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni"
+    "           FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2)"
+    " SELECT id_a, id_b,"
+    "  round(CAST(ni AS DOUBLE) / least(sa.n, sb.n) + 1e-9, 6) AS containment"
+    " FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b",
+)
+
+
+def _x22(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_text.tfidf_top_terms(docs, "doc_id", "text", k=3, round_to=6)
+    return out.select("id", "term", "tfidf", F.col("rank").cast("long").alias("rank"))
+
+
+_register(
+    "x22_tfidf_top_terms",
+    _x22,
+    "WITH tk AS (SELECT doc_id AS id,"
+    " lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term FROM documents),"
+    " tf AS (SELECT id, term, count(*) AS tf FROM tk GROUP BY 1, 2),"
+    " dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),"
+    " n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),"
+    " s AS (SELECT id, term,"
+    "   round(CAST(tf AS DOUBLE) * ln(CAST(n_docs AS DOUBLE) / df) + 1e-9, 6) AS tfidf"
+    "   FROM tf JOIN dfq USING (term), n),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY id"
+    "   ORDER BY tfidf DESC, term) AS rank FROM s)"
+    " SELECT id, term, tfidf, rank FROM r WHERE rank <= 3",
+)
+
+
+def _s03(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming dedup under at-least-once redelivery: the events stream
+    unioned with itself (every event delivered twice, the collector's
+    re-poll behavior) -> dropDuplicatesWithinWatermark(event_id) -> daily
+    counts. The oracle is the batch rollup of the UNDUPLICATED table, so a
+    broken dedup (doubled counts) hash-mismatches. State is bounded by the
+    watermark horizon — the 100 TB answer to the reference's forever-growing
+    dedup-by-file-existence set (collect.py:101-103)."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import run_to_memory, stream_sf_table
+
+    ev = stream_sf_table(spark, sf, "events")
+    redelivered = ev.unionByName(stream_sf_table(spark, sf, "events"))
+    deduped = redelivered.withWatermark("ts", "1 minute").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = f"s03_mem_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(agg, name, output_mode="complete")
+    q.awaitTermination(300)
+    out = spark.table(name).select(F.col("w.start").alias("bucket"), "n_events")
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s03_stream_dedup_events_by_day",
+    _s03,
+    "SELECT date_trunc('day', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events"
+    " FROM events GROUP BY 1",
+)

@@ -305,6 +305,50 @@ def ngram_jaccard(
     )
 
 
+def shingle_containment(
+    shingle_df: DataFrame, pairs: DataFrame | None = None, threshold: float = 0.0
+) -> DataFrame:
+    """Containment similarity |A∩B| / min(|A|, |B|) over shingle sets.
+
+    The signal Jaccard misses: a short document quoted verbatim inside a
+    long one has tiny Jaccard (union is dominated by the long doc) but
+    containment ~1. Standard quote/subset detection for training-corpus
+    dedup (the "substring dedup" family, approximated at shingle
+    granularity so it stays a pure shuffle-on-key join — no suffix arrays).
+
+    With `pairs` given, scores only those candidates (LSH-blocked flow);
+    without, every pair sharing >= 1 shingle (quadratic per shingle bucket
+    — blocked upstream at 100 TB, same contract as ngram_jaccard).
+    Output: (id_a, id_b, containment) with containment > threshold.
+    """
+    sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
+    b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, on=["id_a", "id_b"], how="left_semi")
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter").cast("double")
+                / F.least(F.col("n_a"), F.col("n_b"))
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") > threshold)
+    )
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word unigrams (md5-derived bits, oracle-portable).
 

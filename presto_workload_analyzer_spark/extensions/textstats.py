@@ -7,7 +7,7 @@ deterministic and has an exact ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language marker lists for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
@@ -131,6 +131,53 @@ def normalized_text(text: Column | str) -> Column:
     out = F.regexp_replace(out, r"[^a-z0-9\s]", "")
     out = F.regexp_replace(out, r"\s+", " ")
     return F.trim(out)
+
+
+def tfidf_top_terms(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Per-document top-k terms by TF-IDF: (id, term, tfidf, rank).
+
+    tf = term count within the doc (lowercased whitespace tokens);
+    idf = ln(N / df) with df = number of docs containing the term.
+    score = tf * idf; rank is row_number within doc by (score desc,
+    term asc) — fully deterministic, no sampling. `round_to` ranks on the
+    rounded score instead: engines may evaluate mathematically-equal
+    scores a ulp apart (2*ln(10) vs ln(100)), which would flip tie order
+    cross-engine; rounding (with a half-grid nudge) restores a portable
+    order for oracle comparison.
+
+    Shuffle shape at 100 TB: one explode + groupBy(id, term) with map-side
+    partial counts (the corpus-sized shuffle), a doc-frequency aggregate
+    over the (id, term) grain (already reduced — NOT the token stream), a
+    broadcast-sized N, and a per-doc window for top-k. The df join is on
+    `term`, whose grain is the vocabulary — orders of magnitude smaller
+    than the corpus.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = df.select(F.countDistinct(id_col).alias("__n"))
+    score = F.col("tf").cast("double") * F.log(
+        F.col("__n").cast("double") / F.col("df")
+    )
+    if round_to is not None:
+        score = F.round(score + 1e-9, round_to)
+    scored = (
+        tf.join(docfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .select("id", "term", score.alias("tfidf"))
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tfidf", "rank")
+    )
 
 
 def fingerprint(text: Column | str) -> Column:

@@ -377,3 +377,46 @@ def test_connected_components_matches_union_find(spark):
         )
         got = {r.id: r.cluster_id for r in dedup.connected_components(pairs).collect()}
         assert got == want, f"seed {seed}"
+
+
+def test_shingle_containment_quote(spark):
+    # doc 2 = doc 1's text embedded in a much longer page: Jaccard is low
+    # (union dominated by the page) but containment must be ~1
+    quoted = "alpha beta gamma delta epsilon zeta"
+    page = (
+        "lots of surrounding boilerplate text here " + quoted +
+        " and then much more unrelated trailing content about other topics entirely"
+    )
+    rows = [Row(doc_id=1, text=quoted), Row(doc_id=2, text=page),
+            Row(doc_id=3, text="wholly distinct words nothing shared")]
+    df = spark.createDataFrame(rows)
+    sh = dedup.shingles(df, "doc_id", "text", k=3)
+    out = {(r.id_a, r.id_b): r.containment
+           for r in dedup.shingle_containment(sh).collect()}
+    assert out[(1, 2)] == 1.0          # every shingle of the quote is in the page
+    assert (1, 3) not in out and (2, 3) not in out
+    jac = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(sh).collect()}
+    assert jac[(1, 2)] < 0.5           # the case Jaccard under-reports
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        Row(doc_id=1, text="spark spark engine"),
+        Row(doc_id=2, text="engine tuning"),
+        Row(doc_id=3, text="engine"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = textstats.tfidf_top_terms(df, "doc_id", "text", k=2)
+    got = {(r.id, r.rank): (r.term, r.tfidf) for r in out.collect()}
+    # 'engine' appears in all 3 docs -> idf = ln(1) = 0 everywhere
+    # doc 1: spark tf=2, idf=ln(3) -> top; engine scores 0
+    term, score = got[(1, 1)]
+    assert term == "spark" and abs(score - 2 * math.log(3.0)) < 1e-12
+    assert got[(1, 2)][0] == "engine" and got[(1, 2)][1] == 0.0
+    # doc 2: tuning (ln 3) beats engine (0)
+    assert got[(2, 1)][0] == "tuning"
+    # k bounds output per doc; doc 3 has a single term
+    assert (3, 2) not in got
+    # round_to path keeps the same leaders
+    r6 = textstats.tfidf_top_terms(df, "doc_id", "text", k=2, round_to=6)
+    assert {(r.id, r.rank): r.term for r in r6.collect()}[(1, 1)] == "spark"
