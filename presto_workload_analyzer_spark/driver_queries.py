@@ -35,10 +35,30 @@ from presto_workload_analyzer_spark.sources.tables import read_sf_table
 
 # --------------------------------------------------------------------------
 # Adapters: synthetic tables -> engine silver contracts
+#
+# Each adapter is persisted once per (session, sf_dir) — the SURVEY §4.2
+# architecture: silver tables are cached ONCE and all analyzers share them,
+# instead of the reference's 28 re-scans of the corpus. First use pays the
+# materialization; every later query reads executor-cached columnar blocks.
 # --------------------------------------------------------------------------
+
+_ADAPTER_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
+def _cached_adapter(kind, spark, sf_dir, build):
+    key = (spark.sparkContext.applicationId, sf_dir, kind)
+    df = _ADAPTER_CACHE.get(key)
+    if df is None:
+        df = build().persist()
+        _ADAPTER_CACHE[key] = df
+    return df
 
 
 def workload_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_adapter("queries", spark, sf_dir, lambda: _workload_queries(spark, sf_dir))
+
+
+def _workload_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events -> the `queries` silver contract (one synthetic query per event).
 
     Deterministic arithmetic only; the FAILED filter (reference
@@ -101,6 +121,10 @@ queries AS (
 
 
 def workload_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_adapter("operators", spark, sf_dir, lambda: _workload_operators(spark, sf_dir))
+
+
+def _workload_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem -> the `operators` silver contract (one operator per lineitem).
 
     op_type cycles through six Presto operator names keyed on l_linenumber;
@@ -158,6 +182,10 @@ ops AS (
 
 
 def workload_plan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_adapter("plan_nodes", spark, sf_dir, lambda: _workload_plan_nodes(spark, sf_dir))
+
+
+def _workload_plan_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem x part -> plan_nodes rows carrying deepest_scan_table.
 
     Mirrors the flatten stage's output contract (SURVEY.md §4.3): the
@@ -187,6 +215,10 @@ pnodes AS (
 
 
 def workload_join_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_adapter("join_nodes", spark, sf_dir, lambda: _workload_join_nodes(spark, sf_dir))
+
+
+def _workload_join_nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders -> join-typed plan_nodes (one physical join per order).
 
     o_orderstatus picks the join kind exercised (reference
@@ -223,6 +255,10 @@ jnodes AS (
 
 
 def workload_join_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cached_adapter("join_operators", spark, sf_dir, lambda: _workload_join_operators(spark, sf_dir))
+
+
+def _workload_join_operators(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orders -> probe + build operator rows matching workload_join_nodes.
 
     A sparse stripe (o_orderkey % 97 == 0) emits NO operators, exercising
