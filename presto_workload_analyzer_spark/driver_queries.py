@@ -1540,3 +1540,60 @@ _register(
     "SELECT date_trunc('day', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events"
     " FROM events GROUP BY 1",
 )
+
+
+def _a30(spark: SparkSession, sf: str) -> DataFrame:
+    out = A.latency_percentiles(workload_queries(spark, sf))
+    return out.select(
+        "user",
+        F.col("n_queries").cast("long").alias("n_queries"),
+        *[
+            F.round(F.col(c) + 1e-9, 6).alias(c)
+            for c in ("p50_elapsed", "p95_elapsed", "p99_elapsed")
+        ],
+    )
+
+
+_register(
+    "a30_latency_percentiles",
+    _a30,
+    _ALL_CTES
+    + 'SELECT user_name AS "user", CAST(count(*) AS BIGINT) AS n_queries,'
+    "  round(quantile_cont(elapsed_time, 0.5) + 1e-9, 6) AS p50_elapsed,"
+    "  round(quantile_cont(elapsed_time, 0.95) + 1e-9, 6) AS p95_elapsed,"
+    "  round(quantile_cont(elapsed_time, 0.99) + 1e-9, 6) AS p99_elapsed"
+    " FROM queries GROUP BY 1",
+)
+
+
+def _x23(spark: SparkSession, sf: str) -> DataFrame:
+    # plant PII deterministically so the redaction is actually exercised
+    # (the synthetic corpus contains none): same construction in the oracle
+    docs = read_sf_table(spark, sf, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com at 10.0.0."),
+            (F.col("doc_id") % 255).cast("string"),
+            F.lit(" tel +12 3456 7890"),
+        ).alias("text"),
+    )
+    return planted.select("doc_id", X_text.redact_pii("text").alias("redacted"))
+
+
+_register(
+    "x23_pii_redaction",
+    _x23,
+    "WITH planted AS (SELECT doc_id,"
+    "  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com"
+    " at 10.0.0.' || CAST(doc_id % 255 AS VARCHAR) || ' tel +12 3456 7890' AS text"
+    " FROM documents)"
+    " SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),"
+    " '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),"
+    " '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted"
+    " FROM planted",
+)

@@ -180,6 +180,33 @@ def tfidf_top_terms(
     )
 
 
+# (pattern, replacement) applied in order: emails first so the phone rule
+# never eats an address's digits; all patterns are RE2-safe (no backrefs,
+# no lookaround) so the same strings work in Spark (Java regex), DuckDB
+# and RE2-based engines
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    (r"\+?\d[\d\- ]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails / IPv4s / phone-shaped digit runs with typed tags.
+
+    A scrubbing pass every web-scale training corpus runs before anything
+    else touches the text. Pure chained regexp_replace — JVM-side, codegen,
+    runs at scan speed; the pattern list is the contract (extend per
+    deployment). Not an anonymity guarantee: it is the standard best-effort
+    surface-form scrub, same scope as the reference's obfuscation pass
+    (jsonl_process.py:53-86) but for document text rather than log fields.
+    """
+    out = F.col(text) if isinstance(text, str) else text
+    for pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
 def fingerprint(text: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the normalized text.
 

@@ -370,6 +370,27 @@ def task_stage_stats(tasks: DataFrame) -> DataFrame:
     )
 
 
+def latency_percentiles(queries: DataFrame, approximate: bool = False) -> DataFrame:
+    """Per-user p50/p95/p99 elapsed-time — latency-SLO view of the workload.
+
+    Beyond-reference: the reference plots raw per-query scatters
+    (elapsed_time_by_query, analyze.py:277-302) and leaves percentile
+    reading to the eye; this rolls them up per user. Exact `percentile`
+    (linear interpolation over the sorted group) for oracle-checkable
+    results; approximate=True swaps in `approx_percentile` (t-digest-style
+    sketch, map-side combinable, no per-group sort buffer) — the right
+    trade at 100 TB where an exact percentile would shuffle every row of
+    the corpus to its group and hold it sorted.
+    """
+    pctl = F.approx_percentile if approximate else F.percentile
+    return queries.groupBy("user").agg(
+        F.count(F.lit(1)).alias("n_queries"),
+        pctl("elapsed_time", F.lit(0.5)).alias("p50_elapsed"),
+        pctl("elapsed_time", F.lit(0.95)).alias("p95_elapsed"),
+        pctl("elapsed_time", F.lit(0.99)).alias("p99_elapsed"),
+    )
+
+
 # --- report header metrics (reference analyze.py:1177-1193) ------------------
 
 

@@ -53,6 +53,8 @@ ANALYZERS: dict[str, tuple[Callable[..., DataFrame], tuple[str, ...]]] = {
     "joins_selectivity": (A.joins_selectivity, ("operators", "plan_nodes")),
     # beyond-reference: task-tree straggler analysis (SURVEY.md §1.2 reserve)
     "task_stage_stats": (A.task_stage_stats, ("tasks",)),
+    # beyond-reference: per-user latency SLO percentiles
+    "latency_percentiles": (A.latency_percentiles, ("queries",)),
 }
 
 

@@ -420,3 +420,33 @@ def test_tfidf_top_terms(spark):
     # round_to path keeps the same leaders
     r6 = textstats.tfidf_top_terms(df, "doc_id", "text", k=2, round_to=6)
     assert {(r.id, r.rank): r.term for r in r6.collect()}[(1, 1)] == "spark"
+
+
+def test_redact_pii(spark):
+    rows = [Row(doc_id=1, text="mail a.b+c@x-corp.io or 10.20.30.40 or +49 1234-5678 90 end")]
+    out = spark.createDataFrame(rows).select(
+        textstats.redact_pii("text").alias("t")
+    ).collect()[0].t
+    assert out == "mail <EMAIL> or <IP> or <PHONE> end"
+    # no PII -> text untouched
+    clean = spark.createDataFrame([Row(text="plain words only")]).select(
+        textstats.redact_pii("text").alias("t")
+    ).collect()[0].t
+    assert clean == "plain words only"
+
+
+def test_latency_percentiles(spark):
+    from presto_workload_analyzer_spark.operators.analyzers import latency_percentiles
+
+    rows = [Row(user="u1", elapsed_time=float(v)) for v in range(1, 101)]
+    rows += [Row(user="u2", elapsed_time=7.0)]
+    df = spark.createDataFrame(rows)
+    got = {r.user: r for r in latency_percentiles(df).collect()}
+    # 100 evenly spaced values: p50 interpolates to 50.5, p95 to 95.05
+    assert got["u1"].n_queries == 100
+    assert abs(got["u1"].p50_elapsed - 50.5) < 1e-9
+    assert abs(got["u1"].p95_elapsed - 95.05) < 1e-9
+    assert got["u2"].p99_elapsed == 7.0  # single-row group: all percentiles collapse
+    # sketch path returns a value inside the data range for every group
+    approx = {r.user: r for r in latency_percentiles(df, approximate=True).collect()}
+    assert 1.0 <= approx["u1"].p50_elapsed <= 100.0
