@@ -39,6 +39,7 @@ def main() -> None:
         "s01_stream_events_by_day",
         "s02_stream_user_sessions",
         "s03_stream_dedup_events_by_day",
+        "s04_stream_interval_join",
     ):
         try:
             driver_queries.queries()[_name](spark, "/root/testdata/sf0.001")

@@ -1597,3 +1597,84 @@ _register(
     " '\\+?\\d[\\d\\- ]{7,}\\d', '<PHONE>', 'g') AS redacted"
     " FROM planted",
 )
+
+
+def _x24(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return X_text.chunk_documents(docs, "doc_id", "text", chunk_tokens=64, overlap=16)
+
+
+_register(
+    "x24_chunk_documents",
+    _x24,
+    # stride = 64 - 16 = 48; DuckDB list slice w[a:b] is 1-based inclusive,
+    # matching Spark's slice(toks, start, 64) == w[start:start+63]
+    "WITH tok AS (SELECT doc_id AS id, string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents),"
+    " st AS (SELECT id, w, i AS start, CAST((i - 1) // 48 AS BIGINT) AS chunk_id"
+    "        FROM tok, UNNEST(range(1, greatest(len(w), 1) + 1, 48)) AS t(i))"
+    " SELECT id, chunk_id, array_to_string(w[start:start+63], ' ') AS chunk_text,"
+    "  CAST(len(w[start:start+63]) AS BIGINT) AS n_tokens FROM st",
+)
+
+
+def _s04(spark: SparkSession, sf: str) -> DataFrame:
+    """Watermarked stream-stream interval join: purchases within 2 hours of
+    the same user's signup. Inner join + range bound => each side's state
+    evicts as the other side's watermark passes the horizon (bounded state
+    at any corpus size); one availableNow drain makes the result equal to
+    the batch SQL interval join the oracle runs."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        interval_join,
+        run_to_memory,
+        stream_sf_table,
+    )
+
+    signups = (
+        stream_sf_table(spark, sf, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("su_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 minute")
+    )
+    purchases = (
+        stream_sf_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = interval_join(
+        signups, purchases, [("su_user", "pu_user")],
+        "signup_ts", "purchase_ts", upper="2 hours",
+    ).select(
+        F.col("su_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        F.round("value", 6).alias("purchase_value"),
+    )
+    name = f"s04_mem_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(joined, name, output_mode="append")
+    q.awaitTermination(300)
+    out = spark.table(name)
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s04_stream_interval_join",
+    _s04,
+    "SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id,"
+    " round(b.\"value\", 6) AS purchase_value"
+    " FROM events a JOIN events b ON a.user_id = b.user_id"
+    " AND a.event_type = 'signup' AND b.event_type = 'purchase'"
+    " AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS",
+)

@@ -180,6 +180,39 @@ def tfidf_top_terms(
     )
 
 
+def chunk_documents(
+    df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split documents into fixed-stride overlapping token windows.
+
+    The standard pre-embedding / pre-tokenization sharding step: chunk i
+    covers whitespace tokens [1 + i*stride, 1 + i*stride + chunk_tokens)
+    with stride = chunk_tokens - overlap; the final chunks may be short
+    (the stride grid always covers the tail). Output: (id, chunk_id,
+    chunk_text, n_tokens), deterministic, one explode — no UDF, no
+    shuffle at all: chunking is embarrassingly row-local, so at 100 TB it
+    runs entirely inside the scan stage.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(text_col)
+    starts = F.sequence(F.lit(1), F.greatest(F.size(toks), F.lit(1)), F.lit(stride))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(starts).alias("chunk_id", "__start"),
+        toks.alias("__toks"),
+    )
+    piece = F.slice(F.col("__toks"), F.col("__start"), chunk_tokens)
+    return out.select(
+        "id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.array_join(piece, " ").alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_tokens"),
+    )
+
+
 # (pattern, replacement) applied in order: emails first so the phone rule
 # never eats an address's digits; all patterns are RE2-safe (no backrefs,
 # no lookaround) so the same strings work in Spark (Java regex), DuckDB

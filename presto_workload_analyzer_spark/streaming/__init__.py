@@ -1,3 +1,4 @@
+from presto_workload_analyzer_spark.streaming.joins import interval_join
 from presto_workload_analyzer_spark.streaming.sessions import query_sessions
 from presto_workload_analyzer_spark.streaming.ingest import (
     input_by_window,
@@ -10,6 +11,7 @@ from presto_workload_analyzer_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "interval_join",
     "query_sessions",
     "input_by_window",
     "queries_by_window",

@@ -450,3 +450,49 @@ def test_latency_percentiles(spark):
     # sketch path returns a value inside the data range for every group
     approx = {r.user: r for r in latency_percentiles(df, approximate=True).collect()}
     assert 1.0 <= approx["u1"].p50_elapsed <= 100.0
+
+
+def test_chunk_documents(spark):
+    text = " ".join(f"w{i}" for i in range(1, 101))  # 100 tokens
+    df = spark.createDataFrame([Row(doc_id=1, text=text), Row(doc_id=2, text="a b")])
+    out = textstats.chunk_documents(df, "doc_id", "text", chunk_tokens=64, overlap=16)
+    chunks = {(r.id, r.chunk_id): r for r in out.collect()}
+    # stride 48: starts at tokens 1, 49, 97
+    assert {(cid) for (i, cid) in chunks if i == 1} == {0, 1, 2}
+    c0, c1, c2 = (chunks[(1, i)] for i in range(3))
+    assert c0.n_tokens == 64 and c0.chunk_text.startswith("w1 ") and c0.chunk_text.endswith(" w64")
+    # overlap: chunk 1 re-covers tokens 49..64 (16 tokens) of chunk 0
+    assert c1.chunk_text.startswith("w49 ") and c1.n_tokens == 52
+    assert c2.chunk_text == "w97 w98 w99 w100" and c2.n_tokens == 4
+    # every token is covered
+    covered = set()
+    for (_, _), r in ((k, v) for k, v in chunks.items() if k[0] == 1):
+        covered.update(r.chunk_text.split())
+    assert covered == {f"w{i}" for i in range(1, 101)}
+    # short doc -> single short chunk
+    assert chunks[(2, 0)].chunk_text == "a b" and chunks[(2, 0)].n_tokens == 2
+    with pytest.raises(ValueError):
+        textstats.chunk_documents(df, "doc_id", "text", chunk_tokens=8, overlap=8)
+
+
+def test_interval_join_batch_semantics(spark):
+    import datetime as dt
+
+    from presto_workload_analyzer_spark.streaming import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [Row(lu=1, lid=10, lts=t0), Row(lu=2, lid=20, lts=t0)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(ru=1, rid=100, rts=t0 + dt.timedelta(minutes=30)),   # in window
+            Row(ru=1, rid=101, rts=t0 + dt.timedelta(hours=3)),      # too late
+            Row(ru=1, rid=102, rts=t0 - dt.timedelta(seconds=1)),    # before
+            Row(ru=2, rid=200, rts=t0 + dt.timedelta(hours=2)),      # boundary: inclusive
+            Row(ru=3, rid=300, rts=t0 + dt.timedelta(minutes=5)),    # no matching key
+        ]
+    )
+    out = interval_join(left, right, [("lu", "ru")], "lts", "rts", upper="2 hours")
+    got = {(r.lid, r.rid) for r in out.collect()}
+    assert got == {(10, 100), (20, 200)}
