@@ -1309,7 +1309,11 @@ def _s01(spark: SparkSession, sf: str) -> DataFrame:
     """
     import uuid
 
-    from presto_workload_analyzer_spark.streaming import run_to_memory, stream_sf_table
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
 
     ev = stream_sf_table(spark, sf, "events")
     agg = ev.groupBy(F.window("ts", "1 day").alias("w")).agg(
@@ -1317,8 +1321,9 @@ def _s01(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.sum("value"), 6).alias("total_value"),
     )
     name = f"s01_mem_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(agg, name, output_mode="complete")
-    q.awaitTermination(300)
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
     out = spark.table(name).select(
         F.col("w.start").alias("bucket"), "n_events", "total_value"
     )
@@ -1413,7 +1418,11 @@ def _s02(spark: SparkSession, sf: str) -> DataFrame:
     """
     import uuid
 
-    from presto_workload_analyzer_spark.streaming import run_to_memory, stream_sf_table
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
     from presto_workload_analyzer_spark.streaming.sessions import query_sessions
 
     ev = stream_sf_table(spark, sf, "events")
@@ -1425,8 +1434,9 @@ def _s02(spark: SparkSession, sf: str) -> DataFrame:
     ).withWatermark("query_ts", "1 minute")
     sessions = query_sessions(stream, gap_seconds=86400.0)
     name = f"s02_mem_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(sessions, name, output_mode="append")
-    q.awaitTermination(300)
+    with state_partitions(spark, 8):
+        q = run_to_memory(sessions, name, output_mode="append")
+        q.awaitTermination(300)
     out = spark.table(name).select(
         F.col("user").cast("long").alias("user_id"),
         "session_start",
@@ -1517,7 +1527,11 @@ def _s03(spark: SparkSession, sf: str) -> DataFrame:
     dedup-by-file-existence set (collect.py:101-103)."""
     import uuid
 
-    from presto_workload_analyzer_spark.streaming import run_to_memory, stream_sf_table
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
 
     ev = stream_sf_table(spark, sf, "events")
     redelivered = ev.unionByName(stream_sf_table(spark, sf, "events"))
@@ -1528,8 +1542,9 @@ def _s03(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events")
     )
     name = f"s03_mem_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(agg, name, output_mode="complete")
-    q.awaitTermination(300)
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
     out = spark.table(name).select(F.col("w.start").alias("bucket"), "n_events")
     return spark.createDataFrame(out.collect(), out.schema)
 
@@ -1629,6 +1644,7 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.streaming import (
         interval_join,
         run_to_memory,
+        state_partitions,
         stream_sf_table,
     )
 
@@ -1663,8 +1679,9 @@ def _s04(spark: SparkSession, sf: str) -> DataFrame:
         F.round("value", 6).alias("purchase_value"),
     )
     name = f"s04_mem_{uuid.uuid4().hex[:8]}"
-    q = run_to_memory(joined, name, output_mode="append")
-    q.awaitTermination(300)
+    with state_partitions(spark, 8):
+        q = run_to_memory(joined, name, output_mode="append")
+        q.awaitTermination(300)
     out = spark.table(name)
     return spark.createDataFrame(out.collect(), out.schema)
 

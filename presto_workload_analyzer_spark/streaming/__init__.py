@@ -5,6 +5,7 @@ from presto_workload_analyzer_spark.streaming.ingest import (
     queries_by_window,
     run_to_memory,
     scheduled_by_window,
+    state_partitions,
     stream_sf_table,
     stream_summaries,
     write_stream_parquet,
@@ -17,6 +18,7 @@ __all__ = [
     "queries_by_window",
     "run_to_memory",
     "scheduled_by_window",
+    "state_partitions",
     "stream_sf_table",
     "stream_summaries",
     "write_stream_parquet",

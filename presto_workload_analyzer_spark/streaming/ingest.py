@@ -24,6 +24,8 @@ Scale posture:
 
 from __future__ import annotations
 
+import contextlib as _contextlib
+
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
 from presto_workload_analyzer_spark.functions import query_timestamp
@@ -151,6 +153,27 @@ def stream_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
     return df
+
+
+@_contextlib.contextmanager
+def state_partitions(spark: SparkSession, n: int):
+    """Scope `spark.sql.shuffle.partitions` around a streaming query start.
+
+    Stateful operators allocate one state store per shuffle partition per
+    operator, and the partition count is frozen into the checkpoint at
+    first start — so a stream inherits the BATCH shuffle default unless
+    told otherwise. Size it to the stream (throughput x key cardinality),
+    not to the corpus: on local micro-batches the per-store open/commit
+    overhead dominates (measured ~2x end-to-end for the s-queries at 8 vs
+    32); on a real cluster the same knob is how you stop a small dimension
+    stream from fragmenting into a thousand tiny stores.
+    """
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def run_to_memory(df: DataFrame, name: str, output_mode: str = "append"):
