@@ -496,3 +496,14 @@ def test_interval_join_batch_semantics(spark):
     out = interval_join(left, right, [("lu", "ru")], "lts", "rts", upper="2 hours")
     got = {(r.lid, r.rid) for r in out.collect()}
     assert got == {(10, 100), (20, 200)}
+
+
+def test_chunk_documents_shuffle_free(spark):
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text="alpha beta gamma delta " * 30) for i in range(20)]
+    )
+    out = textstats.chunk_documents(df, "doc_id", "text", chunk_tokens=16, overlap=4)
+    out.count()  # materialize so executedPlan is final
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # chunking is row-local: no exchange of any kind in the plan
+    assert "Exchange" not in plan
