@@ -123,3 +123,63 @@ def test_histogram_invariants(spark):
         assert round(sum(r.wall_pct for r in out), 6) == pytest.approx(100.0)
         if max_sel < 1.0:
             assert "Above" in labels
+
+
+def test_chunking_invariants(spark):
+    """Every token covered; chunk i == tokens[i*stride : i*stride+chunk];
+    chunk ids contiguous from 0; n_tokens matches the slice."""
+    from presto_workload_analyzer_spark.extensions.textstats import chunk_documents
+
+    rng = random.Random(7)
+    chunk, overlap = 12, 5
+    stride = chunk - overlap
+    docs = {
+        i: [f"t{i}_{j}" for j in range(rng.randint(1, 60))] for i in range(40)
+    }
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in docs.items()], ["doc_id", "text"]
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_tokens=chunk, overlap=overlap)
+    by_doc: dict[int, dict[int, tuple[str, int]]] = {}
+    for r in out.collect():
+        by_doc.setdefault(r.id, {})[r.chunk_id] = (r.chunk_text, r.n_tokens)
+    assert set(by_doc) == set(docs)
+    for i, toks in docs.items():
+        chunks = by_doc[i]
+        assert sorted(chunks) == list(range(len(chunks)))  # contiguous ids
+        covered = []
+        for cid in sorted(chunks):
+            text, n = chunks[cid]
+            expect = toks[cid * stride : cid * stride + chunk]
+            assert text.split(" ") == expect
+            assert n == len(expect)
+            covered.extend(expect)
+        assert set(covered) == set(toks)  # nothing dropped
+
+
+def test_containment_vs_jaccard_invariants(spark):
+    """containment in (0,1]; containment >= jaccard on every scored pair;
+    containment == 1 iff the smaller shingle set is a subset of the larger."""
+    from presto_workload_analyzer_spark.extensions.dedup import (
+        ngram_jaccard,
+        shingle_containment,
+        shingles,
+    )
+
+    rng = random.Random(11)
+    vocab = [f"w{j}" for j in range(12)]  # small vocab -> real overlaps
+    docs = {i: " ".join(rng.choices(vocab, k=rng.randint(3, 25))) for i in range(25)}
+    df = spark.createDataFrame(list(docs.items()), ["doc_id", "text"])
+    sh = shingles(df, "doc_id", "text", k=3)
+    sets = {}
+    for r in sh.collect():
+        sets.setdefault(r.id, set()).add(r.shingle)
+    cont = {(r.id_a, r.id_b): r.containment for r in shingle_containment(sh).collect()}
+    jac = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(sh).collect()}
+    assert cont and set(cont) == set(jac)  # same candidate pairs scored
+    for pair, c in cont.items():
+        assert 0.0 < c <= 1.0 + 1e-12
+        assert c >= jac[pair] - 1e-12
+        a, b = sets[pair[0]], sets[pair[1]]
+        small, big = (a, b) if len(a) <= len(b) else (b, a)
+        assert (abs(c - 1.0) < 1e-12) == small.issubset(big)
