@@ -63,3 +63,29 @@ def test_bucketed_results_match_unbucketed(spark, bucketed):
         .collect()[0][0]
     )
     assert sum(rows.values()) == pytest.approx(direct)
+
+
+def test_date_partitioned_silver_prunes(spark, tmp_path_factory):
+    """write_silver's partitionBy(query_date) must turn a date predicate
+    into PartitionFilters on the scan (time-range pruning is the main
+    lever at 100 TB: a one-day report reads one directory, not history)."""
+    import shutil
+
+    from presto_workload_analyzer_spark.pipeline import write_silver
+
+    d = tmp_path_factory.mktemp("dated_corpus")
+    for i, doc in enumerate(fixtures()):
+        (d / f"q{i:03d}.json").write_text(json.dumps(doc))
+    silver = build_silver(extract_queryinfo(spark, str(d)))
+    out = str(tmp_path_factory.mktemp("silver_out"))
+    write_silver(silver, out)
+
+    q = spark.read.parquet(f"{out}/queries")
+    days = sorted(r.query_date for r in q.select("query_date").distinct().collect())
+    assert days, "fixture corpus must span at least one date"
+    one_day = q.filter(F.col("query_date") == F.lit(days[0]))
+    one_day.count()
+    plan = one_day._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "query_date" in plan.split("PartitionFilters", 1)[1][:200]
+    # and the predicate must NOT appear as a post-scan data filter
+    assert "PushedFilters: []" in plan or "query_date" not in plan.split("PushedFilters", 1)[1][:120]
