@@ -1695,3 +1695,52 @@ _register(
     " AND a.event_type = 'signup' AND b.event_type = 'purchase'"
     " AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS",
 )
+
+
+def _x25(spark: SparkSession, sf: str) -> DataFrame:
+    """Decontamination: docs 0-19 play the eval benchmark, the rest are the
+    training corpus; flag corpus docs sharing any 5-gram with the benchmark."""
+    docs = read_sf_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    return X_dedup.contamination_hits(corpus, bench, "doc_id", "text", k=5).select(
+        "id", F.col("n_hits").cast("long").alias("n_hits")
+    )
+
+
+_register(
+    "x25_decontamination",
+    _x25,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents),"
+    " csh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+4], ' ') AS shingle"
+    "        FROM tok, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i)"
+    "        WHERE doc_id >= 20),"
+    " bsh AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS shingle"
+    "        FROM tok, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i)"
+    "        WHERE doc_id < 20)"
+    " SELECT id, CAST(count(*) AS BIGINT) AS n_hits"
+    " FROM csh JOIN bsh USING (shingle) GROUP BY id",
+)
+
+
+def _x26(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_text.unigram_logprob(docs, "doc_id", "text")
+    return out.select(
+        "id", "n_tokens", F.round(F.col("avg_neg_logprob") + 1e-9, 6).alias("avg_neg_logprob")
+    )
+
+
+_register(
+    "x26_unigram_logprob",
+    _x26,
+    "WITH tk AS (SELECT doc_id AS id,"
+    " lower(unnest(string_split_regex(trim(text), '\\s+'))) AS term FROM documents),"
+    " tf AS (SELECT id, term, count(*) AS tf FROM tk GROUP BY 1, 2),"
+    " vocab AS (SELECT term, sum(tf) AS cnt FROM tf GROUP BY 1),"
+    " tot AS (SELECT sum(cnt) AS total FROM vocab)"
+    " SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,"
+    "  round(sum(tf * -ln(cnt / total)) / sum(tf) + 1e-9, 6) AS avg_neg_logprob"
+    " FROM tf JOIN vocab USING (term), tot GROUP BY id",
+)

@@ -349,6 +349,46 @@ def shingle_containment(
     )
 
 
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: corpus docs sharing >= 1 word k-gram with
+    any benchmark document, with the count of distinct shared k-grams.
+
+    The standard eval-set leakage check run before training: any document
+    that textually overlaps the benchmark at k-gram granularity is flagged
+    (and usually dropped — anti-join the output's ids). Pure shuffle-on-
+    shingle equi-join; the benchmark side is tiny relative to the corpus,
+    so at 100 TB its distinct shingle set broadcasts and the corpus never
+    shuffles at all. Output: (id, n_hits).
+    """
+    c = shingles(corpus, id_col, text_col, k)
+    b = shingles(benchmark, id_col, text_col, k).select("shingle").distinct()
+    return (
+        c.join(F.broadcast(b), on="shingle")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Drop every corpus document flagged by contamination_hits."""
+    hits = contamination_hits(corpus, benchmark, id_col, text_col, k).select(
+        F.col("id").alias(id_col)
+    )
+    return corpus.join(hits, on=id_col, how="left_anti")
+
+
 def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """16-bit SimHash over word unigrams (md5-derived bits, oracle-portable).
 

@@ -180,6 +180,39 @@ def tfidf_top_terms(
     )
 
 
+def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram model: avg over tokens of -ln(count(tok) / total_tokens).
+
+    The CCNet-style LM quality proxy without an external model: natural
+    prose scores near the corpus average, gibberish / rare-token spam
+    scores high, boilerplate scores low. Two aggregations: a (doc, token)
+    count (THE corpus-sized shuffle, map-side combinable), then token
+    frequencies on the vocabulary grain reused via join — identical shape
+    to tfidf_top_terms, so the same 100 TB posture applies. Output:
+    (id, n_tokens, avg_neg_logprob).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
+    total = vocab.select(F.sum("cnt").alias("__total"))
+    return (
+        tf.join(vocab, on="term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * -F.log(F.col("cnt") / F.col("__total")))
+                / F.sum("tf")
+            ).alias("avg_neg_logprob"),
+        )
+    )
+
+
 def chunk_documents(
     df: DataFrame, id_col: str, text_col: str, chunk_tokens: int = 64,
     overlap: int = 16,

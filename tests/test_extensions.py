@@ -507,3 +507,37 @@ def test_chunk_documents_shuffle_free(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     # chunking is row-local: no exchange of any kind in the plan
     assert "Exchange" not in plan
+
+
+def test_decontamination(spark):
+    bench = spark.createDataFrame(
+        [Row(doc_id=1, text="what is the capital of france paris obviously")]
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains the benchmark 5-gram "what is the capital of"
+            Row(doc_id=10, text="quiz time what is the capital of france asked twice"),
+            Row(doc_id=11, text="entirely unrelated training document about spark engines"),
+        ]
+    )
+    hits = {r.id: r.n_hits for r in dedup.contamination_hits(
+        corpus, bench, "doc_id", "text", k=5).collect()}
+    assert 10 in hits and hits[10] >= 1
+    assert 11 not in hits
+    kept = dedup.decontaminate(corpus, bench, "doc_id", "text", k=5)
+    assert {r.doc_id for r in kept.collect()} == {11}
+
+
+def test_unigram_logprob(spark):
+    import math as m
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="common common common"), Row(doc_id=2, text="rare")]
+    )
+    got = {r.id: r for r in textstats.unigram_logprob(df, "doc_id", "text").collect()}
+    # corpus: 'common' x3, 'rare' x1, total 4
+    assert got[1].n_tokens == 3 and got[2].n_tokens == 1
+    assert abs(got[1].avg_neg_logprob - (-m.log(3 / 4))) < 1e-12
+    assert abs(got[2].avg_neg_logprob - (-m.log(1 / 4))) < 1e-12
+    # rare-token doc scores strictly higher (worse) than common-token doc
+    assert got[2].avg_neg_logprob > got[1].avg_neg_logprob
