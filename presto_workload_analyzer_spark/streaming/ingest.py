@@ -155,6 +155,47 @@ def stream_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def idempotent_parquet_batch_sink(base_path: str):
+    """foreachBatch sink function: each micro-batch lands in its own
+    `batch=<id>/` directory with overwrite semantics.
+
+    Structured Streaming guarantees a replayed micro-batch keeps its
+    batchId, so overwrite-by-batchId makes redelivery idempotent — the
+    standard exactly-once recipe for sinks with no transactional commit
+    (reference collect.py achieves the same with skip-if-file-exists,
+    collect.py:101-103). Downstream reads `base_path` recursively as one
+    partitioned dataset.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(f"{base_path}/batch={batch_id}")
+
+    return _sink
+
+
+def write_stream_foreach_batch(
+    df: DataFrame,
+    checkpoint: str,
+    batch_fn,
+    available_now: bool = False,
+):
+    """Arbitrary-sink streaming write via foreachBatch.
+
+    `batch_fn(batch_df, batch_id)` runs on the driver per micro-batch with
+    a BATCH DataFrame — full batch API available (merge/upsert, JDBC,
+    multi-table fan-out). Exactly-once is the sink's job: make batch_fn
+    idempotent in batch_id (see idempotent_parquet_batch_sink); the
+    checkpoint guarantees a batch is redelivered with the same id after a
+    crash, never skipped and never renumbered.
+    """
+    writer = df.writeStream.foreachBatch(batch_fn).option(
+        "checkpointLocation", checkpoint
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 @_contextlib.contextmanager
 def state_partitions(spark: SparkSession, n: int):
     """Scope `spark.sql.shuffle.partitions` around a streaming query start.

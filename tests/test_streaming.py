@@ -203,3 +203,43 @@ def test_query_sessions_stateful(spark, landing, tmp_path):
         ("2024-01-01 08:05:00", 2),
         ("2024-01-01 09:10:00", 1),
     ]
+
+
+def test_foreach_batch_idempotent_sink(spark, landing, tmp_path):
+    """foreachBatch + overwrite-by-batchId: a drained stream lands exactly
+    once; re-draining the same checkpoint delivers nothing; a REPLAYED
+    batch (same id) overwrites rather than duplicates."""
+    from presto_workload_analyzer_spark.streaming import (
+        idempotent_parquet_batch_sink,
+        stream_summaries,
+        write_stream_foreach_batch,
+    )
+
+    out = tmp_path / "fb_out"
+    ckpt = tmp_path / "fb_ckpt"
+    sink = idempotent_parquet_batch_sink(str(out))
+
+    stream = stream_summaries(spark, str(landing), dedup=False)
+    q = write_stream_foreach_batch(stream, str(ckpt), sink, available_now=True)
+    q.awaitTermination(120)
+    read = lambda: spark.read.option("basePath", str(out)).parquet(f"{out}/batch=*")
+    n_first = read().count()
+    expected = spark.read.json(str(landing)).count()
+    assert n_first == expected > 0
+
+    # second drain over the same checkpoint: no new batches, nothing changes
+    stream2 = stream_summaries(spark, str(landing), dedup=False)
+    q2 = write_stream_foreach_batch(stream2, str(ckpt), sink, available_now=True)
+    q2.awaitTermination(120)
+    assert read().count() == n_first
+
+    # simulate crash-replay: the SAME batch id redelivered -> overwrite, no dupes
+    batch_ids = [int(r.batch) for r in read().select("batch").distinct().collect()]
+    sink(spark.read.json(str(landing)), batch_ids[0])
+    per_batch = {
+        int(r.batch): r["count"] for r in read().groupBy("batch").count().collect()
+    }
+    assert per_batch[batch_ids[0]] == expected  # replaced, not appended
+    assert sum(per_batch.values()) == expected * 1 + sum(
+        v for k, v in per_batch.items() if k != batch_ids[0]
+    )
