@@ -541,3 +541,42 @@ def test_unigram_logprob(spark):
     assert abs(got[2].avg_neg_logprob - (-m.log(1 / 4))) < 1e-12
     # rare-token doc scores strictly higher (worse) than common-token doc
     assert got[2].avg_neg_logprob > got[1].avg_neg_logprob
+
+
+def test_image_dims_real_headers(spark):
+    """image_dims parses REAL container bytes (no codec lib): a valid
+    minimal PNG, GIF and JPEG header each yield their true dimensions."""
+    import struct
+    import zlib
+
+    def png(w, h):
+        ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr)) + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        )
+
+    def gif(w, h):
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+    def jpeg(w, h):
+        # SOI + APP0 (JFIF) + SOF0 with the real dims
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" + b"\x00" * 6
+        sof0 = b"\xff\xc0" + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+        return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+    rows = [
+        Row(doc_id=1, payload=bytearray(png(640, 480))),
+        Row(doc_id=2, payload=bytearray(gif(320, 200))),
+        Row(doc_id=3, payload=bytearray(jpeg(1024, 768))),
+        Row(doc_id=4, payload=bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.doc_id: (r.format, r.width, r.height)
+           for r in multimodal.image_dims(df).collect()}
+    assert got[1] == ("png", 640, 480)
+    assert got[2] == ("gif", 320, 200)
+    assert got[3] == ("jpeg", 1024, 768)
+    assert got[4] == (None, None, None)  # unknown bytes degrade, never throw
