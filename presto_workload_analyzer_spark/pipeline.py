@@ -146,3 +146,38 @@ def read_silver_bucketed(spark, prefix: str = "pwa") -> dict[str, DataFrame]:
         "operators": spark.table(f"{prefix}_operators"),
         "plan_nodes": spark.table(f"{prefix}_plan_nodes"),
     }
+
+
+def compact_dataset(
+    spark,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite a parquet dataset into ~target-sized files; returns new file count.
+
+    The small-files problem: a streaming sink (or a high-parallelism write)
+    leaves thousands of tiny parquet files, and at 100 TB every downstream
+    scan then pays per-file open/footer/scheduling cost that dwarfs the IO.
+    Periodic compaction keeps file count ~ bytes / target (floor 1). Uses
+    on-disk byte size (compressed) as the sizing signal and writes via a
+    temp dir + atomic-ish swap so a crashed compaction never leaves the
+    dataset half-overwritten.
+    """
+    import math
+    import os
+    import shutil
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp = f"{path}__compacting"
+    df.repartition(n_files).write.mode("overwrite").parquet(tmp)
+    old = f"{path}__old"
+    shutil.move(path, old)
+    shutil.move(tmp, path)
+    shutil.rmtree(old)
+    return n_files

@@ -251,3 +251,22 @@ def test_read_summary_drops_corrupt_lines(spark, tmp_path):
     df = read_summary_jsonl(spark, str(p))
     assert df.count() == 2
     assert df.filter(F.col("query_id").isNull()).count() == 0
+
+
+def test_compact_dataset(spark, tmp_path):
+    """Many tiny files -> few target-sized files, identical content."""
+    import glob
+
+    from presto_workload_analyzer_spark.pipeline import compact_dataset
+
+    p = str(tmp_path / "frag")
+    # 40 partitions of a small frame -> 40 tiny files
+    spark.range(0, 4000).withColumn("v", F.col("id") * 2).repartition(40).write.parquet(p)
+    n_before = len(glob.glob(f"{p}/*.parquet"))
+    assert n_before >= 40
+    before = {(r.id, r.v) for r in spark.read.parquet(p).collect()}
+
+    n_target = compact_dataset(spark, p, target_file_bytes=10**12)  # everything -> 1
+    n_after = len(glob.glob(f"{p}/*.parquet"))
+    assert n_target == 1 and n_after == 1
+    assert {(r.id, r.v) for r in spark.read.parquet(p).collect()} == before
