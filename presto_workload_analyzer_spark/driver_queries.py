@@ -1744,3 +1744,28 @@ _register(
     "  round(sum(tf * -ln(cnt / total)) / sum(tf) + 1e-9, 6) AS avg_neg_logprob"
     " FROM tf JOIN vocab USING (term), tot GROUP BY id",
 )
+
+
+def _x27(spark: SparkSession, sf: str) -> DataFrame:
+    """Data mixing: resample the corpus to a 50/30/20 target over three
+    sources (total=60). src0's quota (30) exceeds its 25 rows, exercising
+    the downsample-only under-fill path."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_samp.resample_to_mix(
+        docs, "source", "doc_id",
+        {"src0": 0.5, "src1": 0.3, "src2": 0.2}, total=60,
+    )
+    return out.select("doc_id", "source")
+
+
+_register(
+    "x27_resample_to_mix",
+    _x27,
+    "WITH capped AS (SELECT doc_id, source,"
+    "  CASE source WHEN 'src0' THEN 30 WHEN 'src1' THEN 18 WHEN 'src2' THEN 12"
+    "  END AS cap,"
+    "  row_number() OVER (PARTITION BY source"
+    "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn"
+    " FROM documents)"
+    " SELECT doc_id, source FROM capped WHERE cap IS NOT NULL AND rn <= cap",
+)

@@ -75,6 +75,51 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, mode: str = "md5") 
     return df.filter(hash_bucket(id_col, mode=mode) < cutoff)
 
 
+def resample_to_mix(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    target_shares: dict[str, float],
+    total: int,
+) -> DataFrame:
+    """Downsample to a target group mixture: at most share*total rows per
+    group, chosen reproducibly (md5-of-id order within each group).
+
+    The data-mixing step of a training pipeline — rebalance sources /
+    languages / domains to a prescribed distribution. Downsample-only: a
+    group with fewer rows than its quota keeps everything (the realized
+    mix then under-fills that share; no row is ever duplicated). Groups
+    absent from target_shares are DROPPED — the mixture is the contract.
+
+    Deterministic given (id, shares, total): selection order is the md5 of
+    the id, so reruns and different cluster layouts keep identical rows,
+    consistent with every other sampler here. One window shuffle on the
+    group key (same shape and skew posture as stratified_cap).
+    """
+    if not target_shares:
+        raise ValueError("target_shares must be non-empty")
+    if any(s < 0 for s in target_shares.values()):
+        raise ValueError("shares must be >= 0")
+    caps = {g: int(round(s * total)) for g, s in target_shares.items()}
+    cap_col = None
+    for g, cap in caps.items():
+        cap_col = (
+            F.when(F.col(group_col) == g, cap)
+            if cap_col is None
+            else cap_col.when(F.col(group_col) == g, cap)
+        )
+    w = Window.partitionBy(group_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__cap", cap_col)
+        .filter(F.col("__cap").isNotNull())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("__cap"))
+        .drop("__cap", "__rn")
+    )
+
+
 def stratified_cap(
     df: DataFrame, group_cols: list[str], order_col: str, cap: int
 ) -> DataFrame:

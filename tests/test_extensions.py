@@ -580,3 +580,23 @@ def test_image_dims_real_headers(spark):
     assert got[2] == ("gif", 320, 200)
     assert got[3] == ("jpeg", 1024, 768)
     assert got[4] == (None, None, None)  # unknown bytes degrade, never throw
+
+
+def test_resample_to_mix(spark):
+    rows = [Row(doc_id=i, source="a" if i < 50 else ("b" if i < 60 else "c"))
+            for i in range(70)]
+    df = spark.createDataFrame(rows)
+    out = sampling.resample_to_mix(
+        df, "source", "doc_id", {"a": 0.6, "b": 0.4}, total=50
+    )
+    got = out.groupBy("source").count().collect()
+    counts = {r.source: r["count"] for r in got}
+    assert counts == {"a": 30, "b": 10}  # a capped at 30; b has only 10 (under-fill)
+    # 'c' absent from the target mix -> dropped entirely
+    # determinism: identical selection on rerun
+    again = sampling.resample_to_mix(
+        df, "source", "doc_id", {"a": 0.6, "b": 0.4}, total=50
+    )
+    assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
+    with pytest.raises(ValueError):
+        sampling.resample_to_mix(df, "source", "doc_id", {}, total=10)
