@@ -101,13 +101,63 @@ def collect_metrics(silver: dict[str, DataFrame]) -> DataFrame:
     return A.collect_metrics(silver["queries"])
 
 
-def write_silver(silver: dict[str, DataFrame], out_dir: str) -> None:
-    """Persist silver tables as parquet, date-partitioned for pruning at scale."""
+SILVER_TABLES = ("queries", "operators", "plan_nodes", "tasks")
+
+
+def _dated(silver: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Every silver table with a query_date partition column.
+
+    queries derives it from query_ts; the child tables derive it from
+    their query_id prefix (same 15-char timestamp encoding,
+    analyze.py:62-63) so all four share one partition scheme.
+    """
     q = silver["queries"].withColumn("query_date", F.to_date("query_ts"))
-    q.write.mode("overwrite").partitionBy("query_date").parquet(f"{out_dir}/queries")
-    silver["operators"].write.mode("overwrite").parquet(f"{out_dir}/operators")
-    silver["plan_nodes"].write.mode("overwrite").parquet(f"{out_dir}/plan_nodes")
-    silver["tasks"].write.mode("overwrite").parquet(f"{out_dir}/tasks")
+    out = {"queries": q}
+    for name in ("operators", "plan_nodes", "tasks"):
+        out[name] = silver[name].withColumn(
+            "query_date", F.to_date(query_timestamp("query_id"))
+        )
+    return out
+
+
+def write_silver(silver: dict[str, DataFrame], out_dir: str) -> None:
+    """Persist ALL silver tables as parquet partitioned by query_date.
+
+    One shared partition scheme means every analyzer — including the
+    operator/plan attribution joins — prunes to the report's time range
+    at the scan (SURVEY §4.2: the 100 TB lever is reading days, not
+    history)."""
+    for name, df in _dated(silver).items():
+        df.write.mode("overwrite").partitionBy("query_date").parquet(
+            f"{out_dir}/{name}"
+        )
+
+
+def append_silver(silver: dict[str, DataFrame], out_dir: str) -> None:
+    """Incremental silver maintenance: land ONLY the batch's date partitions.
+
+    Dynamic partition overwrite replaces exactly the query_date partitions
+    present in this batch and never touches the rest of history — so the
+    daily ingest is idempotent (re-running a day's extract replaces that
+    day byte-for-byte instead of duplicating it), and backfilling an old
+    day is the same operation as appending a new one. This is the
+    Spark-native answer to the reference's re-extract-everything model
+    (extract.py rewrites the whole summary JSONL each run)."""
+    spark = silver["queries"].sparkSession
+    old = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for name, df in _dated(silver).items():
+            df.write.mode("overwrite").partitionBy("query_date").parquet(
+                f"{out_dir}/{name}"
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old)
+
+
+def read_silver(spark, out_dir: str) -> dict[str, DataFrame]:
+    """Load the date-partitioned silver layout written by write/append_silver."""
+    return {name: spark.read.parquet(f"{out_dir}/{name}") for name in SILVER_TABLES}
 
 
 def write_silver_bucketed(

@@ -89,3 +89,57 @@ def test_date_partitioned_silver_prunes(spark, tmp_path_factory):
     assert "PartitionFilters" in plan and "query_date" in plan.split("PartitionFilters", 1)[1][:200]
     # and the predicate must NOT appear as a post-scan data filter
     assert "PushedFilters: []" in plan or "query_date" not in plan.split("PushedFilters", 1)[1][:120]
+
+
+def test_append_silver_incremental_idempotent(spark, tmp_path_factory):
+    """Day-partitioned incremental ingest: appending per-day batches equals
+    a full rebuild, and re-appending a day replaces it (no duplicates)."""
+    from presto_workload_analyzer_spark.pipeline import append_silver, read_silver
+
+    d = tmp_path_factory.mktemp("incr_corpus")
+    for i, doc in enumerate(fixtures()):
+        (d / f"q{i:03d}.json").write_text(json.dumps(doc))
+    full = build_silver(extract_queryinfo(spark, str(d)))
+    days = sorted(
+        r.d for r in full["queries"].select(F.to_date("query_ts").alias("d")).distinct().collect()
+    )
+    assert len(days) >= 2, "fixture corpus must span 2+ days for this test"
+
+    out = str(tmp_path_factory.mktemp("incr_silver"))
+    for day in days:  # one append per day, as a daily ingest would
+        batch = {
+            "queries": full["queries"].filter(F.to_date("query_ts") == F.lit(day)),
+            "operators": full["operators"],
+            "plan_nodes": full["plan_nodes"],
+            "tasks": full["tasks"],
+        }
+        # child tables filter by their own query_id-derived date
+        from presto_workload_analyzer_spark.functions.timeutil import query_timestamp
+        for name in ("operators", "plan_nodes", "tasks"):
+            batch[name] = batch[name].filter(
+                F.to_date(query_timestamp("query_id")) == F.lit(day)
+            )
+        append_silver(batch, out)
+
+    got = read_silver(spark, out)
+    for name in ("queries", "operators", "plan_nodes", "tasks"):
+        assert got[name].count() == full[name].count(), name
+
+    # idempotence: re-append the last day -> counts unchanged
+    last = days[-1]
+    rebatch = {
+        "queries": full["queries"].filter(F.to_date("query_ts") == F.lit(last)),
+        "operators": full["operators"].filter(
+            F.to_date(query_timestamp("query_id")) == F.lit(last)
+        ),
+        "plan_nodes": full["plan_nodes"].filter(
+            F.to_date(query_timestamp("query_id")) == F.lit(last)
+        ),
+        "tasks": full["tasks"].filter(
+            F.to_date(query_timestamp("query_id")) == F.lit(last)
+        ),
+    }
+    append_silver(rebatch, out)
+    got2 = read_silver(spark, out)
+    for name in ("queries", "operators", "plan_nodes", "tasks"):
+        assert got2[name].count() == full[name].count(), f"{name} duplicated on re-append"
