@@ -1769,3 +1769,34 @@ _register(
     " FROM documents)"
     " SELECT doc_id, source FROM capped WHERE cap IS NOT NULL AND rn <= cap",
 )
+
+
+def _p03(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured extraction: parse the events.props JSON column with
+    an explicit schema (from_json — typed, null-safe on malformed input,
+    the same capability extract.py needs for nested session properties)
+    and roll up the extracted field per event type. The oracle extracts
+    the same field by regex so it runs without DuckDB's JSON extension."""
+    from pyspark.sql import types as T
+
+    ev = read_sf_table(spark, sf, "events")
+    k = F.from_json(F.col("props"), T.StructType([T.StructField("k", T.LongType())]))["k"]
+    return (
+        ev.select(F.col("event_type"), k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.round(F.avg("k") + 1e-9, 6).alias("k_avg"),
+        )
+    )
+
+
+_register(
+    "p03_json_extract_rollup",
+    _p03,
+    "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    " CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,"
+    " round(avg(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) + 1e-9, 6) AS k_avg"
+    " FROM events GROUP BY 1",
+)
