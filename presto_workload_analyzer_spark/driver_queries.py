@@ -1800,3 +1800,55 @@ _register(
     " round(avg(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) + 1e-9, 6) AS k_avg"
     " FROM events GROUP BY 1",
 )
+
+
+def _a31(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical load rollup: scheduled days by (date, user) with
+    per-date subtotals and a grand total in one pass — Spark's rollup
+    lowers to a single Expand + hash aggregate, not three scans (the
+    reference would loop the corpus once per grain)."""
+    q = workload_queries(spark, sf)
+    return (
+        q.rollup(F.to_date("query_ts").alias("bucket"), F.col("user"))
+        .agg(F.round(F.sum("scheduled_time") / 86400.0 + 1e-9, 6).alias("scheduled_days"))
+    )
+
+
+_register(
+    "a31_scheduled_rollup",
+    _a31,
+    _ALL_CTES
+    + 'SELECT CAST(query_ts AS DATE) AS bucket, user_name AS "user",'
+    "  round(sum(scheduled_time) / 86400.0 + 1e-9, 6) AS scheduled_days"
+    " FROM queries GROUP BY ROLLUP (1, 2)",
+)
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _a32(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily event matrix via pivot: one row per day, one column per event
+    type (fixed value list so the output schema is static — at scale an
+    unbounded pivot would need a distinct-scan planning pass)."""
+    ev = read_sf_table(spark, sf, "events")
+    out = (
+        ev.groupBy(F.to_date("ts").alias("bucket"))
+        .pivot("event_type", _PIVOT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    return out.select(
+        "bucket", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _PIVOT_TYPES]
+    )
+
+
+_register(
+    "a32_event_type_pivot",
+    _a32,
+    "SELECT CAST(ts AS DATE) AS bucket,"
+    + ",".join(
+        f" CAST(count(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS {t}"
+        for t in _PIVOT_TYPES
+    )
+    + " FROM events GROUP BY 1",
+)
