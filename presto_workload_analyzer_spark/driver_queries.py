@@ -1852,3 +1852,23 @@ _register(
     )
     + " FROM events GROUP BY 1",
 )
+
+
+def _x28(spark: SparkSession, sf: str) -> DataFrame:
+    docs = read_sf_table(spark, sf, "documents")
+    return X_text.top_ngrams(docs, "doc_id", "text", n=3, k=20)
+
+
+_register(
+    "x28_top_ngrams",
+    _x28,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    " FROM documents),"
+    " sh AS (SELECT doc_id AS id, array_to_string(w[i:i+2], ' ') AS ngram"
+    "        FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),"
+    " c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS total_count,"
+    "        CAST(count(DISTINCT id) AS BIGINT) AS doc_freq FROM sh GROUP BY 1),"
+    " r AS (SELECT *, CAST(row_number() OVER (ORDER BY total_count DESC,"
+    "        doc_freq DESC, ngram) AS BIGINT) AS rank FROM c)"
+    " SELECT ngram, total_count, doc_freq, rank FROM r WHERE rank <= 20",
+)

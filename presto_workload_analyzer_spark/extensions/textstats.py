@@ -180,6 +180,36 @@ def tfidf_top_terms(
     )
 
 
+def top_ngrams(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by (total count, doc frequency).
+
+    The boilerplate-discovery pass: headers/footers/templates surface as
+    n-grams whose doc frequency approaches their total count; what this
+    finds feeds the strip/filter stage. One explode + one groupBy(ngram)
+    with map-side partial counts; the global top-k is an orderBy+limit
+    over the n-gram grain (vocabulary-sized, not corpus-sized). Ties
+    break on the n-gram string for a deterministic, engine-portable
+    order. Output: (ngram, total_count, doc_freq, rank).
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import shingles
+
+    grams = shingles(df, id_col, text_col, k=n, distinct=False)
+    counts = grams.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("long").alias("total_count"),
+        F.countDistinct("id").cast("long").alias("doc_freq"),
+    )
+    order = [F.desc("total_count"), F.desc("doc_freq"), F.asc("shingle")]
+    # orderBy+limit plans TakeOrdered (per-partition heap + driver merge of
+    # k-row partials) — no global sort of the vocabulary; the rank window
+    # then runs over the k survivors only
+    top = counts.orderBy(*order).limit(k)
+    return top.withColumn(
+        "rank", F.row_number().over(Window.orderBy(*order)).cast("long")
+    ).select(F.col("shingle").alias("ngram"), "total_count", "doc_freq", "rank")
+
+
 def unigram_logprob(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-document mean negative log-probability under the corpus's own
     unigram model: avg over tokens of -ln(count(tok) / total_tokens).

@@ -600,3 +600,17 @@ def test_resample_to_mix(spark):
     assert {r.doc_id for r in out.collect()} == {r.doc_id for r in again.collect()}
     with pytest.raises(ValueError):
         sampling.resample_to_mix(df, "source", "doc_id", {}, total=10)
+
+
+def test_top_ngrams(spark):
+    rows = [
+        Row(doc_id=1, text="footer text here end of page"),
+        Row(doc_id=2, text="content a footer text here more"),
+        Row(doc_id=3, text="content b footer text here"),
+    ]
+    out = textstats.top_ngrams(spark.createDataFrame(rows), "doc_id", "text", n=3, k=2)
+    got = {r.rank: r for r in out.collect()}
+    # 'footer text here' appears once in all 3 docs -> top by count AND doc_freq
+    assert got[1].ngram == "footer text here"
+    assert got[1].total_count == 3 and got[1].doc_freq == 3
+    assert len(got) == 2  # k bounds output
