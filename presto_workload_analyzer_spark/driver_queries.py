@@ -1872,3 +1872,29 @@ _register(
     "        doc_freq DESC, ngram) AS BIGINT) AS rank FROM c)"
     " SELECT ngram, total_count, doc_freq, rank FROM r WHERE rank <= 20",
 )
+
+
+def _x29(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-table consistent sampling: hash_sample at the same fraction on
+    documents and embeddings (ids share the md5 bucket function) keeps the
+    SAME identities on both sides, so the inner join of the two samples ==
+    the sample of the join — the property that lets a pipeline subset a
+    multi-table corpus without ever coordinating between tables."""
+    docs = X_samp.hash_sample(
+        read_sf_table(spark, sf, "documents"), "doc_id", 0.3
+    ).select("doc_id", "source")
+    emb = X_samp.hash_sample(
+        read_sf_table(spark, sf, "embeddings"), "vec_id", 0.3
+    ).select(F.col("vec_id").alias("doc_id"), "label")
+    return docs.join(emb, on="doc_id").select("doc_id", "source", "label")
+
+
+_register(
+    "x29_consistent_sample_join",
+    _x29,
+    "WITH d AS (SELECT doc_id, source FROM documents"
+    " WHERE ((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)) < 77),"
+    " e AS (SELECT vec_id AS doc_id, label FROM embeddings"
+    " WHERE ((strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)) < 77)"
+    " SELECT d.doc_id, d.source, e.label FROM d JOIN e USING (doc_id)",
+)
