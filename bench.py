@@ -40,6 +40,7 @@ def main() -> None:
         "s02_stream_user_sessions",
         "s03_stream_dedup_events_by_day",
         "s04_stream_interval_join",
+        "s05_session_window_native",
     ):
         try:
             driver_queries.queries()[_name](spark, "/root/testdata/sf0.001")

@@ -1898,3 +1898,51 @@ _register(
     " WHERE ((strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(CAST(vec_id AS VARCHAR)), 2, 1)) - 1)) < 77)"
     " SELECT d.doc_id, d.source, e.label FROM d JOIN e USING (doc_id)",
 )
+
+
+def _s05(spark: SparkSession, sf: str) -> DataFrame:
+    """Native session_window twin of s02: the built-in-first formulation of
+    gap sessionization (one groupBy, state managed by the engine) against
+    the SAME oracle as the custom applyInPandasWithState operator —
+    demonstrating the two implementations agree exactly. session_window's
+    window.end is last_event + gap, so session_end = end - gap."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    gap = 86400
+    ev = stream_sf_table(spark, sf, "events").withWatermark("ts", "1 minute")
+    agg = (
+        ev.groupBy(
+            F.col("user_id"),
+            F.session_window("ts", f"{gap} seconds").alias("w"),
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+    )
+    name = f"s05_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="append")
+        q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("w.start").alias("session_start"),
+        (F.col("w.end") - F.expr(f"INTERVAL {gap} SECONDS")).alias("session_end"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round("value_sum", 6).alias("value_sum"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+# the custom stateful operator (s02) and the native session_window (s05)
+# must produce identical sessions — same oracle string for both
+_register(
+    "s05_session_window_native",
+    _s05,
+    _ORACLES["s02_stream_user_sessions"],
+)
