@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from presto_workload_analyzer_spark.functions import parse_size, parse_time, query_timestamp
 from presto_workload_analyzer_spark.operators import analyzers as A
@@ -1945,4 +1945,70 @@ _register(
     "s05_session_window_native",
     _s05,
     _ORACLES["s02_stream_user_sessions"],
+)
+
+
+def _x30(spark: SparkSession, sf: str) -> DataFrame:
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_sim.label_centroids(emb, "label", "embedding")
+    # centroid as a fixed-format string: the harness's order-insensitive
+    # value hash needs hashable cells, so array columns are serialized
+    return out.select(
+        F.col("label").cast("long").alias("label"),
+        "n",
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("centroid"),
+                lambda v: F.format_string("%.6f", F.round(v + 1e-9, 6)),
+            ),
+        ).alias("centroid"),
+    )
+
+
+_register(
+    "x30_label_centroids",
+    _x30,
+    "WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),"
+    " d AS (SELECT label, pos - 1 AS pos, emb[pos] AS v FROM e,"
+    "  UNNEST(range(1, len(emb) + 1)) AS t(pos)),"
+    " m AS (SELECT label, pos, avg(v) AS m, CAST(count(*) AS BIGINT) AS n"
+    "  FROM d GROUP BY 1, 2)"
+    " SELECT CAST(label AS BIGINT) AS label, any_value(n) AS n,"
+    "  array_to_string(list(format('{:.6f}', round(m + 1e-9, 6)) ORDER BY pos), ',')"
+    "   AS centroid"
+    " FROM m GROUP BY label",
+)
+
+
+def _x31(spark: SparkSession, sf: str) -> DataFrame:
+    """Quartile bucketing by document length (ntile window) with per-bucket
+    size stats — the percentile-bin corpus profile. Exact global ntile is
+    a single-partition sort (fine at report grain); the 100 TB shape is
+    approx_percentile boundaries + a scan-side bin column instead."""
+    docs = read_sf_table(spark, sf, "documents")
+    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    return (
+        docs.withColumn("quartile", F.ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars") + 1e-9, 6).alias("avg_chars"),
+        )
+        .select(F.col("quartile").cast("long").alias("quartile"),
+                "n_docs", "min_chars", "max_chars", "avg_chars")
+    )
+
+
+_register(
+    "x31_length_quartiles",
+    _x31,
+    "WITH q AS (SELECT n_chars,"
+    "  ntile(4) OVER (ORDER BY n_chars, doc_id) AS quartile FROM documents)"
+    " SELECT CAST(quartile AS BIGINT) AS quartile,"
+    "  CAST(count(*) AS BIGINT) AS n_docs, min(n_chars) AS min_chars,"
+    "  max(n_chars) AS max_chars, round(avg(n_chars) + 1e-9, 6) AS avg_chars"
+    " FROM q GROUP BY 1",
 )

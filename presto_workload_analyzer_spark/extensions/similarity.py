@@ -33,6 +33,38 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
 
 
+def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
+    """Element-wise mean vector per label: (label, n, centroid).
+
+    The class-prototype aggregate (per-source / per-cluster / per-language
+    mean embedding) used for probing, drift monitoring and as IVF seed
+    points. posexplode to (label, pos, value), one groupBy(label, pos)
+    with map-side partial avg — the shuffle carries (labels x dims) cells,
+    independent of corpus row count — then reassembled in pos order.
+    """
+    dims = (
+        emb.select(F.posexplode(_to_double(F.col(vec_col))).alias("pos", "v"),
+                   F.col(label_col).alias("label"))
+    )
+    per_dim = dims.groupBy("label", "pos").agg(
+        F.avg("v").alias("m"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(
+            F.first("n").alias("n"),
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("m")))
+            ).alias("__sorted"),
+        )
+        .select(
+            "label",
+            F.col("n").cast("long").alias("n"),
+            F.transform(F.col("__sorted"), lambda s: s["m"]).alias("centroid"),
+        )
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

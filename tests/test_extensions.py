@@ -614,3 +614,15 @@ def test_top_ngrams(spark):
     assert got[1].ngram == "footer text here"
     assert got[1].total_count == 3 and got[1].doc_freq == 3
     assert len(got) == 2  # k bounds output
+
+
+def test_label_centroids(spark):
+    rows = [
+        Row(vec_id=1, label=0, embedding=[1.0, 0.0, 2.0]),
+        Row(vec_id=2, label=0, embedding=[3.0, 4.0, 0.0]),
+        Row(vec_id=3, label=1, embedding=[5.0, 5.0, 5.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.label: r for r in similarity.label_centroids(df, "label", "embedding").collect()}
+    assert got[0].n == 2 and got[0].centroid == [2.0, 2.0, 1.0]
+    assert got[1].n == 1 and got[1].centroid == [5.0, 5.0, 5.0]
