@@ -2012,3 +2012,24 @@ _register(
     "  max(n_chars) AS max_chars, round(avg(n_chars) + 1e-9, 6) AS avg_chars"
     " FROM q GROUP BY 1",
 )
+
+
+def _x32(spark: SparkSession, sf: str) -> DataFrame:
+    # scoped to 300 docs + hamming<=1: 16-bit fingerprints on the low-entropy
+    # synthetic text collide heavily, so an unscoped run measures pair
+    # materialization volume, not the operator (same scoping idiom as x03/x21)
+    docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    return X_dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=1, bands=4)
+
+
+# max_hamming=3 < bands=4: pigeonhole guarantees banding loses no pair,
+# so the oracle is the EXACT all-pairs hamming filter
+_register(
+    "x32_simhash_near_dups",
+    _x32,
+    f"WITH s0 AS ({_x04_sql()}), s AS (SELECT * FROM s0 WHERE id < 300)"
+    " SELECT a.id AS id_a, b.id AS id_b,"
+    "  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming"
+    " FROM s a JOIN s b ON a.id < b.id"
+    " WHERE bit_count(xor(a.simhash, b.simhash)) <= 1",
+)

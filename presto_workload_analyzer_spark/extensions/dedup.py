@@ -418,6 +418,53 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sums.select("id", packed.cast("long").alias("simhash"))
 
 
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: banded blocking + exact hamming verify.
+
+    The pigeonhole trick that makes simhash usable at scale: split the
+    16-bit fingerprint into `bands` nibble groups — two fingerprints
+    within `max_hamming < bands` bits MUST agree on at least one whole
+    band, so the candidate set is a band equi-join (never all-pairs), and
+    the exact hamming distance (xor + bit_count) filters candidates.
+    Output: (id_a, id_b, hamming). 64-bit/xxhash64 fingerprints scale the
+    same way with 8-bit bands.
+    """
+    if max_hamming >= bands:
+        raise ValueError("pigeonhole needs max_hamming < bands")
+    sh = simhash16(df, id_col, text_col)
+    width = 16 // bands
+    mask = (1 << width) - 1
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright("simhash", b * width).bitwiseAND(mask).alias("val"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.val").alias("val"))
+    a = banded.select(F.col("band"), F.col("val"), F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+    b = banded.select(F.col("band"), F.col("val"), F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (
+        a.join(b, on=["band", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.9
 ) -> DataFrame:

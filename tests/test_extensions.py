@@ -626,3 +626,14 @@ def test_label_centroids(spark):
     got = {r.label: r for r in similarity.label_centroids(df, "label", "embedding").collect()}
     assert got[0].n == 2 and got[0].centroid == [2.0, 2.0, 1.0]
     assert got[1].n == 1 and got[1].centroid == [5.0, 5.0, 5.0]
+
+
+def test_simhash_near_dup_pairs(docs):
+    # docs fixture: 1 and 2 identical, 3 a one-word edit, 4 unrelated
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in dedup.simhash_near_dup_pairs(docs, "doc_id", "text",
+                                                   max_hamming=3, bands=4).collect()}
+    assert pairs[(1, 2)] == 0                     # identical text -> identical fingerprint
+    assert (1, 4) not in pairs and (2, 4) not in pairs
+    with pytest.raises(ValueError):
+        dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
