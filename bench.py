@@ -41,6 +41,7 @@ def main() -> None:
         "s03_stream_dedup_events_by_day",
         "s04_stream_interval_join",
         "s05_session_window_native",
+        "s06_stream_sliding_load",
     ):
         try:
             driver_queries.queries()[_name](spark, "/root/testdata/sf0.001")

@@ -2033,3 +2033,44 @@ _register(
     " FROM s a JOIN s b ON a.id < b.id"
     " WHERE bit_count(xor(a.simhash, b.simhash)) <= 1",
 )
+
+
+def _s06(spark: SparkSession, sf: str) -> DataFrame:
+    """Sliding-window streaming load: 2-day windows sliding by 1 day, so
+    every event lands in exactly two windows (the overlapping-window class
+    tumbling rollups can't express — smoothing, trailing-window SLOs).
+    Complete-mode drain == the batch answer; the oracle assigns each event
+    to both its covering windows via a 2-row offset join."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events")
+    agg = ev.groupBy(F.window("ts", "2 days", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    name = f"s06_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("w.start").alias("bucket"), "n_events", "total_value"
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s06_stream_sliding_load",
+    _s06,
+    # every event belongs to windows starting at floor_day(ts) and
+    # floor_day(ts) - 1 day (2d width, 1d slide)
+    "WITH x AS (SELECT date_trunc('day', ts) + INTERVAL (o) DAY AS bucket, \"value\""
+    "  FROM events, UNNEST([0, -1]) AS t(o))"
+    " SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,"
+    "  round(sum(\"value\"), 6) AS total_value FROM x GROUP BY 1",
+)
