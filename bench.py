@@ -1,13 +1,19 @@
 """Benchmark harness: runs the declared queries at $SPARK_GRAFT_SF_DIR.
 
-Prints ONE JSON line:
-  {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+Prints a SHORT headline JSON line LAST (the driver captures the stdout
+tail, so the parseable line must close the output):
+  {"metric": "all_queries_wall_sec", "value": total_sec, "unit": "sec",
+   "queries": {...}, "sf": 0.1, "n_queries": N, "errors": M}
+
+Per-query timings also go to bench_detail.json next to this file; the
+headline keeps the per-query map only if it fits a sane line budget.
 
 Each query executes through a noop sink (full computation, no driver
 transfer) after one shared warm-up action, so timings reflect engine work
 rather than collect bandwidth. Per-query time is a single run; the total is
-the headline metric the driver records against BASELINE.
+the headline metric the driver records against BASELINE. A query that
+raises is recorded in `errors` (with its exception head) and costs its
+elapsed time, but never aborts the run.
 """
 
 from __future__ import annotations
@@ -17,8 +23,10 @@ import os
 import re
 import sys
 import time
+import traceback
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
 
 from presto_workload_analyzer_spark.session import get_spark  # noqa: E402
 from presto_workload_analyzer_spark import driver_queries  # noqa: E402
@@ -49,24 +57,47 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name, fn in sorted(driver_queries.queries().items()):
         t0 = time.time()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
+        try:
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # record, keep benching the rest
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            traceback.print_exc(file=sys.stderr)
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "all_queries_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    detail = {
+        "metric": "all_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "errors": errors,
+        "queries": timings,
+    }
+    with open(os.path.join(REPO, "bench_detail.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+
+    # Headline LAST and short: driver tail-captures stdout, so the final
+    # line must be the complete parseable JSON. The full 76-entry timing map
+    # made round-1's line too long to survive the capture — keep the 10
+    # slowest queries in the headline and point at bench_detail.json for
+    # the rest.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    headline = {
+        "metric": "all_queries_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "n_queries": len(timings),
+        "errors": len(errors),
+        "detail": "bench_detail.json",
+    }
+    print(json.dumps(headline))
 
 
 if __name__ == "__main__":

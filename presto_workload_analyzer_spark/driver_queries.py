@@ -734,12 +734,53 @@ _register(
 )
 
 
+# The round driver correctness-checks the FIRST 50 entries of queries()
+# (registration order). Round-2 checked a00-a28/k01-k02 plus x01-x20 — all
+# green (CORRECTNESS_r02.json) — so this round rotates the never-checked
+# surfaces (streaming s01-s06, privacy p01-p03, a29-a32, and the x-queries
+# flagged by the round-1 verdict) into the window right after the SURVEY §2
+# gate block. Queries left out of the window stay registered (and benched);
+# they rotate in next round.
+_CHECK_PRIORITY = [
+    # SURVEY §2 gate: the 28 analyzers + collect_metrics + unit-parse kernels
+    "a01_scheduled_by_date", "a02_scheduled_by_hour", "a03_input_by_date",
+    "a04_input_by_hour", "a05_queries_by_date", "a06_queries_by_hour",
+    "a07_peak_mem_by_query", "a08_input_size_by_query",
+    "a09_elapsed_time_by_query", "a14_output_vs_input",
+    "a15_scheduled_vs_input", "a16_elapsed_vs_input", "a10_queries_by_user",
+    "a11_scheduled_by_user", "a12_scheduled_by_update", "a13_input_by_user",
+    "a17_operator_wall", "a19_wall_by_selectivity_10",
+    "a20_wall_by_selectivity_100_first_20", "a21_filter_selectivity",
+    "a25_operator_input", "a26_operator_rows", "a18_wall_by_table_scan",
+    "a24_input_size_by_table_scan", "a22_walltime_vs_selectivity",
+    "a23_inputrows_vs_selectivity", "a27_joins_sides",
+    "a28_joins_selectivity", "a00_collect_metrics", "k01_parse_time_units",
+    "k02_parse_size_units",
+    # round-3 rotation: never driver-checked before
+    "s01_stream_events_by_day", "s02_stream_user_sessions",
+    "s03_stream_dedup_events_by_day", "s04_stream_interval_join",
+    "s05_session_window_native", "s06_stream_sliding_load",
+    "p01_name_obfuscation_map", "p02_salted_skew_agg",
+    "p03_json_extract_rollup", "a29_task_stage_stats",
+    "a30_latency_percentiles", "a31_scheduled_rollup",
+    "a32_event_type_pivot", "x31_length_quartiles", "x33_blocked_embedding_dedup",
+    "x13_ivf_ann_topk", "x32_simhash_near_dups", "x21_shingle_containment",
+    "x25_decontamination",
+]
+
+
+def _ordered(registry: dict) -> dict:
+    out = {n: registry[n] for n in _CHECK_PRIORITY if n in registry}
+    out.update((n, v) for n, v in registry.items() if n not in out)
+    return out
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    return _ordered(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    return _ordered(_ORACLES)
 
 
 # --------------------------------------------------------------------------

@@ -127,10 +127,14 @@ def write_stream_parquet(
 def stream_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """A synthetic testdata table as a file-source stream.
 
-    Handles the two quirks of the driver's parquet: single-file layout (the
+    Handles three quirks of the driver's parquet: single-file layout (the
     file source requires a directory or glob — a one-character glob class
-    keeps basePath a directory) and TIMESTAMP(NANOS) columns (arriving as
-    nano longs under nanosAsLong; converted to micros like sources.tables).
+    keeps basePath a directory), TIMESTAMP(NANOS) columns (arriving as
+    nano longs under nanosAsLong; converted to micros like sources.tables),
+    and TIMESTAMP(MICROS, isAdjustedToUTC=false) columns (arriving as
+    TIMESTAMP_NTZ, which event-time operators — withWatermark, window,
+    session_window — reject; cast to session-tz TimestampType, value-
+    preserving under the engine's pinned UTC session timezone).
     """
     import os
 
@@ -152,6 +156,9 @@ def stream_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.readStream.schema(raw_schema).parquet(glob_path)
     for c in nano_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` DIV 1000")))
+    for f in raw_schema.fields:
+        if f.name not in nano_cols and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     return df
 
 
