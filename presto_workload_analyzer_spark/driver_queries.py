@@ -368,11 +368,15 @@ def _hist_sql(bins: int, max_sel: float) -> str:
     SELECT i * {step!r} AS bin, 0.0 AS w FROM range({bins}) t(i) WHERE i * {step!r} < {max_sel!r})
 , hlab AS (
     SELECT CASE WHEN bin <= {max_sel!r} + 1e-9 THEN printf('%.2f', bin)
-                ELSE 'Above' END AS bin_label,
-           100.0 * w / (SELECT sum(w) FROM hbin) AS pct
+                ELSE 'Above' END AS bin_label, w
     FROM hbin)
-SELECT bin_label AS bin, round(sum(pct), 6) AS wall_pct
-FROM hlab GROUP BY bin_label ORDER BY bin_label
+, hagg AS (
+    -- bin sums first, share-of-total over the aggregated bins (mirrors the
+    -- kernel's agg-then-window shape; identical fp expression order)
+    SELECT bin_label, sum(w) AS ws FROM hlab GROUP BY bin_label)
+SELECT bin_label AS bin,
+       round(100.0 * ws / (SELECT sum(ws) FROM hagg), 6) AS wall_pct
+FROM hagg ORDER BY bin_label
 """
 
 
@@ -1027,6 +1031,60 @@ _register(
     " WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
     " * sqrt(list_dot_product(b.v, b.v))) > 0.25",
 )
+
+
+def _x33(spark: SparkSession, sf: str) -> DataFrame:
+    """x06's scale path demonstrated end-to-end: embedding near-dup pairs
+    over the FULL embeddings table with LSH blocking built in — hyperplane
+    buckets (2 bands x 4 planes) generate candidates via equi-join, exact
+    cosine verifies. No crossJoin anywhere in the plan (x06 keeps the exact
+    all-pairs formulation on a capped subset as the oracle-simple twin);
+    the oracle reproduces the same deterministic md5 hyperplanes in SQL, so
+    the match is exact including the blocking."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_dedup.blocked_embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2
+    )
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _x33_sql() -> str:
+    import hashlib
+
+    def sign(p: int, i: int) -> int:
+        return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
+
+    n_dims, n_planes, n_bands = 64, 4, 2
+    band_selects = []
+    for band in range(n_bands):
+        terms = []
+        for p in range(n_planes):
+            arr = "[" + ", ".join(
+                f"{float(sign(band * n_planes + p, i))!r}" for i in range(n_dims)
+            ) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {2 ** p} ELSE 0 END)"
+            )
+        band_selects.append(
+            f"SELECT {band} AS band, vec_id AS id, v, {' + '.join(terms)} AS bucket FROM e"
+        )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        f" bk AS ({' UNION ALL '.join(band_selects)}),"
+        " cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+        "  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket"
+        "  AND a.id < b.id),"
+        " scored AS (SELECT id_a, id_b,"
+        "  list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v))"
+        "  * sqrt(list_dot_product(eb.v, eb.v))) AS cosine"
+        "  FROM cand JOIN e ea ON cand.id_a = ea.vec_id"
+        "  JOIN e eb ON cand.id_b = eb.vec_id)"
+        " SELECT id_a, id_b, round(cosine, 6) AS cosine FROM scored"
+        " WHERE cosine > 0.25"
+    )
+
+
+_register("x33_blocked_embedding_dedup", _x33, _x33_sql())
 
 
 def _x07(spark: SparkSession, sf: str) -> DataFrame:
@@ -2023,14 +2081,31 @@ _register(
 
 
 def _x31(spark: SparkSession, sf: str) -> DataFrame:
-    """Quartile bucketing by document length (ntile window) with per-bucket
-    size stats — the percentile-bin corpus profile. Exact global ntile is
-    a single-partition sort (fine at report grain); the 100 TB shape is
-    approx_percentile boundaries + a scan-side bin column instead."""
+    """Quartile bucketing by document length with per-bucket size stats —
+    the percentile-bin corpus profile, in its 100 TB shape: quartile
+    BOUNDARIES come from approx_percentile (a mergeable sketch — map-side
+    partials, one tiny merged row, never a global sort), the boundary row is
+    broadcast back over the scan, and the bin is a scan-side comparison
+    column. No unpartitioned window anywhere in the plan (the round-1 ntile
+    formulation sorted the whole corpus through one reducer; plan-linted
+    against in tests/test_plan_lint.py). At sf scale the sketch (accuracy
+    100k) is exact, so DuckDB quantile_disc agrees bit-for-bit; ties at a
+    boundary go to the lower bucket on both sides by construction."""
     docs = read_sf_table(spark, sf, "documents")
-    w = Window.orderBy(F.col("n_chars"), F.col("doc_id"))
+    bounds = docs.select(
+        F.expr(
+            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 100000)"
+        ).alias("qb")
+    )
+    quartile = (
+        F.lit(1)
+        + (F.col("n_chars") > F.col("qb")[0]).cast("int")
+        + (F.col("n_chars") > F.col("qb")[1]).cast("int")
+        + (F.col("n_chars") > F.col("qb")[2]).cast("int")
+    )
     return (
-        docs.withColumn("quartile", F.ntile(4).over(w))
+        docs.join(F.broadcast(bounds))
+        .withColumn("quartile", quartile)
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -2046,8 +2121,13 @@ def _x31(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "x31_length_quartiles",
     _x31,
-    "WITH q AS (SELECT n_chars,"
-    "  ntile(4) OVER (ORDER BY n_chars, doc_id) AS quartile FROM documents)"
+    # quantile_disc == Spark approx_percentile at exact-sketch scale: both
+    # return an actual corpus value at the quantile rank
+    "WITH b AS (SELECT quantile_disc(n_chars, [0.25, 0.5, 0.75]) AS qb"
+    "  FROM documents),"
+    " q AS (SELECT n_chars,"
+    "  1 + CAST(n_chars > qb[1] AS INT) + CAST(n_chars > qb[2] AS INT)"
+    "    + CAST(n_chars > qb[3] AS INT) AS quartile FROM documents, b)"
     " SELECT CAST(quartile AS BIGINT) AS quartile,"
     "  CAST(count(*) AS BIGINT) AS n_docs, min(n_chars) AS min_chars,"
     "  max(n_chars) AS max_chars, round(avg(n_chars) + 1e-9, 6) AS avg_chars"

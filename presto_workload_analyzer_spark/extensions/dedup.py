@@ -481,3 +481,58 @@ def embedding_near_dup_pairs(
     return pairs.select(
         "id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine")
     ).filter(F.col("cosine") > threshold)
+
+
+def blocked_embedding_near_dup_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    n_bands: int = 2,
+) -> DataFrame:
+    """embedding_near_dup_pairs with the blocking built in — the 100 TB path.
+
+    Candidate generation is random-hyperplane LSH (the approxSimilarityJoin
+    shape of ml.feature BucketedRandomProjection/MinHashLSH, SURVEY §7
+    phase 8b): each vector gets `n_bands` bucket keys of `n_planes` sign
+    bits each, candidates are same-(band, bucket) equi-join pairs — the
+    quadratic comparison only ever happens within a bucket, never across
+    the corpus. The exact cosine then verifies each candidate, so there are
+    no false positives; recall is 1 - (1 - p^planes)^bands with
+    p = 1 - theta/pi per plane (raise n_bands for recall, n_planes for
+    bucket selectivity). Output: (id_a, id_b, cosine), distinct.
+    """
+    from presto_workload_analyzer_spark.extensions.similarity import (
+        cosine_expr,
+        hyperplane_buckets,
+    )
+
+    bucketed = None
+    for band in range(n_bands):
+        hb = hyperplane_buckets(
+            emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+            plane_offset=band * n_planes,
+        ).select(F.lit(band).alias("band"), "id", "bucket")
+        bucketed = hb if bucketed is None else bucketed.unionByName(hb)
+
+    cand = (
+        bucketed.alias("l")
+        .join(
+            bucketed.alias("r"),
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.bucket") == F.col("r.bucket"),
+                F.col("l.id") < F.col("r.id"),
+            ],
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    vecs = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+    return (
+        cand.join(vecs.withColumnsRenamed({"__id": "id_a", "__v": "va"}), "id_a")
+        .join(vecs.withColumnsRenamed({"__id": "id_b", "__v": "vb"}), "id_b")
+        .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
+        .filter(F.col("cosine") > threshold)
+    )

@@ -2,13 +2,15 @@
 
 Images/audio/video ride through the engine as `binary` columns plus a
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas stages over `mapInPandas`. The media codec libraries
-are NOT in this container, so the pixel-level kernels are STUBBED with a
+Arrow-batched Pandas stages over `mapInPandas`. Two kernels are fully
+REAL with zero codec dependencies: `image_dims` (PNG/JPEG/GIF dimensions
+parsed from container headers) and the PNG branch of `decode_media`
+(stdlib-zlib inflate + full scanline unfilter, `_decode_png`). Non-PNG
+pixel decode and the resize/frame-sample resamplers still need codec
+libraries this container doesn't have, so those are STUBBED with a
 deterministic fake (clearly marked); the Spark-side plumbing — schema,
 batch iteration, partitioning, UDF signatures — is real and tested, and a
-real decoder drops into `_decode_bytes` without touching anything else.
-`image_dims` is fully real: PNG/JPEG/GIF dimensions parsed straight from
-container headers, no codec needed.
+real codec drops into the marked lines without touching anything else.
 """
 
 from __future__ import annotations
@@ -59,13 +61,112 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str, mime: str = "applic
     )
 
 
-def _decode_bytes(payload: bytes) -> tuple[int, int, int, float]:
-    """STUB image decode — deterministic fake, NOT a real codec.
+def _decode_png(b: bytes) -> tuple[int, int, int, float] | None:
+    """REAL PNG decode using only stdlib zlib — no codec library.
 
-    A real implementation would be e.g. PIL.Image.open(io.BytesIO(payload));
-    the fake derives a plausible (width, height, channels, mean) from the
-    byte content so downstream plumbing is exercised deterministically.
+    Full pipeline: chunk walk (IHDR/PLTE/IDAT/IEND), zlib inflate of the
+    concatenated IDAT stream, per-scanline unfilter (all five PNG filter
+    types: None/Sub/Up/Average/Paeth, RFC 2083 §6), palette expansion for
+    color type 3. Returns (width, height, n_channels, mean_intensity) over
+    the reconstructed raw samples. Supported: 8-bit depth, color types
+    0/2/3/4/6, non-interlaced. Anything else (16-bit, Adam7) -> None, and
+    the caller falls back to the deterministic fake.
+
+    Per-pixel Python is fine here: this runs inside an Arrow-batched
+    mapInPandas stage on executor-side payload bytes, and the cost is
+    per-image decode work a real codec would also pay (a C codec would be
+    faster; the semantics are what's being shipped).
     """
+    import zlib
+
+    if b[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    try:
+        pos = 8
+        ihdr = b""
+        plte = b""
+        idat = bytearray()
+        while pos + 8 <= len(b):
+            ln = int.from_bytes(b[pos : pos + 4], "big")
+            typ = b[pos + 4 : pos + 8]
+            data = b[pos + 8 : pos + 8 + ln]
+            if typ == b"IHDR":
+                ihdr = data
+            elif typ == b"PLTE":
+                plte = data
+            elif typ == b"IDAT":
+                idat += data
+            elif typ == b"IEND":
+                break
+            pos += 12 + ln  # len + type + data + crc
+        if len(ihdr) < 13:
+            return None
+        width = int.from_bytes(ihdr[0:4], "big")
+        height = int.from_bytes(ihdr[4:8], "big")
+        bit_depth, color_type, interlace = ihdr[8], ihdr[9], ihdr[12]
+        if bit_depth != 8 or interlace != 0:
+            return None
+        channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+        if channels is None or width == 0 or height == 0:
+            return None
+        raw = zlib.decompress(bytes(idat))
+        stride = width * channels
+        if len(raw) < height * (stride + 1):
+            return None
+        out = bytearray()
+        prev = bytearray(stride)
+        i = 0
+        for _y in range(height):
+            ftype = raw[i]
+            line = bytearray(raw[i + 1 : i + 1 + stride])
+            i += 1 + stride
+            if ftype == 1:  # Sub
+                for x in range(channels, stride):
+                    line[x] = (line[x] + line[x - channels]) & 0xFF
+            elif ftype == 2:  # Up
+                for x in range(stride):
+                    line[x] = (line[x] + prev[x]) & 0xFF
+            elif ftype == 3:  # Average
+                for x in range(stride):
+                    left = line[x - channels] if x >= channels else 0
+                    line[x] = (line[x] + ((left + prev[x]) >> 1)) & 0xFF
+            elif ftype == 4:  # Paeth
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    bb = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (bb if pb <= pc else c)
+                    line[x] = (line[x] + pred) & 0xFF
+            elif ftype != 0:
+                return None
+            out += line
+            prev = line
+        if color_type == 3:  # palette -> RGB samples
+            if not plte:
+                return None
+            rgb = bytearray()
+            for idx in out:
+                rgb += plte[idx * 3 : idx * 3 + 3]
+            out = rgb
+            channels = 3
+        mean = (sum(out) / len(out)) / 255.0 if out else 0.0
+        return width, height, channels, mean
+    except (IndexError, ValueError, zlib.error):
+        return None
+
+
+def _decode_bytes(payload: bytes) -> tuple[int, int, int, float]:
+    """Image decode: REAL for PNG (stdlib zlib inflate + unfilter, see
+    _decode_png), deterministic fake for everything else (JPEG/GIF pixel
+    decode needs codec libraries this container doesn't have — a real
+    decoder drops in at the marked line without touching the plumbing).
+    """
+    png = _decode_png(payload)
+    if png is not None:
+        return png
+    # <- real non-PNG codec goes here (e.g. PIL.Image.open)
     n = len(payload)
     width = 16 + n % 64
     height = 16 + (n // 64) % 64

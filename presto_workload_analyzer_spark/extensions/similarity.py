@@ -25,6 +25,11 @@ def dot_expr(a: Column, b: Column) -> Column:
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 
+# hard cap on the collected query side of cosine_topk_pandas: at 64 dims of
+# float64 this is ~50 MB of broadcast, the sane ceiling for "small side"
+MAX_COLLECTED_QUERIES = 100_000
+
+
 def norm_expr(a: Column) -> Column:
     return F.sqrt(dot_expr(a, a))
 
@@ -123,7 +128,15 @@ def cosine_topk_pandas(
     import numpy as np
     import pandas as pd
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    # the contract is a SMALL query side (it is collected + broadcast);
+    # misuse must fail loudly, not OOM the driver three stages later
+    q_rows = queries.select(id_col, vec_col).limit(MAX_COLLECTED_QUERIES + 1).collect()
+    if len(q_rows) > MAX_COLLECTED_QUERIES:
+        raise ValueError(
+            f"cosine_topk_pandas: query side exceeds {MAX_COLLECTED_QUERIES} "
+            "rows; this operator collects+broadcasts the query matrix. For a "
+            "large query side use lsh_topk / ivf_topk_indexed (blocked paths)."
+        )
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
@@ -168,13 +181,21 @@ def hyperplane_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = 8,
+    n_dims: int | None = None,
+    plane_offset: int = 0,
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit vector of n_planes projections.
 
     The 'random' hyperplanes are deterministic: coefficient for (plane p,
     dim i) is +1 if a bit of md5("p|i") is set else -1 — reproducible in
     any engine, no state to ship. Cosine-similar vectors collide with
-    probability 1 - theta/pi per plane.
+    probability 1 - theta/pi per plane. `plane_offset` selects a disjoint
+    plane family (band b uses planes [b*n, (b+1)*n)) so multi-band callers
+    get independent hash tables from the same deterministic stream.
+
+    Pass `n_dims` when known (it's a schema fact, not data); otherwise it is
+    probed from one row — a driver-side action, intentionally loud in the
+    docstring rather than hidden.
     Output: (id, bucket) — equi-join on bucket bounds ANN candidates.
     """
     import hashlib
@@ -184,10 +205,16 @@ def hyperplane_buckets(
 
     v = _to_double(F.col(vec_col))
     bucket = None
-    # n_dims from the first row is metadata-only; planes are per-dim literals
-    n_dims = len(emb.select(vec_col).head()[0])
+    if n_dims is None:
+        # metadata probe fallback; planes are per-dim literals either way
+        row = emb.select(vec_col).head()
+        if row is None:
+            raise ValueError("hyperplane_buckets: empty input and no n_dims given")
+        n_dims = len(row[0])
     for p in range(n_planes):
-        coeffs = F.array(*[F.lit(float(sign(p, i))) for i in range(n_dims)])
+        coeffs = F.array(
+            *[F.lit(float(sign(p + plane_offset, i))) for i in range(n_dims)]
+        )
         proj = F.aggregate(
             F.zip_with(v, coeffs, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
         )

@@ -153,6 +153,11 @@ def selectivity_histogram(
         (F.col("id") * step).alias("__bin"), F.lit(0.0).alias("__w"), F.lit(None).cast("double").alias("__sel")
     )
     unioned = data.select("__bin", "__w").unionByName(scaffold.select("__bin", "__w"))
+    # aggregate per bin FIRST (map-side partial sums; the shuffle carries
+    # ~bins rows), THEN take share-of-total over the aggregated bin set —
+    # the unpartitioned window sees #bins rows, never the corpus. The
+    # round-1 shape (per-row pct via a global window, then bin sums) pushed
+    # every operator row through one reducer; plan-linted against now.
     w_all = Window.partitionBy()
     return (
         unioned.withColumn(
@@ -161,8 +166,9 @@ def selectivity_histogram(
                 F.col("__bin") <= max_selectivity + 1e-9, F.format_string("%.2f", F.col("__bin"))
             ).otherwise(F.lit("Above")),
         )
-        .withColumn("__pct", 100.0 * F.col("__w") / F.sum("__w").over(w_all))
         .groupBy("bin")
-        .agg(F.sum("__pct").alias("wall_pct"))
+        .agg(F.sum("__w").alias("__wsum"))
+        .withColumn("wall_pct", 100.0 * F.col("__wsum") / F.sum("__wsum").over(w_all))
+        .select("bin", "wall_pct")
         .orderBy("bin")
     )

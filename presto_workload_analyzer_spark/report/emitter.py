@@ -219,6 +219,34 @@ def render_html(report: dict[str, Any]) -> str:
     return _HTML_TEMPLATE.format(payload=payload)
 
 
+_TEMPLATE_CONTRACT_PAGE = """<!DOCTYPE html>
+<html><head><meta charset="utf-8"><title>Workload Analysis</title></head>
+<body>
+<h1>Presto workload analysis</h1>
+<div id="charts"></div>
+<!-- PLACEHOLDER_FOR_BOKEH_JSONS -->
+</body></html>
+"""
+
+
+def render_html_template_contract(report: dict[str, Any]) -> str:
+    """Reference-template-contract rendering (analyze.py:1241-1292).
+
+    Emits one ``<script type="application/json" id="<chart_id>">`` block per
+    chart plus the trailing ``structure`` script, injected at the same
+    placeholder the reference template uses — real Bokeh ``json_item`` docs
+    when bokeh is importable, the tabular fallback payload otherwise (see
+    report.bokeh_compat). A user pointing reference-style template JS at
+    this output finds every block under the same id it would find there.
+    """
+    from presto_workload_analyzer_spark.report.bokeh_compat import script_blocks
+
+    placeholder = "<!-- PLACEHOLDER_FOR_BOKEH_JSONS -->"
+    return _TEMPLATE_CONTRACT_PAGE.replace(
+        placeholder, "\n".join(script_blocks(report))
+    )
+
+
 def write_report(report: dict[str, Any], output_path: str) -> None:
     """Sink: .zip (deflated output.html member), .html, or .json.
 
@@ -235,4 +263,9 @@ def write_report(report: dict[str, Any], output_path: str) -> None:
             f.write(render_html(report))
 
 
-__all__ = ["build_report", "render_html", "write_report"]
+__all__ = [
+    "build_report",
+    "render_html",
+    "render_html_template_contract",
+    "write_report",
+]

@@ -256,3 +256,31 @@ def read_summary_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def write_summary_jsonl(df: DataFrame, path: str) -> None:
     """summary DF -> gzipped JSONL dir sink. Reference extract.py:189-203."""
     df.write.mode("overwrite").option("compression", "gzip").json(path)
+
+
+def write_summary_jsonl_file(df: DataFrame, path: str) -> None:
+    """summary DF -> ONE gzipped JSONL *file*, byte-compatible with the
+    reference's `summary.jsonl.gz` (extract.py:189-203), so reference
+    tooling (analyze.py / jsonl_process.py) can consume rebuild output
+    directly.
+
+    This is the interop sink, not the scale sink: coalesce(1) funnels the
+    whole corpus through one task by definition of "one file" — use the
+    directory sink (`write_summary_jsonl`) for anything bigger than a
+    report-sized corpus. The part file Spark writes inside the staging dir
+    is renamed to the requested path and the staging dir removed.
+    """
+    import glob as _glob
+    import os
+    import shutil
+
+    staging = path + ".__stage__"
+    df.coalesce(1).write.mode("overwrite").option("compression", "gzip").json(staging)
+    parts = _glob.glob(os.path.join(staging, "part-*.json.gz"))
+    if len(parts) != 1:
+        raise RuntimeError(
+            f"expected exactly one part file in {staging}, found {parts}"
+        )
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    shutil.move(parts[0], path)
+    shutil.rmtree(staging)

@@ -144,6 +144,47 @@ def test_lsh_topk_recall_on_planted_pair(vectors):
     assert any(r.neighbor_id == 1 for r in mine)
 
 
+def test_blocked_embedding_near_dup_pairs(vectors):
+    """The composed scale path: candidates from hyperplane-LSH bands, exact
+    cosine verification. Finds the planted near-dup pair (identical sign
+    pattern -> same bucket in every band), produces ONLY true positives
+    (subset of the exact all-pairs result), and plans no CartesianProduct."""
+    blocked = dedup.blocked_embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.99, n_planes=4, n_bands=2
+    )
+    exact = dedup.embedding_near_dup_pairs(
+        vectors, "vec_id", "embedding", threshold=0.99
+    )
+    got = {(r.id_a, r.id_b) for r in blocked.collect()}
+    assert (0, 1) in got
+    assert got <= {(r.id_a, r.id_b) for r in exact.collect()}
+    plan = blocked._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_hyperplane_buckets_explicit_dims_and_empty_input(vectors):
+    # explicit n_dims must agree with the probed path (same deterministic planes)
+    probed = {r.id: r.bucket for r in similarity.hyperplane_buckets(vectors, n_planes=4).collect()}
+    explicit = {
+        r.id: r.bucket
+        for r in similarity.hyperplane_buckets(vectors, n_planes=4, n_dims=16).collect()
+    }
+    assert probed == explicit
+    empty = vectors.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty input"):
+        similarity.hyperplane_buckets(empty, n_planes=4)
+    # with dims given, empty input is fine (plan-only, no probe)
+    assert similarity.hyperplane_buckets(empty, n_planes=4, n_dims=16).count() == 0
+
+
+def test_cosine_topk_pandas_query_cap_fails_loudly(vectors, monkeypatch):
+    # shrink the cap instead of building 100k rows; the 40-row query side
+    # must then be rejected before anything is broadcast
+    monkeypatch.setattr(similarity, "MAX_COLLECTED_QUERIES", 10)
+    with pytest.raises(ValueError, match="query side exceeds 10"):
+        similarity.cosine_topk_pandas(vectors, vectors, k=3)
+
+
 def test_textstats_known_answers(spark):
     df = spark.createDataFrame([Row(doc_id=1, text="The cat, and THE dog!  ")])
     r = df.select(
@@ -580,6 +621,142 @@ def test_image_dims_real_headers(spark):
     assert got[2] == ("gif", 320, 200)
     assert got[3] == ("jpeg", 1024, 768)
     assert got[4] == (None, None, None)  # unknown bytes degrade, never throw
+
+
+def _encode_png(width, height, color_type, samples, row_filters=None, palette=None):
+    """Test-side PNG encoder: applies real PNG filters forward so the
+    decoder's unfilter path is exercised against known pixel truth."""
+    import struct
+    import zlib
+
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    stride = width * channels
+    row_filters = row_filters or [0] * height
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y in range(height):
+        line = bytearray(samples[y * stride : (y + 1) * stride])
+        f = row_filters[y]
+        enc = bytearray(line)
+        for x in range(stride):
+            a = line[x - channels] if x >= channels else 0
+            b = prev[x]
+            c = prev[x - channels] if x >= channels else 0
+            if f == 1:
+                enc[x] = (line[x] - a) & 0xFF
+            elif f == 2:
+                enc[x] = (line[x] - b) & 0xFF
+            elif f == 3:
+                enc[x] = (line[x] - ((a + b) >> 1)) & 0xFF
+            elif f == 4:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                enc[x] = (line[x] - pred) & 0xFF
+        raw += bytes([f]) + enc
+        prev = line
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">II", width, height) + bytes([8, color_type, 0, 0, 0])
+    out = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(palette))
+    out += chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    return out
+
+
+def test_png_decode_real_pixels_all_filters():
+    """_decode_png is a real decoder: known pixels, every PNG filter type,
+    gray/RGB/RGBA/palette color types — exact dims/channels/means out."""
+    from presto_workload_analyzer_spark.extensions.multimodal import _decode_png
+
+    w, h = 8, 5
+    rgb = bytes((x * 7 + y * 31 + c * 13) % 256 for y in range(h) for x in range(w) for c in range(3))
+    true_mean = sum(rgb) / len(rgb) / 255.0
+
+    for filters in ([0] * h, [1] * h, [2] * h, [3] * h, [4] * h, [0, 1, 2, 3, 4]):
+        got = _decode_png(_encode_png(w, h, 2, rgb, row_filters=filters))
+        assert got is not None, filters
+        gw, gh, gc, gm = got
+        assert (gw, gh, gc) == (w, h, 3)
+        assert abs(gm - true_mean) < 1e-12, filters
+
+    gray = bytes((x * 11 + y * 3) % 256 for y in range(h) for x in range(w))
+    gw, gh, gc, gm = _decode_png(_encode_png(w, h, 0, gray, row_filters=[4] * h))
+    assert (gw, gh, gc) == (w, h, 1)
+    assert abs(gm - sum(gray) / len(gray) / 255.0) < 1e-12
+
+    rgba = bytes((x + y + c) % 256 for y in range(h) for x in range(w) for c in range(4))
+    gw, gh, gc, gm = _decode_png(_encode_png(w, h, 6, rgba, row_filters=[3] * h))
+    assert (gw, gh, gc) == (w, h, 4)
+    assert abs(gm - sum(rgba) / len(rgba) / 255.0) < 1e-12
+
+    # palette: indices expand through PLTE to RGB samples
+    palette = bytes(range(48))  # 16 entries
+    idx = bytes((x + y) % 16 for y in range(h) for x in range(w))
+    expanded = b"".join(palette[i * 3 : i * 3 + 3] for i in idx)
+    gw, gh, gc, gm = _decode_png(_encode_png(w, h, 3, idx, palette=palette))
+    assert (gw, gh, gc) == (w, h, 3)
+    assert abs(gm - sum(expanded) / len(expanded) / 255.0) < 1e-12
+
+
+def test_png_decode_unsupported_falls_back():
+    """16-bit / interlaced / truncated PNGs return None from _decode_png and
+    _decode_bytes degrades to the deterministic fake instead of raising."""
+    import struct
+    import zlib as _zlib
+
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        _decode_bytes,
+        _decode_png,
+    )
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data)) + typ + data
+            + struct.pack(">I", _zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sixteen_bit = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">II", 4, 4) + bytes([16, 2, 0, 0, 0]))
+    )
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">II", 4, 4) + bytes([8, 2, 0, 0, 1]))
+    )
+    truncated = _encode_png(8, 5, 2, bytes(8 * 5 * 3))[:40]
+    for bad in (sixteen_bit, interlaced, truncated, b"junkjunkjunk"):
+        assert _decode_png(bad) is None
+        assert len(_decode_bytes(bad)) == 4  # fake path, no exception
+
+
+def test_decode_media_planted_png(spark):
+    """DataFrame-level: a planted PNG payload decodes to its true pixels
+    through the mapInPandas stage; non-PNG payloads take the fake path."""
+    w, h = 6, 3
+    rgb = bytes((x * 5 + y * 17 + c) % 256 for y in range(h) for x in range(w) for c in range(3))
+    png_bytes = _encode_png(w, h, 2, rgb, row_filters=[0, 4, 2])
+    rows = [
+        Row(doc_id=1, payload=bytearray(png_bytes)),
+        Row(doc_id=2, payload=bytearray(b"opaque non-image payload")),
+    ]
+    media = spark.createDataFrame(rows).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+    got = {r.doc_id: r for r in multimodal.decode_media(media).collect()}
+    assert (got[1].width, got[1].height, got[1].n_channels) == (w, h, 3)
+    assert abs(got[1].mean_intensity - sum(rgb) / len(rgb) / 255.0) < 1e-12
+    assert got[2].n_channels == 3  # deterministic fake branch
 
 
 def test_resample_to_mix(spark):

@@ -199,6 +199,29 @@ def test_summary_jsonl_roundtrip(spark, summary_df, tmp_path):
     assert rt.input_size == orig.input_size
 
 
+def test_summary_jsonl_single_file_roundtrip(spark, summary_df, tmp_path):
+    """Reference-interop sink: ONE gzipped JSONL file like extract.py:189-203
+    writes — a plain `gzip.open` + line-per-record read must work (that is
+    exactly how reference analyze.py:1221-1229 consumes it)."""
+    from presto_workload_analyzer_spark.sources.queryinfo import (
+        write_summary_jsonl_file,
+    )
+
+    path = str(tmp_path / "summary.jsonl.gz")
+    write_summary_jsonl_file(summary_df, path)
+    assert os.path.isfile(path)
+    with gzip.open(path, "rt") as fh:
+        records = [json.loads(line) for line in fh if line.strip()]
+    assert len(records) == summary_df.count()
+    assert {r["query_id"] for r in records} == {
+        r.query_id for r in summary_df.collect()
+    }
+    # and Spark reads it back identically to the directory sink
+    back = read_summary_jsonl(spark, path)
+    assert back.count() == summary_df.count()
+    assert back.schema == summary_df.schema
+
+
 def test_resolve_table_name_unit():
     assert resolve_table_name({"table": {}}) is None
     assert resolve_table_name({}) is None

@@ -49,3 +49,53 @@ def test_no_python_row_eval_in_plan(spark, name):
             assert marker not in plan, (
                 f"{name} plans {marker} but is not a declared Pandas-UDF surface"
             )
+
+
+# queries allowed to plan an unblocked pair join: x06 is the exact all-pairs
+# oracle twin, explicitly capped (its scale path is x33, which is linted)
+_ALLOWED_CARTESIAN = {"x06_embedding_near_dups"}
+
+
+@pytest.mark.parametrize("name", _batch_query_names())
+def test_no_unpartitioned_window_or_cartesian(spark, name):
+    """Two 100 TB scale-killers, asserted structurally on every batch plan:
+
+    1. A window function with no PARTITION BY funnels the whole input
+       through ONE task (`Exchange SinglePartition` directly feeding a
+       Sort+Window). Global aggregates also plan SinglePartition but only
+       move pre-aggregated partials, so the lint keys on the Window
+       operator, not the exchange alone.
+    2. `CartesianProduct` is the unblocked all-pairs join. (Broadcast
+       nested-loop joins are NOT banned: broadcasting a tiny bounds row —
+       e.g. x31's percentile boundaries — is the intended pattern.)
+    """
+    df = driver_queries.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window " not in line:
+            continue
+        # the window's input chain prints directly below it; an unpartitioned
+        # window funnels through `Exchange SinglePartition` within a few lines
+        for j in range(i + 1, min(i + 5, len(lines))):
+            if "Window " in lines[j]:
+                break  # nested window: it gets its own check
+            if "Exchange SinglePartition" not in lines[j]:
+                continue
+            # single-reducer window: acceptable ONLY over pre-aggregated
+            # input (cardinality = #groups, e.g. the pie kernel's share-of-
+            # total over per-label sums) — an Aggregate must feed the
+            # exchange. Over raw corpus rows (the round-1 global-ntile
+            # shape) it is THE scale-killer this lint exists to catch.
+            feeds = "\n".join(lines[j + 1 : j + 5])
+            assert "Aggregate(" in feeds, (
+                f"{name} plans an unpartitioned window over non-aggregated "
+                f"input (whole dataset through one reducer):\n"
+                + "\n".join(lines[i : j + 5])
+            )
+            break
+    if name not in _ALLOWED_CARTESIAN:
+        assert "CartesianProduct" not in plan, (
+            f"{name} plans an unblocked CartesianProduct join"
+        )

@@ -93,3 +93,58 @@ def test_sinks(report, tmp_path):
         assert b"Presto workload analysis" in z.read("output.html")
     loaded = json.loads((tmp_path / "report.json").read_text())
     assert {c["id"] for c in loaded["charts"]} == {c["id"] for c in report["charts"]}
+
+
+def test_template_contract_blocks(report):
+    """Reference-template parity (analyze.py:1241-1292): one JSON script
+    block per chart under the chart's id, plus a structure script whose
+    charts list carries the same id/title/description; per-chart data in
+    the fallback backend is bit-identical to the report payload. The same
+    assertions hold for the bokeh backend when bokeh is importable (the
+    block then carries a `doc` json_item instead of `fallback`)."""
+    import re
+
+    from presto_workload_analyzer_spark.report.bokeh_compat import (
+        bokeh_available,
+        chart_json_item,
+        script_blocks,
+    )
+    from presto_workload_analyzer_spark.report.emitter import (
+        render_html_template_contract,
+    )
+
+    blocks = script_blocks(report)
+    assert len(blocks) == len(report["charts"]) + 1  # + structure script
+
+    by_id = {}
+    for block in blocks[:-1]:
+        m = re.search(r'id="([^"]+)">\n(.*)\n</script>', block, re.S)
+        assert m, block[:100]
+        by_id[m.group(1)] = json.loads(m.group(2).replace("<\\/", "</"))
+    assert set(by_id) == {c["id"] for c in report["charts"]}
+
+    for chart in report["charts"]:
+        item = by_id[chart["id"]]
+        if bokeh_available():
+            assert "doc" in item  # a real bokeh json_item document
+        else:
+            assert item["fallback"]["data"] == chart["data"]
+            assert item["fallback"]["title"] == chart["title"]
+            assert item["fallback"]["description"] == chart["description"]
+
+    structure = json.loads(
+        blocks[-1].split("const structure = ", 1)[1].rsplit("</script>", 1)[0]
+    )
+    assert [c["id"] for c in structure["charts"]] == [
+        c["id"] for c in report["charts"]
+    ]
+    for sc, c in zip(structure["charts"], report["charts"]):
+        assert sc["title"] == c["title"] and sc["description"] == c["description"]
+    assert structure["metrics"] == report["structure"]["metrics"]
+
+    html = render_html_template_contract(report)
+    for c in report["charts"]:
+        assert f'id="{c["id"]}"' in html
+    # single-item contract shape matches the per-block parse
+    one = chart_json_item(report["charts"][0])
+    assert one == by_id[report["charts"][0]["id"]]
