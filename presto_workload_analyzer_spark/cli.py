@@ -22,7 +22,18 @@ from presto_workload_analyzer_spark.sources.queryinfo import (
     extract_queryinfo,
     read_summary_jsonl,
     write_summary_jsonl,
+    write_summary_jsonl_file,
 )
+
+
+def _write_summary(df, output: str, single_file: bool) -> None:
+    """Directory sink by default; ONE reference-compatible .jsonl.gz file
+    when asked (--single-file) or when the output path says so — the
+    reference invocation style is `-o summary.jsonl.gz` (extract.py:189)."""
+    if single_file or output.endswith(".jsonl.gz"):
+        write_summary_jsonl_file(df, output)
+    else:
+        write_summary_jsonl(df, output)
 
 
 def cmd_extract(args: argparse.Namespace) -> int:
@@ -30,7 +41,7 @@ def cmd_extract(args: argparse.Namespace) -> int:
     df = extract_queryinfo(spark, args.input_dir)
     if args.limit:
         df = df.limit(args.limit)
-    write_summary_jsonl(df, args.output)
+    _write_summary(df, args.output, args.single_file)
     n = read_summary_jsonl(spark, args.output).count()
     print(f"extracted {n} summaries -> {args.output}")
     return 0
@@ -58,7 +69,15 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         fail_on_error=args.fail_on_error,
         high_contrast=args.high_contrast_mode,
     )
-    write_report(report, args.output)
+    if args.template_contract and args.output.endswith(".html"):
+        from presto_workload_analyzer_spark.report.emitter import (
+            render_html_template_contract,
+        )
+
+        with open(args.output, "w") as f:
+            f.write(render_html_template_contract(report))
+    else:
+        write_report(report, args.output)
     n_charts = len(report["charts"])
     n_err = len(report["errors"])
     print(f"wrote {args.output}: {n_charts} charts, {n_err} errors")
@@ -82,7 +101,7 @@ def cmd_process(args: argparse.Namespace) -> int:
         rename_user=args.rename_user,
         rename_partitions=args.rename_partitions,
     )
-    write_summary_jsonl(out, args.output)
+    _write_summary(out, args.output, args.single_file)
     n = read_summary_jsonl(spark, args.output).count()
     print(f"processed {n} summaries -> {args.output}")
     # translation tables (reference jsonl_process.py:186-194)
@@ -140,6 +159,12 @@ def main(argv: list[str] | None = None) -> int:
     pe.add_argument("-i", "--input-dir", required=True)
     pe.add_argument("-o", "--output", required=True)
     pe.add_argument("-l", "--limit", type=int, default=None)
+    pe.add_argument(
+        "--single-file",
+        action="store_true",
+        help="write ONE summary.jsonl.gz file (reference-compatible) instead "
+        "of a Spark directory sink; implied when -o ends with .jsonl.gz",
+    )
     pe.set_defaults(fn=cmd_extract)
 
     pa = sub.add_parser("analyze", help="summary JSONL -> report")
@@ -150,6 +175,12 @@ def main(argv: list[str] | None = None) -> int:
     pa.add_argument("--fail-on-error", action="store_true")
     pa.add_argument("--high-contrast-mode", action="store_true")
     pa.add_argument("--scatter-limit", type=int, default=50_000)
+    pa.add_argument(
+        "--template-contract",
+        action="store_true",
+        help="render .html via the reference output.template.html contract "
+        "(per-chart json_item script blocks; bokeh-backed when importable)",
+    )
     pa.set_defaults(fn=cmd_analyze)
 
     pp = sub.add_parser("process", help="summary JSONL -> filtered/obfuscated JSONL")
@@ -163,6 +194,7 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--remove-locations", action="store_true")
     pp.add_argument("--rename-user", action="store_true")
     pp.add_argument("--rename-partitions", action="store_true")
+    pp.add_argument("--single-file", action="store_true")
     pp.set_defaults(fn=cmd_process)
 
     args = p.parse_args(argv)

@@ -56,3 +56,26 @@ def test_cli_analyze_filter_and_limit(spark, corpus, tmp_path, capsys):
 
     # unknown analyzer name -> usage error
     assert main(["analyze", "-i", summary, "-o", out_json, "--filter", "nope"]) == 2
+
+
+def test_cli_single_file_and_template_contract(spark, corpus, tmp_path, capsys):
+    """Reference-style invocation: `-o summary.jsonl.gz` lands ONE gzip file
+    (extract.py:189-203 shape); `analyze --template-contract` emits the
+    reference template's per-chart script blocks."""
+    import os
+
+    summary = str(tmp_path / "summary.jsonl.gz")
+    assert main(["extract", "-i", str(corpus), "-o", summary]) == 0
+    assert "extracted 13 summaries" in capsys.readouterr().out
+    assert os.path.isfile(summary)
+    with gzip.open(summary, "rt") as fh:
+        assert sum(1 for line in fh if line.strip()) == 13
+
+    html_out = str(tmp_path / "out.html")
+    rc = main(
+        ["analyze", "-i", summary, "-o", html_out, "--template-contract"]
+    )
+    assert rc == 0
+    html = open(html_out).read()
+    assert '<script type="application/json" id="scheduled_by_date">' in html
+    assert "const structure = " in html
