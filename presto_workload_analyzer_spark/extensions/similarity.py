@@ -409,13 +409,14 @@ def lsh_topk(
     vec_col: str = "embedding",
     n_planes: int = 8,
     k: int = 10,
+    n_dims: int | None = None,
 ) -> DataFrame:
     """ANN top-k within LSH buckets: assign -> same-bucket join -> rank.
 
     Recall < 1 by construction (bucket misses); cheap at scale because the
     join key prunes the candidate set ~2^n_planes-fold.
     """
-    buckets = hyperplane_buckets(emb, id_col, vec_col, n_planes)
+    buckets = hyperplane_buckets(emb, id_col, vec_col, n_planes, n_dims=n_dims)
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
         buckets, on="id"
     )

@@ -180,6 +180,70 @@ def tfidf_top_terms(
     )
 
 
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.4,
+    max_df_ratio: float = 0.5,
+) -> DataFrame:
+    """Document-pair cosine similarity over L2-normalized TF-IDF vectors,
+    computed through an INVERTED INDEX — the sparse-text twin of the
+    embedding near-dup operators, and the classic no-all-pairs shape:
+    documents only ever meet on terms they share (posting-list self-join on
+    `term`), so corpus size never enters a cross join.
+
+    Weights: tf * ln(N/df), L2-normalized per document, so the summed
+    product IS the cosine. Terms with df > max_df_ratio*N are pruned before
+    the join — standard IR max-df stop-terming, and at scale the skew
+    bound: the biggest posting list is capped at max_df_ratio of the
+    corpus, everything hotter is by definition a low-signal stop term.
+    (Terms in EVERY doc have idf=0 and are dropped losslessly regardless.)
+
+    Output: (id_a, id_b, cosine) for pairs above threshold.
+    Shuffle shape at 100 TB: token-stream groupBy to (id, term) grain,
+    vocabulary-grain df aggregate + broadcast N, join on term (posting
+    lists), pair-grain groupBy — all key-partitioned, AQE handles residual
+    term skew.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.transform(tokens(text_col), lambda t: F.lower(t))).alias("term"),
+    )
+    tf = toks.groupBy("id", "term").agg(
+        F.count(F.lit(1)).cast("double").alias("tf")
+    )
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("double").alias("dfq"))
+    n = df.select(F.countDistinct(id_col).cast("double").alias("__n"))
+    weighted = (
+        tf.join(docfreq, on="term")
+        .crossJoin(F.broadcast(n))
+        .filter(F.col("dfq") <= max_df_ratio * F.col("__n"))
+        .select(
+            "id",
+            "term",
+            (F.col("tf") * F.log(F.col("__n") / F.col("dfq"))).alias("w"),
+        )
+    )
+    norms = weighted.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    unit = (
+        weighted.join(norms, on="id")
+        .filter(F.col("nrm") > 0)
+        .select("id", "term", (F.col("w") / F.col("nrm")).alias("u"))
+    )
+    a = unit.select(F.col("id").alias("id_a"), "term", F.col("u").alias("ua"))
+    b = unit.select(F.col("id").alias("id_b"), "term", F.col("u").alias("ub"))
+    return (
+        a.join(b, on="term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("ua") * F.col("ub")).alias("cosine"))
+        .filter(F.col("cosine") > threshold)
+    )
+
+
 def top_ngrams(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, k: int = 20
 ) -> DataFrame:

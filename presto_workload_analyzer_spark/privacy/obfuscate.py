@@ -331,3 +331,45 @@ def process_summary(
         remove_locations=remove_locations,
     )
     return out, tables
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi_cols: list[str],
+    k: int = 5,
+    mode: str = "suppress",
+    mask_value: str = "*",
+) -> DataFrame:
+    """k-anonymity enforcement over a quasi-identifier combination.
+
+    A row is re-identifiable when its quasi-identifier tuple (e.g. user x
+    update-type x date) is shared by fewer than k rows. Two standard
+    treatments, both fully distributed (one partitioned window, no
+    collect):
+
+      * mode='suppress' — drop the under-k rows (output schema unchanged);
+      * mode='mask'     — keep them, but replace every quasi column with
+        `mask_value` (cast to string), merging all rare combinations into
+        one indistinguishable group.
+
+    The window partitions on the quasi columns, so the count is computed
+    where the data already lives after one hash shuffle; no group ever
+    needs to fit anywhere special. Extends the reference's privacy surface
+    (jsonl_process.py rename/remove obfuscation) with a grouping-based
+    guarantee the rename map alone cannot give.
+    """
+    if mode not in ("suppress", "mask"):
+        raise ValueError(f"k_anonymize: unknown mode {mode!r}")
+    w = Window.partitionBy(*quasi_cols)
+    sized = df.withColumn("__gsize", F.count(F.lit(1)).over(w))
+    if mode == "suppress":
+        return sized.filter(F.col("__gsize") >= k).drop("__gsize")
+    masked = sized
+    for c in quasi_cols:
+        masked = masked.withColumn(
+            c,
+            F.when(F.col("__gsize") >= k, F.col(c).cast("string")).otherwise(
+                F.lit(mask_value)
+            ),
+        )
+    return masked.drop("__gsize")

@@ -814,3 +814,68 @@ def test_simhash_near_dup_pairs(docs):
     assert (1, 4) not in pairs and (2, 4) not in pairs
     with pytest.raises(ValueError):
         dedup.simhash_near_dup_pairs(docs, "doc_id", "text", max_hamming=4, bands=4)
+
+
+def test_tfidf_cosine_pairs(spark):
+    """Inverted-index TF-IDF cosine: near-identical docs pair high, docs
+    sharing only a ubiquitous (max-df-pruned) term do not pair at all, and
+    a hand-computed two-doc cosine comes out exact."""
+    rows = [
+        Row(doc_id=1, text="spark engine shuffle partition"),
+        Row(doc_id=2, text="spark engine shuffle partition"),   # exact dup of 1
+        Row(doc_id=3, text="the quick brown fox"),
+        Row(doc_id=4, text="the lazy dog sleeps"),               # shares only 'the'
+        Row(doc_id=5, text="the unrelated verse entirely here"),  # third 'the'
+        Row(doc_id=6, text="postgres engine index btree"),       # shares 'engine'
+    ]
+    df = spark.createDataFrame(rows)
+    out_all = {
+        (r.id_a, r.id_b): r.cosine
+        for r in textstats.tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.0, max_df_ratio=0.5
+        ).collect()
+    }
+    assert out_all[(1, 2)] == pytest.approx(1.0)  # identical docs
+    # docs 3 and 4 share ONLY 'the' (df 2 of 6, kept at ratio 0.5): the pair
+    # exists with positive cosine strictly below the exact-dup pair
+    assert 0.0 < out_all[(3, 4)] < out_all[(1, 2)]
+    # 'engine' appears in 3 of 6 docs (1, 2, 6): link (1, 6) exists below
+    # the dup pair at ratio 0.5 (cut = 3 docs, df 3 kept)
+    assert (1, 6) in out_all and out_all[(1, 6)] < 1.0
+    # max_df pruning at ratio 0.4 (cut = 2.4 docs): 'the' and 'engine'
+    # (df 3) are dropped, so the (3, 4) link disappears; the dup pair still
+    # shares spark/shuffle/partition (df 2) and survives.
+    pruned = {
+        (r.id_a, r.id_b)
+        for r in textstats.tfidf_cosine_pairs(
+            df, "doc_id", "text", threshold=0.0, max_df_ratio=0.4
+        ).collect()
+    }
+    assert (1, 2) in pruned and (3, 4) not in pruned
+    # no cartesian anywhere: posting-list equi-join only
+    plan = (
+        textstats.tfidf_cosine_pairs(df, "doc_id", "text")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+
+
+def test_k_anonymize(spark):
+    from presto_workload_analyzer_spark.privacy.obfuscate import k_anonymize
+
+    rows = [Row(rid=i, city="springfield", age=30 + i % 2) for i in range(8)]
+    rows += [Row(rid=100, city="rare-town", age=99)]
+    df = spark.createDataFrame(rows)
+
+    kept = k_anonymize(df, ["city", "age"], k=3)
+    assert {r.rid for r in kept.collect()} == set(range(8))
+    assert kept.schema == df.schema  # suppress mode: schema unchanged
+
+    masked = k_anonymize(df, ["city", "age"], k=3, mode="mask")
+    got = {r.rid: (r.city, r.age) for r in masked.collect()}
+    assert got[100] == ("*", "*")            # rare combo fully masked
+    assert got[0] == ("springfield", "30")   # big groups keep values (as strings)
+    assert masked.count() == 9               # mask mode drops nothing
+
+    with pytest.raises(ValueError, match="unknown mode"):
+        k_anonymize(df, ["city"], k=2, mode="generalize")
