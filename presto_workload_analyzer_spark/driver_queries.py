@@ -739,13 +739,16 @@ _register(
 
 
 # The round driver correctness-checks the FIRST 50 entries of queries()
-# (registration order). Round-2 checked a00-a28/k01-k02 plus x01-x20 — all
-# green (CORRECTNESS_r02.json) — so this round rotates the never-checked
-# surfaces (streaming s01-s06, privacy p01-p03, a29-a32, and the x-queries
-# flagged by the round-1 verdict) into the window right after the SURVEY §2
-# gate block. Queries left out of the window stay registered (and benched);
-# they rotate in next round.
-_CHECK_PRIORITY = [
+# (registration order), so ordering IS the verification schedule. The rule,
+# self-maintaining across rounds:
+#   1. the SURVEY §2 gate block always leads (the contract the judge reads);
+#   2. then every query no CORRECTNESS_r*.json has ever verified —
+#      hint-ordered (this round's rotation below), registration order after;
+#      a checked-but-FAILED query re-enters this group until it passes;
+#   3. then everything already verified, registration order.
+# Each round the freshly-checked names fall to group 3 automatically and
+# the next never-checked batch slides into the window.
+_GATE = [
     # SURVEY §2 gate: the 28 analyzers + collect_metrics + unit-parse kernels
     "a01_scheduled_by_date", "a02_scheduled_by_hour", "a03_input_by_date",
     "a04_input_by_hour", "a05_queries_by_date", "a06_queries_by_hour",
@@ -760,7 +763,10 @@ _CHECK_PRIORITY = [
     "a23_inputrows_vs_selectivity", "a27_joins_sides",
     "a28_joins_selectivity", "a00_collect_metrics", "k01_parse_time_units",
     "k02_parse_size_units",
-    # round-3 rotation: never driver-checked before
+]
+# round-3 rotation hint: streaming + privacy + rollups + the verdict-flagged
+# x-queries, then the new operators — 19 slots after the 31-name gate
+_ROTATION_HINT = [
     "s01_stream_events_by_day", "s02_stream_user_sessions",
     "s03_stream_dedup_events_by_day", "s04_stream_interval_join",
     "s05_session_window_native", "s06_stream_sliding_load",
@@ -773,10 +779,38 @@ _CHECK_PRIORITY = [
 ]
 
 
+def _verified_names() -> set[str]:
+    """Names any past round's CORRECTNESS_r*.json records as verified:
+    hash-matched against the oracle, or rows-only by design (no_oracle)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    seen: set[str] = set()
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(p) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                seen.add(name)
+    return seen
+
+
 def _ordered(registry: dict) -> dict:
-    out = {n: registry[n] for n in _CHECK_PRIORITY if n in registry}
-    out.update((n, v) for n, v in registry.items() if n not in out)
-    return out
+    verified = _verified_names()
+    gate = [n for n in _GATE if n in registry]
+    rest = [n for n in registry if n not in gate]
+    hint_rank = {n: i for i, n in enumerate(_ROTATION_HINT)}
+    never = [n for n in rest if n not in verified]
+    never.sort(key=lambda n: hint_rank.get(n, len(hint_rank)))  # stable
+    done = [n for n in rest if n in verified]
+    return {n: registry[n] for n in gate + never + done if n in registry}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
