@@ -43,16 +43,11 @@ def main() -> None:
     # warm the streaming machinery (state store, stateful python workers) at
     # tiny scale so timed s-queries measure steady state, not first-stream
     # init (worth ~7 s of one-time cost otherwise booked to s01/s02)
-    for _name in (
-        "s01_stream_events_by_day",
-        "s02_stream_user_sessions",
-        "s03_stream_dedup_events_by_day",
-        "s04_stream_interval_join",
-        "s05_session_window_native",
-        "s06_stream_sliding_load",
-    ):
+    for _name, _fn in driver_queries.queries().items():
+        if not _name.startswith("s"):
+            continue
         try:
-            driver_queries.queries()[_name](spark, "/root/testdata/sf0.001")
+            _fn(spark, "/root/testdata/sf0.001")
         except Exception:
             pass
 

@@ -2291,3 +2291,58 @@ _register(
     " SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,"
     "  round(sum(\"value\"), 6) AS total_value FROM x GROUP BY 1",
 )
+
+
+def _s07(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static enrichment join: the event stream joins a BATCH
+    dimension table (customer -> nation) inside the streaming query, then
+    rolls up per (day, nation). This is the standard Structured Streaming
+    dimension-enrichment shape — the static side is planned per micro-batch
+    and broadcast (no state store involved, unlike stream-stream joins);
+    at scale the dimension re-reads pick up slowly-changing updates
+    between micro-batches for free. Oracle: the identical batch join."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events")
+    dim = F.broadcast(
+        read_sf_table(spark, sf, "customer").select(
+            F.col("c_custkey").alias("user_id"), F.col("c_nationkey").alias("nation")
+        )
+    )
+    agg = (
+        ev.join(dim, on="user_id")  # stream-static: no watermark required
+        .groupBy(F.window("ts", "1 day").alias("w"), F.col("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 6).alias("value_sum"),
+        )
+    )
+    name = f"s07_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("w.start").alias("bucket"),
+        F.col("nation").cast("long").alias("nation"),
+        "n_events",
+        "value_sum",
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s07_stream_static_enrich",
+    _s07,
+    "SELECT date_trunc('day', e.ts) AS bucket,"
+    " CAST(c.c_nationkey AS BIGINT) AS nation,"
+    " CAST(count(*) AS BIGINT) AS n_events,"
+    " round(sum(e.\"value\"), 6) AS value_sum"
+    " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
+    " GROUP BY 1, 2",
+)
