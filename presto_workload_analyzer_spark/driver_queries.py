@@ -2346,3 +2346,50 @@ _register(
     " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
     " GROUP BY 1, 2",
 )
+
+
+def _x35(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup: the 20% batch (doc_id % 5 == 0) arrives 'new'
+    against the 80% corpus; exact + MinHash-band anti-joins keep only the
+    genuinely novel docs (extensions.dedup.incremental_dedup — the
+    continuous-ingest counterpart of the one-shot x01/x02 builds)."""
+    docs = read_sf_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 5 == 0)
+    kept = X_dedup.incremental_dedup(
+        corpus, new, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    return kept.select("doc_id")
+
+
+def _x35_sql() -> str:
+    def band_ctes(src: str, p: str) -> str:
+        bands = " UNION ALL ".join(
+            f"SELECT id, {b} AS band, md5(concat_ws('|', sig_{b*4}, sig_{b*4+1},"
+            f" sig_{b*4+2}, sig_{b*4+3})) AS band_hash FROM {p}sig"
+            for b in range(4)
+        )
+        return (
+            f"{p}tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+            f"  FROM {src}),"
+            f" {p}sh AS (SELECT DISTINCT doc_id AS id,"
+            f"  array_to_string(w[i:i+2], ' ') AS shingle"
+            f"  FROM {p}tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),"
+            f" {p}sig AS (SELECT id, {_X02_SIGS} FROM {p}sh GROUP BY id),"
+            f" {p}bands AS ({bands})"
+        )
+
+    return (
+        "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),"
+        " newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),"
+        " nex AS (SELECT * FROM newb WHERE text NOT IN (SELECT text FROM corpus)),"
+        + band_ctes("nex", "n")
+        + ", "
+        + band_ctes("corpus", "c")
+        + ", hits AS (SELECT DISTINCT n.id FROM nbands n"
+        "   JOIN cbands c USING (band, band_hash))"
+        " SELECT doc_id FROM nex WHERE doc_id NOT IN (SELECT id FROM hits)"
+    )
+
+
+_register("x35_incremental_dedup", _x35, _x35_sql())

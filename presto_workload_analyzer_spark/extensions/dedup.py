@@ -483,6 +483,52 @@ def embedding_near_dup_pairs(
     ).filter(F.col("cosine") > threshold)
 
 
+def incremental_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    mode: str = "md5",
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus — the production shape
+    of continuous ingest: every arriving shard is checked against what the
+    pipeline already kept, and only the corpus-vs-new comparison is paid
+    (never corpus-vs-corpus, which x01/x02 cover for the initial build).
+
+    Two stages, both anti-joins:
+      1. exact — new rows whose full text already exists in the corpus;
+      2. near — new rows whose MinHash band-hash collides with any corpus
+         band (same shingle->signature->band pipeline as minhash_lsh_pairs;
+         the join is new-bands x corpus-bands, so cost scales with the NEW
+         batch's bucket overlap, and the corpus side is a reusable
+         signature table a real deployment materializes once and appends
+         to).
+
+    Returns the kept subset of `new` (original columns).
+    """
+    exact_keys = corpus.select(F.col(text_col)).distinct()
+    non_exact = new.join(exact_keys, on=text_col, how="left_anti")
+
+    rows_per_band = num_hashes // bands
+
+    def _bands(df: DataFrame) -> DataFrame:
+        sh = shingles(df, id_col, text_col, k=k, distinct=False)
+        sig = minhash_signatures(sh, num_hashes=num_hashes, mode=mode)
+        return lsh_bands(sig, bands=bands, rows_per_band=rows_per_band, mode=mode)
+
+    near_hit_ids = (
+        _bands(non_exact)
+        .withColumnRenamed("id", "__new_id")
+        .join(_bands(corpus).select("band", "band_hash"), on=["band", "band_hash"])
+        .select(F.col("__new_id").alias(id_col))
+        .distinct()
+    )
+    return non_exact.join(near_hit_ids, on=id_col, how="left_anti")
+
+
 def blocked_embedding_near_dup_pairs(
     emb: DataFrame,
     id_col: str,

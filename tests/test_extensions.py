@@ -879,3 +879,29 @@ def test_k_anonymize(spark):
 
     with pytest.raises(ValueError, match="unknown mode"):
         k_anonymize(df, ["city"], k=2, mode="generalize")
+
+
+def test_incremental_dedup(spark):
+    """New-batch-vs-corpus dedup: exact dup of a corpus doc is dropped,
+    near dup (one-word change) is dropped via band collision, novel doc
+    survives — and no corpus row is ever compared against the corpus."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest to find some food for the winter"
+    )
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="existing corpus document about streaming engines"),
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base),                              # exact dup
+            Row(doc_id=11, text=base.replace("green", "dark")),     # near dup
+            Row(doc_id=12, text="a completely novel incoming record nothing shares"),
+        ]
+    )
+    kept = dedup.incremental_dedup(corpus, new, "doc_id", "text")
+    assert {r.doc_id for r in kept.collect()} == {12}
+    assert set(kept.columns) == set(new.columns)
