@@ -69,13 +69,26 @@ def cmd_analyze(args: argparse.Namespace) -> int:
         fail_on_error=args.fail_on_error,
         high_contrast=args.high_contrast_mode,
     )
-    if args.template_contract and args.output.endswith(".html"):
+    if args.template_contract:
         from presto_workload_analyzer_spark.report.emitter import (
             render_html_template_contract,
         )
 
-        with open(args.output, "w") as f:
-            f.write(render_html_template_contract(report))
+        if args.output.endswith(".html"):
+            with open(args.output, "w") as f:
+                f.write(render_html_template_contract(report))
+        elif args.output.endswith(".zip"):
+            import zipfile
+
+            with zipfile.ZipFile(args.output, "w", zipfile.ZIP_DEFLATED) as z:
+                z.writestr("output.html", render_html_template_contract(report))
+        else:
+            print(
+                "--template-contract requires an .html or .zip output "
+                f"(got {args.output!r})",
+                file=sys.stderr,
+            )
+            return 2
     else:
         write_report(report, args.output)
     n_charts = len(report["charts"])

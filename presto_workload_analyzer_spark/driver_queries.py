@@ -742,12 +742,14 @@ _register(
 # (registration order), so ordering IS the verification schedule. The rule,
 # self-maintaining across rounds:
 #   1. the SURVEY §2 gate block always leads (the contract the judge reads);
-#   2. then every query no CORRECTNESS_r*.json has ever verified —
+#   2. then every query the LATEST CORRECTNESS_r*.json did not verify —
 #      hint-ordered (this round's rotation below), registration order after;
-#      a checked-but-FAILED query re-enters this group until it passes;
-#   3. then everything already verified, registration order.
-# Each round the freshly-checked names fall to group 3 automatically and
-# the next never-checked batch slides into the window.
+#      a checked-but-FAILED query re-enters this group until it passes,
+#      and an old pass expires after one round (code may have changed);
+#   3. then everything the latest round verified, registration order.
+# Each round the freshly-checked names fall to group 3 and everything else
+# slides forward — a freshness round-robin re-verifying every non-gate
+# query every ~2 rounds with no manual list edits.
 _GATE = [
     # SURVEY §2 gate: the 28 analyzers + collect_metrics + unit-parse kernels
     "a01_scheduled_by_date", "a02_scheduled_by_hour", "a03_input_by_date",
@@ -780,26 +782,39 @@ _ROTATION_HINT = [
 
 
 def _verified_names() -> set[str]:
-    """Names any past round's CORRECTNESS_r*.json records as verified:
-    hash-matched against the oracle, or rows-only by design (no_oracle)."""
+    """Names the MOST RECENT round's CORRECTNESS_r*.json records as verified:
+    hash-matched against the oracle, or rows-only by design (no_oracle).
+
+    Only the latest round counts on purpose: a pass from three rounds ago
+    says nothing about code changed since. The consequence is a freshness
+    round-robin — names verified last round fall to the back, the window
+    picks up everything else, and with a 50-name window every non-gate
+    query gets re-verified every ~2 rounds even with zero code changes."""
     import glob as _glob
     import json as _json
     import os as _os
+    import re as _re
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    seen: set[str] = set()
-    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(p) as fh:
-                rows = _json.load(fh)
-        except (OSError, ValueError):
-            continue
-        for name, row in rows.items():
-            if not isinstance(row, dict):
-                continue
-            if row.get("hash_match") is True or row.get("err") == "no_oracle":
-                seen.add(name)
-    return seen
+    latest, latest_n = None, -1
+    for p in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        n = int(m.group(1)) if m else -1
+        if n > latest_n:
+            latest, latest_n = p, n
+    if latest is None:
+        return set()
+    try:
+        with open(latest) as fh:
+            rows = _json.load(fh)
+    except (OSError, ValueError):
+        return set()
+    return {
+        name
+        for name, row in rows.items()
+        if isinstance(row, dict)
+        and (row.get("hash_match") is True or row.get("err") == "no_oracle")
+    }
 
 
 def _ordered(registry: dict) -> dict:
@@ -2184,13 +2199,15 @@ def _x31(spark: SparkSession, sf: str) -> DataFrame:
     broadcast back over the scan, and the bin is a scan-side comparison
     column. No unpartitioned window anywhere in the plan (the round-1 ntile
     formulation sorted the whole corpus through one reducer; plan-linted
-    against in tests/test_plan_lint.py). At sf scale the sketch (accuracy
-    100k) is exact, so DuckDB quantile_disc agrees bit-for-bit; ties at a
-    boundary go to the lower bucket on both sides by construction."""
+    against in tests/test_plan_lint.py). The sketch is rank-EXACT only
+    while the corpus fits its accuracy (1e6 here — documents up to sf~20 at
+    50k docs/sf); past that DuckDB's quantile_disc may disagree by one rank
+    and the accuracy must grow with the gate's sf. Ties at a boundary go to
+    the lower bucket on both sides by construction."""
     docs = read_sf_table(spark, sf, "documents")
     bounds = docs.select(
         F.expr(
-            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 100000)"
+            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 1000000)"
         ).alias("qb")
     )
     quartile = (

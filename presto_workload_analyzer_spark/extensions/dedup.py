@@ -552,23 +552,35 @@ def blocked_embedding_near_dup_pairs(
     """
     from presto_workload_analyzer_spark.extensions.similarity import (
         cosine_expr,
-        hyperplane_buckets,
+        hyperplane_bucket_expr,
     )
 
     if n_dims is None:
-        # one metadata probe shared by every band (hyperplane_buckets would
-        # otherwise probe per band — n_bands driver-side head() jobs)
+        # one metadata probe shared by every band
         row = emb.select(vec_col).head()
         if row is None:
             raise ValueError("blocked_embedding_near_dup_pairs: empty input")
         n_dims = len(row[0])
-    bucketed = None
-    for band in range(n_bands):
-        hb = hyperplane_buckets(
-            emb, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
-            n_dims=n_dims, plane_offset=band * n_planes,
-        ).select(F.lit(band).alias("band"), "id", "bucket")
-        bucketed = hb if bucketed is None else bucketed.unionByName(hb)
+    # every band's bucket in ONE projection over the scan, then explode —
+    # a union of per-band selects would re-run the scan + plane projections
+    # once per band (the lsh_bands union trap, ~bands-fold cost)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(band).alias("band"),
+                hyperplane_bucket_expr(
+                    F.col(vec_col),
+                    n_planes=n_planes,
+                    n_dims=n_dims,
+                    plane_offset=band * n_planes,
+                ).alias("bucket"),
+            )
+            for band in range(n_bands)
+        ]
+    )
+    bucketed = emb.select(
+        F.col(id_col).alias("id"), F.explode(band_structs).alias("__bb")
+    ).select("id", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
 
     cand = (
         bucketed.alias("l")

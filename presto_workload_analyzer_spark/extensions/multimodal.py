@@ -144,7 +144,10 @@ def _decode_png(b: bytes) -> tuple[int, int, int, float] | None:
             out += line
             prev = line
         if color_type == 3:  # palette -> RGB samples
-            if not plte:
+            # an index past the palette would expand to a short slice and
+            # yield confidently-wrong pixels; malformed palettes take the
+            # same None -> deterministic-fake fallback as other bad input
+            if not plte or (out and max(out) * 3 + 3 > len(plte)):
                 return None
             rgb = bytearray()
             for idx in out:

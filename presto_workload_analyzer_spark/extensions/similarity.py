@@ -198,19 +198,33 @@ def hyperplane_buckets(
     docstring rather than hidden.
     Output: (id, bucket) — equi-join on bucket bounds ANN candidates.
     """
-    import hashlib
-
-    def sign(p: int, i: int) -> int:
-        return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
-
-    v = _to_double(F.col(vec_col))
-    bucket = None
     if n_dims is None:
         # metadata probe fallback; planes are per-dim literals either way
         row = emb.select(vec_col).head()
         if row is None:
             raise ValueError("hyperplane_buckets: empty input and no n_dims given")
         n_dims = len(row[0])
+    bucket = hyperplane_bucket_expr(
+        F.col(vec_col), n_planes=n_planes, n_dims=n_dims, plane_offset=plane_offset
+    )
+    return emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
+
+
+def hyperplane_bucket_expr(
+    vec: Column, n_planes: int, n_dims: int, plane_offset: int = 0
+) -> Column:
+    """The bucket assignment of hyperplane_buckets as a plain Column, so
+    multi-band callers can compute every band's bucket in ONE projection
+    pass (an array of per-band structs + explode) instead of a union of
+    per-band selects that re-evaluates the input lineage once per band
+    (the same trap dedup.lsh_bands documents, measured ~bands-fold cost)."""
+    import hashlib
+
+    def sign(p: int, i: int) -> int:
+        return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
+
+    v = _to_double(vec)
+    bucket = None
     for p in range(n_planes):
         coeffs = F.array(
             *[F.lit(float(sign(p + plane_offset, i))) for i in range(n_dims)]
@@ -220,7 +234,7 @@ def hyperplane_buckets(
         )
         bit = F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return emb.select(F.col(id_col).alias("id"), bucket.cast("int").alias("bucket"))
+    return bucket.cast("int")
 
 
 def ivf_topk(

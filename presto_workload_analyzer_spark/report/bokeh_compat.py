@@ -83,9 +83,14 @@ def chart_json_item(chart: dict[str, Any]) -> dict[str, Any]:
         from bokeh.embed import json_item
 
         item = json_item(model=_build_figure(chart), target=chart["id"])
-        refs = item["doc"].get("roots", {})
-        if isinstance(refs, dict) and "references" in refs:
-            refs["references"].sort(key=lambda r: (r["type"], r["id"]))
+        roots = item["doc"].get("roots")
+        if isinstance(roots, dict) and "references" in roots:
+            # bokeh 2.x doc shape: sort references like analyze.py:1254 so
+            # identical data renders to identical bytes
+            roots["references"].sort(key=lambda r: (r["type"], r["id"]))
+        # bokeh 3.x: doc["roots"] is a list of serialized models with
+        # freshly-generated ids — no stable sort key exists, so repeated
+        # renders are NOT byte-identical there (data content still is)
         return {"doc": item["doc"]}
     return {"fallback": chart}
 

@@ -282,5 +282,10 @@ def write_summary_jsonl_file(df: DataFrame, path: str) -> None:
             f"expected exactly one part file in {staging}, found {parts}"
         )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    shutil.move(parts[0], path)
+    if os.path.isdir(path):
+        # a previous run may have left a Spark DIRECTORY sink at this path;
+        # shutil.move would silently drop the part file INSIDE it and the
+        # promised single gzip file would never exist
+        shutil.rmtree(path)
+    os.replace(parts[0], path)  # atomic overwrite of an existing file
     shutil.rmtree(staging)

@@ -731,7 +731,12 @@ def test_png_decode_unsupported_falls_back():
         + chunk(b"IHDR", struct.pack(">II", 4, 4) + bytes([8, 2, 0, 0, 1]))
     )
     truncated = _encode_png(8, 5, 2, bytes(8 * 5 * 3))[:40]
-    for bad in (sixteen_bit, interlaced, truncated, b"junkjunkjunk"):
+    # palette image whose indices point past the (truncated) PLTE: must
+    # fall back, never return confidently-wrong pixels from short slices
+    bad_palette = _encode_png(
+        4, 2, 3, bytes([0, 1, 2, 3, 4, 5, 6, 7]), palette=bytes(range(9))  # 3 entries
+    )
+    for bad in (sixteen_bit, interlaced, truncated, bad_palette, b"junkjunkjunk"):
         assert _decode_png(bad) is None
         assert len(_decode_bytes(bad)) == 4  # fake path, no exception
 

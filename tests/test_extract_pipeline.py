@@ -222,6 +222,30 @@ def test_summary_jsonl_single_file_roundtrip(spark, summary_df, tmp_path):
     assert back.schema == summary_df.schema
 
 
+def test_summary_jsonl_single_file_replaces_stale_directory(
+    spark, summary_df, tmp_path
+):
+    """A prior run may have left a Spark DIRECTORY sink at the target path
+    (the old CLI wrote one for any -o); the single-file writer must replace
+    it with the promised file, not move the part file inside it."""
+    from presto_workload_analyzer_spark.sources.queryinfo import (
+        write_summary_jsonl,
+        write_summary_jsonl_file,
+    )
+
+    path = str(tmp_path / "summary.jsonl.gz")
+    write_summary_jsonl(summary_df, path)  # leaves a DIRECTORY at path
+    assert os.path.isdir(path)
+    write_summary_jsonl_file(summary_df, path)
+    assert os.path.isfile(path)
+    with gzip.open(path, "rt") as fh:
+        assert sum(1 for line in fh if line.strip()) == summary_df.count()
+    # and overwriting an existing FILE works too
+    write_summary_jsonl_file(summary_df.limit(3), path)
+    with gzip.open(path, "rt") as fh:
+        assert sum(1 for line in fh if line.strip()) == 3
+
+
 def test_resolve_table_name_unit():
     assert resolve_table_name({"table": {}}) is None
     assert resolve_table_name({}) is None

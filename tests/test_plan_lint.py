@@ -72,13 +72,26 @@ def test_no_unpartitioned_window_or_cartesian(spark, name):
     df = driver_queries.queries()[name](spark, SF_DIR)
     plan = df._jdf.queryExecution().executedPlan().toString()
 
+    def _depth(line: str) -> int:
+        # tree glyphs (space, :, +, -, *, parens of codegen ids) precede the
+        # operator name; depth = index of its first alphanumeric character
+        for idx, ch in enumerate(line):
+            if ch.isalnum():
+                return idx
+        return len(line)
+
     lines = plan.splitlines()
     for i, line in enumerate(lines):
         if "Window " not in line:
             continue
-        # the window's input chain prints directly below it; an unpartitioned
-        # window funnels through `Exchange SinglePartition` within a few lines
-        for j in range(i + 1, min(i + 5, len(lines))):
+        # walk the window's INPUT subtree (strictly deeper lines) until the
+        # tree dedents back past the window — not a fixed line budget; a
+        # chain of Projects/Filters must not hide the single-partition
+        # exchange from the lint
+        d = _depth(line)
+        for j in range(i + 1, len(lines)):
+            if _depth(lines[j]) <= d:
+                break
             if "Window " in lines[j]:
                 break  # nested window: it gets its own check
             if "Exchange SinglePartition" not in lines[j]:
