@@ -2410,3 +2410,43 @@ def _x35_sql() -> str:
 
 
 _register("x35_incremental_dedup", _x35, _x35_sql())
+
+
+def _x36(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantized ANN: embeddings compressed to int8 codes with a
+    global (min, max) codebook, top-k ranked by cosine over the CODES
+    (similarity.cosine_topk_quantized). Integer dot products are exactly
+    representable in doubles, so the oracle comparison needs no rounding
+    tolerance — qcosine is emitted raw."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_sim.cosine_topk_quantized(
+        emb, emb.filter(F.col("vec_id") < 10), k=5
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("qcosine"), 9).alias("qcosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_register(
+    "x36_quantized_topk",
+    _x36,
+    "WITH b AS (SELECT min(list_min(CAST(embedding AS DOUBLE[]))) AS mn,"
+    "  max(list_max(CAST(embedding AS DOUBLE[]))) AS mx FROM embeddings),"
+    " coded AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+    "  x -> CAST(round((x - mn) / (mx - mn) * 255.0 + 1e-9) AS INT)) AS c"
+    "  FROM embeddings, b),"
+    " q AS (SELECT vec_id AS query_id, CAST(c AS DOUBLE[]) AS qc FROM coded"
+    "  WHERE vec_id < 10),"
+    " cc AS (SELECT vec_id AS neighbor_id, CAST(c AS DOUBLE[]) AS nc FROM coded),"
+    " s AS (SELECT query_id, neighbor_id,"
+    "  list_dot_product(qc, nc) / (sqrt(list_dot_product(qc, qc))"
+    "  * sqrt(list_dot_product(nc, nc))) AS qcosine"
+    "  FROM q, cc WHERE query_id <> neighbor_id),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+    "  ORDER BY qcosine DESC, neighbor_id) AS rank FROM s)"
+    " SELECT query_id, neighbor_id, round(qcosine, 9) AS qcosine, rank"
+    " FROM r WHERE rank <= 5",
+)

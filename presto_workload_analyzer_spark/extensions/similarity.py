@@ -447,3 +447,71 @@ def lsh_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def scalar_quantization_bounds(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Global (min, max) over every component of every vector — the scalar
+    quantizer's codebook, one tiny mergeable aggregate (array_min/array_max
+    per row, then min/max across rows)."""
+    v = _to_double(F.col(vec_col))
+    return emb.select(
+        F.min(F.array_min(v)).alias("mn"), F.max(F.array_max(v)).alias("mx")
+    )
+
+
+def quantize_expr(vec: Column, mn: Column, mx: Column) -> Column:
+    """float vector -> int8-range codes: round((x-mn)/(mx-mn)*255 + 1e-9).
+
+    The 1e-9 nudge keeps half-way cases off the rounding boundary so Spark
+    and any SQL oracle round identically (the engine-portability convention
+    used across this repo's double outputs)."""
+    return F.transform(
+        _to_double(vec),
+        lambda x: F.round((x - mn) / (mx - mn) * 255.0 + 1e-9).cast("int"),
+    )
+
+
+def cosine_topk_quantized(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k by COSINE OVER INT8 CODES — scalar-quantized ANN.
+
+    At 100 TB the point is bandwidth: int8 codes are 4-8x smaller than
+    float32/64 vectors, so scans, shuffles, and cache working sets shrink
+    by the same factor while ranking quality degrades only marginally
+    (256 levels per dim). The quantizer is a global (min, max) pair —
+    a one-row broadcast, no training. A production pipeline materializes
+    the coded column once and re-ranks the final shortlist with full-
+    precision vectors; here the coded ranking itself is the contract.
+
+    Integer dot products are exactly representable in doubles (sums far
+    below 2^53), so the quantized cosine — unlike any float-sum path — is
+    bit-identical across engines, making this operator's oracle exact with
+    no rounding tolerance at all.
+    """
+    bounds = scalar_quantization_bounds(corpus, vec_col)
+    code = lambda df, alias: (  # noqa: E731
+        df.crossJoin(F.broadcast(bounds)).select(
+            F.col(id_col).alias(alias),
+            quantize_expr(F.col(vec_col), F.col("mn"), F.col("mx")).alias(
+                f"{alias}_code"
+            ),
+        )
+    )
+    q = code(queries, "query_id")
+    c = code(corpus, "neighbor_id")
+    cos = cosine_expr(F.col("query_id_code"), F.col("neighbor_id_code"))
+    scored = (
+        c.join(F.broadcast(q))  # small coded query side broadcast, like cosine_topk
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("qcosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qcosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

