@@ -934,3 +934,35 @@ def test_cosine_topk_quantized(vectors):
     rows = sorted(out.collect(), key=lambda r: r.rank)
     assert rows[0].neighbor_id == 1  # planted near-dup survives quantization
     assert rows[0].qcosine > 0.99
+
+
+def test_png_decode_property_roundtrip():
+    """Property test: ANY 8-bit image encoded with ANY per-row filter
+    choice decodes to exactly its source pixels (dims, channels, mean)."""
+    from hypothesis import given, settings, strategies as st
+
+    from presto_workload_analyzer_spark.extensions.multimodal import _decode_png
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(1, 12),
+        h=st.integers(1, 8),
+        color=st.sampled_from([0, 2, 4, 6]),
+        data=st.data(),
+    )
+    def check(w, h, color, data):
+        channels = {0: 1, 2: 3, 4: 2, 6: 4}[color]
+        n = w * h * channels
+        samples = bytes(
+            data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+        )
+        filters = data.draw(
+            st.lists(st.integers(0, 4), min_size=h, max_size=h)
+        )
+        got = _decode_png(_encode_png(w, h, color, samples, row_filters=filters))
+        assert got is not None
+        gw, gh, gc, gm = got
+        assert (gw, gh, gc) == (w, h, channels)
+        assert abs(gm - sum(samples) / n / 255.0) < 1e-12
+
+    check()
