@@ -2450,3 +2450,50 @@ _register(
     " SELECT query_id, neighbor_id, round(qcosine, 9) AS qcosine, rank"
     " FROM r WHERE rank <= 5",
 )
+
+
+def _x37(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID quality eval: confusion matrix of the stopword-profile
+    detector (x09) against the corpus's labeled `lang` column — per
+    (true, predicted) cell count and within-truth share. The eval rollup
+    every classifier-ish pipeline operator needs next to its predictions;
+    one groupBy over the scan, share via a partitioned window on the
+    truth label (group-cardinality input, no global window)."""
+    docs = read_sf_table(spark, sf, "documents")
+    w = Window.partitionBy("lang")
+    return (
+        docs.select(F.col("lang"), X_text.language_id("text").alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "share",
+            F.round(F.col("n") / F.sum("n").over(w) + 1e-9, 6),
+        )
+    )
+
+
+_X37_PRED_CASE = (
+    " CASE WHEN r_en >= r_de AND r_en >= r_fr AND r_en >= r_es AND r_en >= r_zh THEN 'en'"
+    "      WHEN r_de >= r_fr AND r_de >= r_es AND r_de >= r_zh THEN 'de'"
+    "      WHEN r_fr >= r_es AND r_fr >= r_zh THEN 'fr'"
+    "      WHEN r_es >= r_zh THEN 'es'"
+    "      ELSE 'zh' END"
+)
+
+_register(
+    "x37_langid_confusion",
+    _x37,
+    "WITH r AS (SELECT lang, "
+    + ", ".join(
+        f"({_RATIO_SQL.format(lst=lst)}) AS r_{lang}"
+        for lang, lst in _X09_LISTS.items()
+    )
+    + " FROM documents),"
+    f" p AS (SELECT lang, {_X37_PRED_CASE} AS pred_lang FROM r),"
+    " m AS (SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n"
+    "  FROM p GROUP BY 1, 2)"
+    " SELECT lang, pred_lang, n,"
+    "  round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY lang) + 1e-9, 6)"
+    "   AS share"
+    " FROM m",
+)
