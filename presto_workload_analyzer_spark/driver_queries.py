@@ -2497,3 +2497,119 @@ _register(
     "   AS share"
     " FROM m",
 )
+
+
+def _a33(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-load anomaly scores: daily scheduled-time totals z-scored
+    against the trailing 7-day window — the alerting layer on top of the
+    scheduled_by_date dashboard (a01). The ordered window runs over the
+    DAILY AGGREGATE (≤ date-range rows, never the corpus; the plan lint's
+    aggregate-feeds rule), with a null score until 2+ trailing days
+    exist. Beyond-reference analytic in the reference's own domain."""
+    q = workload_queries(spark, sf)
+    daily = q.groupBy(F.to_date("query_ts").alias("day")).agg(
+        (F.sum("scheduled_time") / 86400.0).alias("load")
+    )
+    w = Window.orderBy("day").rowsBetween(-7, -1)
+    mean = F.avg("load").over(w)
+    sd = F.stddev_samp("load").over(w)
+    return daily.select(
+        "day",
+        F.round(F.col("load") + 1e-9, 6).alias("load"),
+        F.round(
+            F.when(sd > 0, (F.col("load") - mean) / sd) + 1e-9, 6
+        ).alias("zscore"),
+    )
+
+
+_register(
+    "a33_load_anomaly",
+    _a33,
+    _ALL_CTES
+    + ", daily AS (SELECT CAST(query_ts AS DATE) AS day,"
+    "   sum(scheduled_time) / 86400.0 AS load FROM queries GROUP BY 1),"
+    " r AS (SELECT day, load, avg(load) OVER w AS m,"
+    "   stddev_samp(load) OVER w AS sd FROM daily"
+    "   WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+    " SELECT day, round(load + 1e-9, 6) AS load,"
+    "  round(CASE WHEN sd > 0 THEN (load - m) / sd END + 1e-9, 6) AS zscore"
+    " FROM r",
+)
+
+
+def _a34(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-shape fingerprinting: SQL text normalized by stripping string
+    and numeric literals, then rolled up per shape — the workload
+    analyzer's classic repeated-query dedup (what a Presto operator would
+    use to find the 5 query templates that cost 90% of the cluster).
+    The adapter corpus has no SQL text, so realistic statements are
+    SYNTHESIZED deterministically from events (same construction in the
+    oracle), and functions.normalize_sql does the literal stripping."""
+    from presto_workload_analyzer_spark.functions import normalize_sql
+
+    ev = read_sf_table(spark, sf, "events")
+    # three statement templates (int literals only — double->string
+    # formatting is not engine-portable); each normalizes to ONE shape no
+    # matter which ids/limits appear
+    sql_text = (
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("INSERT INTO orders (user_id, qty) VALUES ("),
+                F.col("user_id").cast("string"),
+                F.lit(", "),
+                (F.col("event_id") % 7 + 1).cast("string"),
+                F.lit(")"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("CREATE TABLE staging AS SELECT * FROM users WHERE id = "),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("SELECT * FROM events WHERE user_id = "),
+                F.col("user_id").cast("string"),
+                F.lit(" AND event_type = '"),
+                F.col("event_type"),
+                F.lit("' LIMIT "),
+                (F.col("event_id") % 100 + 1).cast("string"),
+            )
+        )
+    )
+    return (
+        ev.select(
+            normalize_sql(sql_text).alias("shape"),
+            F.col("value").alias("elapsed"),
+        )
+        .groupBy("shape")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.sum("elapsed") + 1e-9, 6).alias("total_elapsed"),
+        )
+    )
+
+
+_register(
+    "a34_query_shapes",
+    _a34,
+    "WITH s AS (SELECT CASE"
+    "  WHEN event_type = 'purchase' THEN"
+    "   'INSERT INTO orders (user_id, qty) VALUES (' || CAST(user_id AS VARCHAR)"
+    "   || ', ' || CAST(event_id % 7 + 1 AS VARCHAR) || ')'"
+    "  WHEN event_type = 'signup' THEN"
+    "   'CREATE TABLE staging AS SELECT * FROM users WHERE id = '"
+    "   || CAST(user_id AS VARCHAR)"
+    "  ELSE 'SELECT * FROM events WHERE user_id = ' || CAST(user_id AS VARCHAR)"
+    "   || ' AND event_type = ''' || event_type || ''' LIMIT '"
+    "   || CAST(event_id % 100 + 1 AS VARCHAR) END AS q,"
+    " \"value\" AS elapsed FROM events),"
+    " n AS (SELECT regexp_replace(regexp_replace(q, '''[^'']*''', '?', 'g'),"
+    "   '\\b[0-9]+(\\.[0-9]+)?\\b', '?', 'g') AS shape, elapsed FROM s)"
+    " SELECT shape, CAST(count(*) AS BIGINT) AS n_queries,"
+    "  round(sum(elapsed) + 1e-9, 6) AS total_elapsed"
+    " FROM n GROUP BY 1",
+)

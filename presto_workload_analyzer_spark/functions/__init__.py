@@ -15,12 +15,14 @@ from presto_workload_analyzer_spark.functions.timeutil import (
     trunc_hour,
 )
 from presto_workload_analyzer_spark.functions.labels import (
+    normalize_sql,
     node_type_from_attype,
     shorten,
     strip_operator_suffix,
 )
 
 __all__ = [
+    "normalize_sql",
     "SIZE_UNITS",
     "TIME_UNITS",
     "parse_size",

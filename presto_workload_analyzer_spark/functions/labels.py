@@ -32,3 +32,15 @@ def shorten(label: Column | str, max_len: int = 30) -> Column:
     return F.when(
         F.length(col) > max_len, F.concat(F.substring(col, 1, max_len), F.lit("..."))
     ).otherwise(col)
+
+
+def normalize_sql(sql: Column | str) -> Column:
+    """SQL text -> its literal-free shape: string literals ('...', with ''
+    escapes) then bare numbers become '?'. Two chained regexp_replace
+    calls, whole-stage codegen — the query-template fingerprint used to
+    group repeated statements that differ only in parameters (the classic
+    workload-analysis dedup; beyond-reference capability in the
+    reference's domain)."""
+    col = F.col(sql) if isinstance(sql, str) else sql
+    no_strings = F.regexp_replace(col, r"'[^']*'", "?")
+    return F.regexp_replace(no_strings, r"\b[0-9]+(\.[0-9]+)?\b", "?")

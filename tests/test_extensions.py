@@ -966,3 +966,25 @@ def test_png_decode_property_roundtrip():
         assert abs(gm - sum(samples) / n / 255.0) < 1e-12
 
     check()
+
+
+def test_normalize_sql(spark):
+    from presto_workload_analyzer_spark.functions import normalize_sql
+
+    rows = [
+        Row(q="SELECT * FROM t WHERE id = 42 AND name = 'bob' LIMIT 10"),
+        Row(q="SELECT * FROM t WHERE id = 7 AND name = 'alice''s' LIMIT 99"),
+        Row(q="INSERT INTO t VALUES (1, 2.5, 'x')"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = [r.s for r in df.select(normalize_sql("q").alias("s")).collect()]
+    assert got[0] == "SELECT * FROM t WHERE id = ? AND name = ? LIMIT ?"
+    # '' escape splits into two literals under the simple regex — both
+    # become ?, the shape is still literal-free and groups consistently
+    assert "alice" not in got[1] and "99" not in got[1]
+    assert got[2] == "INSERT INTO t VALUES (?, ?, ?)"
+    # identifiers keep their digits (user_7 is a name, not a literal)
+    one = spark.createDataFrame([Row(q="SELECT x FROM tbl_2024 WHERE y = 5")])
+    assert one.select(normalize_sql("q").alias("s")).collect()[0].s == (
+        "SELECT x FROM tbl_2024 WHERE y = ?"
+    )
