@@ -1,0 +1,83 @@
+"""Scan-level plan audit: column pruning and filter pushdown must reach the
+parquet scan. At 100 TB the difference between scanning [n_chars] and
+scanning [doc_id, text, ...] is the whole game — a projection that drags
+the text column through a stats query reads terabytes for nothing. These
+tests parse the FileScan nodes of representative driver queries and pin
+the scanned column set / pushed predicates structurally."""
+
+import re
+
+import pytest
+
+from presto_workload_analyzer_spark import driver_queries
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\][^\n]*?Location:[^\n]*?/(\w+)\.parquet")
+
+
+def _scans(spark, name):
+    """[(table, {column, ...}, scan_line)] for every parquet scan in the plan."""
+    df = driver_queries.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    out = []
+    for line in plan.splitlines():
+        m = _SCAN_RE.search(line)
+        if not m:
+            continue
+        cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
+        out.append((m.group(2), cols, line))
+    return out
+
+
+def test_x31_prunes_text_column(spark):
+    # the quartile profile needs ONE numeric column; dragging `text`
+    # (the dominant bytes of the table) through the scan would be the
+    # difference between kilobytes and the whole corpus at 100 TB
+    for table, cols, line in _scans(spark, "x31_length_quartiles"):
+        assert table == "documents"
+        assert cols == {"n_chars"}, line
+
+
+def test_p04_scans_only_quasi_columns(spark):
+    for table, cols, line in _scans(spark, "p04_k_anonymity"):
+        assert table == "events"
+        assert cols == {"event_id", "user_id", "event_type"}, line
+
+
+def test_x06_pushes_id_filter_to_scan(spark):
+    scans = _scans(spark, "x06_embedding_near_dups")
+    assert scans, "expected parquet scans in the plan"
+    for table, cols, line in scans:
+        assert table == "embeddings"
+        assert cols <= {"vec_id", "embedding"}
+        # the vec_id < 150 cap must reach the scan, not sit in a Filter above it
+        assert "vec_id" in line.split("DataFilters:", 1)[1].split("]", 1)[0], line
+
+
+def test_x07_text_stats_scans_minimal_columns(spark):
+    for table, cols, line in _scans(spark, "x07_text_stats"):
+        assert table == "documents"
+        assert cols == {"doc_id", "text"}, line
+
+
+def test_a01_adapter_scan_prunes_unused_event_columns(spark):
+    # the queries-corpus adapter derives everything it needs from 4 event
+    # columns; props (the JSON blob) must never reach this scan
+    for table, cols, line in _scans(spark, "a01_scheduled_by_date"):
+        if table != "events":
+            continue
+        assert "props" not in cols, line
+
+
+@pytest.mark.parametrize(
+    "name,table,banned",
+    [
+        ("x16_hash_split", "documents", {"embedding"}),
+        ("x30_label_centroids", "embeddings", set()),  # needs label+embedding only
+    ],
+)
+def test_no_foreign_columns(spark, name, table, banned):
+    for t, cols, line in _scans(spark, name):
+        if t == table:
+            assert not (cols & banned), line
