@@ -2613,3 +2613,94 @@ _register(
     "  round(sum(elapsed) + 1e-9, 6) AS total_elapsed"
     " FROM n GROUP BY 1",
 )
+
+
+_X38_QUALITY_SQL = (
+    f" 0.4 * least(({_RATIO_SQL.format(lst=_EN_LIST)}) / 0.25, 1.0)"
+    " + 0.3 * (1.0 - least((CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+    "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END) * 5.0, 1.0))"
+    " + 0.3 * least((CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+    "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))) / 8.0, 1.0)"
+)
+
+
+def _x38(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source corpus triage: the table a data curator reads before
+    deciding which sources to keep, cap, or re-crawl — doc count, size,
+    mean quality (x08's score), and exact-duplicate rate per `source`.
+    One scan + one groupBy; the dup rate reuses exact-dedup's survivor
+    rule (count - distinct texts = duplicate rows)."""
+    docs = read_sf_table(spark, sf, "documents")
+    return (
+        docs.select(
+            "source",
+            "n_chars",
+            X_text.quality_score("text").alias("q"),
+            F.col("text"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.round(F.avg("q") + 1e-9, 6).alias("avg_quality"),
+            F.round(
+                (F.count(F.lit(1)) - F.countDistinct("text"))
+                / F.count(F.lit(1))
+                + 1e-9,
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+
+
+_register(
+    "x38_source_triage",
+    _x38,
+    "WITH q AS (SELECT source, n_chars, text,"
+    f" ({_X38_QUALITY_SQL}) AS q FROM documents)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  CAST(sum(n_chars) AS BIGINT) AS total_chars,"
+    "  round(avg(q) + 1e-9, 6) AS avg_quality,"
+    "  round((count(*) - count(DISTINCT text)) * 1.0 / count(*) + 1e-9, 6)"
+    "   AS dup_rate"
+    " FROM q GROUP BY 1",
+)
+
+
+def _x39(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget sequence packing: documents are packed greedily (in
+    deterministic doc_id order, per source) into fixed token-budget bins —
+    the batch/context-window packing step before training. bin =
+    floor(exclusive-prefix-sum(tokens) / budget): a running-total window
+    per source partition, never a global sort; at scale the partition key
+    is whatever sharding the packer runs under."""
+    budget = 2000
+    docs = read_sf_table(spark, sf, "documents")
+    toks = X_text.token_count("text")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        docs.select("source", "doc_id", toks.cast("long").alias("n_tokens"))
+        .withColumn(
+            "bin",
+            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget)
+            .cast("long"),
+        )
+    )
+
+
+_register(
+    "x39_token_packing",
+    _x39,
+    "SELECT source, doc_id,"
+    " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,"
+    " CAST(floor(coalesce(sum(len(string_split_regex(trim(text), '\\s+')))"
+    "  OVER (PARTITION BY source ORDER BY doc_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)"
+    "  AS BIGINT) AS bin"
+    " FROM documents",
+)
