@@ -2704,3 +2704,45 @@ _register(
     "  AS BIGINT) AS bin"
     " FROM documents",
 )
+
+
+def _x40(spark: SparkSession, sf: str) -> DataFrame:
+    """Table profiling over the event log: per-column null/distinct counts
+    and portable min/max strings, one aggregation pass + stack() unpivot
+    (extensions.profile.profile_columns — the DESCRIBE/data-quality
+    operator; approx_count_distinct mode is the 100 TB default, exact mode
+    is used here because the oracle needs exact numbers)."""
+    from presto_workload_analyzer_spark.extensions.profile import profile_columns
+
+    ev = read_sf_table(spark, sf, "events")
+    return profile_columns(ev, ["event_id", "ts", "user_id", "event_type", "value"])
+
+
+def _x40_sql() -> str:
+    def stats(col, dtype, mn, mx):
+        return (
+            f"SELECT '{col}' AS \"column\", '{dtype}' AS dtype,"
+            " CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+            "  AS n_nulls,"
+            f" CAST(count(DISTINCT {col}) AS BIGINT) AS n_distinct,"
+            f" {mn} AS min_value, {mx} AS max_value FROM events"
+        )
+
+    parts = [
+        stats("event_id", "bigint",
+              "CAST(min(event_id) AS VARCHAR)", "CAST(max(event_id) AS VARCHAR)"),
+        stats("ts", "timestamp_ntz",
+              "strftime(min(ts), '%Y-%m-%d %H:%M:%S')",
+              "strftime(max(ts), '%Y-%m-%d %H:%M:%S')"),
+        stats("user_id", "bigint",
+              "CAST(min(user_id) AS VARCHAR)", "CAST(max(user_id) AS VARCHAR)"),
+        stats("event_type", "string", "min(event_type)", "max(event_type)"),
+        stats("value", "double",
+              "printf('%.6f', round(min(\"value\") + 1e-9, 6))",
+              "printf('%.6f', round(max(\"value\") + 1e-9, 6))"),
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_register("x40_profile_events", _x40, _x40_sql())

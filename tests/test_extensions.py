@@ -988,3 +988,25 @@ def test_normalize_sql(spark):
     assert one.select(normalize_sql("q").alias("s")).collect()[0].s == (
         "SELECT x FROM tbl_2024 WHERE y = ?"
     )
+
+
+def test_profile_columns(spark):
+    from presto_workload_analyzer_spark.extensions.profile import profile_columns
+
+    rows = [
+        Row(a=1, b="x", c=1.5),
+        Row(a=10, b=None, c=-2.25),
+        Row(a=9, b="y", c=None),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.column: r for r in profile_columns(df).collect()}
+    assert got["a"].n_rows == 3 and got["a"].n_nulls == 0
+    # native-type ordering: max(a) is 10, not lexicographic "9"
+    assert (got["a"].min_value, got["a"].max_value) == ("1", "10")
+    assert got["b"].n_nulls == 1 and got["b"].n_distinct == 2
+    assert got["c"].min_value == "-2.250000" and got["c"].max_value == "1.500000"
+    # approx mode runs and keeps the same schema
+    approx = profile_columns(df, distinct_mode="approx")
+    assert approx.columns == profile_columns(df).columns
+    with pytest.raises(ValueError, match="unknown distinct_mode"):
+        profile_columns(df, distinct_mode="sketchy")
