@@ -2746,3 +2746,37 @@ def _x40_sql() -> str:
 
 
 _register("x40_profile_events", _x40, _x40_sql())
+
+
+def _p05(spark: SparkSession, sf: str) -> DataFrame:
+    """Differential-privacy mechanism shape: per-user event counts with
+    deterministic Laplace(1) noise derived from a salted md5 of the group
+    key (privacy.noisy_counts) — reproducible across engines and reruns,
+    so the oracle matches exactly; a real release swaps the fixed salt
+    for per-release entropy."""
+    from presto_workload_analyzer_spark.privacy.obfuscate import noisy_counts
+
+    ev = read_sf_table(spark, sf, "events")
+    return noisy_counts(ev, ["user_id"], scale=1.0)
+
+
+def _p05_sql() -> str:
+    hexpos = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    v = " + ".join(
+        f"{hexpos.format(i=i + 1)} * {16 ** (5 - i)}" for i in range(6)
+    )
+    return (
+        "WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events"
+        "  GROUP BY 1),"
+        " k AS (SELECT user_id, n,"
+        "  md5('noise|' || CAST(user_id AS VARCHAR)) AS h FROM g),"
+        f" u AS (SELECT user_id, n, (({v}) + 0.5) / {float(16 ** 6)!r} - 0.5 AS u"
+        "  FROM k)"
+        " SELECT user_id, n,"
+        "  round(n + (-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u))) + 1e-9, 6)"
+        "   AS noisy_n"
+        " FROM u"
+    )
+
+
+_register("p05_noisy_counts", _p05, _p05_sql())

@@ -373,3 +373,45 @@ def k_anonymize(
             ),
         )
     return masked.drop("__gsize")
+
+
+def laplace_noise(key: "Column", scale: float = 1.0, salt: str = "noise") -> "Column":
+    """Deterministic Laplace(scale) noise derived from md5(salt|key) —
+    the additive-noise half of a differential-privacy release, made
+    REPRODUCIBLE: the 'randomness' is a salted hash of the group key, so
+    reruns (and any engine that can md5) produce the identical release.
+    Inverse-CDF transform: u ~ Uniform(-1/2, 1/2) from 24 hash bits,
+    noise = -scale * sign(u) * ln(1 - 2|u|).
+
+    True DP requires non-reproducible randomness (a fixed salt leaks under
+    repeated queries with different predicates); this operator is the
+    MECHANISM shape — swap the salt for per-release entropy in a real
+    deployment, everything else unchanged.
+    """
+    h = F.md5(F.concat(F.lit(f"{salt}|"), key.cast("string")))
+    v = F.conv(F.substring(h, 1, 6), 16, 10).cast("double")
+    u = (v + 0.5) / float(16**6) - 0.5
+    return F.lit(-scale) * F.signum(u) * F.log(1.0 - 2.0 * F.abs(u))
+
+
+def noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    scale: float = 1.0,
+    salt: str = "noise",
+) -> DataFrame:
+    """Per-group counts with deterministic Laplace noise: one groupBy, the
+    noise keyed on the concatenated group values. Output:
+    (group_cols..., n, noisy_n) — `n` exact (drop it in a real release),
+    `noisy_n` rounded to 6 decimals."""
+    key = F.concat_ws("|", *[F.col(c).cast("string") for c in group_cols])
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .withColumn(
+            "noisy_n",
+            F.round(
+                F.col("n") + laplace_noise(key, scale=scale, salt=salt) + 1e-9, 6
+            ),
+        )
+    )

@@ -1010,3 +1010,21 @@ def test_profile_columns(spark):
     assert approx.columns == profile_columns(df).columns
     with pytest.raises(ValueError, match="unknown distinct_mode"):
         profile_columns(df, distinct_mode="sketchy")
+
+
+def test_noisy_counts(spark):
+    from presto_workload_analyzer_spark.privacy.obfuscate import noisy_counts
+
+    rows = [Row(uid=i % 3, x=i) for i in range(30)]
+    df = spark.createDataFrame(rows)
+    out = {r.uid: r for r in noisy_counts(df, ["uid"], scale=1.0).collect()}
+    assert all(r.n == 10 for r in out.values())
+    # noise is nonzero, bounded in practice, and differs across keys
+    noises = {uid: r.noisy_n - r.n for uid, r in out.items()}
+    assert any(abs(v) > 1e-6 for v in noises.values())
+    assert len(set(noises.values())) > 1
+    # deterministic: identical release on rerun; different salt -> different
+    again = {r.uid: r.noisy_n for r in noisy_counts(df, ["uid"], scale=1.0).collect()}
+    assert again == {uid: r.noisy_n for uid, r in out.items()}
+    other = {r.uid: r.noisy_n for r in noisy_counts(df, ["uid"], salt="s2").collect()}
+    assert other != again
