@@ -21,15 +21,18 @@ def test_rotation_hint_inside_window_when_unverified():
 
 def test_verified_queries_yield_window_slots(monkeypatch):
     # simulate a future round where this round's rotation has been verified:
-    # every remaining never-checked query must slide into the window
+    # the never-checked queries must fill EVERY free window slot (when more
+    # remain than slots, the overflow waits exactly one more round — the
+    # round-robin, not starvation), and every verified non-gate name sorts
+    # after every never-checked one
     simulated = dq._verified_names() | set(dq._ROTATION_HINT)
     monkeypatch.setattr(dq, "_verified_names", lambda: simulated)
     names = list(dq.queries())
     never = [n for n in names if n not in simulated and n not in dq._GATE]
-    window = names[:50]
-    for n in never:
-        assert n in window, f"{n} still starved of a verification slot"
-    # and verified non-gate names come after every never-checked one
+    free_slots = 50 - len(dq._GATE)
+    window_tail = names[len(dq._GATE) : 50]
+    expected_in_window = min(len(never), free_slots)
+    assert sum(1 for n in window_tail if n in never) == expected_in_window
     last_never = max(names.index(n) for n in never) if never else 0
     first_done = min(
         names.index(n) for n in names if n in simulated and n not in dq._GATE
