@@ -2780,3 +2780,64 @@ def _p05_sql() -> str:
 
 
 _register("p05_noisy_counts", _p05, _p05_sql())
+
+
+def _a35(spark: SparkSession, sf: str) -> DataFrame:
+    """The reference's advisory thresholds as an actionable table instead
+    of dashed chart lines (analyze.py:223/252/283/1131): queries over
+    10 GB peak memory, over 1 TB input, over 300 s elapsed, and replicated
+    (broadcast) joins whose build side exceeds 1e6 bytes — each with its
+    affected count. One aggregation pass over the queries corpus (all
+    three query-level advisories as parallel sums + stack unpivot) plus
+    one over the join pairs."""
+    q = workload_queries(spark, sf)
+    qrow = q.agg(
+        F.sum((F.col("peak_mem") > 1e10).cast("long")).alias("m"),
+        F.sum((F.col("input_size") > 1e12).cast("long")).alias("i"),
+        F.sum((F.col("elapsed_time") > 300).cast("long")).alias("e"),
+    )
+    q_adv = qrow.select(
+        F.stack(
+            F.lit(3),
+            F.lit("peak_mem_over_10GB"), F.lit(1e10), F.col("m"),
+            F.lit("input_over_1TB"), F.lit(1e12), F.col("i"),
+            F.lit("elapsed_over_300s"), F.lit(300.0), F.col("e"),
+        ).alias("advisory", "threshold", "n_affected")
+    )
+    joins = A.joins_sides(
+        workload_join_operators(spark, sf), workload_join_nodes(spark, sf)
+    )
+    j_adv = joins.agg(
+        F.sum(
+            (
+                (F.col("distribution_type") == "REPLICATED")
+                & (F.col("build_input_size") > 1e6)
+            ).cast("long")
+        ).alias("n")
+    ).select(
+        F.lit("replicated_build_over_1MB").alias("advisory"),
+        F.lit(1e6).alias("threshold"),
+        F.col("n").alias("n_affected"),
+    )
+    return q_adv.unionByName(j_adv)
+
+
+_register(
+    "a35_threshold_advisories",
+    _a35,
+    _ALL_CTES
+    + "SELECT 'peak_mem_over_10GB' AS advisory, 1e10 AS threshold,"
+    "  CAST(sum(CASE WHEN peak_mem > 1e10 THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_affected FROM queries"
+    " UNION ALL SELECT 'input_over_1TB', 1e12,"
+    "  CAST(sum(CASE WHEN input_size > 1e12 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  FROM queries"
+    " UNION ALL SELECT 'elapsed_over_300s', 300.0,"
+    "  CAST(sum(CASE WHEN elapsed_time > 300 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  FROM queries"
+    " UNION ALL SELECT 'replicated_build_over_1MB', 1e6,"
+    "  CAST(sum(CASE WHEN n.distribution_type = 'REPLICATED'"
+    "   AND b.input_size > 1e6 THEN 1 ELSE 0 END) AS BIGINT)"
+    "  FROM jnodes n JOIN jprobe p USING (query_id)"
+    "  JOIN jbuild b USING (query_id)",
+)
