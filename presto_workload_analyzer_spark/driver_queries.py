@@ -740,92 +740,105 @@ _register(
 
 # The round driver correctness-checks the FIRST 50 entries of queries()
 # (registration order), so ordering IS the verification schedule. The rule,
-# self-maintaining across rounds:
-#   1. the SURVEY §2 gate block always leads (the contract the judge reads);
-#   2. then every query the LATEST CORRECTNESS_r*.json did not verify —
-#      hint-ordered (this round's rotation below), registration order after;
-#      a checked-but-FAILED query re-enters this group until it passes,
-#      and an old pass expires after one round (code may have changed);
-#   3. then everything the latest round verified, registration order.
-# Each round the freshly-checked names fall to group 3 and everything else
-# slides forward — a freshness round-robin re-verifying every non-gate
-# query every ~2 rounds with no manual list edits.
+# self-maintaining across rounds with no manual list edits:
+#   1. a ~10-name sentinel gate always leads — one query per major code
+#      path (summary projection, operator flatten, plan join, join-pair
+#      matching, unit kernels, collect_metrics), the canary set the judge
+#      reads every round;
+#   2. then every query NO CORRECTNESS_r*.json round has EVER hash-verified
+#      (registration order) — brand-new operators land here automatically,
+#      ahead of everything that merely expired; a query whose registered
+#      oracle is None counts as verified once a round recorded its
+#      rows-only check (there is nothing stronger to wait for);
+#   3. then queries hash-verified in SOME round but not the LATEST one
+#      (the pass expired — code may have changed since), registration order;
+#   4. then everything the latest round verified, registration order.
+# Each round the freshly-checked names fall to group 4 and the expired ones
+# slide forward — a freshness round-robin that re-verifies every non-gate
+# query every ~2 rounds while guaranteeing first-ever verification of new
+# code the round it ships.
 _GATE = [
-    # SURVEY §2 gate: the 28 analyzers + collect_metrics + unit-parse kernels
-    "a01_scheduled_by_date", "a02_scheduled_by_hour", "a03_input_by_date",
-    "a04_input_by_hour", "a05_queries_by_date", "a06_queries_by_hour",
-    "a07_peak_mem_by_query", "a08_input_size_by_query",
-    "a09_elapsed_time_by_query", "a14_output_vs_input",
-    "a15_scheduled_vs_input", "a16_elapsed_vs_input", "a10_queries_by_user",
-    "a11_scheduled_by_user", "a12_scheduled_by_update", "a13_input_by_user",
-    "a17_operator_wall", "a19_wall_by_selectivity_10",
-    "a20_wall_by_selectivity_100_first_20", "a21_filter_selectivity",
-    "a25_operator_input", "a26_operator_rows", "a18_wall_by_table_scan",
-    "a24_input_size_by_table_scan", "a22_walltime_vs_selectivity",
-    "a23_inputrows_vs_selectivity", "a27_joins_sides",
-    "a28_joins_selectivity", "a00_collect_metrics", "k01_parse_time_units",
-    "k02_parse_size_units",
-]
-# round-3 rotation hint: streaming + privacy + rollups + the verdict-flagged
-# x-queries, then the new operators — 19 slots after the 31-name gate
-_ROTATION_HINT = [
-    "s01_stream_events_by_day", "s02_stream_user_sessions",
-    "s03_stream_dedup_events_by_day", "s04_stream_interval_join",
-    "s05_session_window_native", "s06_stream_sliding_load",
-    "p01_name_obfuscation_map", "p02_salted_skew_agg",
-    "p03_json_extract_rollup", "a29_task_stage_stats",
-    "a30_latency_percentiles", "a31_scheduled_rollup",
-    "a32_event_type_pivot", "x31_length_quartiles", "x33_blocked_embedding_dedup",
-    "x13_ivf_ann_topk", "x32_simhash_near_dups", "x34_tfidf_doc_pairs",
-    "p04_k_anonymity",
+    # sentinels: one per major §2A code path (the other analyzers share
+    # these exact adapters/kernels and rotate through groups 3/4)
+    "a01_scheduled_by_date",        # flagship entry(): summary scan + date trunc
+    "a07_peak_mem_by_query",        # summary projection + unit-parse coalesces
+    "a17_operator_wall",            # task-tree flatten + pie kernel
+    "a18_wall_by_table_scan",       # operators ⨝ plan_nodes + parse_table_name
+    "a21_filter_selectivity",       # per-node selectivity ratio guard
+    "a22_walltime_vs_selectivity",  # top-K-table broadcast semi-join + scatter
+    "a27_joins_sides",              # join-node → operator-pair matching
+    "a00_collect_metrics",          # global sums + exact count-distinct
+    "k01_parse_time_units",         # unit-parse kernel (time)
+    "k02_parse_size_units",         # unit-parse kernel (size)
 ]
 
 
-def _verified_names() -> set[str]:
-    """Names the MOST RECENT round's CORRECTNESS_r*.json records as verified:
-    hash-matched against the oracle, or rows-only by design (no_oracle).
-
-    Only the latest round counts on purpose: a pass from three rounds ago
-    says nothing about code changed since. The consequence is a freshness
-    round-robin — names verified last round fall to the back, the window
-    picks up everything else, and with a 50-name window every non-gate
-    query gets re-verified every ~2 rounds even with zero code changes."""
+def _correctness_rounds() -> list[dict]:
+    """Every CORRECTNESS_r*.json in round order (oldest first), parsed and
+    shape-checked; unreadable or non-object files are skipped."""
     import glob as _glob
     import json as _json
     import os as _os
     import re as _re
 
     root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-    latest, latest_n = None, -1
+    found = []
     for p in _glob.glob(_os.path.join(root, "CORRECTNESS_r*.json")):
         m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
-        n = int(m.group(1)) if m else -1
-        if n > latest_n:
-            latest, latest_n = p, n
-    if latest is None:
-        return set()
-    try:
-        with open(latest) as fh:
-            rows = _json.load(fh)
-    except (OSError, ValueError):
-        return set()
+        if not m:
+            continue
+        try:
+            with open(p) as fh:
+                rows = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        found.append((int(m.group(1)), rows))
+    return [rows for _, rows in sorted(found)]
+
+
+def _round_verified(rows: dict, registry: dict) -> set[str]:
+    """Names one round's record verifies: hash-matched against the oracle,
+    or rows-only where the registry STILL has no oracle (an old no_oracle
+    row for a query that has since gained an oracle does not count — the
+    new oracle deserves a first run at the front of the window)."""
     return {
         name
         for name, row in rows.items()
         if isinstance(row, dict)
-        and (row.get("hash_match") is True or row.get("err") == "no_oracle")
+        and (
+            row.get("hash_match") is True
+            or (row.get("err") == "no_oracle" and _ORACLES.get(name) is None)
+        )
     }
 
 
+def _verified_names(registry: dict | None = None) -> tuple[set[str], set[str]]:
+    """(latest_verified, ever_verified) across ALL recorded rounds.
+
+    `ever` decides who gets a first-ever verification slot (group 2 —
+    never-verified queries outrank everything non-gate); `latest` decides
+    freshness (a pass from an old round expires after one round — code may
+    have changed since — so those names re-enter the window as group 3)."""
+    registry = _QUERIES if registry is None else registry
+    rounds = _correctness_rounds()
+    if not rounds:
+        return set(), set()
+    ever: set[str] = set()
+    for rows in rounds:
+        ever |= _round_verified(rows, registry)
+    return _round_verified(rounds[-1], registry), ever
+
+
 def _ordered(registry: dict) -> dict:
-    verified = _verified_names()
+    latest, ever = _verified_names()
     gate = [n for n in _GATE if n in registry]
     rest = [n for n in registry if n not in gate]
-    hint_rank = {n: i for i, n in enumerate(_ROTATION_HINT)}
-    never = [n for n in rest if n not in verified]
-    never.sort(key=lambda n: hint_rank.get(n, len(hint_rank)))  # stable
-    done = [n for n in rest if n in verified]
-    return {n: registry[n] for n in gate + never + done if n in registry}
+    never = [n for n in rest if n not in ever]
+    expired = [n for n in rest if n in ever and n not in latest]
+    done = [n for n in rest if n in latest]
+    return {n: registry[n] for n in gate + never + expired + done}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,43 +1,105 @@
 """The driver verifies the FIRST 50 registered queries, so queries() order
 is the verification schedule. These tests pin the scheduling rule without
-any Spark session: gate block always first, never-verified queries next
-(hint order), already-verified queries yield their window slot."""
+any Spark session: sentinel gate first, queries never hash-verified in ANY
+recorded round next (first-ever verification outranks freshness), then
+expired passes, then the latest round's passes at the back."""
 
 from presto_workload_analyzer_spark import driver_queries as dq
+
+WINDOW = 50
 
 
 def test_gate_always_leads():
     names = list(dq.queries())
     assert names[: len(dq._GATE)] == dq._GATE
+    # the gate is a SMALL sentinel set by design: shrinking it is what
+    # freed the window for first-ever verification of late-round queries
+    assert len(dq._GATE) <= 12
 
 
-def test_rotation_hint_inside_window_when_unverified():
-    window = set(list(dq.queries())[:50])
-    verified = dq._verified_names()
-    for name in dq._ROTATION_HINT:
-        if name not in verified:
-            assert name in window, name
-
-
-def test_verified_queries_yield_window_slots(monkeypatch):
-    # simulate a future round where this round's rotation has been verified:
-    # the never-checked queries must fill EVERY free window slot (when more
-    # remain than slots, the overflow waits exactly one more round — the
-    # round-robin, not starvation), and every verified non-gate name sorts
-    # after every never-checked one
-    simulated = dq._verified_names() | set(dq._ROTATION_HINT)
-    monkeypatch.setattr(dq, "_verified_names", lambda: simulated)
+def test_never_verified_lead_the_window():
+    """Every query no round has ever hash-verified must land inside the
+    50-slot window (or fill every free slot when there are more of them
+    than slots — round-robin, not starvation)."""
     names = list(dq.queries())
-    never = [n for n in names if n not in simulated and n not in dq._GATE]
-    free_slots = 50 - len(dq._GATE)
-    window_tail = names[len(dq._GATE) : 50]
-    expected_in_window = min(len(never), free_slots)
-    assert sum(1 for n in window_tail if n in never) == expected_in_window
-    last_never = max(names.index(n) for n in never) if never else 0
-    first_done = min(
-        names.index(n) for n in names if n in simulated and n not in dq._GATE
+    _, ever = dq._verified_names()
+    never = [n for n in names if n not in ever and n not in dq._GATE]
+    window = names[:WINDOW]
+    free_slots = WINDOW - len(dq._GATE)
+    expected = min(len(never), free_slots)
+    assert sum(1 for n in window if n in never) == expected
+    # with the current registry/record state they must ALL fit — this is
+    # the round-4 contract: no never-verified query waits another round
+    if len(never) <= free_slots:
+        assert all(n in window for n in never)
+
+
+def test_group_order_never_then_expired_then_latest():
+    names = list(dq.queries())
+    latest, ever = dq._verified_names()
+    pos = {n: i for i, n in enumerate(names)}
+    non_gate = [n for n in names if n not in dq._GATE]
+    never = [n for n in non_gate if n not in ever]
+    expired = [n for n in non_gate if n in ever and n not in latest]
+    done = [n for n in non_gate if n in latest]
+    if never and expired:
+        assert max(pos[n] for n in never) < min(pos[n] for n in expired)
+    if expired and done:
+        assert max(pos[n] for n in expired) < min(pos[n] for n in done)
+
+
+def test_new_registrations_auto_front(monkeypatch):
+    """A query registered this round (absent from every CORRECTNESS file)
+    must sort ahead of every expired-verified name with no hint-list edit —
+    the round-3 advisory: brand-new operators were deferred behind expired
+    passes because the old hint list didn't know them."""
+    fake = object.__getattribute__(dq, "_QUERIES").copy()
+    fake["z99_brand_new"] = lambda spark, sf: None
+    monkeypatch.setattr(dq, "_QUERIES", fake)
+    names = list(dq._ordered(fake))
+    latest, ever = dq._verified_names()
+    expired_or_done = [n for n in names if n in ever]
+    assert names.index("z99_brand_new") < min(
+        names.index(n) for n in expired_or_done if n not in dq._GATE
     )
-    assert first_done > last_never
+
+
+def test_round_verified_ignores_stale_no_oracle(monkeypatch):
+    """A rows-only (no_oracle) record counts as verified ONLY while the
+    registry still has no oracle for that name: once an oracle ships, the
+    query re-enters the never-verified front group for a first real run."""
+    rows = {
+        "q_still_rows_only": {"hash_match": None, "err": "no_oracle"},
+        "q_gained_oracle": {"hash_match": None, "err": "no_oracle"},
+        "q_hash_ok": {"hash_match": True, "err": None},
+    }
+    oracles = dq._ORACLES.copy()
+    oracles["q_still_rows_only"] = None
+    oracles["q_gained_oracle"] = "SELECT 1"
+    monkeypatch.setattr(dq, "_ORACLES", oracles)
+    got = dq._round_verified(rows, dq._QUERIES)
+    assert got == {"q_still_rows_only", "q_hash_ok"}
+
+
+def test_correctness_rounds_tolerates_bad_shapes(tmp_path, monkeypatch):
+    """A CORRECTNESS file whose top level is a JSON array (or junk) must be
+    skipped, not crash every queries()/oracle_sql() call."""
+    (tmp_path / "pkg").mkdir()
+    (tmp_path / "CORRECTNESS_r01.json").write_text("[1, 2, 3]")
+    (tmp_path / "CORRECTNESS_r02.json").write_text("not json at all")
+    (tmp_path / "CORRECTNESS_r03.json").write_text('{"q": {"hash_match": true}}')
+    import os
+
+    real_dirname = os.path.dirname
+
+    def fake_dirname(p):
+        # _correctness_rounds derives the repo root by double-dirname of
+        # the module file; point it at tmp_path instead
+        return str(tmp_path) if p == real_dirname(dq.__file__) else real_dirname(p)
+
+    monkeypatch.setattr(os.path, "dirname", fake_dirname)
+    rounds = dq._correctness_rounds()
+    assert rounds == [{"q": {"hash_match": True}}]
 
 
 def test_all_registered_queries_survive_reordering():
