@@ -1582,17 +1582,22 @@ _register(
 
 
 def _x13(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN top-k. No oracle: KMeans centroids are not reproducible in
-    ANSI SQL, so the driver records the weaker rows-only check; exactness
-    of the n_probe=n_cells degenerate case and recall vs brute force are
-    asserted in tests/test_extensions.py instead."""
+    """IVF ANN top-k, driven through its EXACTNESS REDUCTION so the full
+    pipeline (KMeans fit, cell assignment, probe join, rank) gets a real
+    DuckDB oracle: with n_probe == n_cells every query probes every cell,
+    so IVF must equal brute-force top-k (similarity.ivf_topk docstring)
+    REGARDLESS of where KMeans put the centroids — the one configuration
+    where the hash-unreproducible part (the clustering) provably cancels
+    out of the answer. The recall-mode configuration (n_probe < n_cells)
+    stays covered by tests/test_extensions.py against the brute-force
+    baseline."""
     emb = read_sf_table(spark, sf, "embeddings")
-    # corpus-vs-subset: every vector is indexed, vec_id<200 act as queries
-    # (full corpus-vs-corpus with few cells is quadratic-per-cell; the cell
-    # count, not the query count, is what the scale path tunes)
+    # corpus = queries = the vec_id<200 subset; all vectors are indexed and
+    # all act as queries (the cell count, not the query count, is what the
+    # scale path tunes)
     out = X_sim.ivf_topk(
         emb.filter(F.col("vec_id") < 200).coalesce(4),
-        n_cells=16, n_probe=2, k=5, seed=42, max_iter=8,
+        n_cells=8, n_probe=8, k=5, seed=42, max_iter=8,
     )
     return out.select(
         "query_id",
@@ -1602,7 +1607,22 @@ def _x13(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_register("x13_ivf_ann_topk", _x13, None)
+_register(
+    "x13_ivf_ann_topk",
+    _x13,
+    # n_probe == n_cells ≡ brute force: the oracle is x05's shape over the
+    # same corpus-vs-itself subset
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+    " FROM embeddings WHERE vec_id < 200),"
+    " c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv"
+    " FROM embeddings WHERE vec_id < 200),"
+    f" s AS (SELECT query_id, neighbor_id, {_COS} AS cosine"
+    " FROM q, c WHERE query_id <> neighbor_id),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+    " ORDER BY cosine DESC, neighbor_id) AS rank FROM s)"
+    " SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank"
+    " FROM r WHERE rank <= 5",
+)
 
 
 def _s02(spark: SparkSession, sf: str) -> DataFrame:
