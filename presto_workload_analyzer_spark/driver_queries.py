@@ -907,17 +907,44 @@ _register(
 
 
 def _x20(spark: SparkSession, sf: str) -> DataFrame:
-    """The PRODUCTION minhash path (xxhash64, JVM codegen) — same pipeline
-    as x02 at the same params. No oracle (DuckDB has no xxhash64); candidate
-    quality is covered by test_minhash_xxhash_mode, and this entry puts the
-    scale path's throughput in the recorded bench next to the md5 mode."""
+    """The PRODUCTION minhash path (xxhash64, JVM codegen — no md5 in the
+    hot loop), driven end-to-end as the full LSH + VERIFY near-dup
+    pipeline so it has a real oracle: xxhash64 band candidates are scored
+    with EXACT shingle Jaccard (pair-driven join, cost ~ |candidates|) and
+    only pairs with J >= 0.9 survive. The expected output — every pair
+    with true J >= 0.9 — contains no hash function at all, so DuckDB
+    computes it exactly. The oracle holds when LSH recall at the threshold
+    is total: at 8 bands x 2 rows, P(miss) <= (1 - 0.9^2)^8 ~ 1.7e-6 per
+    pair, and on the fixed testdata recall is deterministic — re-asserted
+    by this very comparison every round. A pipeline bug that drops or
+    corrupts candidates (banding join, signature slicing, nondeterminism)
+    loses true pairs and fails the hash-match. Hash-mode candidate-set
+    equivalence (xxhash64 vs md5 at matching params) is pinned Spark-side
+    in tests/test_extensions.py."""
     docs = read_sf_table(spark, sf, "documents")
-    return X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64"
+    cand = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=8, mode="xxhash64"
+    )
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    ver = X_dedup.ngram_jaccard(sh, pairs=cand)
+    return ver.filter(F.col("jaccard") >= 0.9).select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard")
     )
 
 
-_register("x20_minhash_xxhash_pairs", _x20, None)
+_register(
+    "x20_minhash_xxhash_pairs",
+    _x20,
+    # the exact J >= 0.9 pair universe — hash-independent expected output
+    # of the verified LSH pipeline (see _x20 docstring for the recall bound)
+    f"WITH {_SHINGLE_SQL},"
+    " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+    " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni"
+    "  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),"
+    " j AS (SELECT id_a, id_b, CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac"
+    "  FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b)"
+    " SELECT id_a, id_b, round(jac + 1e-9, 6) AS jaccard FROM j WHERE jac >= 0.9",
+)
 
 
 # x14/x15: the LSH candidate pairs from x02 completed into duplicate

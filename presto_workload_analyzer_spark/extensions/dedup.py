@@ -273,22 +273,33 @@ def ngram_jaccard(
 ) -> DataFrame:
     """Exact Jaccard similarity over shingle sets.
 
-    With `pairs` given, verifies only those candidates (the LSH flow);
-    without, scores every pair sharing >= 1 shingle (exact but quadratic in
-    bucket size — fine after blocking, unusable raw at 100 TB).
+    With `pairs` given, verifies only those candidates (the LSH flow) with
+    a PAIR-DRIVEN join — candidates pick up id_a's shingles, then equi-join
+    on (id_b, shingle) — so cost is |pairs| x shingles-per-doc, never the
+    full shingle self-join (the semi-join-after formulation still paid the
+    corpus-wide a x b blow-up before pruning). Without `pairs`, scores
+    every pair sharing >= 1 shingle (exact but quadratic in bucket size —
+    fine after blocking, unusable raw at 100 TB).
     Output: (id_a, id_b, jaccard).
     """
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, on=["id_a", "id_b"], how="left_semi")
+        inter = (
+            pairs.select("id_a", "id_b")
+            .join(a, on="id_a")
+            .join(b, on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (
@@ -316,22 +327,31 @@ def shingle_containment(
     dedup (the "substring dedup" family, approximated at shingle
     granularity so it stays a pure shuffle-on-key join — no suffix arrays).
 
-    With `pairs` given, scores only those candidates (LSH-blocked flow);
-    without, every pair sharing >= 1 shingle (quadratic per shingle bucket
-    — blocked upstream at 100 TB, same contract as ngram_jaccard).
+    With `pairs` given, scores only those candidates via the pair-driven
+    join (cost |pairs| x shingles-per-doc — same shape as ngram_jaccard's
+    verify mode, never the corpus-wide shingle self-join); without, every
+    pair sharing >= 1 shingle (quadratic per shingle bucket — blocked
+    upstream at 100 TB, same contract as ngram_jaccard).
     Output: (id_a, id_b, containment) with containment > threshold.
     """
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, on="shingle")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, on=["id_a", "id_b"], how="left_semi")
+        inter = (
+            pairs.select("id_a", "id_b")
+            .join(a, on="id_a")
+            .join(b, on=["id_b", "shingle"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+    else:
+        inter = (
+            a.join(b, on="shingle")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
     return (

@@ -64,6 +64,42 @@ def test_minhash_xxhash_mode(docs):
     assert (1, 2) in got
 
 
+def test_verified_pairs_mode_matches_raw_subset(docs):
+    """ngram_jaccard's pair-driven verify join must score candidates
+    identically to the raw all-overlapping-pairs mode (same intersection
+    counts, just restricted) — the x20 verified-LSH contract."""
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+    cand = dedup.minhash_lsh_pairs(docs, "doc_id", "text", k=3, num_hashes=16, bands=8)
+    raw = {(r.id_a, r.id_b): r.jaccard for r in dedup.ngram_jaccard(sh).collect()}
+    ver = {(r.id_a, r.id_b): r.jaccard
+           for r in dedup.ngram_jaccard(sh, pairs=cand).collect()}
+    assert set(ver) <= set(raw)
+    for pair, j in ver.items():
+        assert math.isclose(j, raw[pair])
+
+
+def test_verified_dualmode_equivalence(docs):
+    """Spark-side dual-run: md5-mode and xxhash64-mode VERIFIED outputs
+    (J >= 0.9 after exact-Jaccard scoring) must agree — both candidate
+    universes contain every high-J pair at 8 bands x 2 rows, so the
+    verified set is hash-mode-independent (the structural property behind
+    x20's DuckDB oracle)."""
+    sh = dedup.shingles(docs, "doc_id", "text", k=3)
+
+    def verified(mode):
+        cand = dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=16, bands=8, mode=mode
+        )
+        return {
+            (r.id_a, r.id_b)
+            for r in dedup.ngram_jaccard(sh, pairs=cand)
+            .filter("jaccard >= 0.9")
+            .collect()
+        }
+
+    assert verified("md5") == verified("xxhash64")
+
+
 def test_connected_components(spark):
     # two components: path 1-2-3 and edge 10-11
     pairs = spark.createDataFrame(
