@@ -2460,15 +2460,19 @@ def _x35_sql() -> str:
         )
 
     return (
+        # NOT EXISTS, not NOT IN: matches Spark's left_anti semantics when a
+        # text/id is NULL (NOT IN's three-valued logic would empty the result)
         "WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),"
         " newb AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),"
-        " nex AS (SELECT * FROM newb WHERE text NOT IN (SELECT text FROM corpus)),"
+        " nex AS (SELECT * FROM newb n WHERE NOT EXISTS"
+        "   (SELECT 1 FROM corpus c WHERE c.text = n.text)),"
         + band_ctes("nex", "n")
         + ", "
         + band_ctes("corpus", "c")
         + ", hits AS (SELECT DISTINCT n.id FROM nbands n"
         "   JOIN cbands c USING (band, band_hash))"
-        " SELECT doc_id FROM nex WHERE doc_id NOT IN (SELECT id FROM hits)"
+        " SELECT doc_id FROM nex WHERE NOT EXISTS"
+        "  (SELECT 1 FROM hits h WHERE h.id = nex.doc_id)"
     )
 
 

@@ -519,7 +519,15 @@ def incremental_dedup(
     (never corpus-vs-corpus, which x01/x02 cover for the initial build).
 
     Two stages, both anti-joins:
-      1. exact — new rows whose full text already exists in the corpus;
+      1. exact — new rows whose full text already exists in the corpus.
+         The anti-join runs on (xxhash64(text), length(text)) DIGESTS, not
+         the raw text: at 100 TB the corpus-side distinct would otherwise
+         shuffle every document body once, while the digest pair is 16
+         bytes/row (~100x narrower for typical documents) with a false-drop
+         probability per new doc of |corpus| / 2^64 (further cut by the
+         length guard) — negligible against the near-dup stage's own
+         banding error. NULL texts never match (left_anti NULL semantics
+         preserved via an isNotNull guard on the digest).
       2. near — new rows whose MinHash band-hash collides with any corpus
          band (same shingle->signature->band pipeline as minhash_lsh_pairs;
          the join is new-bands x corpus-bands, so cost scales with the NEW
@@ -529,8 +537,15 @@ def incremental_dedup(
 
     Returns the kept subset of `new` (original columns).
     """
-    exact_keys = corpus.select(F.col(text_col)).distinct()
-    non_exact = new.join(exact_keys, on=text_col, how="left_anti")
+    digest = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.struct(F.xxhash64(c), F.length(c))
+    )
+    exact_keys = corpus.select(
+        digest(F.col(text_col)).alias("__text_digest")
+    ).distinct()
+    non_exact = new.withColumn(
+        "__text_digest", digest(F.col(text_col))
+    ).join(exact_keys, on="__text_digest", how="left_anti").drop("__text_digest")
 
     rows_per_band = num_hashes // bands
 

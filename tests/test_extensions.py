@@ -1019,6 +1019,22 @@ def test_incremental_dedup(spark):
     assert set(kept.columns) == set(new.columns)
 
 
+def test_incremental_dedup_null_text_kept(spark):
+    """The digest-based exact stage must preserve left_anti NULL
+    semantics: a NULL-text new row never equi-matches anything (even a
+    NULL-text corpus row), so it survives the exact stage — identical to
+    the raw-text anti-join it replaced."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    corpus = spark.createDataFrame([(1, None), (2, "real corpus text here")], schema)
+    new = spark.createDataFrame([(10, None), (11, "real corpus text here")], schema)
+    kept = dedup.incremental_dedup(corpus, new, "doc_id", "text")
+    assert {r.doc_id for r in kept.collect()} == {10}
+
+
 def test_cosine_topk_quantized(vectors):
     """int8 scalar quantization: codes stay in [0, 255], the planted
     near-duplicate still ranks first for its query, and quantized ranks
