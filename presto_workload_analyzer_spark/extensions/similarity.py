@@ -210,15 +210,51 @@ def hyperplane_buckets(
     return emb.select(F.col(id_col).alias("id"), bucket.alias("bucket"))
 
 
+# above this many dims, "auto" coefficient mode switches from array
+# literals (fast: constant-folded, zero per-row hash work) to engine-side
+# hash expressions (constant plan size: a 4096-dim plane as literals is
+# ~32 KB of plan text per plane — analysis/codegen bloat at wide vectors)
+LITERAL_COEFF_MAX_DIMS = 256
+
+
+def _coeff_sign_expr(plane: int, i: Column) -> Column:
+    """Engine-side twin of the Python coefficient rule: +1 if digest byte 0
+    of md5(f"{plane}|{i}") is odd else -1. digest()[0] == the integer value
+    of the first two hex chars, so the parity is conv(substr(hex,1,2)) % 2
+    — bit-identical to hashlib, verified by the dual-mode test."""
+    h = F.md5(F.concat(F.lit(f"{plane}|"), i.cast("string")))
+    odd = F.conv(F.substring(h, 1, 2), 16, 10).cast("int") % 2 == 1
+    return F.when(odd, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+
 def hyperplane_bucket_expr(
-    vec: Column, n_planes: int, n_dims: int, plane_offset: int = 0
+    vec: Column,
+    n_planes: int,
+    n_dims: int,
+    plane_offset: int = 0,
+    coeff_mode: str = "auto",
 ) -> Column:
     """The bucket assignment of hyperplane_buckets as a plain Column, so
     multi-band callers can compute every band's bucket in ONE projection
     pass (an array of per-band structs + explode) instead of a union of
     per-band selects that re-evaluates the input lineage once per band
-    (the same trap dedup.lsh_bands documents, measured ~bands-fold cost)."""
+    (the same trap dedup.lsh_bands documents, measured ~bands-fold cost).
+
+    Coefficients (the deterministic md5-parity signs) come in two
+    physically different but value-identical forms, picked by `coeff_mode`:
+    'literal' ships each plane's sign vector as ONE array literal (fastest
+    — no per-row hash work — but the plan carries n_dims values per
+    plane); 'hash' generates them in-engine via transform(sequence(...))
+    so the plan stays CONSTANT-SIZE regardless of n_dims, at the cost of
+    n_planes x n_dims md5 calls per row (acceptable where scan bandwidth
+    dominates, and the only sane shape at 1024+ dims). 'auto' picks
+    literal up to LITERAL_COEFF_MAX_DIMS, hash beyond."""
     import hashlib
+
+    if coeff_mode == "auto":
+        coeff_mode = "literal" if n_dims <= LITERAL_COEFF_MAX_DIMS else "hash"
+    if coeff_mode not in ("literal", "hash"):
+        raise ValueError(f"unknown coeff_mode {coeff_mode!r}")
 
     def sign(p: int, i: int) -> int:
         return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
@@ -226,9 +262,21 @@ def hyperplane_bucket_expr(
     v = _to_double(vec)
     bucket = None
     for p in range(n_planes):
-        coeffs = F.array(
-            *[F.lit(float(sign(p + plane_offset, i))) for i in range(n_dims)]
-        )
+        if coeff_mode == "literal":
+            coeffs = F.lit(
+                [float(sign(p + plane_offset, i)) for i in range(n_dims)]
+            )
+        else:
+            # single-parameter lambda ONLY: pyspark's transform treats a
+            # two-parameter callable as (element, index) and would bind a
+            # default-arg plane capture to the array index
+            def _signs(i, _plane=p + plane_offset):
+                return _coeff_sign_expr(_plane, i)
+
+            coeffs = F.transform(
+                F.sequence(F.lit(0), F.lit(n_dims - 1)),
+                lambda i: _signs(i),
+            )
         proj = F.aggregate(
             F.zip_with(v, coeffs, lambda x, c: x * c), F.lit(0.0), lambda a, x: a + x
         )

@@ -213,6 +213,57 @@ def test_hyperplane_buckets_explicit_dims_and_empty_input(vectors):
     assert similarity.hyperplane_buckets(empty, n_planes=4, n_dims=16).count() == 0
 
 
+def test_hyperplane_coeff_modes_identical_buckets(vectors):
+    """literal and hash coefficient modes must assign identical buckets —
+    the engine-side md5-parity expression is bit-compatible with hashlib."""
+    lit = vectors.select(
+        "vec_id",
+        similarity.hyperplane_bucket_expr(
+            F.col("embedding"), n_planes=6, n_dims=16, plane_offset=3,
+            coeff_mode="literal",
+        ).alias("b"),
+    )
+    hsh = vectors.select(
+        "vec_id",
+        similarity.hyperplane_bucket_expr(
+            F.col("embedding"), n_planes=6, n_dims=16, plane_offset=3,
+            coeff_mode="hash",
+        ).alias("b"),
+    )
+    assert {(r.vec_id, r.b) for r in lit.collect()} == {
+        (r.vec_id, r.b) for r in hsh.collect()
+    }
+    with pytest.raises(ValueError, match="coeff_mode"):
+        similarity.hyperplane_bucket_expr(
+            F.col("embedding"), n_planes=2, n_dims=4, coeff_mode="nope"
+        )
+
+
+def test_hyperplane_plan_size_bounded_at_wide_dims(spark):
+    """Neither coefficient mode may bloat the plan as n_dims grows: hash
+    mode generates signs in-engine (truly constant-size expression);
+    literal mode ships ONE array literal per plane — a single expression
+    node whose plan rendering Spark truncates — instead of the old
+    F.array(*n_dims literals) which was n_dims expression NODES per plane.
+    auto must route wide vectors to hash."""
+    df = spark.createDataFrame([Row(v=[0.0])])
+
+    def plan_len(dims, mode):
+        expr = similarity.hyperplane_bucket_expr(
+            F.col("v"), n_planes=4, n_dims=dims, coeff_mode=mode
+        )
+        return len(df.select(expr.alias("b"))._jdf.queryExecution()
+                   .analyzed().toString())
+
+    # hash mode varies only by the digit width of the sequence bound and
+    # expr ids — bounded, never O(n_dims)
+    assert abs(plan_len(64, "hash") - plan_len(4096, "hash")) < 500
+    assert plan_len(4096, "literal") < 20_000
+    # auto: literal up to the threshold, hash beyond
+    assert abs(plan_len(4096, "auto") - plan_len(4096, "hash")) < 500
+    assert plan_len(64, "auto") == plan_len(64, "literal")
+
+
 def test_cosine_topk_pandas_query_cap_fails_loudly(vectors, monkeypatch):
     # shrink the cap instead of building 100k rows; the 40-row query side
     # must then be rejected before anything is broadcast
