@@ -2263,14 +2263,17 @@ def _x31(spark: SparkSession, sf: str) -> DataFrame:
     column. No unpartitioned window anywhere in the plan (the round-1 ntile
     formulation sorted the whole corpus through one reducer; plan-linted
     against in tests/test_plan_lint.py). The sketch is rank-EXACT only
-    while the corpus fits its accuracy (1e6 here — documents up to sf~20 at
-    50k docs/sf); past that DuckDB's quantile_disc may disagree by one rank
-    and the accuracy must grow with the gate's sf. Ties at a boundary go to
-    the lower bucket on both sides by construction."""
+    while the corpus fits its accuracy, so the accuracy is DERIVED from
+    the corpus row count (metadata-only parquet count, 10x headroom,
+    1e6 floor) instead of a fixed literal — the oracle's quantile_disc is
+    always exact, and a fixed accuracy would flake by one rank at a
+    quartile boundary once the gate's sf outgrew it. Ties at a boundary go
+    to the lower bucket on both sides by construction."""
     docs = read_sf_table(spark, sf, "documents")
+    accuracy = max(1_000_000, 10 * docs.count())
     bounds = docs.select(
         F.expr(
-            "approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), 1000000)"
+            f"approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), {accuracy})"
         ).alias("qb")
     )
     quartile = (

@@ -512,10 +512,18 @@ def quantize_expr(vec: Column, mn: Column, mx: Column) -> Column:
 
     The 1e-9 nudge keeps half-way cases off the rounding boundary so Spark
     and any SQL oracle round identically (the engine-portability convention
-    used across this repo's double outputs)."""
+    used across this repo's double outputs).
+
+    Degenerate codebook guard: when mx == mn (constant-component corpus)
+    the scale is undefined — every code is 0 rather than NaN, so the
+    failure surfaces as identical rankings, not silent NaN propagation;
+    cosine_topk_quantized validates the bounds row and fails loudly before
+    this expression ever sees that case."""
     return F.transform(
         _to_double(vec),
-        lambda x: F.round((x - mn) / (mx - mn) * 255.0 + 1e-9).cast("int"),
+        lambda x: F.when(
+            mx > mn, F.round((x - mn) / (mx - mn) * 255.0 + 1e-9).cast("int")
+        ).otherwise(F.lit(0)),
     )
 
 
@@ -540,14 +548,26 @@ def cosine_topk_quantized(
     below 2^53), so the quantized cosine — unlike any float-sum path — is
     bit-identical across engines, making this operator's oracle exact with
     no rounding tolerance at all.
+
+    The (min, max) codebook is collected once (one tiny aggregate action)
+    and validated — a degenerate corpus (mn == mx: constant components, or
+    empty) fails LOUDLY here instead of silently producing flat or NaN
+    rankings three stages later — then inlined as literals, so the coding
+    projections carry no join at all.
     """
-    bounds = scalar_quantization_bounds(corpus, vec_col)
+    row = scalar_quantization_bounds(corpus, vec_col).collect()[0]
+    if row.mn is None or row.mx is None:
+        raise ValueError("cosine_topk_quantized: empty corpus, no codebook")
+    if not row.mn < row.mx:
+        raise ValueError(
+            f"cosine_topk_quantized: degenerate codebook (min == max == "
+            f"{row.mn!r}); scalar quantization needs component spread"
+        )
+    mn, mx = F.lit(float(row.mn)), F.lit(float(row.mx))
     code = lambda df, alias: (  # noqa: E731
-        df.crossJoin(F.broadcast(bounds)).select(
+        df.select(
             F.col(id_col).alias(alias),
-            quantize_expr(F.col(vec_col), F.col("mn"), F.col("mx")).alias(
-                f"{alias}_code"
-            ),
+            quantize_expr(F.col(vec_col), mn, mx).alias(f"{alias}_code"),
         )
     )
     q = code(queries, "query_id")

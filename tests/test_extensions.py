@@ -1086,6 +1086,19 @@ def test_incremental_dedup_null_text_kept(spark):
     assert {r.doc_id for r in kept.collect()} == {10}
 
 
+def test_cosine_topk_quantized_degenerate_codebook_fails_loudly(spark):
+    """Constant-component corpus (mn == mx) must raise, never emit NaN or
+    flat rankings; empty corpus likewise."""
+    flat = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[2.5, 2.5, 2.5]) for i in range(4)]
+    )
+    with pytest.raises(ValueError, match="degenerate codebook"):
+        similarity.cosine_topk_quantized(flat, flat.limit(1), k=2)
+    empty = flat.filter(F.col("vec_id") < 0)
+    with pytest.raises(ValueError, match="empty corpus"):
+        similarity.cosine_topk_quantized(empty, empty, k=2)
+
+
 def test_cosine_topk_quantized(vectors):
     """int8 scalar quantization: codes stay in [0, 255], the planted
     near-duplicate still ranks first for its query, and quantized ranks
