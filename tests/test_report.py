@@ -148,3 +148,59 @@ def test_template_contract_blocks(report):
     # single-item contract shape matches the per-block parse
     one = chart_json_item(report["charts"][0])
     assert one == by_id[report["charts"][0]["id"]]
+
+
+def _report_digest(report):
+    """Canonical structural+value digest of a report document: chart order,
+    titles, columns, row counts, and an md5 over row-order-insensitive
+    data (rows sorted by their JSON form — collect order is not part of
+    the contract), plus the summary metrics. Small enough to check in as
+    the golden, strong enough that any unintended change to an analyzer,
+    the pie/scatter kernels, label shortening, or the payload shape shows
+    up as a diff."""
+    import hashlib
+
+    def chart_digest(c):
+        rows = sorted(json.dumps(r, default=str) for r in c["data"])
+        h = hashlib.md5("\n".join(rows).encode()).hexdigest()
+        return {
+            "id": c["id"],
+            "title": c["title"],
+            "columns": c["columns"],
+            "n_rows": len(c["data"]),
+            "data_md5": h,
+            "palette": "palette" in c,
+        }
+
+    return {
+        "metrics": {k: str(v) for k, v in report["structure"]["metrics"].items()},
+        "charts": [chart_digest(c) for c in report["charts"]],
+        "errors": report["errors"],
+    }
+
+
+def test_golden_report(report):
+    """End-to-end golden: the FULL report built from the fixture corpus
+    must match the checked-in digest (tests/golden_report.json) chart by
+    chart — ids, titles, columns, row counts, value hashes, metrics — and
+    the reference-template render must carry every chart block. Regenerate
+    after an INTENTIONAL change with:
+        python tools/regen_golden_report.py
+    and review the diff like any other golden."""
+    import pathlib
+
+    from presto_workload_analyzer_spark.report.emitter import (
+        render_html_template_contract,
+    )
+
+    golden_path = pathlib.Path(__file__).parent / "golden_report.json"
+    got = _report_digest(report)
+    golden = json.loads(golden_path.read_text())
+    assert got["metrics"] == golden["metrics"]
+    assert [c["id"] for c in got["charts"]] == [c["id"] for c in golden["charts"]]
+    for g, e in zip(got["charts"], golden["charts"]):
+        assert g == e, f"chart {e['id']} diverged from golden"
+    assert got["errors"] == golden["errors"] == {}
+    html = render_html_template_contract(report)
+    for c in golden["charts"]:
+        assert f'id="{c["id"]}"' in html
