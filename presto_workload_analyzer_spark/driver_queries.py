@@ -859,6 +859,7 @@ from presto_workload_analyzer_spark.extensions import (  # noqa: E402
     multimodal as X_mm,
     sampling as X_samp,
     similarity as X_sim,
+    temporal as X_temp,
     textstats as X_text,
 )
 
@@ -2903,4 +2904,129 @@ _register(
     "   AND b.input_size > 1e6 THEN 1 ELSE 0 END) AS BIGINT)"
     "  FROM jnodes n JOIN jprobe p USING (query_id)"
     "  JOIN jbuild b USING (query_id)",
+)
+
+
+# --------------------------------------------------------------------------
+# Round-4 temporal operators: as-of join, bucketized range join, interval
+# sweep line (extensions/temporal.py). The reference's analyses bucket
+# query timestamps (analyze.py:214-260); these add the interval-shaped
+# questions its JSONL corpus cannot answer, as shuffle-honest DataFrame
+# compositions with cross-engine oracles (DuckDB's NATIVE ASOF JOIN is an
+# independent implementation of x41's semantics — the strongest oracle in
+# the registry: two unrelated engines, two unrelated algorithms).
+# --------------------------------------------------------------------------
+
+
+def _x41(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: every purchase event picks up the user's most recent
+    view at-or-before it (NULLs when the user never viewed before buying).
+    Spark side: union + partitioned-window carry (temporal.asof_join);
+    oracle: DuckDB `ASOF LEFT JOIN` — independent semantics check."""
+    ev = read_sf_table(spark, sf, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    right = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("event_id").alias("view_id"), F.col("value").alias("view_value")
+    )
+    out = X_temp.asof_join(
+        left, right, "user_id", "purchase_ts", "ts", ["view_id", "view_value"]
+    )
+    return out.select("event_id", "user_id", "matched_ts", "view_id", "view_value")
+
+
+_register(
+    "x41_asof_join",
+    _x41,
+    "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),"
+    " r AS (SELECT user_id, ts, event_id AS view_id, \"value\" AS view_value"
+    "   FROM events WHERE event_type = 'view')"
+    " SELECT l.event_id, l.user_id, r.ts AS matched_ts, r.view_id, r.view_value"
+    " FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
+)
+
+
+def _x45(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketized range join: click events land inside signup-anchored
+    intervals [ts, ts + value minutes] of the same user; per-interval
+    count + value sum. The equi-join runs on (user, hour bucket) with an
+    exact BETWEEN refine (temporal.range_join_bucketed) — the oracle is
+    the plain inequality join DuckDB can afford at sf0.01."""
+    ev = read_sf_table(spark, sf, "events")
+    iv = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("iv_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            + (F.col("value") * 6e7).cast("long")
+        ).alias("end_ts"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pt_id"), "user_id", "ts", "value"
+    )
+    matched = X_temp.range_join_bucketed(
+        pts, iv, "user_id", "ts", "start_ts", "end_ts",
+        bucket_seconds=3600, max_buckets=64,
+    )
+    return matched.groupBy("iv_id").agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+
+
+_register(
+    "x45_range_join",
+    _x45,
+    "WITH iv AS (SELECT event_id AS iv_id, user_id, ts AS start_ts,"
+    "   ts + to_microseconds(CAST(trunc(\"value\" * 6e7) AS BIGINT)) AS end_ts"
+    "   FROM events WHERE event_type = 'signup'),"
+    " pt AS (SELECT event_id AS pt_id, user_id, ts, \"value\""
+    "   FROM events WHERE event_type = 'click')"
+    " SELECT iv_id, CAST(count(*) AS BIGINT) AS n_points,"
+    "  round(sum(pt.\"value\"), 6) AS value_sum"
+    " FROM pt JOIN iv ON pt.user_id = iv.user_id"
+    "  AND pt.ts BETWEEN iv.start_ts AND iv.end_ts"
+    " GROUP BY iv_id",
+)
+
+
+def _a36(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster concurrency profile: per-date peak number of simultaneously
+    running queries (interval = [query_ts, query_ts + elapsed_time]) and
+    how many queries started that date. Sweep line with the hierarchical
+    (date x time-shard) prefix sum — temporal.sweep_concurrency; no
+    global window, no low-cardinality-only partition key."""
+    q = workload_queries(spark, sf)
+    iv = q.select(
+        F.col("query_ts").alias("start_ts"),
+        F.timestamp_micros(
+            F.unix_micros(F.col("query_ts").cast("timestamp"))
+            + (F.col("elapsed_time") * 1e6).cast("long")
+        ).alias("end_ts"),
+    )
+    return X_temp.sweep_concurrency(iv, "start_ts", "end_ts")
+
+
+_register(
+    "a36_concurrency_profile",
+    _a36,
+    _ALL_CTES
+    + ", iv AS (SELECT query_ts AS s,"
+    "   query_ts + to_microseconds(CAST(trunc(elapsed_time * 1e6) AS BIGINT)) AS e"
+    "   FROM queries),"
+    " days AS (SELECT s, e, UNNEST(range(CAST(s AS DATE), CAST(e AS DATE) + 1,"
+    "   INTERVAL 1 DAY))::DATE AS d FROM iv),"
+    " clip AS (SELECT d, greatest(s, CAST(d AS TIMESTAMP)) AS cs,"
+    "   least(e, CAST(d AS TIMESTAMP) + INTERVAL 1 DAY) AS ce,"
+    "   s >= CAST(d AS TIMESTAMP) AS tstart FROM days),"
+    " deltas AS (SELECT d, cs AS ts, 1 AS delta, tstart FROM clip"
+    "   UNION ALL SELECT d, ce AS ts, -1 AS delta, false FROM clip),"
+    " run AS (SELECT d, delta, tstart, sum(delta) OVER (PARTITION BY d"
+    "   ORDER BY ts, delta ROWS UNBOUNDED PRECEDING) AS r FROM deltas)"
+    " SELECT d AS bucket_date, CAST(max(r) AS BIGINT) AS peak_concurrent,"
+    "  CAST(sum(CASE WHEN tstart AND delta = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_started"
+    " FROM run GROUP BY d",
 )
