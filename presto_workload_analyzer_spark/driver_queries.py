@@ -3030,3 +3030,194 @@ _register(
     "   AS n_started"
     " FROM run GROUP BY d",
 )
+
+
+def _x42(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-document duplicated-text fraction (the Gopher/RefinedWeb
+    repetition signal x18 covers within-doc): per document, the share of
+    its distinct trigrams occurring in >= 1 other document
+    (textstats.duplicate_ngram_fraction — inverted-index shape)."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_text.duplicate_ngram_fraction(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_shingles", "n_dup", "dup_frac"
+    )
+
+
+_register(
+    "x42_dup_ngram_fraction",
+    _x42,
+    f"WITH {_SHINGLE_SQL},"
+    " freq AS (SELECT shingle, count(*) AS df_ FROM sh GROUP BY 1)"
+    " SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_shingles,"
+    "  CAST(sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,"
+    "  round(CAST(sum(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) AS DOUBLE)"
+    "   / count(*), 6) AS dup_frac"
+    " FROM sh JOIN freq USING (shingle) GROUP BY id",
+)
+
+
+def _x43(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality filtering shape: a logistic head over scan-speed
+    text features with fixed documented weights
+    (textstats.quality_logit / QUALITY_LOGIT_WEIGHTS — swap in trained
+    coefficients for a real CCNet/fasttext-style filter). keep compares
+    the ROUNDED score on both engines so the 0.5 boundary cannot flip on
+    last-ulp exp/ln drift."""
+    docs = read_sf_table(spark, sf, "documents")
+    q = F.round(X_text.quality_logit("text") + 1e-9, 6)
+    return docs.select(
+        "doc_id", q.alias("q_score"), (q >= 0.5).alias("keep")
+    )
+
+
+_X43_Z = (
+    "(-2.0 + 0.35 * ln(1.0 + len(text))"
+    f" + 2.5 * ({_RATIO_SQL.format(lst=_EN_LIST)})"
+    " - 3.0 * (CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+    "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END)"
+    " + 0.15 * (CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+    "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))))"
+)
+
+_register(
+    "x43_quality_logit",
+    _x43,
+    "WITH s AS (SELECT doc_id,"
+    f" round(1.0 / (1.0 + exp(-{_X43_Z})) + 1e-9, 6) AS q_score"
+    " FROM documents)"
+    " SELECT doc_id, q_score, q_score >= 0.5 AS keep FROM s",
+)
+
+
+def _x44(spark: SparkSession, sf: str) -> DataFrame:
+    """ANN evaluation harness: recall@5 of the hyperplane-LSH index (x12's
+    configuration) against exact brute-force top-5 (x05's), for the ten
+    query vectors — similarity.ann_recall. The join + aggregate is
+    (#queries x k)-sized regardless of corpus size; the oracle reproduces
+    BOTH retrieval paths in SQL and intersects them the same way."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = X_sim.cosine_topk(emb, queries, k=5)
+    ann = X_sim.lsh_topk(emb, n_planes=8, k=5, n_dims=64).filter(
+        F.col("query_id") < 10
+    )
+    return X_sim.ann_recall(ann, exact, k=5)
+
+
+def _x44_sql() -> str:
+    import hashlib
+
+    def sign(p: int, i: int) -> int:
+        return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
+
+    terms = []
+    for p in range(8):
+        arr = "[" + ", ".join(f"{float(sign(p, i))!r}" for i in range(64)) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {2 ** p} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        "  FROM embeddings),"
+        f" bk AS (SELECT id, v, {bucket} AS bucket FROM e),"
+        f" es AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
+        "   FROM e a, e b WHERE a.id < 10 AND a.id <> b.id),"
+        " er AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM es),"
+        " ex AS (SELECT query_id, neighbor_id FROM er WHERE rnk <= 5),"
+        f" ans AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
+        "   FROM bk a JOIN bk b USING (bucket) WHERE a.id < 10 AND a.id <> b.id),"
+        " anr AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk FROM ans),"
+        " an AS (SELECT query_id, neighbor_id FROM anr WHERE rnk <= 5),"
+        " hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits"
+        "   FROM ex JOIN an USING (query_id, neighbor_id) GROUP BY 1),"
+        " q AS (SELECT DISTINCT query_id FROM ex)"
+        " SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,"
+        "  round(coalesce(n_hits, 0) / 5.0, 6) AS recall"
+        " FROM q LEFT JOIN hits USING (query_id)"
+    )
+
+
+_register("x44_ann_recall", _x44, _x44_sql())
+
+
+def _p06(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity audit over the event log: per user_id (the quasi
+    identifier), how many distinct event types (the sensitive attribute)
+    the group carries, and whether it meets l=3 — k_anonymize's companion
+    (privacy.l_diversity); groups failing either bound get suppressed or
+    masked before release."""
+    from presto_workload_analyzer_spark.privacy.obfuscate import l_diversity
+
+    ev = read_sf_table(spark, sf, "events")
+    return l_diversity(ev, ["user_id"], "event_type", l=3)
+
+
+_register(
+    "p06_l_diversity",
+    _p06,
+    "SELECT user_id, CAST(count(*) AS BIGINT) AS group_size,"
+    " CAST(count(DISTINCT event_type) AS BIGINT) AS n_sensitive,"
+    " count(DISTINCT event_type) >= 3 AS meets_l"
+    " FROM events GROUP BY 1",
+)
+
+
+def _s08(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming trending-topics shape: tumbling 1-day windows of per-type
+    event counts maintained by the streaming engine, then top-3 rank per
+    window computed OVER THE DRAINED RESULT (windowed ranking cannot run
+    inside a streaming agg — the standard pattern is rank-in-foreachBatch
+    / rank-after-drain over the complete-mode state, which is
+    #windows x #types sized, never corpus-sized)."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events")
+    agg = ev.groupBy(
+        F.window("ts", "1 day").alias("w"), F.col("event_type")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("total_value"),
+    )
+    name = f"s08_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    drained = spark.table(name).select(
+        F.col("w.start").alias("bucket"), "event_type", "n_events", "total_value"
+    )
+    w = Window.partitionBy("bucket").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    out = (
+        drained.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 3)
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s08_stream_topk_trending",
+    _s08,
+    "WITH g AS (SELECT date_trunc('day', ts) AS bucket, event_type,"
+    "  CAST(count(*) AS BIGINT) AS n_events, round(sum(\"value\"), 6) AS total_value"
+    "  FROM events GROUP BY 1, 2),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY bucket"
+    "   ORDER BY n_events DESC, event_type) AS rnk FROM g)"
+    " SELECT bucket, event_type, n_events, total_value, CAST(rnk AS BIGINT) AS rnk"
+    " FROM r WHERE rnk <= 3",
+)

@@ -583,3 +583,36 @@ def cosine_topk_quantized(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
+    """recall@k of an ANN result against the exact top-k — the evaluation
+    harness every approximate index needs before it replaces brute force.
+
+    Both inputs use the (query_id, neighbor_id, rank) contract this module
+    emits; rows with rank > k are ignored. Per query: the overlap count of
+    the two k-sets and recall = hits / k. Queries the ANN missed entirely
+    still report (recall 0) — the query list comes from the EXACT side,
+    which by construction covers every query.
+
+    Shuffle shape: one equi-join on (query_id, neighbor_id) + one
+    query-grain aggregation — both proportional to #queries x k, never to
+    corpus size.
+    """
+    ex = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    an = ann.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    hits = ex.join(an, on=["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    return (
+        ex.select("query_id")
+        .distinct()
+        .join(hits, on="query_id", how="left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6).alias(
+                "recall"
+            ),
+        )
+    )

@@ -445,3 +445,69 @@ def pack_bins(
         )
         .drop("__shard", "__local", "__offset")
     )
+
+
+def duplicate_ngram_fraction(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document duplicated-text fraction: the share of a document's
+    DISTINCT word k-grams that also occur in at least one other document —
+    the cross-document repetition signal quality pipelines threshold on
+    (high fraction => boilerplate / near-copy; repetition_ratio covers the
+    within-document case).
+
+    Shuffle shape: one distinct (id, shingle) explode, a doc-frequency
+    aggregation on the SHINGLE grain (vocabulary-sized, map-side
+    combinable), and a join back on shingle — the inverted-index shape
+    shared with tfidf_top_terms, so the same 100 TB posture (and max-df
+    skew note) applies. Documents shorter than k words have no shingles
+    and drop out. Output: (id, n_shingles, n_dup, dup_frac rounded to 6).
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import shingles
+
+    sh = shingles(df, id_col, text_col, k=k, distinct=True)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        sh.join(freq, on="shingle")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum((F.col("__df") >= 2).cast("long")).alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup") / F.col("n_shingles"), 6),
+        )
+    )
+
+
+# Fixed, documented logistic-regression weights for quality_logit: a
+# stand-in for a trained classifier's coefficients (fasttext/CCNet-style
+# quality filters ship exactly such a linear head). The FORMULA is the
+# contract; swap the literals for trained weights in production.
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -2.0,
+    "log1p_chars": 0.35,
+    "stop_ratio": 2.5,
+    "punct_ratio": -3.0,
+    "mean_tok_len": 0.15,
+}
+
+
+def quality_logit(text: Column | str) -> Column:
+    """Deterministic logistic quality score in (0, 1): sigmoid of a fixed
+    linear model over scan-speed text features (log #chars, English
+    stopword ratio, punctuation ratio, mean token length). Pure Column
+    expressions — runs inside whole-stage codegen at scan speed; the only
+    transcendentals are ln/exp, identical formulas on both engines (last-
+    ulp drift is absorbed by the caller's round-to-6)."""
+    col = F.col(text) if isinstance(text, str) else text
+    w = QUALITY_LOGIT_WEIGHTS
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log1p_chars"]) * F.log(F.lit(1.0) + F.length(col))
+        + F.lit(w["stop_ratio"]) * stopword_ratio(col, LANG_MARKERS["en"])
+        + F.lit(w["punct_ratio"]) * punct_ratio(col)
+        + F.lit(w["mean_tok_len"]) * mean_token_length(col)
+    )
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

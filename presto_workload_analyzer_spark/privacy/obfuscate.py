@@ -415,3 +415,22 @@ def noisy_counts(
             ),
         )
     )
+
+
+def l_diversity(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, l: int = 3
+) -> DataFrame:
+    """l-diversity audit: k-anonymity's companion check — a group can be
+    k-large yet still leak if every member shares the same SENSITIVE value.
+    Per quasi-identifier combination: group size, number of distinct
+    sensitive values, and whether it meets the l threshold.
+
+    One groupBy with an exact count-distinct (Spark plans it as a
+    two-phase expand + aggregate — map-side combinable, no window, no
+    collect). Pair with k_anonymize: suppress/mask groups failing EITHER
+    bound before release.
+    """
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("group_size"),
+        F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
+    ).withColumn("meets_l", F.col("n_sensitive") >= l)

@@ -1215,3 +1215,85 @@ def test_noisy_counts(spark):
     assert again == {uid: r.noisy_n for uid, r in out.items()}
     other = {r.uid: r.noisy_n for r in noisy_counts(df, ["uid"], salt="s2").collect()}
     assert other != again
+
+
+# ---------------------------------------------------------------------------
+# round-4 additions: duplicate-ngram fraction, quality logit, ANN recall,
+# l-diversity
+# ---------------------------------------------------------------------------
+
+
+def test_duplicate_ngram_fraction_planted(spark):
+    rows = [
+        Row(doc_id=1, text="a b c d e"),          # trigrams: abc bcd cde
+        Row(doc_id=2, text="a b c x y"),          # shares 'a b c' with 1
+        Row(doc_id=3, text="p q r s t"),          # unique
+        Row(doc_id=4, text="a b"),                # < k words: no shingles
+    ]
+    out = {
+        r["id"]: (r["n_shingles"], r["n_dup"], r["dup_frac"])
+        for r in textstats.duplicate_ngram_fraction(
+            spark.createDataFrame(rows), "doc_id", "text", k=3
+        ).collect()
+    }
+    assert out[1] == (3, 1, round(1 / 3, 6))
+    assert out[2] == (3, 1, round(1 / 3, 6))
+    assert out[3] == (3, 0, 0.0)
+    assert 4 not in out  # too short: drops out, same as the oracle
+
+
+def test_quality_logit_feature_directions(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat is in the hat and it is a good day"),
+            Row(doc_id=2, text="!!! ### $$$ %%% ^^^ &&& *** ((( )))"),
+        ]
+    )
+    out = {
+        r["doc_id"]: r["q"]
+        for r in df.select(
+            "doc_id", textstats.quality_logit("text").alias("q")
+        ).collect()
+    }
+    assert 0.0 < out[2] < out[1] < 1.0  # prose beats punctuation spam
+
+
+def test_ann_recall_counts_overlap_and_misses(spark):
+    exact = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=n, rank=i + 1) for i, n in enumerate([10, 11, 12])]
+        + [Row(query_id=2, neighbor_id=n, rank=i + 1) for i, n in enumerate([20, 21, 22])]
+    )
+    ann = spark.createDataFrame(
+        # query 1: 2 of 3 right; query 2: nothing returned at all
+        [Row(query_id=1, neighbor_id=n, rank=i + 1) for i, n in enumerate([10, 12, 99])]
+    )
+    out = {
+        r["query_id"]: (r["n_hits"], r["recall"])
+        for r in similarity.ann_recall(ann, exact, k=3).collect()
+    }
+    assert out[1] == (2, round(2 / 3, 6))
+    assert out[2] == (0, 0.0)  # missed queries still reported
+
+
+def test_ann_recall_ignores_rows_beyond_k(spark):
+    exact = spark.createDataFrame([Row(query_id=1, neighbor_id=10, rank=1)])
+    ann = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=99, rank=1), Row(query_id=1, neighbor_id=10, rank=2)]
+    )
+    [row] = similarity.ann_recall(ann, exact, k=1).collect()
+    assert (row["n_hits"], row["recall"]) == (0, 0.0)
+
+
+def test_l_diversity_flags_homogeneous_groups(spark):
+    from presto_workload_analyzer_spark.privacy.obfuscate import l_diversity
+
+    df = spark.createDataFrame(
+        [Row(u=1, s="a"), Row(u=1, s="b"), Row(u=1, s="c"),
+         Row(u=2, s="a"), Row(u=2, s="a"), Row(u=2, s="a")]
+    )
+    out = {
+        r["u"]: (r["group_size"], r["n_sensitive"], r["meets_l"])
+        for r in l_diversity(df, ["u"], "s", l=3).collect()
+    }
+    assert out[1] == (3, 3, True)
+    assert out[2] == (3, 1, False)  # large but homogeneous: leaks
