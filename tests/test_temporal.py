@@ -185,3 +185,98 @@ def test_sweep_concurrency_shard_width_invariant(spark):
             tuple(r)
             for r in T.sweep_concurrency(iv, "s", "e", shard_seconds=width).collect()
         )
+
+
+def test_asof_join_agrees_with_pandas_merge_asof(spark):
+    """Randomized batch check against pandas.merge_asof (an independent
+    reference implementation, like the driver oracle's DuckDB ASOF JOIN):
+    300x300 rows, 5 keys, second-resolution timestamps WITH collisions on
+    and across sides. Right-side (key, ts) duplicates are pre-collapsed to
+    the lexicographic-max payload on both sides, matching the operator's
+    documented tie rule."""
+    import pandas as pd
+    import random
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    left_pd = pd.DataFrame(
+        {
+            "lid": range(300),
+            "k": [rng.randrange(5) for _ in range(300)],
+            "ts": [base + dt.timedelta(seconds=rng.randrange(600)) for _ in range(300)],
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": [rng.randrange(5) for _ in range(300)],
+            "rts": [base + dt.timedelta(seconds=rng.randrange(600)) for _ in range(300)],
+            "v": [rng.randrange(1000) for _ in range(300)],
+        }
+    )
+    out = (
+        T.asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            "k", "ts", "rts", ["v"],
+        )
+        .select("lid", "v")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    dedup = (
+        right_pd.sort_values(["k", "rts", "v"]).groupby(["k", "rts"], as_index=False).last()
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        dedup.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k",
+        allow_exact_matches=True, direction="backward",
+    ).sort_values("lid").reset_index(drop=True)[["lid", "v"]]
+    pd.testing.assert_frame_equal(
+        out.astype({"v": "float64"}), expected.astype({"v": "float64"})
+    )
+
+
+def test_range_join_agrees_with_bruteforce(spark):
+    """Randomized batch check: bucketized range join == the O(n*m) pandas
+    filter, across bucket widths (bucketing must be a pure physical
+    optimization)."""
+    import pandas as pd
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+    iv_pd = pd.DataFrame(
+        {
+            "iv": range(60),
+            "k": [rng.randrange(4) for _ in range(60)],
+            "s": [base + dt.timedelta(seconds=rng.randrange(36_000)) for _ in range(60)],
+        }
+    )
+    iv_pd["e"] = iv_pd["s"] + pd.to_timedelta(
+        [rng.randrange(30, 7_200) for _ in range(60)], unit="s"
+    )
+    pt_pd = pd.DataFrame(
+        {
+            "p": range(300),
+            "k": [rng.randrange(4) for _ in range(300)],
+            "ts": [base + dt.timedelta(seconds=rng.randrange(40_000)) for _ in range(300)],
+        }
+    )
+    brute = {
+        (int(p.p), int(i.iv))
+        for _, p in pt_pd.iterrows()
+        for _, i in iv_pd.iterrows()
+        if p.k == i.k and i.s <= p.ts <= i.e
+    }
+    for width in (600, 3600, 86_400):
+        got = {
+            (r["p"], r["iv"])
+            for r in T.range_join_bucketed(
+                spark.createDataFrame(pt_pd),
+                spark.createDataFrame(iv_pd),
+                "k", "ts", "s", "e", bucket_seconds=width,
+            ).collect()
+        }
+        assert got == brute, f"width={width}"
