@@ -858,6 +858,7 @@ from presto_workload_analyzer_spark.extensions import (  # noqa: E402
     dedup as X_dedup,
     multimodal as X_mm,
     sampling as X_samp,
+    profile as X_prof,
     similarity as X_sim,
     temporal as X_temp,
     textstats as X_text,
@@ -3220,4 +3221,90 @@ _register(
     "   ORDER BY n_events DESC, event_type) AS rnk FROM g)"
     " SELECT bucket, event_type, n_events, total_value, CAST(rnk AS BIGINT) AS rnk"
     " FROM r WHERE rnk <= 3",
+)
+
+
+def _x46(spark: SparkSession, sf: str) -> DataFrame:
+    """Referential-integrity audit across the TPC-H star schema's seven FK
+    relations (profile.referential_audit): the pre-join data-quality gate.
+    Key-value-grain anti-joins — the synthetic tables are clean, so every
+    orphan count is 0 and the oracle pins exactly that."""
+    t = {n: read_sf_table(spark, sf, n) for n in
+         ["orders", "lineitem", "customer", "supplier", "part", "nation", "region"]}
+    pairs = [
+        ("lineitem.l_orderkey->orders", t["lineitem"], "l_orderkey", t["orders"], "o_orderkey"),
+        ("lineitem.l_partkey->part", t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        ("orders.o_custkey->customer", t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        ("customer.c_nationkey->nation", t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+        ("supplier.s_nationkey->nation", t["supplier"], "s_nationkey", t["nation"], "n_nationkey"),
+        ("nation.n_regionkey->region", t["nation"], "n_regionkey", t["region"], "r_regionkey"),
+    ]
+    return X_prof.referential_audit(pairs)
+
+
+def _x46_sql() -> str:
+    def one(label, child, fk, parent, pk):
+        return (
+            f"SELECT '{label}' AS relation,"
+            f" CAST(count(*) AS BIGINT) AS n_rows,"
+            f" CAST(sum(CASE WHEN {fk} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,"
+            f" CAST(sum(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS"
+            f"  (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})"
+            f"  THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,"
+            f" round(CAST(sum(CASE WHEN {fk} IS NOT NULL AND NOT EXISTS"
+            f"  (SELECT 1 FROM {parent} p WHERE p.{pk} = c.{fk})"
+            f"  THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS orphan_rate"
+            f" FROM {child} c"
+        )
+
+    return " UNION ALL ".join(
+        one(*args)
+        for args in [
+            ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+            ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+            ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+            ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+            ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+            ("supplier.s_nationkey->nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+            ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ]
+    )
+
+
+_register("x46_referential_audit", _x46, _x46_sql())
+
+
+def _x47(spark: SparkSession, sf: str) -> DataFrame:
+    """Span-level exact substring dedup (the sequence-grain dedup of
+    Lee et al.'s 'Deduplicating Training Data' line of work): strip every
+    token covered by a corpus-duplicated trigram, keep per-doc stats plus
+    the cleaned text (dedup.strip_duplicate_spans)."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_dedup.strip_duplicate_spans(docs, "doc_id", "text", k=3)
+    return out.select(
+        F.col("id").alias("doc_id"), "n_tokens", "n_removed", "clean_text"
+    )
+
+
+_register(
+    "x47_span_dedup",
+    _x47,
+    r"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents),
+inst AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+2], ' ') AS gram
+  FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),
+dupg AS (SELECT gram FROM inst GROUP BY gram HAVING count(*) >= 2),
+cov AS (SELECT DISTINCT doc_id, pos + o AS tp
+  FROM inst JOIN dupg USING (gram), UNNEST([0, 1, 2]) AS t(o)),
+tokp AS (SELECT doc_id, i AS p, w[i] AS tokn
+  FROM tok, UNNEST(range(1, len(w)+1)) AS t(i)),
+keep AS (SELECT doc_id, p, tokn FROM tokp WHERE NOT EXISTS
+  (SELECT 1 FROM cov WHERE cov.doc_id = tokp.doc_id AND cov.tp = tokp.p - 1)),
+agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+  string_agg(tokn, ' ' ORDER BY p) AS clean_text FROM keep GROUP BY doc_id)
+SELECT tok.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+  CAST(len(w) - coalesce(n_kept, 0) AS BIGINT) AS n_removed,
+  coalesce(agg.clean_text, '') AS clean_text
+FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id""",
 )

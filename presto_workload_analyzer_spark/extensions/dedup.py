@@ -637,3 +637,70 @@ def blocked_embedding_near_dup_pairs(
         .select("id_a", "id_b", cosine_expr(F.col("va"), F.col("vb")).alias("cosine"))
         .filter(F.col("cosine") > threshold)
     )
+
+
+def strip_duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Span-level exact substring dedup: remove every token covered by a
+    word k-gram that occurs MORE THAN ONCE in the corpus (in another
+    document or repeated within the same one) — the sequence-level
+    dedup that document-grain operators (x01/x02) cannot express: a
+    boilerplate paragraph pasted into a thousand otherwise-unique pages
+    survives document dedup but is stripped here.
+
+    Stages, all shuffle-honest:
+      1. positioned k-gram instances via posexplode of the shift-zip
+         shingle array (O(k*len)/doc, no UDF);
+      2. instance counts on the GRAM grain (map-side combinable — the one
+         corpus-sized shuffle, same shape as every shingle pipeline);
+      3. duplicated instances expand to covered token positions
+         (explode(sequence(pos, pos+k-1)), ≤ k rows per dup instance);
+      4. per-doc covered-position set (collect_set bounded by doc length),
+         broadcast-joined... no: LEFT-joined back on id (docs with no
+         covered spans keep everything);
+      5. tokens are rebuilt with the two-arg filter lambda (value, index)
+         — pure Column expression, the index never leaves the JVM.
+
+    Output: (id, n_tokens, n_removed, clean_text). Tokens are whitespace
+    words; reconstruction joins with single spaces (original inter-token
+    whitespace is not preserved — standard for token-level pipelines).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    toks = F.split(F.trim(F.col("__text")), r"\s+")
+    m = F.size(toks) - (k - 1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    gram_arr = F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+    inst = base.select("id", F.posexplode(gram_arr).alias("pos", "gram"))
+
+    counts = inst.groupBy("gram").agg(F.count(F.lit(1)).alias("__n"))
+    dup_inst = inst.join(
+        counts.filter(F.col("__n") >= 2).select("gram"), on="gram"
+    )
+    covered = (
+        dup_inst.select(
+            "id", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("tp")
+        )
+        .groupBy("id")
+        .agg(F.collect_set("tp").alias("__covered"))
+    )
+    joined = base.join(covered, on="id", how="left").withColumn(
+        "__covered",
+        F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
+    )
+    toks2 = F.split(F.trim(F.col("__text")), r"\s+")
+    kept = F.filter(
+        toks2, lambda t, i: ~F.array_contains(F.col("__covered"), i.cast("int"))
+    )
+    return joined.select(
+        "id",
+        F.size(toks2).cast("long").alias("n_tokens"),
+        (F.size(toks2) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

@@ -94,3 +94,52 @@ def profile_columns(
 
 
 __all__ = ["profile_columns"]
+
+
+def referential_audit(
+    pairs: list[tuple[str, DataFrame, str, DataFrame, str]],
+) -> DataFrame:
+    """Foreign-key integrity audit: for each (label, child, fk_col, parent,
+    pk_col) relation, count child rows whose FK value has no parent row —
+    the data-quality gate that runs before any silver join is trusted.
+
+    Per pair: child rows aggregate to (fk value, row count) FIRST — the
+    anti-join then runs on the key-value grain (|distinct FKs|, not
+    |child rows|), and the parent side ships only its distinct key column.
+    NULL FKs are reported separately (SQL FK semantics: NULL is absent,
+    not an orphan). Output: one row per relation —
+    (relation, n_rows, n_null_fk, n_orphans, orphan_rate rounded to 6).
+
+    At 100 TB the per-key aggregate is map-side combinable and the
+    anti-join broadcasts whenever the parent key set is dimension-sized;
+    for fact-to-fact relations it degrades to one hash shuffle on the key
+    — never a row-grain cross-table comparison.
+    """
+    outs = []
+    for label, child, fk_col, parent, pk_col in pairs:
+        fk = child.select(F.col(fk_col).alias("__fk"))
+        per_key = fk.filter(F.col("__fk").isNotNull()).groupBy("__fk").agg(
+            F.count(F.lit(1)).alias("__n")
+        )
+        orphans = per_key.join(
+            parent.select(F.col(pk_col).alias("__fk")).distinct(),
+            on="__fk",
+            how="left_anti",
+        ).agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__orph"))
+        totals = fk.agg(
+            F.count(F.lit(1)).alias("__rows"),
+            F.sum(F.col("__fk").isNull().cast("long")).alias("__nulls"),
+        )
+        outs.append(
+            totals.crossJoin(F.broadcast(orphans)).select(
+                F.lit(label).alias("relation"),
+                F.col("__rows").cast("long").alias("n_rows"),
+                F.col("__nulls").cast("long").alias("n_null_fk"),
+                F.col("__orph").cast("long").alias("n_orphans"),
+                F.round(F.col("__orph") / F.col("__rows"), 6).alias("orphan_rate"),
+            )
+        )
+    result = outs[0]
+    for o in outs[1:]:
+        result = result.unionByName(o)
+    return result

@@ -1297,3 +1297,57 @@ def test_l_diversity_flags_homogeneous_groups(spark):
     }
     assert out[1] == (3, 3, True)
     assert out[2] == (3, 1, False)  # large but homogeneous: leaks
+
+
+def test_strip_duplicate_spans_planted(spark):
+    rows = [
+        # "x y z" is shared between 1 and 2 -> stripped from both;
+        # within-doc repeat "r s t ... r s t" in 3 -> both occurrences go
+        Row(doc_id=1, text="a b c x y z d e f"),
+        Row(doc_id=2, text="p q x y z"),
+        Row(doc_id=3, text="r s t u v w r s t"),
+        Row(doc_id=4, text="completely unique words here now"),
+    ]
+    out = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.strip_duplicate_spans(
+            spark.createDataFrame(rows), "doc_id", "text", k=3
+        ).collect()
+    }
+    assert out[1] == (9, 3, "a b c d e f")
+    assert out[2] == (5, 3, "p q")
+    assert out[3] == (9, 6, "u v w")
+    assert out[4] == (5, 0, "completely unique words here now")
+
+
+def test_strip_duplicate_spans_overlapping_grams_cover_union(spark):
+    # "a b c d" duplicated as a 4-token run: trigrams "a b c" and "b c d"
+    # both dup'd; covered positions are the UNION, not double-removed
+    rows = [
+        Row(doc_id=1, text="a b c d x"),
+        Row(doc_id=2, text="y a b c d"),
+    ]
+    out = {
+        r["id"]: (r["n_removed"], r["clean_text"])
+        for r in dedup.strip_duplicate_spans(
+            spark.createDataFrame(rows), "doc_id", "text", k=3
+        ).collect()
+    }
+    assert out[1] == (4, "x")
+    assert out[2] == (4, "y")
+
+
+def test_referential_audit_counts_orphans(spark):
+    from presto_workload_analyzer_spark.extensions.profile import referential_audit
+
+    child = spark.createDataFrame(
+        [Row(rid=1, fk=10), Row(rid=2, fk=10), Row(rid=3, fk=99),
+         Row(rid=4, fk=None)]
+    )
+    parent = spark.createDataFrame([Row(pk=10), Row(pk=11)])
+    [row] = referential_audit([("c->p", child, "fk", parent, "pk")]).collect()
+    # 4 rows; 1 NULL (not an orphan); fk=99 is the one orphan row
+    assert (row["relation"], row["n_rows"], row["n_null_fk"], row["n_orphans"]) == (
+        "c->p", 4, 1, 1
+    )
+    assert row["orphan_rate"] == 0.25
