@@ -62,15 +62,27 @@ def attach_binary(df: DataFrame, id_col: str, text_col: str, mime: str = "applic
 
 
 def _decode_png(b: bytes) -> tuple[int, int, int, float] | None:
+    """(width, height, n_channels, mean_intensity) of a decodable PNG —
+    thin stats wrapper over _decode_png_pixels (the full decoder)."""
+    px = _decode_png_pixels(b)
+    if px is None:
+        return None
+    width, height, channels, out = px
+    mean = (sum(out) / len(out)) / 255.0 if out else 0.0
+    return width, height, channels, mean
+
+
+def _decode_png_pixels(b: bytes) -> tuple[int, int, int, bytearray] | None:
     """REAL PNG decode using only stdlib zlib — no codec library.
 
     Full pipeline: chunk walk (IHDR/PLTE/IDAT/IEND), zlib inflate of the
     concatenated IDAT stream, per-scanline unfilter (all five PNG filter
     types: None/Sub/Up/Average/Paeth, RFC 2083 §6), palette expansion for
-    color type 3. Returns (width, height, n_channels, mean_intensity) over
-    the reconstructed raw samples. Supported: 8-bit depth, color types
-    0/2/3/4/6, non-interlaced. Anything else (16-bit, Adam7) -> None, and
-    the caller falls back to the deterministic fake.
+    color type 3. Returns (width, height, n_channels, raw samples) — the
+    fully reconstructed pixel buffer, row-major, `n_channels` bytes per
+    pixel. Supported: 8-bit depth, color types 0/2/3/4/6, non-interlaced.
+    Anything else (16-bit, Adam7) -> None, and callers fall back to the
+    deterministic fake.
 
     Per-pixel Python is fine here: this runs inside an Arrow-batched
     mapInPandas stage on executor-side payload bytes, and the cost is
@@ -154,8 +166,7 @@ def _decode_png(b: bytes) -> tuple[int, int, int, float] | None:
                 rgb += plte[idx * 3 : idx * 3 + 3]
             out = rgb
             channels = 3
-        mean = (sum(out) / len(out)) / 255.0 if out else 0.0
-        return width, height, channels, mean
+        return width, height, channels, out
     except (IndexError, ValueError, zlib.error):
         return None
 
@@ -274,24 +285,72 @@ def decode_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(gen, DECODED_SCHEMA)
 
 
-def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB resize stage: media frame -> media frame with resized payload.
+def _encode_png(width: int, height: int, channels: int, samples: bytes) -> bytes:
+    """Minimal REAL PNG encoder (stdlib only): 8-bit, filter type 0 on
+    every scanline, one zlib-compressed IDAT, CRC32 per chunk. Channel
+    count maps to color type {1: gray, 2: gray+alpha, 3: RGB, 4: RGBA}.
+    Output round-trips through _decode_png_pixels bit-exactly."""
+    import struct
+    import zlib
 
-    Real version decodes, resamples to (width, height), re-encodes —
-    drop-in at the marked line. The fake deterministically truncates/pads
-    the payload to width*height bytes so the contract every downstream
-    stage relies on is exercised for real: same MEDIA_SCHEMA out as in,
-    meta.n_bytes consistent with the new payload, partitioning inherited,
-    payload bytes never leaving the executors.
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[channels]
+    stride = width * channels
+    raw = bytearray()
+    for y in range(height):
+        raw.append(0)  # filter: None
+        raw += samples[y * stride : (y + 1) * stride]
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize stage: media frame -> media frame with resized payload.
+
+    REAL for decodable PNGs: full pixel decode (_decode_png_pixels),
+    nearest-neighbor resample to (width, height) — src index =
+    floor(dst * src_size / dst_size), the standard NN mapping — and a real
+    PNG re-encode (_encode_png), all channel counts preserved.
+    Non-PNG / undecodable payloads keep the deterministic truncate/pad
+    fake (JPEG/video codecs need libraries this container doesn't have; a
+    real codec drops in at the marked line). Contract in both paths: same
+    MEDIA_SCHEMA out as in, meta.n_bytes consistent with the new payload,
+    partitioning inherited, payload bytes never leaving the executors.
     """
     target = width * height
+
+    def resize_one(raw: bytes) -> bytes:
+        px = _decode_png_pixels(raw)
+        if px is None:
+            return raw[:target].ljust(target, b"\0")  # <- real non-PNG codec here
+        w0, h0, ch, samples = px
+        out = bytearray()
+        for y in range(height):
+            sy = y * h0 // height
+            row = sy * w0 * ch
+            for x in range(width):
+                sx = x * w0 // width
+                out += samples[row + sx * ch : row + (sx + 1) * ch]
+        return _encode_png(width, height, ch, bytes(out))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for doc_id, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                raw = bytes(payload)
-                resized = raw[:target].ljust(target, b"\0")  # <- real resample here
+                resized = resize_one(bytes(payload))
                 rows.append(
                     {
                         "doc_id": doc_id,

@@ -1351,3 +1351,65 @@ def test_referential_audit_counts_orphans(spark):
         "c->p", 4, 1, 1
     )
     assert row["orphan_rate"] == 0.25
+
+
+def test_resize_media_real_nearest_neighbor_png(spark):
+    """resize_media is REAL for PNGs: known 4x4 RGB pixels (encoded with
+    the independent test-side encoder, Paeth-filtered) downsample 2x2 to
+    exactly the nearest-neighbor pixels, re-encoded as a valid PNG."""
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        _decode_png_pixels,
+        resize_media,
+    )
+
+    # 4x4 RGB: pixel (x, y) = (10x, 10y, x+y)
+    px = bytearray()
+    for y in range(4):
+        for x in range(4):
+            px += bytes([10 * x, 10 * y, x + y])
+    payload = _encode_png(4, 4, 2, px, row_filters=[4, 1, 2, 3])
+    media = spark.createDataFrame(
+        [{"doc_id": 1, "payload": bytearray(payload),
+          "meta": {"mime": "image/png", "n_bytes": len(payload)}}],
+        MEDIA_SCHEMA,
+    )
+    [row] = resize_media(media, 2, 2).collect()
+    w, h, ch, got = _decode_png_pixels(bytes(row["payload"]))
+    assert (w, h, ch) == (2, 2, 3)
+    # NN mapping: dst 0 -> src 0, dst 1 -> src 2
+    expect = bytearray()
+    for sy in (0, 2):
+        for sx in (0, 2):
+            expect += bytes([10 * sx, 10 * sy, sx + sy])
+    assert bytes(got) == bytes(expect)
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+
+
+def test_encode_png_roundtrips_through_decoder():
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        _decode_png_pixels,
+        _encode_png as enc,
+    )
+
+    for channels in (1, 2, 3, 4):
+        samples = bytes(range(0, 3 * 5 * channels))  # 3x5, known bytes
+        w, h, ch, got = _decode_png_pixels(enc(3, 5, channels, samples))
+        assert (w, h, ch) == (3, 5, channels)
+        assert bytes(got) == samples
+
+
+def test_resize_media_non_png_keeps_deterministic_fake(spark):
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        MEDIA_SCHEMA,
+        resize_media,
+    )
+
+    raw = b"not an image at all"
+    media = spark.createDataFrame(
+        [{"doc_id": 1, "payload": bytearray(raw),
+          "meta": {"mime": "application/octet-stream", "n_bytes": len(raw)}}],
+        MEDIA_SCHEMA,
+    )
+    [row] = resize_media(media, 4, 4).collect()
+    assert bytes(row["payload"]) == raw[:16].ljust(16, b"\0")
