@@ -3308,3 +3308,124 @@ SELECT tok.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
   coalesce(agg.clean_text, '') AS clean_text
 FROM tok LEFT JOIN agg ON tok.doc_id = agg.doc_id""",
 )
+
+
+def _s09(spark: SparkSession, sf: str) -> DataFrame:
+    """LEFT-OUTER watermarked stream-stream interval join: every signup,
+    with its within-2h purchases OR a NULL row if none came — the
+    conversion-funnel query (s04 is the inner variant; outer adds the
+    'who did NOT convert' rows, which is what funnels are for). Outer
+    rows emit when the watermark passes signup_ts + 2h; a finite drain's
+    final watermark stops 1 min short of the stream end, so the left side
+    is restricted to signups >= 3h before the last event — a STATIC
+    cutoff read from the batch table, reproduced verbatim in the oracle."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        interval_join,
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    max_ts = read_sf_table(spark, sf, "events").agg(F.max("ts")).first()[0]
+    cutoff = max_ts - __import__("datetime").timedelta(hours=3)
+    # NB the cutoff must NOT filter the stream itself: dropping the last 3 h
+    # of signups would cap that side's max event time, and the join's global
+    # watermark is the MIN of both sides — it would stall 3 h early and
+    # withhold exactly the outer rows the cutoff was meant to protect. The
+    # stream runs over everything; the cutoff applies to the DRAINED batch.
+    signups = (
+        stream_sf_table(spark, sf, "events")
+        .filter(F.col("event_type") == "signup")
+        .select(
+            F.col("user_id").alias("su_user"),
+            F.col("event_id").alias("signup_id"),
+            F.col("ts").alias("signup_ts"),
+        )
+        .withWatermark("signup_ts", "1 minute")
+    )
+    purchases = (
+        stream_sf_table(spark, sf, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("pu_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("value"),
+        )
+        .withWatermark("purchase_ts", "1 minute")
+    )
+    joined = interval_join(
+        signups, purchases, [("su_user", "pu_user")],
+        "signup_ts", "purchase_ts", upper="2 hours", how="left_outer",
+    ).select(
+        F.col("su_user").alias("user_id"),
+        "signup_id",
+        "signup_ts",
+        "purchase_id",
+        F.round("value", 6).alias("purchase_value"),
+    )
+    name = f"s09_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(joined, name, output_mode="append")
+        q.awaitTermination(300)
+    out = (
+        spark.table(name)
+        .filter(F.col("signup_ts") <= F.lit(cutoff))
+        .drop("signup_ts")
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s09_stream_outer_interval_join",
+    _s09,
+    "WITH cut AS (SELECT max(ts) - INTERVAL 3 HOURS AS c FROM events),"
+    " a AS (SELECT user_id, event_id, ts FROM events, cut"
+    "   WHERE event_type = 'signup' AND ts <= c),"
+    " b AS (SELECT user_id, event_id, ts, \"value\" FROM events"
+    "   WHERE event_type = 'purchase')"
+    " SELECT a.user_id, a.event_id AS signup_id, b.event_id AS purchase_id,"
+    "  round(b.\"value\", 6) AS purchase_value"
+    " FROM a LEFT JOIN b ON a.user_id = b.user_id"
+    "  AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 2 HOURS",
+)
+
+
+def _p07(spark: SparkSession, sf: str) -> DataFrame:
+    """Generalization vs suppression: rows whose (user_id, event_type)
+    group is under k=10 are lost to suppression (p04); banding user_id
+    into ranges of 10 (privacy.generalize_quasi) enlarges groups so far
+    fewer rows fall under k. One row per treatment with its suppressed
+    count — the utility/privacy trade made measurable."""
+    from presto_workload_analyzer_spark.privacy.obfuscate import generalize_quasi
+
+    ev = read_sf_table(spark, sf, "events").select("user_id", "event_type")
+    raw_w = Window.partitionBy("user_id", "event_type")
+    raw = ev.withColumn("__gs", F.count(F.lit(1)).over(raw_w)).agg(
+        F.sum((F.col("__gs") < 10).cast("long")).alias("n_suppressed")
+    ).select(F.lit("raw").alias("treatment"), "n_suppressed")
+    gen_w = Window.partitionBy("band", "event_type")
+    gen = (
+        ev.withColumn("band", generalize_quasi(F.col("user_id"), 10))
+        .withColumn("__gs", F.count(F.lit(1)).over(gen_w))
+        .agg(F.sum((F.col("__gs") < 10).cast("long")).alias("n_suppressed"))
+        .select(F.lit("generalized").alias("treatment"), "n_suppressed")
+    )
+    return raw.unionByName(gen)
+
+
+_register(
+    "p07_generalization",
+    _p07,
+    "WITH raw AS (SELECT CAST(count(*) AS BIGINT) AS gs FROM events"
+    "   GROUP BY user_id, event_type),"
+    " gen AS (SELECT CAST(count(*) AS BIGINT) AS gs FROM events"
+    "   GROUP BY CAST(floor(user_id / 10) AS BIGINT), event_type)"
+    " SELECT 'raw' AS treatment,"
+    "  CAST(coalesce(sum(CASE WHEN gs < 10 THEN gs END), 0) AS BIGINT)"
+    "   AS n_suppressed FROM raw"
+    " UNION ALL SELECT 'generalized',"
+    "  CAST(coalesce(sum(CASE WHEN gs < 10 THEN gs END), 0) AS BIGINT) FROM gen",
+)

@@ -434,3 +434,17 @@ def l_diversity(
         F.count(F.lit(1)).cast("long").alias("group_size"),
         F.countDistinct(sensitive_col).cast("long").alias("n_sensitive"),
     ).withColumn("meets_l", F.col("n_sensitive") >= l)
+
+
+def generalize_quasi(col: "Column", width: int) -> "Column":
+    """Quasi-identifier generalization: numeric values band into
+    half-open ranges of `width` ("0-9", "10-19", ...) — the coarsening
+    half of the k-anonymity toolkit (k_anonymize suppresses or masks;
+    generalization keeps rows by making groups bigger). Pure Column
+    arithmetic, usable inside any groupBy."""
+    lo = F.floor(col / width) * width
+    return F.concat(
+        lo.cast("long").cast("string"),
+        F.lit("-"),
+        (lo + (width - 1)).cast("long").cast("string"),
+    )

@@ -26,17 +26,26 @@ def interval_join(
     right_ts: str,
     upper: str,
     lower: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join: right row within [left_ts + lower, left_ts + upper].
+    """Join right rows within [left_ts + lower, left_ts + upper].
 
     `keys` pairs (left_col, right_col) equi-join columns — callers alias
     the two sides apart first (stream-stream self-joins reuse the same
     source). Both inputs MUST already carry a watermark on their ts column;
     without one Spark cannot bound the join state and rejects the query in
     append mode.
+
+    how='left_outer' emits the unmatched-left NULL row once the watermark
+    passes the row's join horizon (left_ts + upper). CAVEAT at drain time:
+    the final watermark stops `delay` short of the stream's max event
+    time, so left rows inside that trailing horizon never get their NULL
+    row in a finite drain — restrict the left side to rows at least
+    (upper + delay) older than the stream end when comparing against a
+    batch oracle (see the s09 driver query).
     """
     cond: Column = F.col(right_ts) >= F.col(left_ts) + F.expr(f"INTERVAL {lower}")
     cond &= F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {upper}")
     for lk, rk in keys:
         cond &= left[lk] == right[rk]
-    return left.join(right, cond, "inner")
+    return left.join(right, cond, how)

@@ -1413,3 +1413,30 @@ def test_resize_media_non_png_keeps_deterministic_fake(spark):
     )
     [row] = resize_media(media, 4, 4).collect()
     assert bytes(row["payload"]) == raw[:16].ljust(16, b"\0")
+
+
+def test_interval_join_left_outer_batch_semantics(spark):
+    import datetime as dt
+
+    from presto_workload_analyzer_spark.streaming import interval_join
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [Row(lu=1, lid=10, lts=t0), Row(lu=9, lid=90, lts=t0)]  # 9: no match
+    )
+    right = spark.createDataFrame(
+        [Row(ru=1, rid=100, rts=t0 + dt.timedelta(minutes=30))]
+    )
+    out = interval_join(
+        left, right, [("lu", "ru")], "lts", "rts", upper="2 hours", how="left_outer"
+    )
+    got = {(r.lid, r.rid) for r in out.collect()}
+    assert got == {(10, 100), (90, None)}  # unmatched left survives with NULLs
+
+
+def test_generalize_quasi_bands(spark):
+    from presto_workload_analyzer_spark.privacy.obfuscate import generalize_quasi
+
+    df = spark.createDataFrame([Row(v=0), Row(v=9), Row(v=10), Row(v=137)])
+    got = [r["b"] for r in df.select(generalize_quasi(F.col("v"), 10).alias("b")).collect()]
+    assert got == ["0-9", "0-9", "10-19", "130-139"]
