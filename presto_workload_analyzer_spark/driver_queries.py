@@ -798,11 +798,11 @@ def _correctness_rounds() -> list[dict]:
     return [rows for _, rows in sorted(found)]
 
 
-def _round_verified(rows: dict, registry: dict) -> set[str]:
+def _round_verified(rows: dict) -> set[str]:
     """Names one round's record verifies: hash-matched against the oracle,
-    or rows-only where the registry STILL has no oracle (an old no_oracle
-    row for a query that has since gained an oracle does not count — the
-    new oracle deserves a first run at the front of the window)."""
+    or rows-only where the current registry (_ORACLES) STILL has no oracle
+    (an old no_oracle row for a query that has since gained an oracle does
+    not count — the new oracle deserves a first run at the window front)."""
     return {
         name
         for name, row in rows.items()
@@ -814,21 +814,20 @@ def _round_verified(rows: dict, registry: dict) -> set[str]:
     }
 
 
-def _verified_names(registry: dict | None = None) -> tuple[set[str], set[str]]:
+def _verified_names() -> tuple[set[str], set[str]]:
     """(latest_verified, ever_verified) across ALL recorded rounds.
 
     `ever` decides who gets a first-ever verification slot (group 2 —
     never-verified queries outrank everything non-gate); `latest` decides
     freshness (a pass from an old round expires after one round — code may
     have changed since — so those names re-enter the window as group 3)."""
-    registry = _QUERIES if registry is None else registry
     rounds = _correctness_rounds()
     if not rounds:
         return set(), set()
     ever: set[str] = set()
     for rows in rounds:
-        ever |= _round_verified(rows, registry)
-    return _round_verified(rounds[-1], registry), ever
+        ever |= _round_verified(rows)
+    return _round_verified(rounds[-1]), ever
 
 
 def _ordered(registry: dict) -> dict:
@@ -2270,9 +2269,14 @@ def _x31(spark: SparkSession, sf: str) -> DataFrame:
     1e6 floor) instead of a fixed literal — the oracle's quantile_disc is
     always exact, and a fixed accuracy would flake by one rank at a
     quartile boundary once the gate's sf outgrew it. Ties at a boundary go
-    to the lower bucket on both sides by construction."""
+    to the lower bucket on both sides by construction.
+
+    The accuracy is CAPPED at 1e7: uncapped 10x-row-count accuracy makes
+    sketch memory linear in corpus size — the single-reducer scale killer
+    wearing a knob — so past ~1M documents the sketch is honestly
+    approximate (every gate sf stays far below the cap and rank-exact)."""
     docs = read_sf_table(spark, sf, "documents")
-    accuracy = max(1_000_000, 10 * docs.count())
+    accuracy = min(max(1_000_000, 10 * docs.count()), 10_000_000)
     bounds = docs.select(
         F.expr(
             f"approx_percentile(n_chars, array(0.25D, 0.5D, 0.75D), {accuracy})"
@@ -2940,9 +2944,14 @@ def _x41(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "x41_asof_join",
     _x41,
+    # the right side pre-collapses (user_id, ts) ties to the payload-max
+    # row — same rule asof_join applies (max of struct(view_id, view_value)
+    # == max view_id since event ids are unique) — because DuckDB's ASOF
+    # picks an UNSPECIFIED tied row and would flake the hash comparison
     "WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),"
-    " r AS (SELECT user_id, ts, event_id AS view_id, \"value\" AS view_value"
-    "   FROM events WHERE event_type = 'view')"
+    " r AS (SELECT user_id, ts, max(event_id) AS view_id,"
+    "   max_by(\"value\", event_id) AS view_value"
+    "   FROM events WHERE event_type = 'view' GROUP BY 1, 2)"
     " SELECT l.event_id, l.user_id, r.ts AS matched_ts, r.view_id, r.view_value"
     " FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts",
 )

@@ -287,7 +287,11 @@ def ngram_jaccard(
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
     if pairs is not None:
         inter = (
+            # distinct: duplicate candidate rows (raw per-band collisions)
+            # would each contribute a full copy of the intersection and
+            # inflate the intersection count past the true set size
             pairs.select("id_a", "id_b")
+            .distinct()
             .join(a, on="id_a")
             .join(b, on=["id_b", "shingle"])
             .groupBy("id_a", "id_b")
@@ -339,7 +343,11 @@ def shingle_containment(
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
     if pairs is not None:
         inter = (
+            # distinct: duplicate candidate rows (raw per-band collisions)
+            # would each contribute a full copy of the intersection and
+            # inflate the intersection count past the true set size
             pairs.select("id_a", "id_b")
+            .distinct()
             .join(a, on="id_a")
             .join(b, on=["id_b", "shingle"])
             .groupBy("id_a", "id_b")

@@ -118,8 +118,17 @@ def _hierarchical_row_number(
     offsets = counts.withColumn(
         "__off", F.coalesce(F.sum("__n").over(w_shard), F.lit(0))
     ).select(*group_cols, "__shard", "__off")
+    # NULL-SAFE join: a NULL group key (or NULL order key -> NULL shard)
+    # forms its own window partition in the single-window formulation, so
+    # it must match its own offsets row here too — plain `on=` equality
+    # would silently drop every NULL-keyed row
+    lhs, rhs = local.alias("__l"), F.broadcast(offsets).alias("__r")
+    cond = F.lit(True)
+    for c in [*group_cols, "__shard"]:
+        cond = cond & lhs[c].eqNullSafe(rhs[c])
     return (
-        local.join(F.broadcast(offsets), on=[*group_cols, "__shard"])
+        lhs.join(rhs, cond)
+        .select(*[lhs[c] for c in local.columns], rhs["__off"])
         .withColumn(rank_alias, (F.col("__off") + F.col("__lrn")).cast("int"))
         .drop("__shard", "__lrn", "__off")
     )

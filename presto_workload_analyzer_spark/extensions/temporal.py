@@ -116,8 +116,10 @@ def asof_join(
         .filter(F.col("__l").isNotNull())
     )
     if tolerance_seconds is not None:
+        # fixed-point format: float repr of small tolerances (1e-05) is
+        # scientific notation, which the interval literal grammar rejects
         fresh = F.col("__mts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {float(tolerance_seconds)} SECONDS"
+            f"INTERVAL {float(tolerance_seconds):.6f} SECONDS"
         )
         carried = carried.withColumn(
             "__mv", F.when(fresh, F.col("__mv"))
@@ -222,12 +224,18 @@ def sweep_concurrency(
     counts intervals that truly START that date (clip re-entries are not
     re-counted).
     """
-    spans = intervals.select(
-        _ts(start_col).alias("__s"),
-        _ts(end_col).alias("__e"),
-        F.explode(
-            F.sequence(F.to_date(start_col), F.to_date(end_col))
-        ).alias("__d"),
+    # inverted intervals (end < start) are DROPPED, matching SQL
+    # range()-based date expansion which is empty for them — without the
+    # filter F.sequence would default to step -1 and explode the interval
+    # onto its covered dates in reverse, emitting garbage deltas
+    spans = (
+        intervals.select(_ts(start_col).alias("__s"), _ts(end_col).alias("__e"))
+        .filter(F.col("__e") >= F.col("__s"))
+        .select(
+            "__s",
+            "__e",
+            F.explode(F.sequence(F.to_date("__s"), F.to_date("__e"))).alias("__d"),
+        )
     )
     day = F.col("__d").cast("timestamp")
     clipped = spans.select(

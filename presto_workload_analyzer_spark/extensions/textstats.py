@@ -435,8 +435,15 @@ def pack_bins(
     offsets = totals.withColumn(
         "__offset", F.coalesce(F.sum("__shard_total").over(w_shard), F.lit(0))
     ).select(part_col, "__shard", "__offset")
+    # NULL-SAFE join: NULL part/order keys form their own window partition
+    # in the single-window formulation and must keep their rows here too
+    lhs, rhs = local.alias("__l"), F.broadcast(offsets).alias("__r")
+    cond = lhs[part_col].eqNullSafe(rhs[part_col]) & lhs["__shard"].eqNullSafe(
+        rhs["__shard"]
+    )
     return (
-        local.join(F.broadcast(offsets), on=[part_col, "__shard"])
+        lhs.join(rhs, cond)
+        .select(*[lhs[c] for c in local.columns], rhs["__offset"])
         .withColumn(
             "bin",
             F.floor((F.col("__offset") + F.col("__local")) / F.lit(budget)).cast(

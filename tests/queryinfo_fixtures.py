@@ -374,3 +374,19 @@ def fixtures() -> list[dict]:
     )
 
     return docs
+
+
+def golden_corpus() -> list[dict]:
+    """THE report-golden corpus — the single source both the golden test
+    (tests/test_report.py) and the regenerator (tools/regen_golden_report.py)
+    build from, so the checked-in digest can never drift from the corpus
+    the test actually constructs."""
+    docs = fixtures()
+    # one user with a >30-char name to exercise label shortening
+    docs.append(
+        make_queryinfo(
+            "20240104_080000_00020_aaaaa",
+            user="a_very_long_user_name_that_exceeds_thirty_chars",
+        )
+    )
+    return docs

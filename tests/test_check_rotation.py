@@ -77,7 +77,7 @@ def test_round_verified_ignores_stale_no_oracle(monkeypatch):
     oracles["q_still_rows_only"] = None
     oracles["q_gained_oracle"] = "SELECT 1"
     monkeypatch.setattr(dq, "_ORACLES", oracles)
-    got = dq._round_verified(rows, dq._QUERIES)
+    got = dq._round_verified(rows)
     assert got == {"q_still_rows_only", "q_hash_ok"}
 
 

@@ -1440,3 +1440,75 @@ def test_generalize_quasi_bands(spark):
     df = spark.createDataFrame([Row(v=0), Row(v=9), Row(v=10), Row(v=137)])
     got = [r["b"] for r in df.select(generalize_quasi(F.col("v"), 10).alias("b")).collect()]
     assert got == ["0-9", "0-9", "10-19", "130-139"]
+
+
+# ---------------------------------------------------------------------------
+# round-4 self-review regressions: NULL-key survival in the hierarchical
+# prefix-sum joins, inverted intervals, duplicate candidate pairs
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_cap_keeps_null_group_rows(spark):
+    rows = [Row(g="a", i=1), Row(g="a", i=2), Row(g=None, i=3), Row(g=None, i=4)]
+    out = sampling.stratified_cap(
+        spark.createDataFrame(rows), ["g"], "i", cap=1, shard_size=2
+    )
+    got = {(r["g"], r["i"]) for r in out.collect()}
+    # NULL forms its own group, exactly like the single-window formulation
+    assert got == {("a", 1), (None, 3)}
+
+
+def test_pack_bins_keeps_null_part_rows(spark):
+    rows = [
+        Row(src="a", doc_id=1, n=5),
+        Row(src=None, doc_id=2, n=5),
+        Row(src=None, doc_id=3, n=5),
+    ]
+    out = textstats.pack_bins(
+        spark.createDataFrame(rows), "src", "doc_id", "n", budget=7, shard_size=2
+    )
+    got = {(r["src"], r["doc_id"], r["bin"]) for r in out.collect()}
+    # doc 3's EXCLUSIVE prefix within the NULL partition is 5 < budget 7
+    assert got == {("a", 1, 0), (None, 2, 0), (None, 3, 0)}
+
+
+def test_sweep_concurrency_drops_inverted_intervals(spark):
+    import datetime as dt
+
+    from presto_workload_analyzer_spark.extensions import temporal as T
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    iv = spark.createDataFrame(
+        [
+            Row(s=t0, e=t0 + dt.timedelta(hours=1)),
+            Row(s=t0, e=t0 - dt.timedelta(days=2)),  # inverted: ignored
+        ]
+    )
+    rows = [tuple(r) for r in T.sweep_concurrency(iv, "s", "e").collect()]
+    assert rows == [(dt.date(2024, 1, 1), 1, 1)]
+
+
+def test_ngram_jaccard_idempotent_under_duplicate_pairs(spark):
+    sh = dedup.shingles(
+        spark.createDataFrame(
+            [Row(doc_id=1, text="a b c d e"), Row(doc_id=2, text="a b c x y")]
+        ),
+        "doc_id", "text", k=3,
+    )
+    once = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    twice = once.unionByName(once)
+    j1 = dedup.ngram_jaccard(sh, pairs=once).collect()[0]["jaccard"]
+    j2 = dedup.ngram_jaccard(sh, pairs=twice).collect()[0]["jaccard"]
+    assert j1 == j2 == pytest.approx(1 / 5)
+
+
+def test_asof_tolerance_small_values_parse(spark):
+    import datetime as dt
+
+    from presto_workload_analyzer_spark.extensions import temporal as T
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    left = spark.createDataFrame([Row(lid=1, k=1, ts=t0)])
+    right = spark.createDataFrame([Row(k=1, rts=t0, v=1)])
+    out = T.asof_join(left, right, "k", "ts", "rts", ["v"], tolerance_seconds=1e-05)
+    assert out.collect()[0]["v"] == 1  # exact-ts match is 0 s stale

@@ -23,14 +23,7 @@ import queryinfo_fixtures as QF
 @pytest.fixture(scope="module")
 def silver(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("report_corpus")
-    docs = QF.fixtures()
-    # one user with a >30-char name to exercise label shortening
-    docs.append(
-        QF.make_queryinfo(
-            "20240104_080000_00020_aaaaa",
-            user="a_very_long_user_name_that_exceeds_thirty_chars",
-        )
-    )
+    docs = QF.golden_corpus()  # shared with tools/regen_golden_report.py
     for i, doc in enumerate(docs):
         (d / f"q{i:03d}.json").write_text(json.dumps(doc))
     return build_silver(extract_queryinfo(spark, str(d)))

@@ -28,13 +28,7 @@ def main() -> None:
 
     spark = get_spark(cpus=8)
     with tempfile.TemporaryDirectory() as d:
-        docs = QF.fixtures()
-        docs.append(
-            QF.make_queryinfo(
-                "20240104_080000_00020_aaaaa",
-                user="a_very_long_user_name_that_exceeds_thirty_chars",
-            )
-        )
+        docs = QF.golden_corpus()  # shared with tests/test_report.py
         for i, doc in enumerate(docs):
             (pathlib.Path(d) / f"q{i:03d}.json").write_text(json.dumps(doc))
         silver = build_silver(extract_queryinfo(spark, d))
