@@ -81,3 +81,39 @@ def test_no_foreign_columns(spark, name, table, banned):
     for t, cols, line in _scans(spark, name):
         if t == table:
             assert not (cols & banned), line
+
+
+def test_x41_asof_scans_minimal_event_columns(spark):
+    """The as-of join needs 4 of events' 6 columns on the left and 4 on the
+    right; neither scan may drag `props` (the dominant string column)."""
+    scans = _scans(spark, "x41_asof_join")
+    assert scans
+    for table, cols, line in scans:
+        assert table == "events"
+        assert "props" not in cols, line
+        # the event_type predicate must reach the scan
+        assert "event_type" in line.split("PushedFilters:", 1)[-1], line
+
+
+def test_x43_quality_logit_prunes_to_id_and_text(spark):
+    for table, cols, line in _scans(spark, "x43_quality_logit"):
+        assert table == "documents"
+        assert cols == {"doc_id", "text"}, line
+
+
+def test_a36_concurrency_scans_only_sweep_inputs(spark):
+    """The sweep needs the timestamp + the elapsed/value column (and the
+    FAILED filter's event_type); the JSON props blob must stay unread."""
+    for table, cols, line in _scans(spark, "a36_concurrency_profile"):
+        assert table == "events"
+        assert "props" not in cols, line
+
+
+def test_x46_referential_audit_scans_only_key_columns(spark):
+    """Every FK-audit scan must read ONLY the key column(s) involved —
+    reading lineitem's payload columns for an orphan count would scan the
+    fact table's full width at 100 TB."""
+    wide = {"l_comment", "o_comment", "p_name", "text", "props"}
+    for table, cols, line in _scans(spark, "x46_referential_audit"):
+        assert not (cols & wide), line
+        assert len(cols) <= 2, line
