@@ -3438,3 +3438,132 @@ _register(
     " UNION ALL SELECT 'generalized',"
     "  CAST(coalesce(sum(CASE WHEN gs < 10 THEN gs END), 0) AS BIGINT) FROM gen",
 )
+
+
+def _a37(spark: SparkSession, sf: str) -> DataFrame:
+    """Workload novelty: how many (user, query-shape) combinations appear
+    for the FIRST time each day — the 'what changed in the workload today'
+    analyzer an operator reads before capacity review. min-date per
+    (user, shape) then a date rollup: two map-side-combinable aggregates,
+    shuffle bounded by |users| x |shapes|, never by query count."""
+    from presto_workload_analyzer_spark.functions import normalize_sql
+
+    ev = read_sf_table(spark, sf, "events")
+    shape = normalize_sql(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(
+                F.lit("INSERT INTO orders (user_id, qty) VALUES ("),
+                F.col("user_id").cast("string"),
+                F.lit(", "),
+                (F.col("event_id") % 7 + 1).cast("string"),
+                F.lit(")"),
+            ),
+        )
+        .when(
+            F.col("event_type") == "signup",
+            F.concat(
+                F.lit("CREATE TABLE staging AS SELECT * FROM users WHERE id = "),
+                F.col("user_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("SELECT * FROM events WHERE user_id = "),
+                F.col("user_id").cast("string"),
+                F.lit(" AND event_type = '"),
+                F.col("event_type"),
+                F.lit("' LIMIT "),
+                (F.col("event_id") % 100 + 1).cast("string"),
+            )
+        )
+    )
+    first_seen = (
+        ev.select(
+            F.col("user_id"), shape.alias("shape"), F.to_date("ts").alias("d")
+        )
+        .groupBy("user_id", "shape")
+        .agg(F.min("d").alias("first_date"))
+    )
+    return first_seen.groupBy(F.col("first_date").alias("bucket_date")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_new_user_shapes")
+    )
+
+
+_register(
+    "a37_workload_novelty",
+    _a37,
+    "WITH s AS (SELECT user_id, CAST(ts AS DATE) AS d, CASE"
+    "  WHEN event_type = 'purchase' THEN"
+    "   'INSERT INTO orders (user_id, qty) VALUES (' || CAST(user_id AS VARCHAR)"
+    "   || ', ' || CAST(event_id % 7 + 1 AS VARCHAR) || ')'"
+    "  WHEN event_type = 'signup' THEN"
+    "   'CREATE TABLE staging AS SELECT * FROM users WHERE id = '"
+    "   || CAST(user_id AS VARCHAR)"
+    "  ELSE 'SELECT * FROM events WHERE user_id = ' || CAST(user_id AS VARCHAR)"
+    "   || ' AND event_type = ''' || event_type || ''' LIMIT '"
+    "   || CAST(event_id % 100 + 1 AS VARCHAR) END AS q FROM events),"
+    " n AS (SELECT user_id, d,"
+    "  regexp_replace(regexp_replace(q, '''[^'']*''', '?', 'g'),"
+    "   '\\b[0-9]+(\\.[0-9]+)?\\b', '?', 'g') AS shape FROM s),"
+    " fs AS (SELECT user_id, shape, min(d) AS first_date FROM n GROUP BY 1, 2)"
+    " SELECT first_date AS bucket_date,"
+    "  CAST(count(*) AS BIGINT) AS n_new_user_shapes"
+    " FROM fs GROUP BY 1",
+)
+
+
+def _x48(spark: SparkSession, sf: str) -> DataFrame:
+    """Log2-bucketed document-length histogram with byte mass per bucket —
+    the monitoring profile every ingest pipeline charts (length spectrum
+    shifts are the first symptom of a bad crawl batch). One aggregate,
+    #buckets output rows."""
+    docs = read_sf_table(spark, sf, "documents")
+    bucket = F.floor(F.log2(F.greatest(F.col("n_chars"), F.lit(1)))).cast("long")
+    return (
+        docs.groupBy(bucket.alias("log2_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+        )
+    )
+
+
+_register(
+    "x48_length_histogram",
+    _x48,
+    "SELECT CAST(floor(log2(greatest(n_chars, 1))) AS BIGINT) AS log2_bucket,"
+    " CAST(count(*) AS BIGINT) AS n_docs,"
+    " CAST(sum(n_chars) AS BIGINT) AS total_chars"
+    " FROM documents GROUP BY 1",
+)
+
+
+def _x49(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-field consistency audit: does the materialized n_chars column
+    actually equal length(text)? The denormalized-column drift check that
+    referential audits (x46) don't cover — one aggregate pass, three
+    counters + the worst absolute drift."""
+    docs = read_sf_table(spark, sf, "documents")
+    drift = F.abs(F.length("text") - F.col("n_chars"))
+    return docs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum((F.length("text") != F.col("n_chars")).cast("long")).alias("n_mismatched"),
+        F.sum((F.col("text").isNull() | F.col("n_chars").isNull()).cast("long")).alias(
+            "n_nulls"
+        ),
+        F.max(drift).cast("long").alias("max_drift"),
+    )
+
+
+_register(
+    "x49_field_consistency",
+    _x49,
+    "SELECT CAST(count(*) AS BIGINT) AS n_rows,"
+    " CAST(sum(CASE WHEN len(text) <> n_chars THEN 1 ELSE 0 END) AS BIGINT)"
+    "  AS n_mismatched,"
+    " CAST(sum(CASE WHEN text IS NULL OR n_chars IS NULL THEN 1 ELSE 0 END)"
+    "  AS BIGINT) AS n_nulls,"
+    " CAST(max(abs(len(text) - n_chars)) AS BIGINT) AS max_drift"
+    " FROM documents",
+)
