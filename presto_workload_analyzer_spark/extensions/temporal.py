@@ -63,11 +63,15 @@ def asof_join(
     *,
     allow_exact_matches: bool = True,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
     """For every left row, attach the most recent right row at-or-before
     (or strictly before, with allow_exact_matches=False) its timestamp,
     per key — pandas.merge_asof(direction='backward') / DuckDB ASOF LEFT
     JOIN semantics, left rows with no match keep NULLs.
+    direction='forward' flips the scan: the EARLIEST right row at-or-after
+    each left row (the same union-window formulation traversed in
+    descending time order).
 
     Right-side ties on (key, right_ts) are resolved deterministically by
     the lexicographic max of the value struct (engine-portable — no
@@ -104,9 +108,12 @@ def asof_join(
         F.col("__ts").alias("__vts"),
     )
 
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"asof_join: unknown direction {direction!r}")
+    ts_order = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
     w = (
         Window.partitionBy("__k")
-        .orderBy("__ts", "__side")
+        .orderBy(ts_order, F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = (
@@ -118,8 +125,11 @@ def asof_join(
     if tolerance_seconds is not None:
         # fixed-point format: float repr of small tolerances (1e-05) is
         # scientific notation, which the interval literal grammar rejects
-        fresh = F.col("__mts") >= F.col("__ts") - F.expr(
-            f"INTERVAL {float(tolerance_seconds):.6f} SECONDS"
+        tol = F.expr(f"INTERVAL {float(tolerance_seconds):.6f} SECONDS")
+        fresh = (
+            F.col("__mts") >= F.col("__ts") - tol
+            if direction == "backward"
+            else F.col("__mts") <= F.col("__ts") + tol
         )
         carried = carried.withColumn(
             "__mv", F.when(fresh, F.col("__mv"))

@@ -1512,3 +1512,50 @@ def test_asof_tolerance_small_values_parse(spark):
     right = spark.createDataFrame([Row(k=1, rts=t0, v=1)])
     out = T.asof_join(left, right, "k", "ts", "rts", ["v"], tolerance_seconds=1e-05)
     assert out.collect()[0]["v"] == 1  # exact-ts match is 0 s stale
+
+
+def test_strip_duplicate_spans_agrees_with_python_reference(spark):
+    """Randomized batch check: the distributed span dedup equals a direct
+    Python reference implementation on 60 small random documents drawn
+    from a 12-word vocabulary (dense gram collisions, within- and
+    cross-document)."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(12)]
+    texts = {
+        i: " ".join(rng.choice(vocab) for _ in range(rng.randrange(1, 12)))
+        for i in range(60)
+    }
+    k = 3
+
+    # independent reference: count gram instances, cover, rebuild
+    from collections import Counter
+
+    gram_counts = Counter()
+    doc_grams = {}
+    for i, t in texts.items():
+        w = t.split()
+        grams = [tuple(w[j : j + k]) for j in range(len(w) - k + 1)]
+        doc_grams[i] = grams
+        gram_counts.update(grams)
+    expected = {}
+    for i, t in texts.items():
+        w = t.split()
+        covered = set()
+        for j, g in enumerate(doc_grams[i]):
+            if gram_counts[g] >= 2:
+                covered.update(range(j, j + k))
+        kept = [tok for j, tok in enumerate(w) if j not in covered]
+        expected[i] = (len(w), len(w) - len(kept), " ".join(kept))
+
+    out = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in dedup.strip_duplicate_spans(
+            spark.createDataFrame(
+                [Row(doc_id=i, text=t) for i, t in texts.items()]
+            ),
+            "doc_id", "text", k=k,
+        ).collect()
+    }
+    assert out == expected

@@ -280,3 +280,62 @@ def test_range_join_agrees_with_bruteforce(spark):
             ).collect()
         }
         assert got == brute, f"width={width}"
+
+
+def test_asof_forward_direction(spark, asof_frames):
+    left, right = asof_frames
+    out = {
+        r["lid"]: (r["v"], r["matched_ts"])
+        for r in T.asof_join(
+            left, right, "k", "ts", "rts", ["v"], direction="forward"
+        ).collect()
+    }
+    assert out[1] == (20, _t("2024-01-01 11:00:00"))  # earliest at-or-after
+    assert out[2] == (None, None)                     # nothing after 12:00
+    assert out[3] == (30, _t("2024-01-01 09:30:00"))
+    assert out[4] == (20, _t("2024-01-01 11:00:00"))  # inclusive exact match
+
+
+def test_asof_forward_agrees_with_pandas_merge_asof(spark):
+    import pandas as pd
+    import random
+
+    rng = random.Random(99)
+    base = dt.datetime(2024, 1, 1)
+    left_pd = pd.DataFrame(
+        {
+            "lid": range(200),
+            "k": [rng.randrange(4) for _ in range(200)],
+            "ts": [base + dt.timedelta(seconds=rng.randrange(500)) for _ in range(200)],
+        }
+    )
+    right_pd = pd.DataFrame(
+        {
+            "k": [rng.randrange(4) for _ in range(200)],
+            "rts": [base + dt.timedelta(seconds=rng.randrange(500)) for _ in range(200)],
+            "v": [rng.randrange(1000) for _ in range(200)],
+        }
+    )
+    out = (
+        T.asof_join(
+            spark.createDataFrame(left_pd),
+            spark.createDataFrame(right_pd),
+            "k", "ts", "rts", ["v"], direction="forward",
+        )
+        .select("lid", "v")
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    dedup = (
+        right_pd.sort_values(["k", "rts", "v"]).groupby(["k", "rts"], as_index=False).last()
+    )
+    expected = pd.merge_asof(
+        left_pd.sort_values("ts"),
+        dedup.sort_values("rts"),
+        left_on="ts", right_on="rts", by="k",
+        allow_exact_matches=True, direction="forward",
+    ).sort_values("lid").reset_index(drop=True)[["lid", "v"]]
+    pd.testing.assert_frame_equal(
+        out.astype({"v": "float64"}), expected.astype({"v": "float64"})
+    )
