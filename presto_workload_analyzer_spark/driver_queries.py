@@ -1350,20 +1350,26 @@ def _x12(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _x12_sql() -> str:
+def _hyperplane_bucket_sql(n_planes: int = 8, n_dims: int = 64) -> str:
+    """ANSI twin of similarity.hyperplane_bucket_expr's md5-derived sign
+    planes, as a DuckDB expression over a DOUBLE[] column `v` — shared by
+    the x12 LSH oracle and the x44 recall-eval oracle."""
     import hashlib
 
     def sign(p: int, i: int) -> int:
         return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
 
-    n_dims = 64
     terms = []
-    for p in range(8):
+    for p in range(n_planes):
         arr = "[" + ", ".join(f"{float(sign(p, i))!r}" for i in range(n_dims)) + "]"
         terms.append(
             f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {2 ** p} ELSE 0 END)"
         )
-    bucket = " + ".join(terms)
+    return " + ".join(terms)
+
+
+def _x12_sql() -> str:
+    bucket = _hyperplane_bucket_sql(n_planes=8, n_dims=64)
     return (
         "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
         f" bk AS (SELECT id, v, {bucket} AS bucket FROM e),"
@@ -2613,21 +2619,12 @@ _register(
 )
 
 
-def _a34(spark: SparkSession, sf: str) -> DataFrame:
-    """Query-shape fingerprinting: SQL text normalized by stripping string
-    and numeric literals, then rolled up per shape — the workload
-    analyzer's classic repeated-query dedup (what a Presto operator would
-    use to find the 5 query templates that cost 90% of the cluster).
-    The adapter corpus has no SQL text, so realistic statements are
-    SYNTHESIZED deterministically from events (same construction in the
-    oracle), and functions.normalize_sql does the literal stripping."""
-    from presto_workload_analyzer_spark.functions import normalize_sql
-
-    ev = read_sf_table(spark, sf, "events")
-    # three statement templates (int literals only — double->string
-    # formatting is not engine-portable); each normalizes to ONE shape no
-    # matter which ids/limits appear
-    sql_text = (
+def _synthetic_sql_text():
+    """The deterministic statement synthesized per event (the adapter
+    corpus has no SQL text; int literals only — double->string formatting
+    is not engine-portable). Shared by a34 query-shape fingerprinting and
+    a37 workload novelty; _SYNTH_SQL_CASE is its ANSI-SQL twin."""
+    return (
         F.when(
             F.col("event_type") == "purchase",
             F.concat(
@@ -2656,6 +2653,39 @@ def _a34(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
     )
+
+
+_SYNTH_SQL_CASE = (
+    "CASE"
+    "  WHEN event_type = 'purchase' THEN"
+    "   'INSERT INTO orders (user_id, qty) VALUES (' || CAST(user_id AS VARCHAR)"
+    "   || ', ' || CAST(event_id % 7 + 1 AS VARCHAR) || ')'"
+    "  WHEN event_type = 'signup' THEN"
+    "   'CREATE TABLE staging AS SELECT * FROM users WHERE id = '"
+    "   || CAST(user_id AS VARCHAR)"
+    "  ELSE 'SELECT * FROM events WHERE user_id = ' || CAST(user_id AS VARCHAR)"
+    "   || ' AND event_type = ''' || event_type || ''' LIMIT '"
+    "   || CAST(event_id % 100 + 1 AS VARCHAR) END"
+)
+
+# normalize_sql's ANSI twin: strip string then numeric literals to '?'
+_SYNTH_NORMALIZE_SQL = (
+    "regexp_replace(regexp_replace(q, '''[^'']*''', '?', 'g'),"
+    " '\\b[0-9]+(\\.[0-9]+)?\\b', '?', 'g')"
+)
+
+
+def _a34(spark: SparkSession, sf: str) -> DataFrame:
+    """Query-shape fingerprinting: SQL text normalized by stripping string
+    and numeric literals, then rolled up per shape — the workload
+    analyzer's classic repeated-query dedup (what a Presto operator would
+    use to find the 5 query templates that cost 90% of the cluster).
+    Statements come from _synthetic_sql_text (same construction in the
+    oracle), and functions.normalize_sql does the literal stripping."""
+    from presto_workload_analyzer_spark.functions import normalize_sql
+
+    ev = read_sf_table(spark, sf, "events")
+    sql_text = _synthetic_sql_text()
     return (
         ev.select(
             normalize_sql(sql_text).alias("shape"),
@@ -2672,19 +2702,9 @@ def _a34(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "a34_query_shapes",
     _a34,
-    "WITH s AS (SELECT CASE"
-    "  WHEN event_type = 'purchase' THEN"
-    "   'INSERT INTO orders (user_id, qty) VALUES (' || CAST(user_id AS VARCHAR)"
-    "   || ', ' || CAST(event_id % 7 + 1 AS VARCHAR) || ')'"
-    "  WHEN event_type = 'signup' THEN"
-    "   'CREATE TABLE staging AS SELECT * FROM users WHERE id = '"
-    "   || CAST(user_id AS VARCHAR)"
-    "  ELSE 'SELECT * FROM events WHERE user_id = ' || CAST(user_id AS VARCHAR)"
-    "   || ' AND event_type = ''' || event_type || ''' LIMIT '"
-    "   || CAST(event_id % 100 + 1 AS VARCHAR) END AS q,"
+    f"WITH s AS (SELECT {_SYNTH_SQL_CASE} AS q,"
     " \"value\" AS elapsed FROM events),"
-    " n AS (SELECT regexp_replace(regexp_replace(q, '''[^'']*''', '?', 'g'),"
-    "   '\\b[0-9]+(\\.[0-9]+)?\\b', '?', 'g') AS shape, elapsed FROM s)"
+    f" n AS (SELECT {_SYNTH_NORMALIZE_SQL} AS shape, elapsed FROM s)"
     " SELECT shape, CAST(count(*) AS BIGINT) AS n_queries,"
     "  round(sum(elapsed) + 1e-9, 6) AS total_elapsed"
     " FROM n GROUP BY 1",
@@ -3117,18 +3137,7 @@ def _x44(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _x44_sql() -> str:
-    import hashlib
-
-    def sign(p: int, i: int) -> int:
-        return 1 if hashlib.md5(f"{p}|{i}".encode()).digest()[0] & 1 else -1
-
-    terms = []
-    for p in range(8):
-        arr = "[" + ", ".join(f"{float(sign(p, i))!r}" for i in range(64)) + "]"
-        terms.append(
-            f"(CASE WHEN list_dot_product(v, {arr}) >= 0 THEN {2 ** p} ELSE 0 END)"
-        )
-    bucket = " + ".join(terms)
+    bucket = _hyperplane_bucket_sql(n_planes=8, n_dims=64)
     cos = (
         "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
         " * sqrt(list_dot_product(b.v, b.v)))"
@@ -3337,8 +3346,10 @@ def _s09(spark: SparkSession, sf: str) -> DataFrame:
         stream_sf_table,
     )
 
+    from datetime import timedelta
+
     max_ts = read_sf_table(spark, sf, "events").agg(F.max("ts")).first()[0]
-    cutoff = max_ts - __import__("datetime").timedelta(hours=3)
+    cutoff = max_ts - timedelta(hours=3)
     # NB the cutoff must NOT filter the stream itself: dropping the last 3 h
     # of signups would cap that side's max event time, and the join's global
     # watermark is the MIN of both sides — it would stall 3 h early and
@@ -3449,35 +3460,7 @@ def _a37(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.functions import normalize_sql
 
     ev = read_sf_table(spark, sf, "events")
-    shape = normalize_sql(
-        F.when(
-            F.col("event_type") == "purchase",
-            F.concat(
-                F.lit("INSERT INTO orders (user_id, qty) VALUES ("),
-                F.col("user_id").cast("string"),
-                F.lit(", "),
-                (F.col("event_id") % 7 + 1).cast("string"),
-                F.lit(")"),
-            ),
-        )
-        .when(
-            F.col("event_type") == "signup",
-            F.concat(
-                F.lit("CREATE TABLE staging AS SELECT * FROM users WHERE id = "),
-                F.col("user_id").cast("string"),
-            ),
-        )
-        .otherwise(
-            F.concat(
-                F.lit("SELECT * FROM events WHERE user_id = "),
-                F.col("user_id").cast("string"),
-                F.lit(" AND event_type = '"),
-                F.col("event_type"),
-                F.lit("' LIMIT "),
-                (F.col("event_id") % 100 + 1).cast("string"),
-            )
-        )
-    )
+    shape = normalize_sql(_synthetic_sql_text())
     first_seen = (
         ev.select(
             F.col("user_id"), shape.alias("shape"), F.to_date("ts").alias("d")
@@ -3493,19 +3476,9 @@ def _a37(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "a37_workload_novelty",
     _a37,
-    "WITH s AS (SELECT user_id, CAST(ts AS DATE) AS d, CASE"
-    "  WHEN event_type = 'purchase' THEN"
-    "   'INSERT INTO orders (user_id, qty) VALUES (' || CAST(user_id AS VARCHAR)"
-    "   || ', ' || CAST(event_id % 7 + 1 AS VARCHAR) || ')'"
-    "  WHEN event_type = 'signup' THEN"
-    "   'CREATE TABLE staging AS SELECT * FROM users WHERE id = '"
-    "   || CAST(user_id AS VARCHAR)"
-    "  ELSE 'SELECT * FROM events WHERE user_id = ' || CAST(user_id AS VARCHAR)"
-    "   || ' AND event_type = ''' || event_type || ''' LIMIT '"
-    "   || CAST(event_id % 100 + 1 AS VARCHAR) END AS q FROM events),"
-    " n AS (SELECT user_id, d,"
-    "  regexp_replace(regexp_replace(q, '''[^'']*''', '?', 'g'),"
-    "   '\\b[0-9]+(\\.[0-9]+)?\\b', '?', 'g') AS shape FROM s),"
+    f"WITH s AS (SELECT user_id, CAST(ts AS DATE) AS d, {_SYNTH_SQL_CASE} AS q"
+    "  FROM events),"
+    f" n AS (SELECT user_id, d, {_SYNTH_NORMALIZE_SQL} AS shape FROM s),"
     " fs AS (SELECT user_id, shape, min(d) AS first_date FROM n GROUP BY 1, 2)"
     " SELECT first_date AS bucket_date,"
     "  CAST(count(*) AS BIGINT) AS n_new_user_shapes"

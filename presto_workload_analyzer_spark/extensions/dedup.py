@@ -40,32 +40,45 @@ def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> Da
     )
 
 
+def gram_array(text_col: str | Column, k: int) -> Column:
+    """Array of word k-grams of the trimmed, whitespace-split text, in
+    position order (gram i covers tokens [i, i+k)).
+
+    shift-and-zip: gram i = toks[i..i+k-1] via folding k shifted slices
+    with zip_with — O(k*len) per doc (per-position slice-in-transform is
+    O(len^2)); the when-guard keeps docs shorter than k words at zero
+    grams (and keeps the negative-length slices unevaluated). Shared by
+    shingles() (set semantics) and strip_duplicate_spans() (positioned).
+    """
+    col = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.trim(col), r"\s+")
+    m = F.size(toks) - (k - 1)
+    grams = F.slice(toks, 1, m)
+    for j in range(1, k):
+        grams = F.zip_with(
+            grams, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
+        )
+    return F.when(F.size(toks) >= k, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
 def shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, distinct: bool = True
 ) -> DataFrame:
     """Word k-shingles per document: (id, shingle), distinct by default.
 
     Tokens come from whitespace splitting of the trimmed text; shingle i is
-    words[i..i+k-1] joined by a single space. Pure Column expressions
-    (transform over a sequence of start offsets) — no UDF.
+    words[i..i+k-1] joined by a single space. Pure Column expressions — no
+    UDF (see gram_array).
 
     distinct=False skips the set-dedup shuffle; use it when the consumer is
     min/max-idempotent (MinHash: min(hash) over a multiset == over its set),
     NOT for set-cardinality math like Jaccard.
     """
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    m = F.size(toks) - (k - 1)
-    # shift-and-zip: shingle i = toks[i..i+k-1] via folding k shifted slices
-    # with zip_with — O(k*len) per doc (per-position slice-in-transform is
-    # O(len^2)); the when-guard keeps docs shorter than k words at zero
-    # shingles (and keeps the negative-length slices unevaluated)
-    grams = F.slice(toks, 1, m)
-    for j in range(1, k):
-        grams = F.zip_with(
-            grams, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    sh = F.when(F.size(toks) >= k, grams).otherwise(F.array().cast("array<string>"))
-    out = df.select(F.col(id_col).alias("id"), F.explode(sh).alias("shingle"))
+    out = df.select(
+        F.col(id_col).alias("id"), F.explode(gram_array(text_col, k)).alias("shingle")
+    )
     return out.distinct() if distinct else out
 
 
@@ -675,17 +688,9 @@ def strip_duplicate_spans(
     whitespace is not preserved — standard for token-level pipelines).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
-    toks = F.split(F.trim(F.col("__text")), r"\s+")
-    m = F.size(toks) - (k - 1)
-    grams = F.slice(toks, 1, m)
-    for j in range(1, k):
-        grams = F.zip_with(
-            grams, F.slice(toks, 1 + j, m), lambda a, b: F.concat(a, F.lit(" "), b)
-        )
-    gram_arr = F.when(F.size(toks) >= k, grams).otherwise(
-        F.array().cast("array<string>")
+    inst = base.select(
+        "id", F.posexplode(gram_array("__text", k)).alias("pos", "gram")
     )
-    inst = base.select("id", F.posexplode(gram_arr).alias("pos", "gram"))
 
     counts = inst.groupBy("gram").agg(F.count(F.lit(1)).alias("__n"))
     dup_inst = inst.join(

@@ -104,8 +104,10 @@ def referential_audit(
     the data-quality gate that runs before any silver join is trusted.
 
     Per pair: child rows aggregate to (fk value, row count) FIRST — the
-    anti-join then runs on the key-value grain (|distinct FKs|, not
-    |child rows|), and the parent side ships only its distinct key column.
+    parent-key membership join then runs on the key-value grain
+    (|distinct FKs|, not |child rows|), the parent side ships only its
+    distinct key column, and one final aggregate splits rows/nulls/orphans
+    — a single scan of the child table per relation.
     NULL FKs are reported separately (SQL FK semantics: NULL is absent,
     not an orphan). Output: one row per relation —
     (relation, n_rows, n_null_fk, n_orphans, orphan_rate rounded to 6).
@@ -117,21 +119,35 @@ def referential_audit(
     """
     outs = []
     for label, child, fk_col, parent, pk_col in pairs:
-        fk = child.select(F.col(fk_col).alias("__fk"))
-        per_key = fk.filter(F.col("__fk").isNotNull()).groupBy("__fk").agg(
-            F.count(F.lit(1)).alias("__n")
+        per_key = (
+            child.select(F.col(fk_col).alias("__fk"))
+            .groupBy("__fk")
+            .agg(F.count(F.lit(1)).alias("__n"))
         )
-        orphans = per_key.join(
-            parent.select(F.col(pk_col).alias("__fk")).distinct(),
-            on="__fk",
-            how="left_anti",
-        ).agg(F.coalesce(F.sum("__n"), F.lit(0)).alias("__orph"))
-        totals = fk.agg(
-            F.count(F.lit(1)).alias("__rows"),
-            F.sum(F.col("__fk").isNull().cast("long")).alias("__nulls"),
+        # ONE child scan per relation: the NULL-FK group rides through the
+        # aggregate, the parent-key left join marks hits (NULL fk never
+        # matches, correctly landing in the null bucket, not orphans), and
+        # a single final aggregate splits rows/nulls/orphans
+        hits = parent.select(F.col(pk_col).alias("__fk")).distinct().withColumn(
+            "__hit", F.lit(1)
         )
+        marked = per_key.join(hits, on="__fk", how="left")
         outs.append(
-            totals.crossJoin(F.broadcast(orphans)).select(
+            marked.agg(
+                F.sum("__n").alias("__rows"),
+                F.coalesce(
+                    F.sum(F.when(F.col("__fk").isNull(), F.col("__n"))), F.lit(0)
+                ).alias("__nulls"),
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            F.col("__fk").isNotNull() & F.col("__hit").isNull(),
+                            F.col("__n"),
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("__orph"),
+            ).select(
                 F.lit(label).alias("relation"),
                 F.col("__rows").cast("long").alias("n_rows"),
                 F.col("__nulls").cast("long").alias("n_null_fk"),
