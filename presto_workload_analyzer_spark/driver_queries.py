@@ -3540,3 +3540,41 @@ _register(
     " CAST(max(abs(len(text) - n_chars)) AS BIGINT) AS max_drift"
     " FROM documents",
 )
+
+
+def _x50(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-hygiene audit: per label — vector count, dimension
+    consistency (min/max length), zero-vector count, and mean L2 norm.
+    The pre-index sanity gate for any ANN build (a single ragged or
+    zero vector poisons cosine math silently); completes the audit
+    family (x46 referential, x49 field drift). One aggregate pass,
+    norm via the same in-order fold the similarity module uses."""
+    from presto_workload_analyzer_spark.extensions.similarity import dot_expr
+
+    emb = read_sf_table(spark, sf, "embeddings")
+    norm_sq = dot_expr(F.col("embedding"), F.col("embedding"))
+    return (
+        emb.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.min(F.size("embedding")).cast("long").alias("min_dims"),
+            F.max(F.size("embedding")).cast("long").alias("max_dims"),
+            F.sum((norm_sq == 0.0).cast("long")).alias("n_zero_vectors"),
+            F.round(F.avg(F.sqrt(norm_sq)) + 1e-9, 6).alias("avg_norm"),
+        )
+    )
+
+
+_register(
+    "x50_embedding_hygiene",
+    _x50,
+    "WITH e AS (SELECT CAST(label AS BIGINT) AS label,"
+    "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    " SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,"
+    "  CAST(min(len(v)) AS BIGINT) AS min_dims,"
+    "  CAST(max(len(v)) AS BIGINT) AS max_dims,"
+    "  CAST(sum(CASE WHEN list_dot_product(v, v) = 0.0 THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS n_zero_vectors,"
+    "  round(avg(sqrt(list_dot_product(v, v))) + 1e-9, 6) AS avg_norm"
+    " FROM e GROUP BY 1",
+)
