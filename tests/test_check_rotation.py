@@ -106,3 +106,13 @@ def test_all_registered_queries_survive_reordering():
     assert set(dq.queries()) == set(dq._QUERIES)
     oracles = dq.oracle_sql()
     assert set(oracles) == set(dq._ORACLES)
+
+
+def test_every_query_has_an_oracle():
+    """Round-4 invariant: ZERO rows-only queries — every registered query
+    carries a real DuckDB oracle (x13 via the IVF exactness reduction,
+    x20 via the verified-LSH formulation). A new rows-only registration
+    is a deliberate decision, not a default: fail here first."""
+    missing = [n for n, sql in dq._ORACLES.items() if sql is None]
+    assert missing == []
+    assert set(dq._ORACLES) == set(dq._QUERIES)
