@@ -814,28 +814,42 @@ def _round_verified(rows: dict) -> set[str]:
     }
 
 
-def _verified_names() -> tuple[set[str], set[str]]:
-    """(latest_verified, ever_verified) across ALL recorded rounds.
+def _verified_names() -> tuple[set[str], dict[str, int]]:
+    """(latest_verified, last_round_verified) across ALL recorded rounds.
 
-    `ever` decides who gets a first-ever verification slot (group 2 —
-    never-verified queries outrank everything non-gate); `latest` decides
-    freshness (a pass from an old round expires after one round — code may
-    have changed since — so those names re-enter the window as group 3)."""
+    `last_round_verified` maps each ever-verified name to the 1-based index
+    (in round order) of the MOST RECENT round that verified it — it decides
+    both who gets a first-ever verification slot (absent ⇒ group 2:
+    never-verified queries outrank everything non-gate) and the staleness
+    tiebreak within group 3 (oldest green first: a query last hash-checked
+    two rounds ago re-verifies before one checked last round, so no
+    registry query's latest driver row can fall more than ~2 rounds behind
+    while its module keeps changing). `latest` decides freshness (a pass
+    from an old round expires after one round — code may have changed
+    since — so those names re-enter the window as group 3)."""
     rounds = _correctness_rounds()
     if not rounds:
-        return set(), set()
-    ever: set[str] = set()
-    for rows in rounds:
-        ever |= _round_verified(rows)
-    return _round_verified(rounds[-1]), ever
+        return set(), {}
+    last_round: dict[str, int] = {}
+    for i, rows in enumerate(rounds, start=1):
+        for name in _round_verified(rows):
+            last_round[name] = i
+    return _round_verified(rounds[-1]), last_round
 
 
 def _ordered(registry: dict) -> dict:
-    latest, ever = _verified_names()
+    latest, last_round = _verified_names()
+    reg_pos = {n: i for i, n in enumerate(registry)}
     gate = [n for n in _GATE if n in registry]
     rest = [n for n in registry if n not in gate]
-    never = [n for n in rest if n not in ever]
-    expired = [n for n in rest if n in ever and n not in latest]
+    never = [n for n in rest if n not in last_round]
+    # Expired: verified in SOME round but not the latest. Oldest-green-first
+    # (then registration order) so the longest-unverified queries always
+    # reach the 50-slot window before fresher ones.
+    expired = sorted(
+        (n for n in rest if n in last_round and n not in latest),
+        key=lambda n: (last_round[n], reg_pos[n]),
+    )
     done = [n for n in rest if n in latest]
     return {n: registry[n] for n in gate + never + expired + done}
 

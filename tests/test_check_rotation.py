@@ -102,6 +102,47 @@ def test_correctness_rounds_tolerates_bad_shapes(tmp_path, monkeypatch):
     assert rounds == [{"q": {"hash_match": True}}]
 
 
+def test_expired_sorted_oldest_green_first(monkeypatch):
+    """Round-4 verdict item 1: within the expired group, a query last
+    hash-verified two rounds ago must outrank one verified last round
+    (oldest-green-first), so the window always covers the longest-stale
+    queries — never-verified-first alone starved already-verified-but-stale
+    names for two rounds."""
+    rounds = [
+        {"q_old": {"hash_match": True}},                                  # r1
+        {"q_mid": {"hash_match": True}},                                  # r2
+        {"q_fresh": {"hash_match": True}},                                # r3 (latest)
+    ]
+    monkeypatch.setattr(dq, "_correctness_rounds", lambda: rounds)
+    fake = {
+        "q_mid": lambda s, d: None,    # registered BEFORE q_old on purpose:
+        "q_old": lambda s, d: None,    # staleness must beat registration order
+        "q_fresh": lambda s, d: None,
+    }
+    names = list(dq._ordered(fake))
+    assert names == ["q_old", "q_mid", "q_fresh"]
+
+
+def test_staleness_bound_live():
+    """With the real registry + recorded rounds: every non-gate query whose
+    latest green row is the OLDEST recorded stale round must sit inside the
+    50-slot window (the concrete round-5 goal: no query's latest driver row
+    older than 2 rounds once this window runs)."""
+    latest, last_round = dq._verified_names()
+    if not last_round:
+        return
+    stale = {n: r for n, r in last_round.items() if n not in latest}
+    if not stale:
+        return
+    oldest = min(stale.values())
+    oldest_names = [n for n, r in stale.items() if r == oldest and n not in dq._GATE]
+    window = set(list(dq.queries())[:WINDOW])
+    never = [n for n in dq._QUERIES if n not in last_round and n not in dq._GATE]
+    free = WINDOW - len(dq._GATE) - len(never)
+    # all oldest-stale names that can fit must be in the window
+    assert sum(1 for n in oldest_names if n in window) == min(len(oldest_names), max(free, 0))
+
+
 def test_all_registered_queries_survive_reordering():
     assert set(dq.queries()) == set(dq._QUERIES)
     oracles = dq.oracle_sql()
