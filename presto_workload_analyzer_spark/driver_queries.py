@@ -3172,9 +3172,12 @@ def _x44_sql() -> str:
         " an AS (SELECT query_id, neighbor_id FROM anr WHERE rnk <= 5),"
         " hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits"
         "   FROM ex JOIN an USING (query_id, neighbor_id) GROUP BY 1),"
-        " q AS (SELECT DISTINCT query_id FROM ex)"
+        # denominator = per-query exact-set size (== 5 whenever the corpus
+        # holds >= 5 neighbors), matching similarity.ann_recall's contract
+        " q AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact"
+        "   FROM ex GROUP BY 1)"
         " SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,"
-        "  round(coalesce(n_hits, 0) / 5.0, 6) AS recall"
+        "  round(coalesce(n_hits, 0) / CAST(n_exact AS DOUBLE), 6) AS recall"
         " FROM q LEFT JOIN hits USING (query_id)"
     )
 
@@ -3348,8 +3351,12 @@ def _s09(spark: SparkSession, sf: str) -> DataFrame:
     conversion-funnel query (s04 is the inner variant; outer adds the
     'who did NOT convert' rows, which is what funnels are for). Outer
     rows emit when the watermark passes signup_ts + 2h; a finite drain's
-    final watermark stops 1 min short of the stream end, so the left side
-    is restricted to signups >= 3h before the last event — a STATIC
+    final watermark stops 1 min short of the stream end — and the JOIN
+    watermark is the MIN over both input sides, so the cutoff derives from
+    the EARLIER of the two sides' max event times (if the last purchase
+    lands well before the last signup, the watermark stalls at the purchase
+    side's clock and later signups never get their outer NULL row). Left
+    side restricted to signups >= 3h before that min-of-max — a STATIC
     cutoff read from the batch table, reproduced verbatim in the oracle."""
     import uuid
 
@@ -3362,8 +3369,15 @@ def _s09(spark: SparkSession, sf: str) -> DataFrame:
 
     from datetime import timedelta
 
-    max_ts = read_sf_table(spark, sf, "events").agg(F.max("ts")).first()[0]
-    cutoff = max_ts - timedelta(hours=3)
+    side_max = (
+        read_sf_table(spark, sf, "events")
+        .agg(
+            F.max(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("su"),
+            F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("pu"),
+        )
+        .first()
+    )
+    cutoff = min(side_max["su"], side_max["pu"]) - timedelta(hours=3)
     # NB the cutoff must NOT filter the stream itself: dropping the last 3 h
     # of signups would cap that side's max event time, and the join's global
     # watermark is the MIN of both sides — it would stall 3 h early and
@@ -3415,7 +3429,10 @@ def _s09(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "s09_stream_outer_interval_join",
     _s09,
-    "WITH cut AS (SELECT max(ts) - INTERVAL 3 HOURS AS c FROM events),"
+    "WITH cut AS (SELECT least("
+    "   max(CASE WHEN event_type = 'signup' THEN ts END),"
+    "   max(CASE WHEN event_type = 'purchase' THEN ts END))"
+    "   - INTERVAL 3 HOURS AS c FROM events),"
     " a AS (SELECT user_id, event_id, ts FROM events, cut"
     "   WHERE event_type = 'signup' AND ts <= c),"
     " b AS (SELECT user_id, event_id, ts, \"value\" FROM events"

@@ -117,6 +117,11 @@ def referential_audit(
     for fact-to-fact relations it degrades to one hash shuffle on the key
     — never a row-grain cross-table comparison.
     """
+    if not pairs:
+        raise ValueError(
+            "referential_audit: pairs must be non-empty — pass at least one"
+            " (label, child, fk_col, parent, pk_col) relation"
+        )
     outs = []
     for label, child, fk_col, parent, pk_col in pairs:
         per_key = (

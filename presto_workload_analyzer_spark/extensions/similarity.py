@@ -591,9 +591,11 @@ def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
 
     Both inputs use the (query_id, neighbor_id, rank) contract this module
     emits; rows with rank > k are ignored. Per query: the overlap count of
-    the two k-sets and recall = hits / k. Queries the ANN missed entirely
-    still report (recall 0) — the query list comes from the EXACT side,
-    which by construction covers every query.
+    the two k-sets and recall = hits / |exact set| — the per-query exact-set
+    size, NOT the constant k, so a query whose corpus holds fewer than k
+    neighbors can still score 1.0 when the ANN finds all of them. Queries
+    the ANN missed entirely still report (recall 0) — the query list comes
+    from the EXACT side, which by construction covers every query.
 
     Shuffle shape: one equi-join on (query_id, neighbor_id) + one
     query-grain aggregation — both proportional to #queries x k, never to
@@ -604,15 +606,13 @@ def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     hits = ex.join(an, on=["query_id", "neighbor_id"]).groupBy("query_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hits")
     )
-    return (
-        ex.select("query_id")
-        .distinct()
-        .join(hits, on="query_id", how="left")
-        .select(
-            "query_id",
-            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(k)), 6).alias(
-                "recall"
-            ),
-        )
+    denom = ex.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__n_exact")
+    )
+    return denom.join(hits, on="query_id", how="left").select(
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.round(
+            F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("__n_exact"), 6
+        ).alias("recall"),
     )

@@ -123,6 +123,18 @@ def asof_join(
         .filter(F.col("__l").isNotNull())
     )
     if tolerance_seconds is not None:
+        if float(tolerance_seconds) < 0:
+            raise ValueError(
+                f"asof_join: tolerance_seconds must be >= 0, got {tolerance_seconds}"
+            )
+        if 0 < float(tolerance_seconds) < 1e-6:
+            # the interval literal below carries 6 fractional digits;
+            # anything smaller would silently format to INTERVAL 0 and
+            # null every non-exact match instead of applying the tolerance
+            raise ValueError(
+                "asof_join: tolerance_seconds below 1e-6 (one microsecond, the"
+                f" timestamp resolution) is not representable, got {tolerance_seconds}"
+            )
         # fixed-point format: float repr of small tolerances (1e-05) is
         # scientific notation, which the interval literal grammar rejects
         tol = F.expr(f"INTERVAL {float(tolerance_seconds):.6f} SECONDS")
@@ -182,8 +194,9 @@ def range_join_bucketed(
                     F.assert_true(
                         eb - sb < F.lit(max_buckets),
                         F.lit(
-                            f"range_join_bucketed: interval spans >= {max_buckets}"
-                            f" buckets of {bucket_seconds}s — raise bucket_seconds"
+                            f"range_join_bucketed: interval spans more than"
+                            f" {max_buckets} buckets of {bucket_seconds}s —"
+                            f" raise bucket_seconds"
                         ),
                     ).cast("long"),
                     eb,

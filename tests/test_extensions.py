@@ -1284,6 +1284,27 @@ def test_ann_recall_ignores_rows_beyond_k(spark):
     assert (row["n_hits"], row["recall"]) == (0, 0.0)
 
 
+def test_ann_recall_short_exact_set_can_reach_one(spark):
+    """When the corpus holds fewer than k exact neighbors for a query, the
+    denominator is the per-query exact-set size, not k — an ANN that finds
+    all of them scores 1.0 (it used to be capped at n/k forever)."""
+    exact = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=10, rank=1), Row(query_id=1, neighbor_id=11, rank=2)]
+    )
+    ann = spark.createDataFrame(
+        [Row(query_id=1, neighbor_id=10, rank=1), Row(query_id=1, neighbor_id=11, rank=2)]
+    )
+    [row] = similarity.ann_recall(ann, exact, k=5).collect()
+    assert (row["n_hits"], row["recall"]) == (2, 1.0)
+
+
+def test_referential_audit_rejects_empty_pairs():
+    from presto_workload_analyzer_spark.extensions.profile import referential_audit
+
+    with pytest.raises(ValueError, match="non-empty"):
+        referential_audit([])
+
+
 def test_l_diversity_flags_homogeneous_groups(spark):
     from presto_workload_analyzer_spark.privacy.obfuscate import l_diversity
 

@@ -70,6 +70,26 @@ def test_asof_tolerance_nulls_stale_matches(asof_frames):
     assert out[4] == 20
 
 
+def test_asof_rejects_subresolution_tolerance(asof_frames):
+    """Sub-microsecond tolerances used to silently format to INTERVAL
+    0.000000 SECONDS (nulling every non-exact match); they now raise, as
+    do negative tolerances. Zero stays legal: exact-match-only is a
+    representable request."""
+    left, right = asof_frames
+    with pytest.raises(ValueError, match="1e-6"):
+        T.asof_join(left, right, "k", "ts", "rts", ["v"], tolerance_seconds=1e-7)
+    with pytest.raises(ValueError, match=">= 0"):
+        T.asof_join(left, right, "k", "ts", "rts", ["v"], tolerance_seconds=-1.0)
+    # tolerance 0: only exact-timestamp matches survive
+    out = {
+        r["lid"]: r["v"]
+        for r in T.asof_join(
+            left, right, "k", "ts", "rts", ["v"], tolerance_seconds=0
+        ).collect()
+    }
+    assert out == {1: None, 2: None, 3: None, 4: 20}
+
+
 def test_asof_right_ties_resolve_to_struct_max(spark):
     left = spark.createDataFrame([Row(lid=1, k=1, ts=_t("2024-01-01 10:00:00"))])
     right = spark.createDataFrame(
