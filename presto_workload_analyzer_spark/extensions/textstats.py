@@ -399,16 +399,23 @@ def pack_bins(
          high-cardinality and grows with the data;
       2. local exclusive prefix sums run per (part, shard) — the only
          window over raw rows, keyed to scale;
-      3. per-shard totals (one tiny groupBy: parts x shards rows) get an
-         exclusive running offset via a window over AGGREGATED rows, and
-         are broadcast-joined back;
-      4. global prefix = shard offset + local prefix; bin = floor(/budget).
+      3. per-shard totals (one tiny groupBy: parts x shards rows) need
+         their own exclusive running offset — itself a prefix sum, so it
+         RECURSES one level (shard-of-shards: shard2 = floor(shard /
+         shard_size)); the only window partitioned by `part_col` alone
+         runs over DOUBLY-aggregated rows (n_rows / shard_size² per
+         partition — ~233 rows per TRILLION inputs at the default), so
+         the single-task frame is bounded by a constant at any scale;
+      4. global prefix = shard2 offset + shard-local offset + row-local
+         prefix; bin = floor(/budget).
 
     Identical output to the single-window formulation for any shard_size
-    (the shard split never reorders the sequence). `order_col` must be
-    numeric; ties within it would make the sequence ambiguous, so the
-    caller guarantees uniqueness per partition (doc ids here).
-    Output: df's (part, order, size) columns + `bin`.
+    (the shard split never reorders the sequence: floor is monotonic, so
+    (shard2, shard, order) ascending == order ascending, NULLs first at
+    every level). `order_col` must be numeric; ties within it would make
+    the sequence ambiguous, so the caller guarantees uniqueness per
+    partition (doc ids here). Output: df's (part, order, size) columns +
+    `bin`.
     """
     rows = df.select(
         F.col(part_col),
@@ -427,14 +434,39 @@ def pack_bins(
     totals = rows.groupBy(part_col, "__shard").agg(
         F.sum(size_col).alias("__shard_total")
     )
-    w_shard = (
-        Window.partitionBy(part_col)
+    # Level 2: the per-shard running offset, decomposed the same way so no
+    # task ever sees more than shard_size aggregated rows per group
+    t2 = totals.withColumn(
+        "__shard2", F.floor(F.col("__shard") / F.lit(shard_size))
+    )
+    w_local2 = (
+        Window.partitionBy(part_col, "__shard2")
         .orderBy("__shard")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    offsets = totals.withColumn(
-        "__offset", F.coalesce(F.sum("__shard_total").over(w_shard), F.lit(0))
-    ).select(part_col, "__shard", "__offset")
+    local2 = t2.withColumn(
+        "__local2", F.coalesce(F.sum("__shard_total").over(w_local2), F.lit(0))
+    )
+    totals2 = t2.groupBy(part_col, "__shard2").agg(
+        F.sum("__shard_total").alias("__t2")
+    )
+    w_top = (
+        Window.partitionBy(part_col)
+        .orderBy("__shard2")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets2 = totals2.withColumn(
+        "__offset2", F.coalesce(F.sum("__t2").over(w_top), F.lit(0))
+    ).select(part_col, "__shard2", "__offset2")
+    l2, r2 = local2.alias("__l2"), F.broadcast(offsets2).alias("__r2")
+    cond2 = l2[part_col].eqNullSafe(r2[part_col]) & l2["__shard2"].eqNullSafe(
+        r2["__shard2"]
+    )
+    offsets = l2.join(r2, cond2).select(
+        l2[part_col],
+        l2["__shard"],
+        (r2["__offset2"] + l2["__local2"]).alias("__offset"),
+    )
     # NULL-SAFE join: NULL part/order keys form their own window partition
     # in the single-window formulation and must keep their rows here too
     lhs, rhs = local.alias("__l"), F.broadcast(offsets).alias("__r")
