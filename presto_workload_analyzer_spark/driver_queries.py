@@ -3596,6 +3596,79 @@ def _x50(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _x51(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end training-data pipeline, composed as ONE chained DataFrame
+    plan: quality filter (x43's logistic head) → exact dedup (x01's min-id
+    survivor) → near-dedup (x02/x15's minhash-LSH + connected components)
+    → decontamination (x25's 5-gram benchmark overlap, docs 0-19 playing
+    the eval set) → token-budget packing (x39's hierarchical pack_bins).
+    Every stage is individually oracle-proven; the chain exists to catch
+    contract mismatches between them (column names, null conventions,
+    survivor rules) that per-operator oracles cannot. The oracle reproduces
+    the full five-stage cascade in SQL over the same chained CTEs."""
+    docs = read_sf_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    q = F.round(X_text.quality_logit("text") + 1e-9, 6)
+    kept = corpus.filter(q >= 0.5)
+    exd = X_dedup.drop_exact_duplicates(kept, ["text"], "doc_id")
+    pairs = X_dedup.minhash_lsh_pairs(
+        exd, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    nd = X_dedup.drop_near_duplicates(exd, "doc_id", pairs)
+    clean = X_dedup.decontaminate(nd, bench, "doc_id", "text", k=5)
+    sized = clean.select(
+        "source", "doc_id", X_text.token_count("text").cast("long").alias("n_tokens")
+    )
+    return X_text.pack_bins(
+        sized, "source", "doc_id", "n_tokens", budget=2000, shard_size=128
+    )
+
+
+_register(
+    "x51_pipeline_e2e",
+    _x51,
+    "WITH RECURSIVE"
+    " kept AS (SELECT source, doc_id, text FROM documents WHERE doc_id >= 20"
+    f"  AND round(1.0 / (1.0 + exp(-{_X43_Z})) + 1e-9, 6) >= 0.5),"
+    " canon AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY text),"
+    " exd AS (SELECT k.* FROM kept k JOIN canon USING (doc_id)),"
+    " tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM exd),"
+    " sh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle"
+    "        FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),"
+    f" sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "   FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " edges AS (SELECT id_a AS src, id_b AS dst FROM prs"
+    "   UNION SELECT id_b, id_a FROM prs),"
+    " walk(id, lab) AS ("
+    "   SELECT src, src FROM edges"
+    "   UNION"
+    "   SELECT e.src, w.lab FROM walk w JOIN edges e ON e.dst = w.id),"
+    " cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id),"
+    " nd AS (SELECT * FROM exd"
+    "   WHERE doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)),"
+    " ctok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w FROM nd),"
+    " csh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+4], ' ') AS shingle"
+    "        FROM ctok, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),"
+    " btok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    "   FROM documents WHERE doc_id < 20),"
+    " bsh AS (SELECT DISTINCT array_to_string(w[i:i+4], ' ') AS shingle"
+    "        FROM btok, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),"
+    " dirty AS (SELECT DISTINCT id FROM csh JOIN bsh USING (shingle)),"
+    " clean AS (SELECT source, doc_id, text FROM nd"
+    "   WHERE doc_id NOT IN (SELECT id FROM dirty))"
+    " SELECT source, doc_id,"
+    " CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,"
+    " CAST(floor(coalesce(sum(len(string_split_regex(trim(text), '\\s+')))"
+    "  OVER (PARTITION BY source ORDER BY doc_id"
+    "   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000.0)"
+    "  AS BIGINT) AS bin"
+    " FROM clean",
+)
+
+
 _register(
     "x50_embedding_hygiene",
     _x50,
