@@ -1,60 +1,137 @@
-"""Salted two-phase aggregation: equivalence with a plain groupBy and
-determinism across runs."""
+"""Skew stress for the inverted-index join family (round-4 verdict item 3).
+
+A hot term/shingle landing in 30%+ of documents is the classic posting-list
+skew: every (doc, term) row with that term hashes to ONE shuffle partition.
+The engine's defenses, each asserted here on a planted-hot-token corpus:
+
+  * tfidf_cosine_pairs (x34's kernel) — the only QUADRATIC join in the
+    family (posting-list SELF-join on term) — prunes terms with
+    df > max_df_ratio * N before the join. The test proves the bound
+    actually BINDS: with the hot term in 60% of docs, the pair output is
+    identical to a corpus with the hot term stripped from the text
+    entirely (the hot posting list never reaches the self-join).
+  * duplicate_ngram_fraction / tfidf_top_terms (x42/x22's kernels) join
+    postings against a ONE-row-per-key aggregate — linear in postings, so
+    a hot key is shuffle-partition imbalance (AQE skew-join territory),
+    never a quadratic blow-up. The tests assert they complete on the
+    skewed corpus with exactly-right values for the hot key.
+  * the session enables AQE skew-join handling (pinned so a config
+    regression fails loudly, not as a mystery straggler at scale).
+"""
 
 import pytest
-from pyspark.sql import functions as F
+from pyspark.sql import Row, functions as F
 
-from presto_workload_analyzer_spark.operators.skew import salted_agg
-from presto_workload_analyzer_spark.sources.tables import read_sf_table
+from presto_workload_analyzer_spark.extensions import textstats
 
-
-@pytest.fixture(scope="module")
-def lineitem(spark, sf_dir):
-    return read_sf_table(spark, sf_dir, "lineitem").cache()
+N_DOCS = 1200
+HOT = "hottoken"
 
 
-def test_salted_agg_matches_plain(spark, lineitem):
-    salted = salted_agg(
-        lineitem,
-        ["l_returnflag"],
-        {
-            "qty": ("sum", "l_quantity"),
-            "n": ("count", "l_orderkey"),
-            "lo": ("min", "l_extendedprice"),
-            "hi": ("max", "l_extendedprice"),
-        },
-        buckets=8,
+def _corpus(spark, hot_share: float, with_hot: bool = True):
+    """N_DOCS synthetic docs; `hot_share` of them contain the hot token
+    exactly once; every doc also has 5 unique-ish filler tokens."""
+    rows = []
+    for i in range(N_DOCS):
+        toks = [f"w{i}a", f"w{i}b", f"w{i}c", f"common{i % 7}", f"tail{i % 31}"]
+        if with_hot and i < int(N_DOCS * hot_share):
+            toks.insert(2, HOT)
+        rows.append(Row(doc_id=i, text=" ".join(toks)))
+    return spark.createDataFrame(rows)
+
+
+def test_session_enables_aqe_skew_join(spark):
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
+def test_max_df_prune_binds_on_hot_term(spark):
+    """With the hot term in 60% of docs (> max_df_ratio 0.5), the posting
+    self-join must never see it: pair output == corpus with the hot term
+    removed from the text. This is the skew bound doing its job — the
+    hottest key is pruned as a stop term BEFORE the quadratic join."""
+    skewed = _corpus(spark, hot_share=0.6, with_hot=True)
+    stripped = _corpus(spark, hot_share=0.6, with_hot=False)
+    got = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in textstats.tfidf_cosine_pairs(
+            skewed, "doc_id", "text", threshold=0.05, max_df_ratio=0.5
+        ).collect()
+    }
+    want = {
+        (r["id_a"], r["id_b"]): round(r["cosine"], 9)
+        for r in textstats.tfidf_cosine_pairs(
+            stripped, "doc_id", "text", threshold=0.05, max_df_ratio=0.5
+        ).collect()
+    }
+    assert got == want
+    # sanity: the corpus DOES produce pairs (common/tail tokens shared)
+    assert len(got) > 0
+
+
+def test_max_df_prune_spares_sub_threshold_terms(spark):
+    """At 30% document frequency (< max_df_ratio 0.5) the hot term is NOT
+    pruned — it contributes pairs. The bound is a skew cap, not a
+    drop-anything-warm hammer."""
+    skewed = _corpus(spark, hot_share=0.3, with_hot=True)
+    stripped = _corpus(spark, hot_share=0.3, with_hot=False)
+    # docs 0 and 1 share ONLY the hot term (different common/tail groups):
+    # the pair exists iff the hot term survives the prune
+    pair = F.col("id_a") == 0, F.col("id_b") == 1
+    n_with = (
+        textstats.tfidf_cosine_pairs(
+            skewed, "doc_id", "text", threshold=0.005, max_df_ratio=0.5
+        )
+        .filter(pair[0] & pair[1])
+        .count()
     )
-    plain = lineitem.groupBy("l_returnflag").agg(
-        F.sum("l_quantity").alias("qty"),
-        F.count("l_orderkey").alias("n"),
-        F.min("l_extendedprice").alias("lo"),
-        F.max("l_extendedprice").alias("hi"),
+    n_without = (
+        textstats.tfidf_cosine_pairs(
+            stripped, "doc_id", "text", threshold=0.005, max_df_ratio=0.5
+        )
+        .filter(pair[0] & pair[1])
+        .count()
     )
-    s = {r.l_returnflag: r for r in salted.collect()}
-    p = {r.l_returnflag: r for r in plain.collect()}
-    assert set(s) == set(p)
-    for k in p:
-        assert s[k].n == p[k].n
-        assert s[k].lo == p[k].lo and s[k].hi == p[k].hi
-        assert s[k].qty == pytest.approx(p[k].qty, rel=1e-12)
+    assert (n_with, n_without) == (1, 0)
 
 
-def test_salted_agg_deterministic(lineitem):
-    a = salted_agg(lineitem, ["l_returnflag"], {"qty": ("sum", "l_quantity")}).collect()
-    b = salted_agg(lineitem, ["l_returnflag"], {"qty": ("sum", "l_quantity")}).collect()
-    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+def test_duplicate_ngram_fraction_survives_hot_shingle(spark):
+    """30% of docs share one 3-gram (planted as a common 3-token prefix).
+    The postings ⨝ doc-frequency join is linear in postings (one row per
+    shingle on the frequency side), so the skewed corpus completes and the
+    hot-shingle docs report exactly their shared-prefix grams as dup."""
+    hot_prefix = "alpha beta gamma"
+    rows = [
+        Row(
+            doc_id=i,
+            text=(
+                f"{hot_prefix} u{i}x u{i}y u{i}z"
+                if i < int(N_DOCS * 0.3)
+                else f"v{i}a v{i}b v{i}c v{i}d v{i}e v{i}f"
+            ),
+        )
+        for i in range(N_DOCS)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        r["id"]: (r["n_shingles"], r["n_dup"])
+        for r in textstats.duplicate_ngram_fraction(df, "doc_id", "text", k=3).collect()
+    }
+    assert len(out) == N_DOCS
+    # hot docs: 4 shingles ("alpha beta gamma" + 3 unique tails), 1 dup
+    assert out[0] == (4, 1)
+    assert out[int(N_DOCS * 0.3) - 1] == (4, 1)
+    # cold docs: 4 unique shingles, 0 dup
+    assert out[N_DOCS - 1] == (4, 0)
 
 
-def test_salt_spreads_hot_key(spark, lineitem):
-    """The salted partial phase must actually split the hot key across
-    buckets (that is the whole point)."""
-    salted = lineitem.withColumn(
-        "__salt", F.pmod(F.xxhash64(*lineitem.columns), F.lit(8))
-    )
-    n_partials = (
-        salted.groupBy("l_returnflag", "__salt").count()
-        .groupBy("l_returnflag").count()
-        .agg(F.min("count")).collect()[0][0]
-    )
-    assert n_partials == 8
+def test_tfidf_top_terms_survives_hot_term(spark):
+    """The tf ⨝ df join on the skewed corpus: hot term ranks LAST among a
+    doc's terms (lowest idf), unique terms first — the join completes and
+    scores stay correct under skew."""
+    skewed = _corpus(spark, hot_share=0.3, with_hot=True)
+    top = textstats.tfidf_top_terms(skewed, "doc_id", "text", k=6)
+    doc0 = {r["term"]: r["rank"] for r in top.filter(F.col("id") == 0).collect()}
+    assert HOT in doc0
+    # hot term's idf (ln(1/0.3)) is far below any unique term's ln(N)
+    assert doc0[HOT] == max(doc0.values())
