@@ -2,18 +2,19 @@
 
 Images/audio/video ride through the engine as `binary` columns plus a
 metadata struct; decode / feature-extract / resize / frame-sample run as
-Arrow-batched Pandas stages over `mapInPandas`. Three kernels are fully
-REAL with zero codec-library dependencies: `image_dims` (PNG/JPEG/GIF
-dimensions parsed from container headers), the PNG branch of
-`decode_media`/`resize_media` (stdlib-zlib inflate + full scanline
-unfilter, `_decode_png`; matching `_encode_png`), and the JPEG branch
-(baseline-sequential JFIF decode + encode, `extensions.jpegcodec` —
-Huffman entropy decode, dequant, numpy IDCT, chroma upsample, YCbCr/RGB).
-GIF pixel decode and video frame sampling still need codec libraries this
-container doesn't have, so those are STUBBED with a deterministic fake
-(clearly marked); the Spark-side plumbing — schema, batch iteration,
-partitioning, UDF signatures — is real and tested, and a real codec
-drops into the marked lines without touching anything else.
+Arrow-batched Pandas stages over `mapInPandas`. The image kernels are
+fully REAL with zero codec-library dependencies: `image_dims` (PNG/JPEG/
+GIF dimensions parsed from container headers), and the pixel paths of
+`decode_media`/`resize_media` for all three containers — PNG (stdlib-zlib
+inflate + full scanline unfilter, `_decode_png`; matching `_encode_png`),
+baseline JPEG (`extensions.jpegcodec`: Huffman entropy decode, dequant,
+numpy IDCT, chroma upsample, YCbCr/RGB), and static GIF
+(`extensions.gifcodec`: LZW, interlace, transparency). Only VIDEO frame
+sampling still needs codec libraries this container doesn't have, so it
+is STUBBED with a deterministic fake (clearly marked); the Spark-side
+plumbing — schema, batch iteration, partitioning, UDF signatures — is
+real and tested, and a real codec drops into the marked lines without
+touching anything else.
 """
 
 from __future__ import annotations
@@ -176,10 +177,11 @@ def _decode_png_pixels(b: bytes) -> tuple[int, int, int, bytearray] | None:
 
 def _decode_pixels(payload: bytes) -> tuple[str, int, int, int, bytes] | None:
     """(container, width, height, channels, samples) via the real decoders
-    — PNG first (signature-gated), then baseline JPEG — else None."""
+    — PNG (signature-gated), baseline JPEG, then static GIF — else None."""
     px = _decode_png_pixels(payload)
     if px is not None:
         return ("png", *px)
+    from presto_workload_analyzer_spark.extensions.gifcodec import decode_gif_pixels
     from presto_workload_analyzer_spark.extensions.jpegcodec import (
         decode_jpeg_pixels,
     )
@@ -187,14 +189,17 @@ def _decode_pixels(payload: bytes) -> tuple[str, int, int, int, bytes] | None:
     jp = decode_jpeg_pixels(payload)
     if jp is not None:
         return ("jpeg", *jp)
+    gf = decode_gif_pixels(payload)
+    if gf is not None:
+        return ("gif", *gf)
     return None
 
 
 def _decode_bytes(payload: bytes) -> tuple[int, int, int, float]:
     """Image decode: REAL for PNG (stdlib zlib inflate + unfilter, see
-    _decode_png) and baseline JPEG (extensions.jpegcodec), deterministic
-    fake for everything else (GIF pixel decode needs codec libraries this
-    container doesn't have — a real decoder drops in at the marked line
+    _decode_png), baseline JPEG (extensions.jpegcodec), and static GIF
+    (extensions.gifcodec LZW); deterministic fake for everything else
+    (video containers etc. — a real codec drops in at the marked line
     without touching the plumbing).
     """
     px = _decode_pixels(payload)
@@ -202,7 +207,7 @@ def _decode_bytes(payload: bytes) -> tuple[int, int, int, float]:
         _fmt, width, height, channels, out = px
         mean = (sum(out) / len(out)) / 255.0 if out else 0.0
         return width, height, channels, mean
-    # <- real non-PNG/JPEG codec goes here (e.g. PIL.Image.open)
+    # <- real non-image codec goes here (e.g. PIL.Image.open / PyAV)
     n = len(payload)
     width = 16 + n % 64
     height = 16 + (n // 64) % 64
@@ -342,24 +347,24 @@ def _encode_png(width: int, height: int, channels: int, samples: bytes) -> bytes
 def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
     """Resize stage: media frame -> media frame with resized payload.
 
-    REAL for decodable PNGs and baseline JPEGs: full pixel decode
-    (_decode_png_pixels / jpegcodec.decode_jpeg_pixels), nearest-neighbor
+    REAL for decodable PNGs, baseline JPEGs, and static GIFs: full pixel
+    decode (_decode_png_pixels / jpegcodec / gifcodec), nearest-neighbor
     resample to (width, height) — src index = floor(dst * src_size /
     dst_size), the standard NN mapping — and a real re-encode in the SAME
-    container (_encode_png / jpegcodec.encode_jpeg 4:4:4), all channel
+    container (_encode_png / encode_jpeg 4:4:4 / encode_gif), all channel
     counts preserved. Undecodable payloads keep the deterministic
-    truncate/pad fake (GIF/video codecs need libraries this container
-    doesn't have; a real codec drops in at the marked line). Contract in
-    both paths: same MEDIA_SCHEMA out as in, meta.n_bytes consistent with
-    the new payload, partitioning inherited, payload bytes never leaving
-    the executors.
+    truncate/pad fake (video codecs need libraries this container doesn't
+    have; a real codec drops in at the marked line). Contract in both
+    paths: same MEDIA_SCHEMA out as in, meta.n_bytes consistent with the
+    new payload, partitioning inherited, payload bytes never leaving the
+    executors.
     """
     target = width * height
 
     def resize_one(raw: bytes) -> bytes:
         px = _decode_pixels(raw)
         if px is None:
-            return raw[:target].ljust(target, b"\0")  # <- real non-PNG/JPEG codec here
+            return raw[:target].ljust(target, b"\0")  # <- real non-image codec here
         fmt, w0, h0, ch, samples = px
         out = bytearray()
         for y in range(height):
@@ -376,6 +381,10 @@ def resize_media(media: DataFrame, width: int, height: int) -> DataFrame:
             # JPEG has no 2-channel (gray+alpha) mode; that layout only
             # arrives via PNG input, so it stays on the PNG branch
             return encode_jpeg(width, height, ch, bytes(out))
+        if fmt == "gif":
+            from presto_workload_analyzer_spark.extensions.gifcodec import encode_gif
+
+            return encode_gif(width, height, bytes(out))
         return _encode_png(width, height, ch, bytes(out))
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
