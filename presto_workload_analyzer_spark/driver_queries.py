@@ -1198,7 +1198,11 @@ def _x34(spark: SparkSession, sf: str) -> DataFrame:
     """Sparse-text twin of the embedding near-dup operators: document-pair
     cosine over L2-normalized TF-IDF via an inverted index (posting-list
     self-join on term) — no all-pairs anywhere; max-df stop-terming bounds
-    posting-list skew (extensions.textstats.tfidf_cosine_pairs)."""
+    posting-list skew (extensions.textstats.tfidf_cosine_pairs; lossless
+    Bayardo-style L2 prefix filtering available as prefix_filter=True —
+    see its docstring and BASELINE.md's round-5 scaling table for why the
+    measured sf1 slope is output-cardinality, not plan shape, and why the
+    prefix cut cannot bind on the flat-weight synthetic templates)."""
     docs = read_sf_table(spark, sf, "documents")
     out = X_text.tfidf_cosine_pairs(
         docs, "doc_id", "text", threshold=0.4, max_df_ratio=0.5
@@ -3681,4 +3685,73 @@ _register(
     "   AS BIGINT) AS n_zero_vectors,"
     "  round(avg(sqrt(list_dot_product(v, v))) + 1e-9, 6) AS avg_norm"
     " FROM e GROUP BY 1",
+)
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: broadcast-Bloom incremental dedup, count-min sketches.
+# --------------------------------------------------------------------------
+
+from presto_workload_analyzer_spark.extensions import sketches as X_sk  # noqa: E402
+
+
+def _x52(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom-prefiltered exact new-vs-corpus dedup (dedup.py:
+    bloom_incremental_exact_dedup — the broadcast-bitmap front half of
+    continuous-ingest dedup; reference analyzer/extract.py:96-104
+    file-exists dedup generalized to content identity at corpus-independent
+    per-batch cost). The synthetic 'new' batch is fresh docs (doc_id % 5
+    == 0) plus RE-KEYED COPIES of corpus docs (doc_id % 11 == 3, shifted
+    +1_000_000) so both paths are exercised: copies must die in the
+    verify anti-join, fresh docs must survive the prefilter untouched.
+    The pipeline output is exact (Bloom false positives are removed by the
+    digest anti-join; false negatives cannot exist), so the oracle is the
+    plain content anti-join — hash-free."""
+    docs = read_sf_table(spark, sf, "documents")
+    corpus = docs.filter(F.col("doc_id") % 5 != 0)
+    fresh = docs.filter(F.col("doc_id") % 5 == 0)
+    copies = corpus.filter(F.col("doc_id") % 11 == 3).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    new = fresh.unionByName(copies)
+    out = X_dedup.bloom_incremental_exact_dedup(
+        corpus, new, "doc_id", "text", m_bits=1 << 16, k_hashes=5
+    )
+    return out.select("doc_id")
+
+
+_register(
+    "x52_bloom_incremental_dedup",
+    _x52,
+    "WITH corpus AS (SELECT * FROM documents WHERE doc_id % 5 <> 0),"
+    " nw AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0"
+    "   UNION ALL SELECT doc_id + 1000000, text FROM documents"
+    "    WHERE doc_id % 5 <> 0 AND doc_id % 11 = 3)"
+    " SELECT n.doc_id AS doc_id FROM nw n WHERE n.text IS NULL"
+    "  OR NOT EXISTS (SELECT 1 FROM corpus c WHERE c.text = n.text)",
+)
+
+
+def _x53(spark: SparkSession, sf: str) -> DataFrame:
+    """Certified-exact heavy-hitter tokens through a count-min sketch
+    (sketches.py:cms_heavy_hitters): sketch → estimate → candidate cut →
+    exact-count candidates → assert the certification bound. Production
+    xxhash64 mode — the certified output is provably the exact top-k (or
+    the job fails loudly), so the expected output contains no hash at all
+    and the oracle is the plain exact top-k, the same hash-free-oracle move
+    as x20/x13. The md5↔xxhash64 sketch-shape equivalence is pinned in
+    tests/test_sketches.py."""
+    docs = read_sf_table(spark, sf, "documents")
+    return X_sk.cms_heavy_hitters(
+        docs, "text", top=20, margin=4, width=4096, depth=4, mode="xxhash64"
+    )
+
+
+_register(
+    "x53_cms_heavy_hitters",
+    _x53,
+    "WITH t AS (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS term"
+    "  FROM documents WHERE text IS NOT NULL)"
+    " SELECT term, CAST(count(*) AS BIGINT) AS n FROM t WHERE term <> ''"
+    " GROUP BY term ORDER BY n DESC, term LIMIT 20",
 )

@@ -717,3 +717,126 @@ def strip_duplicate_spans(
         (F.size(toks2) - F.size(kept)).cast("long").alias("n_removed"),
         F.array_join(kept, " ").alias("clean_text"),
     )
+
+
+def bloom_bitmap(df: DataFrame, text_col: str, m_bits: int, k_hashes: int) -> DataFrame:
+    """Fold a column's values into an m-bit Bloom bitmap: (word_idx, bits)
+    with at most m/64 rows, each row one long of the bitmap.
+
+    Each non-null value sets k bit positions pos_i = xxhash64(i, value) mod
+    m; positions become (word_idx = pos / 64, mask = 1 << (pos % 64)) rows
+    and bit_or-aggregate per word. Everything is JVM Column expressions
+    inside whole-stage codegen; the aggregation's map-side partial bit_or
+    means the shuffle carries at most m/64 rows PER TASK no matter how many
+    input rows feed it, and the result is ~m/8 bytes total (128 KiB at
+    m=2^20) regardless of corpus size — the definition of broadcastable.
+    """
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    pos = F.explode(
+        F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), F.col(text_col)), F.lit(m_bits))
+                for i in range(k_hashes)
+            ]
+        )
+    ).alias("__pos")
+    return (
+        df.where(F.col(text_col).isNotNull())
+        .select(pos)
+        .select(
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(__pos % 64 AS int))").alias("__mask"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("__mask").alias("bits"))
+    )
+
+
+def bloom_incremental_exact_dedup(
+    corpus: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    text_col: str,
+    m_bits: int = 1 << 20,
+    k_hashes: int = 5,
+) -> DataFrame:
+    """Exact new-vs-corpus dedup with a broadcast Bloom-filter prefilter —
+    the cheap front half of continuous-ingest dedup (incremental_dedup's
+    exact stage, reference analyzer/extract.py:96-104 file-exists dedup
+    generalized to content identity), restructured so the per-batch cost
+    no longer scales with the corpus.
+
+    Three stages:
+      1. BUILD (once per corpus version, reusable across batches): one scan
+         folds every text into the m-bit bitmap of bloom_bitmap(). The
+         bitmap is ~m/8 bytes independent of corpus size.
+      2. PREFILTER: the bitmap broadcasts; each new row probes its k
+         positions through a broadcast equi-join on word_idx and is a
+         duplicate CANDIDATE iff all k bits are set. Any unset bit means
+         DEFINITELY new (Bloom filters have no false negatives), and those
+         rows skip stage 3 entirely.
+      3. VERIFY: only candidates (true duplicates + false positives at rate
+         ~(1 - e^{-k n/m})^k) pay the exact anti-join against the corpus
+         digests ((xxhash64(text), length(text)) — same 16-byte digest
+         trick and guarantee as incremental_dedup). With m sized ~10 bits
+         per corpus doc the anti-join input is approximately the true-dup
+         fraction of the batch, not the whole batch.
+
+    Output: the kept subset of `new` (original columns; NULL-text rows are
+    always kept — NULL matches nothing, mirroring left_anti semantics).
+    Result is EXACT up to xxhash64 digest collisions: stage 3 removes every
+    false positive, stage 2 cannot create false negatives, so the output
+    equals a plain content anti-join — which is what the driver oracle
+    checks. Size m to the corpus (bits-per-element ~ 1.44 log2(1/fpr));
+    an undersized m only costs stage-3 work, never correctness.
+    """
+    words = bloom_bitmap(corpus, text_col, m_bits, k_hashes)
+
+    probes = (
+        new.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("__nid"),
+            F.explode(
+                F.array(
+                    *[
+                        F.pmod(F.xxhash64(F.lit(i), F.col(text_col)), F.lit(m_bits))
+                        for i in range(k_hashes)
+                    ]
+                )
+            ).alias("__pos"),
+        )
+        .select(
+            "__nid",
+            (F.col("__pos") / 64).cast("long").alias("word_idx"),
+            F.expr("shiftleft(1L, cast(__pos % 64 AS int))").alias("__mask"),
+        )
+        .join(F.broadcast(words), on="word_idx", how="left")
+        .groupBy("__nid")
+        .agg(
+            F.min(
+                (
+                    F.col("bits").isNotNull()
+                    & (F.col("bits").bitwiseAND(F.col("__mask")) != 0)
+                ).cast("int")
+            ).alias("__all_set")
+        )
+    )
+    candidate_ids = probes.where(F.col("__all_set") == 1).select(
+        F.col("__nid").alias(id_col)
+    )
+
+    digest = lambda c: F.when(  # noqa: E731
+        c.isNotNull(), F.struct(F.xxhash64(c), F.length(c))
+    )
+    corpus_keys = corpus.select(
+        digest(F.col(text_col)).alias("__text_digest")
+    ).distinct()
+    verified = (
+        new.join(candidate_ids, on=id_col, how="left_semi")
+        .withColumn("__text_digest", digest(F.col(text_col)))
+        .join(corpus_keys, on="__text_digest", how="left_anti")
+        .drop("__text_digest")
+    )
+    definitely_new = new.join(candidate_ids, on=id_col, how="left_anti")
+    return definitely_new.unionByName(verified)

@@ -186,6 +186,7 @@ def tfidf_cosine_pairs(
     text_col: str,
     threshold: float = 0.4,
     max_df_ratio: float = 0.5,
+    prefix_filter: bool = False,
 ) -> DataFrame:
     """Document-pair cosine similarity over L2-normalized TF-IDF vectors,
     computed through an INVERTED INDEX — the sparse-text twin of the
@@ -201,10 +202,38 @@ def tfidf_cosine_pairs(
     (Terms in EVERY doc have idf=0 and are dropped losslessly regardless.)
 
     Output: (id_a, id_b, cosine) for pairs above threshold.
+
+    Scaling (measured, BASELINE.md round-5 sf0.1→sf1 table): the posting
+    join's cost is OUTPUT-BOUND — per-pair throughput IMPROVED 24x going
+    sf0.1→sf1 (20 k pairs/s → 500 k pairs/s); the wall-clock slope (152x
+    for 10x docs) is entirely true-answer growth (31 k → 115 M qualifying
+    pairs — the synthetic replicas are bag-of-words twins, so the answer
+    itself is quadratic on that data). Linear work per emitted pair is
+    optimal for pair ENUMERATION; when the true pair set explodes, the
+    scale-sane semantics are cluster-survivor materialization
+    (drop_near_duplicates / connected_components), not pair listing.
+
+    `prefix_filter=True` additionally applies LOSSLESS L2 prefix
+    filtering (Bayardo et al., "Scaling Up All Pairs Similarity Search",
+    WWW'07). Under a GLOBAL term order (df asc, term asc — rarest first),
+    let rest(x, t) = L2 norm of x's weights from t onward in that order.
+    For any qualifying pair, its FIRST shared term t* satisfies
+    cos(x,y) <= ||x_{>=t*}|| * ||y_{>=t*}|| (Cauchy-Schwarz over the
+    shared suffix) <= min(rest(x,t*), rest(y,t*)), so both docs' t*
+    entries lie in the index prefix {entries with rest >= threshold}:
+    candidates come from a prefix-only self-join and are verified with
+    the exact dot product joined on candidates only — identical output.
+    This prunes when weight mass concentrates in rare terms (Zipfian
+    real-world corpora at high thresholds: prefix = the top 1-t^2 of
+    squared mass); on the synthetic templates' FLAT weights it cannot
+    prune (measured: no candidate reduction, window+verify overhead only),
+    hence default off for the bench corpus.
+
     Shuffle shape at 100 TB: token-stream groupBy to (id, term) grain,
     vocabulary-grain df aggregate + broadcast N, join on term (posting
-    lists), pair-grain groupBy — all key-partitioned, AQE handles residual
-    term skew.
+    lists; prefix-only when enabled — the suffix-norm window partitions by
+    doc id, a corpus-cardinality key), pair-grain groupBy — all
+    key-partitioned, AQE handles residual term skew.
     """
     toks = df.select(
         F.col(id_col).alias("id"),
@@ -222,6 +251,7 @@ def tfidf_cosine_pairs(
         .select(
             "id",
             "term",
+            "dfq",
             (F.col("tf") * F.log(F.col("__n") / F.col("dfq"))).alias("w"),
         )
     )
@@ -231,13 +261,45 @@ def tfidf_cosine_pairs(
     unit = (
         weighted.join(norms, on="id")
         .filter(F.col("nrm") > 0)
-        .select("id", "term", (F.col("w") / F.col("nrm")).alias("u"))
+        .select("id", "term", "dfq", (F.col("w") / F.col("nrm")).alias("u"))
     )
-    a = unit.select(F.col("id").alias("id_a"), "term", F.col("u").alias("ua"))
-    b = unit.select(F.col("id").alias("id_b"), "term", F.col("u").alias("ub"))
-    return (
-        a.join(b, on="term")
+    if not prefix_filter:
+        a = unit.select(F.col("id").alias("id_a"), "term", F.col("u").alias("ua"))
+        b = unit.select(F.col("id").alias("id_b"), "term", F.col("u").alias("ub"))
+        return (
+            a.join(b, on="term")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum(F.col("ua") * F.col("ub")).alias("cosine"))
+            .filter(F.col("cosine") > threshold)
+        )
+
+    # suffix norm from each entry onward under the global (df asc, term asc)
+    # order; the window key is the doc id (corpus-cardinality), never a
+    # low-cardinality column. The -1e-9 guards float rounding of rest vs
+    # the mathematically-exact bound at the threshold boundary.
+    w_sfx = (
+        Window.partitionBy("id")
+        .orderBy(F.asc("dfq"), F.asc("term"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prefix = (
+        unit.withColumn("__rest", F.sqrt(F.sum(F.col("u") * F.col("u")).over(w_sfx)))
+        .filter(F.col("__rest") >= threshold - 1e-9)
+        .select("id", "term")
+    )
+    cand = (
+        prefix.select(F.col("id").alias("id_a"), "term")
+        .join(prefix.select(F.col("id").alias("id_b"), "term"), on="term")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    ua = unit.select(F.col("id").alias("id_a"), "term", F.col("u").alias("ua"))
+    ub = unit.select(F.col("id").alias("id_b"), "term", F.col("u").alias("ub"))
+    return (
+        cand.join(ua, on="id_a")
+        .join(ub, on=["id_b", "term"])
         .groupBy("id_a", "id_b")
         .agg(F.sum(F.col("ua") * F.col("ub")).alias("cosine"))
         .filter(F.col("cosine") > threshold)

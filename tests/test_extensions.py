@@ -1015,6 +1015,22 @@ def test_tfidf_cosine_pairs(spark):
         ).collect()
     }
     assert (1, 2) in pruned and (3, 4) not in pruned
+    # LOSSLESS prefix filtering (Bayardo AllPairs): identical pair set and
+    # cosines at a positive threshold, including boundary-ish pairs
+    for thr in (0.1, 0.5, 0.9):
+        naive = {
+            (r.id_a, r.id_b): round(r.cosine, 9)
+            for r in textstats.tfidf_cosine_pairs(
+                df, "doc_id", "text", threshold=thr, prefix_filter=False
+            ).collect()
+        }
+        pref = {
+            (r.id_a, r.id_b): round(r.cosine, 9)
+            for r in textstats.tfidf_cosine_pairs(
+                df, "doc_id", "text", threshold=thr, prefix_filter=True
+            ).collect()
+        }
+        assert naive == pref, f"prefix filtering lost/changed pairs at {thr}"
     # no cartesian anywhere: posting-list equi-join only
     plan = (
         textstats.tfidf_cosine_pairs(df, "doc_id", "text")

@@ -1,0 +1,182 @@
+"""Count-min sketch + Bloom-filter incremental dedup: planted-answer
+semantics, mode equivalence, certification failure, and plan shape."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+from pyspark.sql.utils import AnalysisException
+
+from presto_workload_analyzer_spark.extensions import dedup, sketches
+
+
+@pytest.fixture(scope="module")
+def term_docs(spark):
+    # counts: alpha 5, beta 3, gamma 2, delta 1
+    rows = [
+        Row(doc_id=1, text="alpha alpha beta gamma"),
+        Row(doc_id=2, text="alpha beta delta"),
+        Row(doc_id=3, text="alpha alpha beta gamma"),
+        Row(doc_id=4, text=None),
+        Row(doc_id=5, text="   "),  # whitespace-only -> one '' artifact, filtered
+    ]
+    return spark.createDataFrame(rows)
+
+
+# ---------------------------------------------------------------- count-min
+
+
+@pytest.mark.parametrize("mode", ["md5", "xxhash64"])
+def test_cms_estimates_upper_bound_and_exact_when_wide(spark, term_docs, mode):
+    toks = term_docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    sk = sketches.countmin_sketch(toks, "term", width=1024, depth=4, mode=mode)
+    # total mass is preserved per depth row
+    per_row = sk.groupBy("d").agg(F.sum("n").alias("s")).collect()
+    assert {r.d for r in per_row} == {0, 1, 2, 3}
+    assert all(r.s == 11 for r in per_row)
+
+    est = sketches.cms_estimate(
+        sk, toks.distinct(), "term", width=1024, depth=4, mode=mode
+    )
+    got = {r.term: r.est for r in est.collect()}
+    true = {"alpha": 5, "beta": 3, "gamma": 2, "delta": 1}
+    # one-sided error: est >= true always
+    assert all(got[t] >= n for t, n in true.items())
+    # at width >> vocab, collisions are (almost surely) absent -> exact
+    assert got == true
+
+
+def test_cms_estimate_absent_term_zero_floor(spark, term_docs):
+    toks = term_docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    sk = sketches.countmin_sketch(toks, "term", width=1024, depth=4)
+    probe = spark.createDataFrame([Row(term="omega")])
+    est = sketches.cms_estimate(sk, probe, "term", width=1024, depth=4)
+    # absent term: cells may be missing from the sparse sketch -> est 0
+    # (or a small collision value; with width 1024 and 4 terms, 0)
+    assert est.collect()[0].est == 0
+
+
+def test_cms_mode_equivalence_shape(spark, term_docs):
+    """md5 and xxhash64 place terms differently but the ESTIMATES agree
+    whenever both are collision-free — the engine-portability pin."""
+    toks = term_docs.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+    ).where(F.col("term") != "")
+    outs = []
+    for mode in ("md5", "xxhash64"):
+        sk = sketches.countmin_sketch(toks, "term", width=4096, depth=4, mode=mode)
+        est = sketches.cms_estimate(
+            sk, toks.distinct(), "term", width=4096, depth=4, mode=mode
+        )
+        outs.append({(r.term, r.est) for r in est.collect()})
+    assert outs[0] == outs[1]
+
+
+def test_cms_md5_width_guard(spark, term_docs):
+    with pytest.raises(ValueError, match="width"):
+        sketches.countmin_sketch(
+            term_docs.select(F.col("text").alias("term")),
+            "term",
+            width=1 << 17,
+            mode="md5",
+        )
+
+
+def test_cms_heavy_hitters_exact_and_ordered(spark, term_docs):
+    out = sketches.cms_heavy_hitters(
+        term_docs, "text", top=3, margin=2, width=1024, depth=4
+    ).collect()
+    assert [(r.term, r.n) for r in out] == [("alpha", 5), ("beta", 3), ("gamma", 2)]
+
+
+def test_cms_heavy_hitters_certification_fails_loud(spark):
+    """Tiny width + margin 1 on a flat distribution: many terms collide so
+    an outside term's estimate exceeds the k-th candidate's exact count —
+    the assert_true must fire rather than return a silent near-miss."""
+    rows = [Row(doc_id=i, text=f"t{i} t{i} common") for i in range(40)]
+    df = spark.createDataFrame(rows)
+    try:
+        out = sketches.cms_heavy_hitters(
+            df, "text", top=1, margin=1, width=2, depth=1
+        ).collect()
+    except Exception as exc:  # Py4J wraps the SparkRuntimeException
+        assert "certification failed" in str(exc)
+    else:
+        # with width=2 the collision layout is data-dependent; if the cut
+        # happened to be certified, the answer must then be exact
+        assert [(r.term, r.n) for r in out] == [("common", 40)]
+
+
+def test_cms_plan_stays_jvm(spark, term_docs):
+    plan = sketches.cms_heavy_hitters(
+        term_docs, "text", top=3, margin=2, width=1024, depth=4
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------------------------- bloom
+
+
+@pytest.fixture(scope="module")
+def split_docs(spark):
+    corpus = spark.createDataFrame(
+        [Row(doc_id=i, text=f"corpus document number {i}") for i in range(50)]
+    )
+    new = spark.createDataFrame(
+        [Row(doc_id=100, text="corpus document number 7")]   # dup of corpus
+        + [Row(doc_id=101, text="corpus document number 23")]  # dup
+        + [Row(doc_id=102, text="a genuinely new document")]
+        + [Row(doc_id=103, text=None)]                         # NULL kept
+        + [Row(doc_id=104, text="another brand new one")]
+    )
+    return corpus, new
+
+
+def test_bloom_bitmap_bounded_and_nonempty(spark, split_docs):
+    corpus, _ = split_docs
+    words = dedup.bloom_bitmap(corpus, "text", m_bits=1 << 12, k_hashes=5).collect()
+    assert 0 < len(words) <= (1 << 12) // 64
+    assert all(0 <= r.word_idx < (1 << 12) // 64 for r in words)
+
+
+def test_bloom_incremental_exact(spark, split_docs):
+    corpus, new = split_docs
+    kept = dedup.bloom_incremental_exact_dedup(
+        corpus, new, "doc_id", "text", m_bits=1 << 12, k_hashes=5
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [102, 103, 104]
+    # schema passes through untouched
+    assert kept.columns == new.columns
+
+
+def test_bloom_exact_even_when_saturated(spark, split_docs):
+    """An absurdly small bitmap (every probe collides) must still give the
+    exact answer — the verify anti-join owns correctness, m only owns
+    cost. This is the undersized-m guarantee the docstring promises."""
+    corpus, new = split_docs
+    kept = dedup.bloom_incremental_exact_dedup(
+        corpus, new, "doc_id", "text", m_bits=64, k_hashes=2
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [102, 103, 104]
+
+
+def test_bloom_m_bits_guard(spark, split_docs):
+    corpus, _ = split_docs
+    with pytest.raises(ValueError, match="multiple of 64"):
+        dedup.bloom_bitmap(corpus, "text", m_bits=100, k_hashes=3)
+
+
+def test_bloom_plan_broadcasts_bitmap(spark, split_docs):
+    corpus, new = split_docs
+    plan = (
+        dedup.bloom_incremental_exact_dedup(
+            corpus, new, "doc_id", "text", m_bits=1 << 12, k_hashes=5
+        )
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
