@@ -3755,3 +3755,67 @@ _register(
     " SELECT term, CAST(count(*) AS BIGINT) AS n FROM t WHERE term <> ''"
     " GROUP BY term ORDER BY n DESC, term LIMIT 20",
 )
+
+
+def _x54(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-bigram PMI collocations (textstats.pmi_collocations):
+    vocabulary-grain joins only — unigram counts meet the bigram table at
+    one row per bigram TYPE, totals broadcast; min_count floors the
+    rare-pair noise. Ranked on the 6-dp rounded score (cross-engine ln()
+    ulp armor, same move as x22)."""
+    docs = read_sf_table(spark, sf, "documents")
+    return X_text.pmi_collocations(
+        docs, "doc_id", "text", min_count=5, top=20, round_to=6
+    )
+
+
+_register(
+    "x54_pmi_collocations",
+    _x54,
+    "WITH tok AS (SELECT string_split_regex(trim(text), '\\s+') AS w"
+    "  FROM documents WHERE text IS NOT NULL),"
+    " bi AS (SELECT w[i] AS w1, w[i+1] AS w2"
+    "  FROM tok, UNNEST(range(1, greatest(len(w)-1, 0)+1)) AS t(i)"
+    "  WHERE len(w) >= 2),"
+    " uni AS (SELECT unnest(w) AS wd FROM tok),"
+    " pc AS (SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY 1, 2),"
+    " uc AS (SELECT wd, count(*) AS n_w FROM uni WHERE wd <> '' GROUP BY 1),"
+    " tp AS (SELECT CAST(sum(n_pair) AS DOUBLE) AS tp FROM pc),"
+    " tu AS (SELECT CAST(sum(n_w) AS DOUBLE) AS tu FROM uc)"
+    " SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,"
+    "  round(ln((n_pair / tp) / ((a.n_w / tu) * (b.n_w / tu))) + 1e-9, 6) AS pmi"
+    " FROM pc JOIN uc a ON a.wd = pc.w1 JOIN uc b ON b.wd = pc.w2, tp, tu"
+    " WHERE n_pair >= 5"
+    " ORDER BY pmi DESC, w1, w2 LIMIT 20",
+)
+
+
+def _x55(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source Zipf rank-frequency fit (textstats.zipf_slope): the
+    corpus-health slope of ln(count) on ln(rank). Ranks computed with the
+    HIERARCHICAL two-level row_number (low-cardinality group key sharded by
+    -floor(log2(count)), monotone between shards), so no task ever sorts a
+    whole source's vocabulary; the fit is one regr_slope aggregate."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_text.zipf_slope(docs, "source", "text")
+    return out.select(
+        "source",
+        "n_terms",
+        F.round(F.col("zipf_slope") + 1e-9, 6).alias("zipf_slope"),
+    )
+
+
+_register(
+    "x55_zipf_slope",
+    _x55,
+    "WITH t AS (SELECT source AS grp,"
+    "   unnest(string_split_regex(trim(text), '\\s+')) AS term"
+    "  FROM documents WHERE text IS NOT NULL),"
+    " c AS (SELECT grp, term, count(*) AS cnt FROM t WHERE term <> ''"
+    "  GROUP BY 1, 2),"
+    " r AS (SELECT grp, cnt, row_number() OVER"
+    "   (PARTITION BY grp ORDER BY cnt DESC, term ASC) AS rank FROM c)"
+    " SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_terms,"
+    "  round(regr_slope(ln(cnt), ln(rank)) + 1e-9, 6) AS zipf_slope"
+    " FROM r GROUP BY 1",
+)

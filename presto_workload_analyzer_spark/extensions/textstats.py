@@ -612,3 +612,109 @@ def quality_logit(text: Column | str) -> Column:
         + F.lit(w["mean_tok_len"]) * mean_token_length(col)
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def pmi_collocations(
+    df: DataFrame, id_col: str, text_col: str, min_count: int = 5, top: int = 20,
+    round_to: int | None = None,
+) -> DataFrame:
+    """Top-`top` adjacent-bigram collocations by pointwise mutual
+    information: (w1, w2, n_pair, pmi), ordered (pmi desc, w1, w2).
+
+    PMI(a,b) = ln( P(a,b) / (P(a)P(b)) ) with P(a,b) = bigram count over
+    total bigrams and P(a) = unigram count over total unigrams — the
+    classic collocation score (Church & Hanks 1990): high for pairs that
+    co-occur far above chance ("new york"), ~0 for independent pairs.
+    `min_count` floors the bigram count first (PMI is notoriously noisy on
+    rare pairs — a hapax bigram of two hapax words maxes the score).
+    `round_to` ranks on the rounded score — same cross-engine tie-order
+    armor as tfidf_top_terms (engines may differ by a ulp on ln()).
+
+    Shuffle shape at 100 TB: bigrams come from the shared gram_array
+    builder (shift-and-zip, no UDF); two bounded aggregations (bigram
+    vocabulary, unigram vocabulary) with map-side combine; unigram counts
+    join the bigram table on each side at VOCABULARY grain (one row per
+    bigram type, never per occurrence); totals broadcast as 1-row frames.
+    Top-k is a TakeOrdered, not a global sort.
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+
+    bi = df.select(F.explode(gram_array(text_col, 2)).alias("bigram")).select(
+        F.split(F.col("bigram"), " ", 2)[0].alias("w1"),
+        F.split(F.col("bigram"), " ", 2)[1].alias("w2"),
+    )
+    uni = df.select(F.explode(tokens(text_col)).alias("w")).where(F.col("w") != "")
+    pair_counts = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n_pair"))
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("n_w"))
+    tot_pair = pair_counts.agg(F.sum("n_pair").cast("double").alias("__tp"))
+    tot_uni = uni_counts.agg(F.sum("n_w").cast("double").alias("__tu"))
+    pmi = F.log(
+        (F.col("n_pair") / F.col("__tp"))
+        / ((F.col("n_a") / F.col("__tu")) * (F.col("n_b") / F.col("__tu")))
+    )
+    if round_to is not None:
+        pmi = F.round(pmi + 1e-9, round_to)
+    return (
+        pair_counts.filter(F.col("n_pair") >= min_count)
+        .join(
+            uni_counts.select(F.col("w").alias("w1"), F.col("n_w").alias("n_a")),
+            on="w1",
+        )
+        .join(
+            uni_counts.select(F.col("w").alias("w2"), F.col("n_w").alias("n_b")),
+            on="w2",
+        )
+        .crossJoin(F.broadcast(tot_pair))
+        .crossJoin(F.broadcast(tot_uni))
+        .select("w1", "w2", "n_pair", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(top)
+    )
+
+
+def zipf_slope(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """Per-group Zipf fit: regression slope of ln(count) on ln(rank) over
+    the group's term frequency spectrum — (group, n_terms, zipf_slope).
+
+    Natural corpora follow rank-frequency power laws with slope ≈ -1;
+    a collapsed slope (≈ 0, flat spectrum) flags template/boilerplate
+    sources and a steep one flags tiny-vocabulary degenerate text — a
+    cheap corpus-health metric per source.
+
+    Ranks are computed HIERARCHICALLY (sampling._hierarchical_row_number):
+    ranking partitioned only by `group_col` (a low-cardinality enum) over
+    the vocabulary would funnel each group's whole term table through one
+    task — the x39 lint shape. Sharding by -floor(log2(count)) is monotone
+    w.r.t. the (count desc, term asc) order BETWEEN shards (different
+    shards never hold equal counts), so the two-level rank is exact while
+    each task sorts only one log-bucket of one group's vocabulary. The
+    regression itself is one aggregate (regr_slope — JVM built-in).
+    """
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        _hierarchical_row_number,
+    )
+
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    ranked = _hierarchical_row_number(
+        counts,
+        ["grp"],
+        [F.desc("cnt"), F.asc("term")],
+        -F.floor(F.log2(F.col("cnt"))),
+        "rank",
+    )
+    return (
+        ranked.groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.expr("regr_slope(ln(cnt), ln(rank))").alias("zipf_slope"),
+        )
+        .select(F.col("grp").alias(group_col), "n_terms", "zipf_slope")
+    )

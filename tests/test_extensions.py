@@ -1596,3 +1596,80 @@ def test_strip_duplicate_spans_agrees_with_python_reference(spark):
         ).collect()
     }
     assert out == expected
+
+
+def test_pmi_collocations_hand_computed(spark):
+    import math
+
+    rows = [
+        Row(doc_id=1, text="new york"),
+        Row(doc_id=2, text="new york"),
+        Row(doc_id=3, text="new york"),
+        Row(doc_id=4, text="new car"),
+        Row(doc_id=5, text="old york"),
+    ]
+    df = spark.createDataFrame(rows)
+    out = textstats.pmi_collocations(df, "doc_id", "text", min_count=3, top=5).collect()
+    # only (new, york) reaches min_count; tp=5 bigrams, tu=10 unigrams,
+    # n_new=4, n_york=4 -> pmi = ln((3/5)/((4/10)*(4/10)))
+    assert len(out) == 1
+    r = out[0]
+    assert (r.w1, r.w2, r.n_pair) == ("new", "york", 3)
+    assert r.pmi == pytest.approx(math.log((3 / 5) / (0.4 * 0.4)))
+    # min_count=1 surfaces the rare pairs too, ranked below
+    all_pairs = {
+        (r.w1, r.w2)
+        for r in textstats.pmi_collocations(
+            df, "doc_id", "text", min_count=1, top=10
+        ).collect()
+    }
+    assert {("new", "york"), ("new", "car"), ("old", "york")} <= all_pairs
+
+
+def test_zipf_slope_power_law_and_flat(spark):
+    import math
+
+    import numpy as np
+
+    # source a: counts 4/2/1 over three terms; source b: flat spectrum
+    rows = [Row(doc_id=i, source="a", text="x") for i in range(4)]
+    rows += [Row(doc_id=10 + i, source="a", text="y") for i in range(2)]
+    rows += [Row(doc_id=20, source="a", text="z")]
+    rows += [Row(doc_id=30, source="b", text="p q"), Row(doc_id=31, source="b", text="q p")]
+    df = spark.createDataFrame(rows)
+    got = {r.source: r for r in textstats.zipf_slope(df, "source", "text").collect()}
+    assert got["a"].n_terms == 3 and got["b"].n_terms == 2
+    # expected slope of ln(cnt) on ln(rank) for (1,4),(2,2),(3,1)
+    lx = np.log([1.0, 2.0, 3.0]); ly = np.log([4.0, 2.0, 1.0])
+    exp = ((lx - lx.mean()) * (ly - ly.mean())).sum() / ((lx - lx.mean()) ** 2).sum()
+    assert got["a"].zipf_slope == pytest.approx(exp)
+    assert got["b"].zipf_slope == pytest.approx(0.0)  # flat spectrum
+    # hierarchical rank == single-window rank (exactness of the decomposition)
+    from pyspark.sql import Window as W
+
+    counts = (
+        df.select("source", F.explode(textstats.tokens("text")).alias("term"))
+        .where(F.col("term") != "")
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    naive = counts.withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy("source").orderBy(F.desc("cnt"), F.asc("term"))
+        ),
+    )
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        _hierarchical_row_number,
+    )
+
+    hier = _hierarchical_row_number(
+        counts,
+        ["source"],
+        [F.desc("cnt"), F.asc("term")],
+        -F.floor(F.log2(F.col("cnt"))),
+        "rank",
+    )
+    assert {(r.source, r.term, r.rank) for r in naive.collect()} == {
+        (r.source, r.term, r.rank) for r in hier.collect()
+    }
