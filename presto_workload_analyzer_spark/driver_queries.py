@@ -3819,3 +3819,44 @@ _register(
     "  round(regr_slope(ln(cnt), ln(rank)) + 1e-9, 6) AS zipf_slope"
     " FROM r GROUP BY 1",
 )
+
+
+def _x56(spark: SparkSession, sf: str) -> DataFrame:
+    """Sorted-neighborhood near-dup detection (dedup.py:
+    sorted_neighborhood_pairs — Hernández-Stolfo SNM, the ORDERING-based
+    blocking family): global rank over the normalized-text key via the
+    hierarchical two-level row_number, windowed neighbor pairs through a
+    floor(rank/window) bucket equi-join, then exact 3-shingle Jaccard
+    verification on candidates only (ngram_jaccard pair mode). The oracle
+    reproduces the full rank → window → Jaccard cascade, so a rank or
+    bucket bug diverges immediately."""
+    docs = read_sf_table(spark, sf, "documents")
+    cand = X_dedup.sorted_neighborhood_pairs(docs, "doc_id", "text", window=10)
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    ver = X_dedup.ngram_jaccard(sh, pairs=cand)
+    return ver.filter(F.col("jaccard") >= 0.3).select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard")
+    )
+
+
+_register(
+    "x56_sorted_neighborhood",
+    _x56,
+    "WITH nk AS (SELECT doc_id AS id, trim(regexp_replace(regexp_replace("
+    "   lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS key"
+    "  FROM documents),"
+    " r AS (SELECT id, row_number() OVER"
+    "   (ORDER BY key ASC NULLS FIRST, id ASC) AS rnk FROM nk),"
+    " cand AS (SELECT a.id AS id_a, b.id AS id_b FROM r a JOIN r b"
+    "   ON b.rnk > a.rnk AND b.rnk - a.rnk <= 9),"
+    f" {_SHINGLE_SQL},"
+    " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+    " inter AS (SELECT c.id_a, c.id_b, count(*) AS ni FROM cand c"
+    "   JOIN sh a ON a.id = c.id_a"
+    "   JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle"
+    "   GROUP BY 1, 2)"
+    " SELECT id_a, id_b,"
+    "  round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) + 1e-9, 6) AS jaccard"
+    " FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b"
+    " WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3",
+)

@@ -840,3 +840,69 @@ def bloom_incremental_exact_dedup(
     )
     definitely_new = new.join(candidate_ids, on=id_col, how="left_anti")
     return definitely_new.unionByName(verified)
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame, id_col: str, text_col: str, window: int = 10,
+    key: Column | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood candidate pairs (Hernández & Stolfo 1995's
+    SNM) — the ORDERING-based blocking family, complementing the hashing
+    families (MinHash bands, SimHash bands, hyperplane LSH): sort the
+    corpus by a blocking key (default: normalized_text), slide a window of
+    `window` rows, emit every pair within the window. Output:
+    (id_a, id_b), each pair exactly once. Pipe into ngram_jaccard(pairs=)
+    for exact verification, like the LSH flows.
+
+    Scale shape: the global rank is the hierarchical two-level row_number
+    (sampling._hierarchical_row_number with NO group column, sharded by
+    the key's 2-char prefix — string-prefix order is monotone w.r.t. full
+    key order between shards), so no task sorts the whole corpus; the
+    neighbor join is an equi-join on floor(rank / window) buckets (each
+    left row probes its own and the next bucket — any pair within
+    `window` ranks spans at most two buckets), never a range cross join.
+    Rank is fully deterministic: ties on the key break by id.
+
+    SNM's known blind spot applies: near-dups differing in their leading
+    characters sort apart; production systems run MULTI-PASS SNM with
+    several keys (pass a different `key` per call and union the pairs).
+    """
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        _hierarchical_row_number,
+    )
+    from presto_workload_analyzer_spark.extensions.textstats import normalized_text
+
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    k = key if key is not None else normalized_text(text_col)
+    base = df.select(F.col(id_col).alias("id"), k.alias("__key"))
+    ranked = _hierarchical_row_number(
+        base,
+        [],
+        [F.asc("__key"), F.asc("id")],
+        F.substring(F.col("__key"), 1, 2),
+        "rank",
+    ).select("id", "rank")
+    a = ranked.select(
+        F.col("id").alias("id_a"),
+        F.col("rank").alias("__ra"),
+        F.explode(
+            F.array(
+                (F.col("rank") / window).cast("long"),
+                (F.col("rank") / window).cast("long") + 1,
+            )
+        ).alias("__bucket"),
+    )
+    b = ranked.select(
+        F.col("id").alias("id_b"),
+        F.col("rank").alias("__rb"),
+        (F.col("rank") / window).cast("long").alias("__bucket"),
+    )
+    return (
+        a.join(b, on="__bucket")
+        .filter(
+            (F.col("__rb") > F.col("__ra"))
+            & (F.col("__rb") - F.col("__ra") <= window - 1)
+        )
+        .select("id_a", "id_b")
+    )

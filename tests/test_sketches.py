@@ -180,3 +180,50 @@ def test_bloom_plan_broadcasts_bitmap(spark, split_docs):
     )
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "BatchEvalPython" not in plan and "CartesianProduct" not in plan
+
+
+# ------------------------------------------------- sorted neighborhood (SNM)
+
+
+def test_sorted_neighborhood_window_semantics(spark):
+    # keys sort as d1 d2 d3 d4 d5 (normalized text ascending)
+    rows = [Row(doc_id=i, text=f"doc {i:02d} body") for i in range(1, 6)]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=3
+        ).collect()
+    }
+    # window 3: pairs within rank distance <= 2
+    expect = {(1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)}
+    assert pairs == expect
+
+
+def test_sorted_neighborhood_no_duplicate_pairs_and_full_window(spark):
+    rows = [Row(doc_id=i, text=f"entry {i:03d}") for i in range(60)]
+    df = spark.createDataFrame(rows)
+    out = dedup.sorted_neighborhood_pairs(df, "doc_id", "text", window=10).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs)), "bucket probe emitted a pair twice"
+    # exact pair count for n=60, w=10: sum over gap g=1..9 of (60-g)
+    assert len(pairs) == sum(60 - g for g in range(1, 10))
+
+
+def test_sorted_neighborhood_finds_planted_neighbors(spark):
+    rows = [
+        Row(doc_id=1, text="alpha document about spark"),
+        Row(doc_id=2, text="Alpha  document about spark!"),  # normalizes adjacent to 1
+        Row(doc_id=3, text="zzz totally elsewhere"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.sorted_neighborhood_pairs(
+            df, "doc_id", "text", window=2
+        ).collect()
+    }
+    assert (1, 2) in pairs          # normalization collapses case/punct/space
+    assert (1, 3) not in pairs      # outside the window after sorting
+    with pytest.raises(ValueError, match="window"):
+        dedup.sorted_neighborhood_pairs(df, "doc_id", "text", window=1)
