@@ -3860,3 +3860,50 @@ _register(
     " FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b"
     " WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3",
 )
+
+
+def _s10(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming ingest dedup against a STATIC seen-set: the event stream
+    left-anti-joins the batch table of already-ingested event ids (the
+    streaming twin of x52/x35's incremental dedup — continuous ingest
+    where every micro-batch drops rows the store already has), then rolls
+    up novel events per day. Stream-static anti-joins need no state store
+    or watermark bound (the static side is re-planned each micro-batch,
+    picking up store updates for free); at scale the seen-set side is a
+    parquet digest table, pruned by the join's runtime filter. Oracle:
+    the identical batch anti-join."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events")
+    seen = read_sf_table(spark, sf, "events").filter(
+        F.col("event_id") % 3 == 0
+    ).select("event_id")
+    novel = ev.join(seen, on="event_id", how="left_anti")
+    agg = novel.groupBy(F.window("ts", "1 day").alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 6).alias("value_sum"),
+    )
+    name = f"s10_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("w.start").alias("bucket"), "n_events", "value_sum"
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s10_stream_ingest_dedup",
+    _s10,
+    "SELECT date_trunc('day', ts) AS bucket,"
+    " CAST(count(*) AS BIGINT) AS n_events,"
+    " round(sum(\"value\"), 6) AS value_sum"
+    " FROM events WHERE event_id % 3 <> 0 GROUP BY 1",
+)
