@@ -3907,3 +3907,50 @@ _register(
     " round(sum(\"value\"), 6) AS value_sum"
     " FROM events WHERE event_id % 3 <> 0 GROUP BY 1",
 )
+
+
+def _x57(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus snapshot drift audit (profile.py:snapshot_diff): simulate a
+    refresh of the documents table — doc_id % 7 == 0 removed, % 5 == 0
+    re-crawled with new content (' v2' suffix), % 11 == 0 duplicated in
+    as fresh ids (+1_000_000) — and classify every row per source through
+    the digest full-outer join. The oracle reproduces the same refresh
+    and classifies with IS (NOT) DISTINCT FROM on the raw text, so the
+    digest path must agree with true content comparison."""
+    docs = read_sf_table(spark, sf, "documents")
+    old = docs
+    new = (
+        docs.filter(F.col("doc_id") % 7 != 0)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit(" v2"))
+            ).otherwise(F.col("text")),
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 11 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000000)
+            )
+        )
+    )
+    return X_prof.snapshot_diff(old, new, "doc_id", ["text"], group_col="source")
+
+
+_register(
+    "x57_snapshot_drift",
+    _x57,
+    "WITH old AS (SELECT doc_id, text, source FROM documents),"
+    " nw AS (SELECT doc_id,"
+    "   CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text,"
+    "   source FROM documents WHERE doc_id % 7 <> 0"
+    "  UNION ALL SELECT doc_id + 1000000, text, source FROM documents"
+    "   WHERE doc_id % 11 = 0),"
+    " j AS (SELECT coalesce(n.source, o.source) AS source,"
+    "   CASE WHEN o.doc_id IS NULL THEN 'added'"
+    "        WHEN n.doc_id IS NULL THEN 'removed'"
+    "        WHEN o.text IS NOT DISTINCT FROM n.text THEN 'unchanged'"
+    "        ELSE 'changed' END AS status"
+    "  FROM old o FULL OUTER JOIN nw n ON o.doc_id = n.doc_id)"
+    " SELECT source, status, CAST(count(*) AS BIGINT) AS n"
+    " FROM j GROUP BY 1, 2",
+)

@@ -164,3 +164,53 @@ def referential_audit(
     for o in outs[1:]:
         result = result.unionByName(o)
     return result
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str,
+    cols: list[str],
+    group_col: str | None = None,
+) -> DataFrame:
+    """Row-level drift audit between two snapshots of the same table:
+    (group?, status, n) with status ∈ {added, removed, changed, unchanged}
+    — the corpus-version diff every continuously-rebuilt training set
+    needs (did the refresh replace 2% or 60% of documents per source?).
+
+    Shape: each side reduces to (id, group?, digest) where digest =
+    xxhash64 over `cols` (16 bytes/row instead of the full document —
+    the same narrow-shuffle trick as incremental_dedup's digests), one
+    full-outer join on id classifies every row, one bounded groupBy
+    counts. NULL contents digest deterministically, so NULL == NULL is
+    'unchanged', matching SQL IS NOT DISTINCT FROM semantics; collisions
+    (2^-64/pair) can only misreport 'changed' as 'unchanged'.
+    `group_col` (e.g. source) is taken from whichever side has the row —
+    for 'changed' rows the NEW side's value wins (the group itself may
+    have changed).
+    """
+    if not cols:
+        raise ValueError("snapshot_diff: cols must be non-empty")
+
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        sel = [
+            F.col(id_col).alias("__id"),
+            F.xxhash64(*[F.col(c) for c in cols]).alias(f"__h_{tag}"),
+        ]
+        if group_col is not None:
+            sel.append(F.col(group_col).alias(f"__g_{tag}"))
+        return df.select(*sel)
+
+    joined = _side(old, "old").join(_side(new, "new"), on="__id", how="full_outer")
+    status = (
+        F.when(F.col("__h_old").isNull(), F.lit("added"))
+        .when(F.col("__h_new").isNull(), F.lit("removed"))
+        .when(F.col("__h_old") == F.col("__h_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    out = joined.withColumn("status", status)
+    keys = ["status"]
+    if group_col is not None:
+        out = out.withColumn(group_col, F.coalesce(F.col("__g_new"), F.col("__g_old")))
+        keys = [group_col, "status"]
+    return out.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))

@@ -227,3 +227,52 @@ def test_sorted_neighborhood_finds_planted_neighbors(spark):
     assert (1, 3) not in pairs      # outside the window after sorting
     with pytest.raises(ValueError, match="window"):
         dedup.sorted_neighborhood_pairs(df, "doc_id", "text", window=1)
+
+
+# -------------------------------------------------------------- snapshot diff
+
+
+def test_snapshot_diff_statuses_and_null_semantics(spark):
+    from presto_workload_analyzer_spark.extensions import profile
+
+    old = spark.createDataFrame(
+        [
+            Row(id=1, txt="same", src="a"),
+            Row(id=2, txt="before", src="a"),
+            Row(id=3, txt="bye", src="b"),
+            Row(id=4, txt=None, src="b"),     # NULL on both sides -> unchanged
+            Row(id=5, txt=None, src="b"),     # NULL -> value -> changed
+        ]
+    )
+    new = spark.createDataFrame(
+        [
+            Row(id=1, txt="same", src="a"),
+            Row(id=2, txt="after", src="a"),
+            Row(id=4, txt=None, src="b"),
+            Row(id=5, txt="filled", src="b"),
+            Row(id=6, txt="hello", src="c"),  # added
+        ]
+    )
+    got = {
+        (r.src, r.status): r.n
+        for r in profile.snapshot_diff(old, new, "id", ["txt"], group_col="src").collect()
+    }
+    assert got == {
+        ("a", "unchanged"): 1,
+        ("a", "changed"): 1,
+        ("b", "removed"): 1,
+        ("b", "unchanged"): 1,
+        ("b", "changed"): 1,
+        ("c", "added"): 1,
+    }
+    with pytest.raises(ValueError, match="cols"):
+        profile.snapshot_diff(old, new, "id", [])
+
+
+def test_snapshot_diff_ungrouped(spark):
+    from presto_workload_analyzer_spark.extensions import profile
+
+    old = spark.createDataFrame([Row(id=1, txt="x"), Row(id=2, txt="y")])
+    new = spark.createDataFrame([Row(id=1, txt="x"), Row(id=3, txt="z")])
+    got = {r.status: r.n for r in profile.snapshot_diff(old, new, "id", ["txt"]).collect()}
+    assert got == {"unchanged": 1, "removed": 1, "added": 1}
