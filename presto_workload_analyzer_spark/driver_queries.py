@@ -3954,3 +3954,70 @@ _register(
     " SELECT source, status, CAST(count(*) AS BIGINT) AS n"
     " FROM j GROUP BY 1, 2",
 )
+
+
+def _x59(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-aware near-dedup materialization (dedup.py:
+    drop_near_duplicates_by): same minhash-LSH component graph as x15, but
+    the survivor is the LONGEST document per cluster (argmax by (n_chars,
+    doc_id)) instead of the min-id — the production policy of keeping the
+    best copy. Oracle: x14's recursive-CTE components + the same
+    struct-argmax, so the election rule itself is cross-checked."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    return X_dedup.drop_near_duplicates_by(
+        docs, "doc_id", pairs, F.col("n_chars")
+    ).select("doc_id")
+
+
+_register(
+    "x59_near_dedup_keep_best",
+    _x59,
+    _X14_CC_SQL.format(bands=_X02_BANDS)
+    + ", ranked AS (SELECT cc.id, row_number() OVER (PARTITION BY cluster_id"
+    "    ORDER BY d.n_chars DESC, cc.id DESC) AS rn"
+    "   FROM cc JOIN documents d ON d.doc_id = cc.id)"
+    " SELECT doc_id FROM documents"
+    " WHERE doc_id NOT IN (SELECT id FROM ranked WHERE rn > 1)",
+)
+
+
+def _x58(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source vocabulary coverage (textstats.vocab_coverage): share of
+    token occurrences covered by the top-10/100/1000 terms — zipf_slope's
+    companion corpus-health metric, computed from the same shared
+    hierarchical ranked spectrum with fixed-cut conditional sums (no
+    prefix-sum window)."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_text.vocab_coverage(docs, "source", "text", tops=(10, 100, 1000))
+    return out.select(
+        "source",
+        "n_terms",
+        *[
+            F.round(F.col(f"cov_{n}") + 1e-9, 6).alias(f"cov_{n}")
+            for n in (10, 100, 1000)
+        ],
+    )
+
+
+_register(
+    "x58_vocab_coverage",
+    _x58,
+    "WITH t AS (SELECT source AS grp,"
+    "   unnest(string_split_regex(trim(text), '\\s+')) AS term"
+    "  FROM documents WHERE text IS NOT NULL),"
+    " c AS (SELECT grp, term, count(*) AS cnt FROM t WHERE term <> ''"
+    "  GROUP BY 1, 2),"
+    " r AS (SELECT grp, cnt, row_number() OVER"
+    "   (PARTITION BY grp ORDER BY cnt DESC, term ASC) AS rank FROM c)"
+    " SELECT grp AS source, CAST(count(*) AS BIGINT) AS n_terms,"
+    "  round(CAST(sum(CASE WHEN rank <= 10 THEN cnt ELSE 0 END) AS DOUBLE)"
+    "   / sum(cnt) + 1e-9, 6) AS cov_10,"
+    "  round(CAST(sum(CASE WHEN rank <= 100 THEN cnt ELSE 0 END) AS DOUBLE)"
+    "   / sum(cnt) + 1e-9, 6) AS cov_100,"
+    "  round(CAST(sum(CASE WHEN rank <= 1000 THEN cnt ELSE 0 END) AS DOUBLE)"
+    "   / sum(cnt) + 1e-9, 6) AS cov_1000"
+    " FROM r GROUP BY 1",
+)

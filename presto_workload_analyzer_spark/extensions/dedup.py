@@ -906,3 +906,40 @@ def sorted_neighborhood_pairs(
         )
         .select("id_a", "id_b")
     )
+
+
+def drop_near_duplicates_by(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    score: Column,
+    max_iter: int = 25,
+) -> DataFrame:
+    """Keep the BEST-scoring document per near-dup component — the
+    production survivor policy (keep the longest / highest-quality copy),
+    generalizing drop_near_duplicates' min-id rule. `score` is any Column
+    over df's columns (quality_logit, n_chars, ...). Deterministic:
+    survivor = argmax by (score, id) — ties break to the HIGHEST id so the
+    rule is a pure struct-max (engine-portable, no fp ordering ambiguity
+    as long as `score` itself is deterministic; round it if it comes from
+    float math).
+
+    Shape: connected_components on the pair graph (O(diameter) rounds),
+    one groupBy(cluster_id) struct-max to elect survivors (component
+    grain), one anti-join to drop the losers. Singletons never enter the
+    graph and pass through untouched.
+    """
+    cc = connected_components(pairs, max_iter=max_iter)
+    scored = (
+        df.select(F.col(id_col).alias("id"), score.alias("__s"))
+        .join(cc, on="id")
+    )
+    winners = (
+        scored.groupBy("cluster_id")
+        .agg(F.max(F.struct(F.col("__s"), F.col("id"))).alias("__b"))
+        .select(F.col("__b.id").alias("id"))
+    )
+    losers = cc.select("id").join(winners, on="id", how="left_anti").select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, on=id_col, how="left_anti")

@@ -672,6 +672,35 @@ def pmi_collocations(
     )
 
 
+def _ranked_spectrum(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
+    """(grp, term, cnt, rank): each group's term frequency spectrum ranked
+    by (cnt desc, term asc) through the HIERARCHICAL two-level row_number
+    (sampling._hierarchical_row_number) sharded by -floor(log2(cnt)) —
+    monotone between shards w.r.t. the order, so the rank is exact while
+    no task sorts more than one log-bucket of one group's vocabulary.
+    Shared by zipf_slope and vocab_coverage."""
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        _hierarchical_row_number,
+    )
+
+    counts = (
+        df.select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(text_col)).alias("term"),
+        )
+        .where(F.col("term") != "")
+        .groupBy("grp", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return _hierarchical_row_number(
+        counts,
+        ["grp"],
+        [F.desc("cnt"), F.asc("term")],
+        -F.floor(F.log2(F.col("cnt"))),
+        "rank",
+    )
+
+
 def zipf_slope(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     """Per-group Zipf fit: regression slope of ln(count) on ln(rank) over
     the group's term frequency spectrum — (group, n_terms, zipf_slope).
@@ -690,26 +719,7 @@ def zipf_slope(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
     each task sorts only one log-bucket of one group's vocabulary. The
     regression itself is one aggregate (regr_slope — JVM built-in).
     """
-    from presto_workload_analyzer_spark.extensions.sampling import (
-        _hierarchical_row_number,
-    )
-
-    counts = (
-        df.select(
-            F.col(group_col).alias("grp"),
-            F.explode(tokens(text_col)).alias("term"),
-        )
-        .where(F.col("term") != "")
-        .groupBy("grp", "term")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    ranked = _hierarchical_row_number(
-        counts,
-        ["grp"],
-        [F.desc("cnt"), F.asc("term")],
-        -F.floor(F.log2(F.col("cnt"))),
-        "rank",
-    )
+    ranked = _ranked_spectrum(df, group_col, text_col)
     return (
         ranked.groupBy("grp")
         .agg(
@@ -718,3 +728,38 @@ def zipf_slope(df: DataFrame, group_col: str, text_col: str) -> DataFrame:
         )
         .select(F.col("grp").alias(group_col), "n_terms", "zipf_slope")
     )
+
+
+def vocab_coverage(
+    df: DataFrame, group_col: str, text_col: str, tops: tuple[int, ...] = (10, 100, 1000)
+) -> DataFrame:
+    """Per-group vocabulary coverage: the fraction of all token
+    OCCURRENCES accounted for by the group's top-N terms, for each N in
+    `tops` — (group, n_terms, cov_<N>...). The tokenizer-design /
+    corpus-health companion of zipf_slope: a source whose top-10 terms
+    cover 80% of tokens is template noise; natural text needs thousands
+    of terms for that.
+
+    One pass over the shared ranked spectrum (_ranked_spectrum — the
+    hierarchical rank, no whole-vocabulary sort task), then a single
+    groupBy(grp) with conditional sums (sum(cnt) FILTER rank <= N) — no
+    prefix-sum window needed because the cut points are fixed.
+    """
+    ranked = _ranked_spectrum(df, group_col, text_col)
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.sum("cnt").alias("__total"),
+    ]
+    for n in tops:
+        aggs.append(
+            F.sum(F.when(F.col("rank") <= n, F.col("cnt")).otherwise(0)).alias(
+                f"__top_{n}"
+            )
+        )
+    out = ranked.groupBy("grp").agg(*aggs)
+    sel = [F.col("grp").alias(group_col), "n_terms"]
+    for n in tops:
+        sel.append(
+            (F.col(f"__top_{n}") / F.col("__total")).alias(f"cov_{n}")
+        )
+    return out.select(*sel)

@@ -1673,3 +1673,44 @@ def test_zipf_slope_power_law_and_flat(spark):
     assert {(r.source, r.term, r.rank) for r in naive.collect()} == {
         (r.source, r.term, r.rank) for r in hier.collect()
     }
+
+
+def test_vocab_coverage_hand_computed(spark):
+    # source a: x×4 y×2 z×1 -> top-1 covers 4/7; top-2 covers 6/7
+    rows = [Row(doc_id=i, source="a", text="x") for i in range(4)]
+    rows += [Row(doc_id=10 + i, source="a", text="y") for i in range(2)]
+    rows += [Row(doc_id=20, source="a", text="z")]
+    df = spark.createDataFrame(rows)
+    got = textstats.vocab_coverage(df, "source", "text", tops=(1, 2, 5)).collect()[0]
+    assert got.n_terms == 3
+    assert got.cov_1 == pytest.approx(4 / 7)
+    assert got.cov_2 == pytest.approx(6 / 7)
+    assert got.cov_5 == pytest.approx(1.0)
+
+
+def test_near_dedup_keep_best_survivor_policy(spark):
+    from presto_workload_analyzer_spark.extensions import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="short", score=1),
+            Row(doc_id=2, text="the longest copy", score=9),
+            Row(doc_id=3, text="medium one", score=5),
+            Row(doc_id=4, text="unrelated island", score=2),
+        ]
+    )
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3)]  # {1,2,3} one component
+    )
+    kept = sorted(
+        r.doc_id
+        for r in D.drop_near_duplicates_by(docs, "doc_id", pairs, F.col("score")).collect()
+    )
+    assert kept == [2, 4]  # best-score survivor + the singleton
+    # tie on score -> highest id wins (deterministic struct-max)
+    docs2 = docs.withColumn("score", F.lit(7))
+    kept2 = sorted(
+        r.doc_id
+        for r in D.drop_near_duplicates_by(docs2, "doc_id", pairs, F.col("score")).collect()
+    )
+    assert kept2 == [3, 4]
