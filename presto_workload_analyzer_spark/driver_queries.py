@@ -4021,3 +4021,85 @@ _register(
     "   / sum(cnt) + 1e-9, 6) AS cov_1000"
     " FROM r GROUP BY 1",
 )
+
+
+def _x60(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-source near-duplication matrix: which sources copy from
+    which — every minhash-LSH near-dup pair (x02's md5 pipeline) joined
+    back to both docs' source labels, counted per unordered source pair
+    (least/greatest canonicalization). The crawl-overlap audit a corpus
+    operator reads before deciding which source to drop; pair-grain work
+    is bounded by the candidate pairs, source-matrix grain by #sources²."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"),
+                              F.col("source").alias("__sa")), on="id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"),
+                         F.col("source").alias("__sb")), on="id_b")
+    )
+    return (
+        j.select(
+            F.least("__sa", "__sb").alias("source_a"),
+            F.greatest("__sa", "__sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_register(
+    "x60_cross_source_dups",
+    _x60,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id)"
+    " SELECT least(da.source, db.source) AS source_a,"
+    "  greatest(da.source, db.source) AS source_b,"
+    "  CAST(count(*) AS BIGINT) AS n_pairs"
+    " FROM prs JOIN documents da ON da.doc_id = id_a"
+    "  JOIN documents db ON db.doc_id = id_b"
+    " GROUP BY 1, 2",
+)
+
+
+def _x62(spark: SparkSession, sf: str) -> DataFrame:
+    """FILTERED ANN (similarity.ivf_topk(corpus_filter=...)): metadata-
+    constrained nearest-neighbor search — the index is built once over the
+    full corpus, the label predicate applies to candidate neighbors at
+    query time. Driven through the same exactness reduction as x13
+    (n_probe == n_cells ⇒ filtered IVF ≡ filtered brute force, KMeans
+    provably cancels), so the oracle is brute-force top-k over the
+    label-filtered corpus."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    out = X_sim.ivf_topk(
+        emb.filter(F.col("vec_id") < 200).coalesce(4),
+        n_cells=8, n_probe=8, k=5, seed=42, max_iter=8,
+        corpus_filter=F.col("label") % 2 == 0,
+    )
+    return out.select(
+        "query_id",
+        "neighbor_id",
+        F.round("cosine", 6).alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+_register(
+    "x62_filtered_ann",
+    _x62,
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+    " FROM embeddings WHERE vec_id < 200),"
+    " c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv"
+    " FROM embeddings WHERE vec_id < 200 AND label % 2 = 0),"
+    f" s AS (SELECT query_id, neighbor_id, {_COS} AS cosine"
+    " FROM q, c WHERE query_id <> neighbor_id),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+    " ORDER BY cosine DESC, neighbor_id) AS rank FROM s)"
+    " SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank"
+    " FROM r WHERE rank <= 5",
+)

@@ -294,8 +294,21 @@ def ivf_topk(
     k: int = 10,
     seed: int = 42,
     max_iter: int = 20,
+    corpus_filter: Column | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: coarse k-means cells, probe the nearest few.
+
+    `corpus_filter` (a predicate over emb's columns, e.g. a label or
+    freshness constraint) gives FILTERED ANN — the metadata-constrained
+    search every retrieval stack needs: the index (KMeans cells) is built
+    ONCE over the full corpus, the predicate applies to candidate
+    NEIGHBORS at query time (queries still rank among filtered candidates
+    only), so one index serves every filter. Post-filtering candidates
+    inside the probed cells keeps exactness under the n_probe == n_cells
+    reduction: filtered IVF ≡ filtered brute force, which is what the x62
+    driver oracle checks. At low n_probe, highly-selective filters thin
+    the probed cells — raise n_probe with filter selectivity (the
+    standard filtered-ANN recall trade-off).
 
     The classic IVF index expressed relationally:
       1. KMeans (MLlib, seeded) learns `n_cells` coarse centroids;
@@ -312,9 +325,11 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    keep = corpus_filter if corpus_filter is not None else F.lit(True)
     vecs = emb.select(
         F.col(id_col).alias("id"),
         _to_double(F.col(vec_col)).alias("v"),
+        keep.alias("__keep"),
     )
     # cache: KMeans makes max_iter passes, and the assignment/probe stages
     # below reuse the same vectors — without this the whole upstream
@@ -335,7 +350,7 @@ def ivf_topk(
     )
     ranked = (
         vecs.join(F.broadcast(centroids))
-        .select("id", "v", "cell_id", d2.alias("d2"))
+        .select("id", "v", "__keep", "cell_id", d2.alias("d2"))
         .withColumn(
             "cell_rank",
             F.row_number().over(
@@ -344,7 +359,7 @@ def ivf_topk(
         )
         .cache()  # consumed twice: corpus assignment + query probes
     )
-    corpus = ranked.filter(F.col("cell_rank") == 1).select(
+    corpus = ranked.filter((F.col("cell_rank") == 1) & F.col("__keep")).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), "cell_id"
     )
     probes = ranked.filter(F.col("cell_rank") <= n_probe).select(

@@ -1714,3 +1714,34 @@ def test_near_dedup_keep_best_survivor_policy(spark):
         for r in D.drop_near_duplicates_by(docs2, "doc_id", pairs, F.col("score")).collect()
     )
     assert kept2 == [3, 4]
+
+
+def test_ivf_filtered_ann_matches_filtered_brute_force(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        Row(vec_id=i, embedding=[rng.uniform(-1, 1) for _ in range(8)], label=i % 3)
+        for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows)
+    out = similarity.ivf_topk(
+        emb, n_cells=4, n_probe=4, k=3, seed=1, max_iter=5,
+        corpus_filter=F.col("label") == 0,
+    )
+    got = {(r.query_id, r.rank): r.neighbor_id for r in out.collect()}
+    # every returned neighbor satisfies the predicate
+    ok_ids = {r.vec_id for r in emb.filter(F.col("label") == 0).collect()}
+    assert set(got.values()) <= ok_ids
+    # full-probe filtered IVF == filtered brute force (exactness reduction)
+    bf = similarity.ivf_topk(
+        emb.filter(F.col("label") == 0), n_cells=4, n_probe=4, k=3,
+        seed=1, max_iter=5,
+    )
+    bf_got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in bf.collect()
+        # brute-force twin only defines rows for label-0 queries; compare those
+    }
+    for key, nb in bf_got.items():
+        assert got[key] == nb
