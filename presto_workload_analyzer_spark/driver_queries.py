@@ -4103,3 +4103,50 @@ _register(
     " SELECT query_id, neighbor_id, round(cosine, 6) AS cosine, rank"
     " FROM r WHERE rank <= 5",
 )
+
+
+def _x61(spark: SparkSession, sf: str) -> DataFrame:
+    """Split-leakage audit: near-dup pairs that STRADDLE train/val/test
+    boundaries — the eval-contamination check every LLM data split needs
+    (a test doc with a train near-twin silently inflates eval scores).
+    Composes two proven stages: x16's deterministic hash split and x02's
+    minhash-LSH pair pipeline; pairs are counted per canonical
+    (split_a <= split_b) cell, so off-diagonal rows ARE the leakage. The
+    oracle replays both stages (md5 bucket split + band joins) in SQL."""
+    docs = read_sf_table(spark, sf, "documents")
+    split = X_samp.hash_split(docs, "doc_id").select("doc_id", "split")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    j = (
+        pairs.join(split.select(F.col("doc_id").alias("id_a"),
+                                F.col("split").alias("__pa")), on="id_a")
+        .join(split.select(F.col("doc_id").alias("id_b"),
+                           F.col("split").alias("__pb")), on="id_b")
+    )
+    return (
+        j.select(
+            F.least("__pa", "__pb").alias("split_a"),
+            F.greatest("__pa", "__pb").alias("split_b"),
+        )
+        .groupBy("split_a", "split_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+_register(
+    "x61_split_leakage",
+    _x61,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " prs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    f" sp AS (SELECT doc_id, CASE WHEN {_X16_BUCKET_SQL} < 230 THEN 'train'"
+    f"   WHEN {_X16_BUCKET_SQL} < 243 THEN 'val'"
+    "   ELSE 'test' END AS split FROM documents)"
+    " SELECT least(sa.split, sb.split) AS split_a,"
+    "  greatest(sa.split, sb.split) AS split_b,"
+    "  CAST(count(*) AS BIGINT) AS n_pairs"
+    " FROM prs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b"
+    " GROUP BY 1, 2",
+)
