@@ -4150,3 +4150,46 @@ _register(
     " FROM prs JOIN sp sa ON sa.doc_id = id_a JOIN sp sb ON sb.doc_id = id_b"
     " GROUP BY 1, 2",
 )
+
+
+def _x63(spark: SparkSession, sf: str) -> DataFrame:
+    """Interpolated bigram-LM document scoring (textstats.bigram_logprob):
+    Jelinek-Mercer mix of corpus bigram and unigram probabilities — the
+    order-sensitive upgrade of x26's unigram proxy (shuffled prose now
+    scores like gibberish). All count tables live at vocabulary grain;
+    the oracle replays the exact interpolation arithmetic."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_text.bigram_logprob(docs, "doc_id", "text", lam=0.7)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "n_tokens",
+        F.round(F.col("avg_neg_logprob") + 1e-9, 6).alias("avg_neg_logprob"),
+    )
+
+
+_register(
+    "x63_bigram_logprob",
+    _x63,
+    "WITH base AS (SELECT doc_id AS id,"
+    "   list_transform(string_split_regex(trim(text), '\\s+'),"
+    "    t -> lower(t)) AS toks"
+    "  FROM documents WHERE text IS NOT NULL),"
+    " ui AS (SELECT id, unnest(toks) AS w FROM base),"
+    " ui2 AS (SELECT * FROM ui WHERE w <> ''),"
+    " uni AS (SELECT w, count(*) AS c1 FROM ui2 GROUP BY 1),"
+    " tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),"
+    " bii AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
+    "  FROM base, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
+    "  WHERE len(toks) >= 2),"
+    " bi AS (SELECT w_prev, w, count(*) AS c2 FROM bii GROUP BY 1, 2),"
+    " sb AS (SELECT id, -ln(0.7 * c2 / cp.c1 + 0.3 * u.c1 / n) AS nll"
+    "  FROM bii JOIN bi USING (w_prev, w)"
+    "   JOIN uni cp ON cp.w = bii.w_prev JOIN uni u ON u.w = bii.w, tot),"
+    " fst AS (SELECT id, -ln(c1 / n) AS nll FROM ("
+    "   SELECT id, toks[1] AS w FROM base WHERE len(toks) >= 1 AND toks[1] <> ''"
+    "  ) f JOIN uni USING (w), tot),"
+    " allr AS (SELECT * FROM sb UNION ALL SELECT * FROM fst)"
+    " SELECT id AS doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    "  round(sum(nll) / count(*) + 1e-9, 6) AS avg_neg_logprob"
+    " FROM allr GROUP BY 1",
+)

@@ -763,3 +763,80 @@ def vocab_coverage(
             (F.col(f"__top_{n}") / F.col("__total")).alias(f"cov_{n}")
         )
     return out.select(*sel)
+
+
+def bigram_logprob(
+    df: DataFrame, id_col: str, text_col: str, lam: float = 0.7
+) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    INTERPOLATED BIGRAM model — unigram_logprob's stronger sibling (word
+    order now matters: shuffled natural prose scores like gibberish):
+
+      p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i) / c(w_{i-1})
+                       + (1 - lam) * c(w_i) / N
+
+    Jelinek-Mercer interpolation: the unigram floor keeps unseen bigrams
+    finite, so every document scores (no OOV blowups — the model is fit on
+    the scoring corpus itself). The first token of each doc scores under
+    the unigram term alone. Output: (id, n_tokens, avg_neg_logprob).
+
+    Shuffle shape at 100 TB: bigram instances come from the shared
+    gram_array builder; the count tables live at bigram-vocabulary /
+    unigram-vocabulary grain and join the instance stream on their keys
+    (key-partitioned, AQE-skew-handled — identical posture to
+    unigram_logprob and tfidf); N broadcasts.
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+
+    lower = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(F.col(id_col).alias("id"), lower.alias("__toks"))
+
+    uni_inst = base.select("id", F.explode("__toks").alias("w")).where(
+        F.col("w") != ""
+    )
+    uni = uni_inst.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    total = uni.select(F.sum("c1").cast("double").alias("__n"))
+
+    bi_inst = base.select(
+        "id",
+        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+    ).select(
+        "id",
+        F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+        F.split(F.col("bg"), " ", 2)[1].alias("w"),
+    )
+    bi = bi_inst.groupBy("w_prev", "w").agg(F.count(F.lit(1)).alias("c2"))
+
+    # every non-first token scores under the interpolated bigram
+    scored_bi = (
+        bi_inst.join(bi, on=["w_prev", "w"])
+        .join(uni.select(F.col("w").alias("w_prev"), F.col("c1").alias("c_prev")),
+              on="w_prev")
+        .join(uni, on="w")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "id",
+            (
+                -F.log(
+                    lam * F.col("c2") / F.col("c_prev")
+                    + (1.0 - lam) * F.col("c1") / F.col("__n")
+                )
+            ).alias("nll"),
+        )
+    )
+    # the first token of each doc scores under the unigram alone
+    first = (
+        base.select("id", F.col("__toks").getItem(0).alias("w"))
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .join(uni, on="w")
+        .crossJoin(F.broadcast(total))
+        .select("id", (-F.log(F.col("c1") / F.col("__n"))).alias("nll"))
+    )
+    return (
+        scored_bi.unionByName(first)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            (F.sum("nll") / F.count(F.lit(1))).alias("avg_neg_logprob"),
+        )
+    )

@@ -1745,3 +1745,27 @@ def test_ivf_filtered_ann_matches_filtered_brute_force(spark):
     }
     for key, nb in bf_got.items():
         assert got[key] == nb
+
+
+def test_bigram_logprob_order_sensitivity_and_hand_check(spark):
+    import math
+
+    rows = [
+        Row(doc_id=1, text="a b"),
+        Row(doc_id=2, text="a b"),
+        Row(doc_id=3, text="b a"),   # same unigrams, reversed order
+    ]
+    df = spark.createDataFrame(rows)
+    got = {r.id: r for r in textstats.bigram_logprob(df, "doc_id", "text", lam=0.5).collect()}
+    # corpus: unigrams a=3, b=3, N=6; bigrams (a,b)=2, (b,a)=1
+    # doc1: first 'a' -> -ln(3/6); then b|a -> -ln(.5*2/3 + .5*3/6)
+    exp1 = (-math.log(0.5) - math.log(0.5 * 2 / 3 + 0.5 * 0.5)) / 2
+    exp3 = (-math.log(0.5) - math.log(0.5 * 1 / 3 + 0.5 * 0.5)) / 2
+    assert got[1].n_tokens == 2 and got[1].avg_neg_logprob == pytest.approx(exp1)
+    assert got[3].avg_neg_logprob == pytest.approx(exp3)
+    # the rarer order scores WORSE despite identical unigrams
+    assert got[3].avg_neg_logprob > got[1].avg_neg_logprob
+    # a doc with NULL text produces no row
+    df2 = spark.createDataFrame(rows + [Row(doc_id=9, text=None)])
+    ids = {r.id for r in textstats.bigram_logprob(df2, "doc_id", "text").collect()}
+    assert 9 not in ids
