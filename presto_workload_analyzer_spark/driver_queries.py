@@ -4193,3 +4193,101 @@ _register(
     "  round(sum(nll) / count(*) + 1e-9, 6) AS avg_neg_logprob"
     " FROM allr GROUP BY 1",
 )
+
+
+def _x64(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dedup MATERIALIZATION — x33's blocked pair pipeline
+    completed to the survivor set (SemDeDup-style semantic dedup): blocked
+    hyperplane-LSH candidates, exact cosine verify at 0.25, connected
+    components, keep the min-id per cluster (dedup.drop_near_duplicates).
+    The embedding-side twin of x15, closing the text/embedding parity gap:
+    every dedup family now has both a pair query and a materialization
+    query. Oracle: x33's deterministic md5-hyperplane SQL + the recursive
+    CC + the same survivor anti-join."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    pairs = X_dedup.blocked_embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2,
+        n_dims=64,
+    )
+    return X_dedup.drop_near_duplicates(emb, "vec_id", pairs).select("vec_id")
+
+
+def _x64_sql() -> str:
+    base = _x33_sql()
+    head, tail = base.split(" SELECT id_a, id_b,", 1)
+    assert tail.endswith("WHERE cosine > 0.25")
+    return (
+        "WITH RECURSIVE " + head[len("WITH "):]
+        + ", prs AS (SELECT id_a, id_b FROM scored WHERE cosine > 0.25),"
+        " edges AS (SELECT id_a AS src, id_b AS dst FROM prs"
+        "  UNION SELECT id_b, id_a FROM prs),"
+        " walk(id, lab) AS ("
+        "  SELECT src, src FROM edges"
+        "  UNION"
+        "  SELECT e2.src, w.lab FROM walk w JOIN edges e2 ON e2.dst = w.id),"
+        " cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)"
+        " SELECT vec_id FROM embeddings"
+        " WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)"
+    )
+
+
+_register("x64_embedding_dedup_keep", _x64, _x64_sql())
+
+
+def _x65(spark: SparkSession, sf: str) -> DataFrame:
+    """MULTI-PASS sorted-neighborhood dedup (the production SNM recipe the
+    x56 docstring prescribes): pass 1 sorts by normalized text, pass 2 by
+    the WORD-REVERSED normalized text — a doc pair differing only in its
+    leading words sorts apart in pass 1 but adjacent in pass 2, closing
+    SNM's prefix blind spot. Candidate union is deduplicated before the
+    single exact-Jaccard verification (candidates stay pair-grain; each
+    pass is the proven x56 pipeline with a different key Column)."""
+    docs = read_sf_table(spark, sf, "documents")
+    norm = X_text.normalized_text("text")
+    rev = F.array_join(F.reverse(F.split(norm, " ")), " ")
+    cand = (
+        X_dedup.sorted_neighborhood_pairs(docs, "doc_id", "text", window=10)
+        .unionByName(
+            X_dedup.sorted_neighborhood_pairs(
+                docs, "doc_id", "text", window=10, key=rev
+            )
+        )
+        .distinct()
+    )
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    ver = X_dedup.ngram_jaccard(sh, pairs=cand)
+    return ver.filter(F.col("jaccard") >= 0.3).select(
+        "id_a", "id_b", F.round(F.col("jaccard") + 1e-9, 6).alias("jaccard")
+    )
+
+
+_X65_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+_register(
+    "x65_snm_multipass",
+    _x65,
+    f"WITH nk AS (SELECT doc_id AS id, {_X65_NORM} AS key1,"
+    f"   array_to_string(list_reverse(string_split({_X65_NORM}, ' ')), ' ') AS key2"
+    "  FROM documents),"
+    " r1 AS (SELECT id, row_number() OVER"
+    "   (ORDER BY key1 ASC NULLS FIRST, id ASC) AS rnk FROM nk),"
+    " r2 AS (SELECT id, row_number() OVER"
+    "   (ORDER BY key2 ASC NULLS FIRST, id ASC) AS rnk FROM nk),"
+    " cand AS (SELECT a.id AS id_a, b.id AS id_b FROM r1 a JOIN r1 b"
+    "   ON b.rnk > a.rnk AND b.rnk - a.rnk <= 9"
+    "  UNION SELECT a.id, b.id FROM r2 a JOIN r2 b"
+    "   ON b.rnk > a.rnk AND b.rnk - a.rnk <= 9),"
+    f" {_SHINGLE_SQL},"
+    " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+    " inter AS (SELECT c.id_a, c.id_b, count(*) AS ni FROM cand c"
+    "   JOIN sh a ON a.id = c.id_a"
+    "   JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle"
+    "   GROUP BY 1, 2)"
+    " SELECT id_a, id_b,"
+    "  round(CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) + 1e-9, 6) AS jaccard"
+    " FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b"
+    " WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3",
+)
