@@ -4291,3 +4291,109 @@ _register(
     " FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b"
     " WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.3",
 )
+
+
+def _x66(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-suite contamination matrix (dedup.contamination_matrix): x25's
+    leakage check broken down by (corpus source × benchmark suite) — docs
+    0-39 play two eval suites (doc_id parity), the rest are the corpus.
+    Benchmark (shingle, suite) pairs broadcast; the corpus never
+    shuffles."""
+    docs = read_sf_table(spark, sf, "documents")
+    bench = docs.filter(F.col("doc_id") < 40).withColumn(
+        "suite", F.concat(F.lit("suite_"), (F.col("doc_id") % 2).cast("string"))
+    )
+    corpus = docs.filter(F.col("doc_id") >= 40)
+    return X_dedup.contamination_matrix(
+        corpus, bench, "doc_id", "text", corpus_group="source",
+        bench_group="suite", k=5,
+    )
+
+
+_register(
+    "x66_contamination_matrix",
+    _x66,
+    "WITH ctok AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS w"
+    "  FROM documents WHERE doc_id >= 40),"
+    " csh AS (SELECT DISTINCT doc_id AS id, source,"
+    "    array_to_string(w[i:i+4], ' ') AS shingle"
+    "  FROM ctok, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),"
+    " btok AS (SELECT doc_id, 'suite_' || CAST(doc_id % 2 AS VARCHAR) AS suite,"
+    "    string_split_regex(trim(text), '\\s+') AS w"
+    "  FROM documents WHERE doc_id < 40),"
+    " bsh AS (SELECT DISTINCT suite,"
+    "    array_to_string(w[i:i+4], ' ') AS shingle"
+    "  FROM btok, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i))"
+    " SELECT source, suite, CAST(count(DISTINCT id) AS BIGINT) AS n_docs,"
+    "  CAST(count(*) AS BIGINT) AS n_gram_hits"
+    " FROM csh JOIN bsh USING (shingle)"
+    " GROUP BY 1, 2",
+)
+
+
+def _s11(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming load-anomaly monitor: the event stream's per-(day,
+    event_type) counts join a STATIC historical profile (per-type mean /
+    population-stddev of daily counts, computed batch-side) and emit
+    z-scores — a33's anomaly detection moved to the live path, the
+    standard ops-monitoring shape (static profile re-planned per
+    micro-batch, so a nightly profile refresh is picked up for free; no
+    stream-stream state). Oracle: the identical batch composition."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    hist = (
+        read_sf_table(spark, sf, "events")
+        .groupBy(F.to_date("ts").alias("d"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("event_type")
+        .agg(
+            F.avg("n").alias("mu"),
+            F.stddev_pop("n").alias("sigma"),
+        )
+    )
+    ev = stream_sf_table(spark, sf, "events")
+    agg = ev.groupBy(F.window("ts", "1 day").alias("w"), F.col("event_type")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    name = f"s11_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    out = (
+        spark.table(name)
+        .join(F.broadcast(hist), on="event_type")
+        .select(
+            F.col("w.start").alias("bucket"),
+            "event_type",
+            "n_events",
+            F.round(
+                F.when(
+                    F.col("sigma") > 0,
+                    (F.col("n_events") - F.col("mu")) / F.col("sigma"),
+                ).otherwise(F.lit(0.0))
+                + 1e-9,
+                6,
+            ).alias("z"),
+        )
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s11_stream_anomaly",
+    _s11,
+    "WITH daily AS (SELECT date_trunc('day', ts) AS bucket, event_type,"
+    "   CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),"
+    " hist AS (SELECT event_type, avg(n_events) AS mu,"
+    "   stddev_pop(n_events) AS sigma FROM daily GROUP BY 1)"
+    " SELECT bucket, event_type, n_events,"
+    "  round(CASE WHEN sigma > 0 THEN (n_events - mu) / sigma ELSE 0.0 END"
+    "   + 1e-9, 6) AS z"
+    " FROM daily JOIN hist USING (event_type)",
+)

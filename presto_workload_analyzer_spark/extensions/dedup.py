@@ -943,3 +943,48 @@ def drop_near_duplicates_by(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def contamination_matrix(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str,
+    text_col: str,
+    corpus_group: str,
+    bench_group: str,
+    k: int = 5,
+) -> DataFrame:
+    """contamination_hits broken down per (corpus group × benchmark
+    suite): (corpus_group, bench_group, n_docs, n_gram_hits) — which
+    SOURCES leak into which EVAL SUITES, the report a data owner reads
+    before deciding what to drop (a source contaminating one suite can be
+    filtered per-suite; a source contaminating everything gets cut).
+
+    n_docs counts distinct flagged corpus docs; n_gram_hits counts
+    (doc-gram, suite) incidences — the leak "mass". Same 100 TB posture
+    as contamination_hits: the benchmark's distinct (shingle, suite) set
+    broadcasts, the corpus never shuffles.
+    """
+    c = shingles(corpus, id_col, text_col, k).join(
+        corpus.select(F.col(id_col).alias("id"), F.col(corpus_group).alias("__cg")),
+        on="id",
+    )
+    b = (
+        shingles(benchmark, id_col, text_col, k)
+        .join(
+            benchmark.select(
+                F.col(id_col).alias("id"), F.col(bench_group).alias("__bg")
+            ),
+            on="id",
+        )
+        .select("shingle", "__bg")
+        .distinct()
+    )
+    return (
+        c.join(F.broadcast(b), on="shingle")
+        .groupBy(F.col("__cg").alias(corpus_group), F.col("__bg").alias(bench_group))
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_gram_hits"),
+        )
+    )
