@@ -4397,3 +4397,42 @@ _register(
     "   + 1e-9, 6) AS z"
     " FROM daily JOIN hist USING (event_type)",
 )
+
+
+def _p08(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness audit over the event log (privacy.t_closeness): per
+    user_id, the total-variation distance between the user's event-type
+    distribution and the table-wide one — the third release-readiness leg
+    after k-anonymity (p04) and l-diversity (p06); computed in sparse
+    form (no group × domain densification). Rounded for cross-engine
+    float portability."""
+    from presto_workload_analyzer_spark.privacy.obfuscate import t_closeness
+
+    ev = read_sf_table(spark, sf, "events")
+    out = t_closeness(ev, ["user_id"], "event_type", t=0.2)
+    return out.select(
+        "user_id",
+        "group_size",
+        F.round(F.col("tvd") + 1e-9, 6).alias("tvd"),
+        (F.round(F.col("tvd") + 1e-9, 6) <= 0.2).alias("meets_t"),
+    )
+
+
+_register(
+    "p08_t_closeness",
+    _p08,
+    "WITH cell AS (SELECT user_id, event_type, count(*) AS n"
+    "  FROM events GROUP BY 1, 2),"
+    " grp AS (SELECT user_id, sum(n) AS gn FROM cell GROUP BY 1),"
+    " gl AS (SELECT event_type, count(*) AS ng FROM events GROUP BY 1),"
+    " tot AS (SELECT CAST(count(*) AS DOUBLE) AS nt FROM events),"
+    " tv AS (SELECT user_id,"
+    "   sum(abs(CAST(n AS DOUBLE) / gn - ng / nt)) / 2"
+    "    + (1 - sum(ng / nt)) / 2 AS tvd"
+    "  FROM cell JOIN grp USING (user_id) JOIN gl USING (event_type), tot"
+    "  GROUP BY 1)"
+    " SELECT user_id, CAST(gn AS BIGINT) AS group_size,"
+    "  round(tvd + 1e-9, 6) AS tvd,"
+    "  round(tvd + 1e-9, 6) <= 0.2 AS meets_t"
+    " FROM tv JOIN grp USING (user_id)",
+)

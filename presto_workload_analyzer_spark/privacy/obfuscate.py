@@ -448,3 +448,53 @@ def generalize_quasi(col: "Column", width: int) -> "Column":
         F.lit("-"),
         (lo + (width - 1)).cast("long").cast("string"),
     )
+
+
+def t_closeness(
+    df: DataFrame, quasi_cols: list[str], sensitive_col: str, t: float = 0.2
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007): the third leg
+    of the release-readiness triad after k-anonymity and l-diversity — a
+    group can be k-large and l-diverse yet still leak if its SENSITIVE
+    distribution diverges from the table's (e.g. one zip code almost all
+    one diagnosis). Per quasi-identifier group: the total-variation
+    distance between the group's sensitive-value distribution and the
+    global one (TVD = the categorical Earth-Mover's distance of the
+    paper), plus whether it meets the t bound.
+
+    Shape: one (quasi × sensitive) count aggregate, one global sensitive
+    aggregate (broadcast — its grain is the sensitive domain), one group
+    aggregate of |p_group − p_global| / 2. Values absent from a group
+    contribute p_global/2 each; the identity TVD = Σ_present |pg − pG|/2
+    + (1 − Σ_present pG)/2 folds them in WITHOUT densifying the group ×
+    domain matrix — the sparse form is what survives a large sensitive
+    domain at 100 TB.
+    """
+    cell = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    grp = cell.groupBy(*quasi_cols).agg(F.sum("__n").alias("__gn"))
+    glob = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__n_glob"))
+    total = df.select(F.count(F.lit(1)).alias("__tot"))
+    joined = (
+        cell.join(grp, on=quasi_cols)
+        .join(F.broadcast(glob), on=sensitive_col)
+        .crossJoin(F.broadcast(total))
+        .select(
+            *quasi_cols,
+            (F.col("__n") / F.col("__gn")).alias("__p_grp"),
+            (F.col("__n_glob") / F.col("__tot")).alias("__p_glob"),
+        )
+    )
+    out = joined.groupBy(*quasi_cols).agg(
+        (
+            F.sum(F.abs(F.col("__p_grp") - F.col("__p_glob"))) / 2.0
+            + (1.0 - F.sum("__p_glob")) / 2.0
+        ).alias("tvd")
+    )
+    return out.join(grp, on=quasi_cols).select(
+        *quasi_cols,
+        F.col("__gn").cast("long").alias("group_size"),
+        "tvd",
+        (F.col("tvd") <= t).alias("meets_t"),
+    )

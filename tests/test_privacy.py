@@ -200,3 +200,29 @@ def test_filter_then_obfuscate_pipeline(summary_df):
     assert out.count() == 3
     tbl = {r["name"]: r["new_name"] for r in tables["user"].collect()}
     assert tbl == {"alice": "user0", "carol": "user1"}
+
+
+def test_t_closeness_hand_computed(spark):
+    from pyspark.sql import Row
+
+    from presto_workload_analyzer_spark.privacy.obfuscate import t_closeness
+
+    # global: a=4/8, b=2/8, c=2/8
+    rows = (
+        [Row(g="g1", s="a")] * 4          # g1: all 'a' -> skewed
+        + [Row(g="g2", s="b")] * 2        # g2: all 'b'
+        + [Row(g="g3", s="c")] * 2        # g3: all 'c'
+    )
+    df = spark.createDataFrame(rows)
+    got = {r.g: r for r in t_closeness(df, ["g"], "s", t=0.5).collect()}
+    # g1: present {a: pg=1, pG=0.5} -> |1-.5|/2 + (1-.5)/2 = 0.5
+    assert got["g1"].tvd == pytest.approx(0.5)
+    assert got["g1"].group_size == 4 and got["g1"].meets_t
+    # g2: |1-0.25|/2 + (1-0.25)/2 = 0.75 -> fails t=0.5
+    assert got["g2"].tvd == pytest.approx(0.75)
+    assert not got["g2"].meets_t
+    # a perfectly representative group has tvd 0
+    rows2 = rows + [Row(g="g4", s="a")] * 4 + [Row(g="g4", s="b")] * 2 + [Row(g="g4", s="c")] * 2
+    df2 = spark.createDataFrame(rows2)
+    got2 = {r.g: r for r in t_closeness(df2, ["g"], "s").collect()}
+    assert got2["g4"].tvd == pytest.approx(0.0)
