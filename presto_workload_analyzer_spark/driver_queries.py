@@ -4436,3 +4436,36 @@ _register(
     "  round(tvd + 1e-9, 6) <= 0.2 AS meets_t"
     " FROM tv JOIN grp USING (user_id)",
 )
+
+
+def _x67(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source distinctive vocabulary (textstats.distinctive_terms):
+    Monroe et al. weighted log-odds with the global-counts Dirichlet
+    prior — which words characterize each source against the rest.
+    Vocabulary-grain joins; ranking hierarchical with local pruning; the
+    oracle replays the exact shrinkage arithmetic and ranks on the same
+    rounded score."""
+    docs = read_sf_table(spark, sf, "documents")
+    return X_text.distinctive_terms(docs, "source", "text", top=5)
+
+
+_register(
+    "x67_distinctive_terms",
+    _x67,
+    "WITH t AS (SELECT source AS grp, lower(w.term) AS term FROM documents,"
+    "   unnest(string_split_regex(trim(text), '\\s+')) AS w(term)"
+    "  WHERE text IS NOT NULL),"
+    " ykw AS (SELECT grp, term, CAST(count(*) AS DOUBLE) AS y"
+    "   FROM t WHERE term <> '' GROUP BY 1, 2),"
+    " yw AS (SELECT term, sum(y) AS yg FROM ykw GROUP BY 1),"
+    " nk AS (SELECT grp, sum(y) AS nkv FROM ykw GROUP BY 1),"
+    " a0 AS (SELECT sum(yg) AS a0v FROM yw),"
+    " sc AS (SELECT grp, term, CAST(y AS BIGINT) AS n,"
+    "   round(((ln((y + yg) / (nkv + a0v - y - yg))"
+    "         - ln((yg - y + yg) / (a0v - nkv + a0v - (yg - y) - yg))))"
+    "    / sqrt(1.0 / (y + yg) + 1.0 / (yg - y + yg)) + 1e-9, 6) AS z"
+    "  FROM ykw JOIN yw USING (term) JOIN nk USING (grp), a0),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY grp"
+    "   ORDER BY z DESC, term ASC) AS rank FROM sc)"
+    " SELECT grp AS source, term, n, z, rank FROM r WHERE rank <= 5",
+)

@@ -1769,3 +1769,24 @@ def test_bigram_logprob_order_sensitivity_and_hand_check(spark):
     df2 = spark.createDataFrame(rows + [Row(doc_id=9, text=None)])
     ids = {r.id for r in textstats.bigram_logprob(df2, "doc_id", "text").collect()}
     assert 9 not in ids
+
+
+def test_distinctive_terms_fighting_words(spark):
+    # source A is about spark, source B about cooking; shared filler 'the'
+    rows = [Row(doc_id=i, source="A", text="the spark engine shuffles the spark data") for i in range(3)]
+    rows += [Row(doc_id=10 + i, source="B", text="the recipe simmers the onion broth slowly") for i in range(3)]
+    df = spark.createDataFrame(rows)
+    out = textstats.distinctive_terms(df, "source", "text", top=3).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r.source, []).append((r.rank, r.term, r.z))
+    a_terms = [t for _, t, _ in sorted(by_grp["A"])]
+    b_terms = [t for _, t, _ in sorted(by_grp["B"])]
+    assert "spark" in a_terms and "spark" not in b_terms
+    assert any(t in b_terms for t in ("recipe", "onion", "broth", "simmers"))
+    # the shared filler word never tops either list
+    assert "the" != a_terms[0] and "the" != b_terms[0]
+    # z scores are positive for the top distinctive terms and ranks are 1..3
+    assert all(rk in (1, 2, 3) for rk, _, _ in by_grp["A"])
+    assert sorted(rk for rk, _, _ in by_grp["A"]) == [1, 2, 3]
+    assert by_grp["A"][0][2] > 0
