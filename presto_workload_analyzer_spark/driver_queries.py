@@ -4469,3 +4469,50 @@ _register(
     "   ORDER BY z DESC, term ASC) AS rank FROM sc)"
     " SELECT grp AS source, term, n, z, rank FROM r WHERE rank <= 5",
 )
+
+
+def _s12(spark: SparkSession, sf: str) -> DataFrame:
+    """Stateful streaming CUSUM drift alarms (streaming/cusum.py — the
+    second custom applyInPandasWithState operator beside sessionization):
+    per event_type, rows whose cumulated above-(target+slack) drift
+    exceeds the threshold. State is two doubles per key (prefix sum +
+    running min — the Page-CUSUM closed form), so the oracle is the exact
+    window formulation S = P - min(0, running_min(P)); single-batch
+    availableNow drain makes per-key processing order total."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+    from presto_workload_analyzer_spark.streaming.cusum import cusum_alarms
+
+    ev = stream_sf_table(spark, sf, "events")
+    alarms = cusum_alarms(
+        ev, "event_type", "ts", "event_id", "value",
+        target=50.0, slack=2.0, threshold=300.0,
+    )
+    name = f"s12_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(alarms, name, output_mode="append")
+        q.awaitTermination(300)
+    out = spark.table(name).select(
+        F.col("key").alias("event_type"),
+        "event_id",
+        F.round(F.col("s_plus") + 1e-9, 6).alias("s_plus"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s12_stream_cusum",
+    _s12,
+    "WITH p AS (SELECT event_type, ts, event_id,"
+    "   sum(\"value\" - 52.0) OVER (PARTITION BY event_type"
+    "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS pf FROM events),"
+    " s AS (SELECT *, pf - least(0, min(pf) OVER (PARTITION BY event_type"
+    "    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)) AS sp FROM p)"
+    " SELECT event_type, event_id, round(sp + 1e-9, 6) AS s_plus"
+    " FROM s WHERE sp > 300.0",
+)

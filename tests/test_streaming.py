@@ -243,3 +243,45 @@ def test_foreach_batch_idempotent_sink(spark, landing, tmp_path):
     assert sum(per_batch.values()) == expected * 1 + sum(
         v for k, v in per_batch.items() if k != batch_ids[0]
     )
+
+
+def test_cusum_alarms_stateful(spark, tmp_path):
+    """applyInPandasWithState CUSUM: the two-double state carries the
+    prefix sum and running min across micro-batches, so alarms match the
+    closed-form S = P - min(0, running_min(P)) computed on the same rows;
+    crossings below threshold stay silent."""
+    import pandas as pd
+
+    from presto_workload_analyzer_spark.streaming.cusum import cusum_alarms
+
+    src = str(tmp_path / "cusum_src")
+    out, ckpt = str(tmp_path / "cusum_out"), str(tmp_path / "cusum_ckpt")
+    rows = [
+        # key 'a': values 10 over target -> P climbs 8/row (target 1, slack 1)
+        ("a", "2024-01-01 00:00:0%d" % i, i, 10.0) for i in range(5)
+    ] + [
+        # key 'b': values at target -> never alarms
+        ("b", "2024-01-01 00:00:0%d" % i, 100 + i, 2.0) for i in range(5)
+    ]
+    pdf = pd.DataFrame(rows, columns=["k", "ts", "event_id", "value"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "k string, ts timestamp, event_id long, value double"
+    ).parquet(src)
+    alarms = cusum_alarms(
+        stream, "k", "ts", "event_id", "value",
+        target=1.0, slack=1.0, threshold=20.0,
+    )
+    q = (
+        alarms.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.key, r.event_id): r.s_plus for r in spark.read.parquet(out).collect()}
+    # P after rows 0..4 for 'a': 8,16,24,32,40 -> alarms at rows 2,3,4
+    assert got == {("a", 2): 24.0, ("a", 3): 32.0, ("a", 4): 40.0}
