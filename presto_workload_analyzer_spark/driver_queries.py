@@ -4516,3 +4516,39 @@ _register(
     " SELECT event_type, event_id, round(sp + 1e-9, 6) AS s_plus"
     " FROM s WHERE sp > 300.0",
 )
+
+
+def _x68(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix over the event log: users cohorted by
+    first-seen date; for each (cohort_date, day_offset) the count of
+    cohort members active that day — the standard retention triangle.
+    Shapes: user-grain first-seen aggregate, distinct (user, day)
+    activity, one user-keyed join, and a (cohort × offset)-grain count
+    distinct — no window anywhere, every aggregate map-side combinable."""
+    ev = read_sf_table(spark, sf, "events")
+    first = ev.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_date"))
+    activity = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    return (
+        activity.join(first, on="user_id")
+        .select(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("long").alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_date", "day_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_users"))
+    )
+
+
+_register(
+    "x68_cohort_retention",
+    _x68,
+    "WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_date"
+    "  FROM events GROUP BY 1),"
+    " a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events)"
+    " SELECT cohort_date,"
+    "  CAST(date_diff('day', cohort_date, d) AS BIGINT) AS day_offset,"
+    "  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users"
+    " FROM a JOIN f USING (user_id)"
+    " GROUP BY 1, 2",
+)
