@@ -4552,3 +4552,41 @@ _register(
     " FROM a JOIN f USING (user_id)"
     " GROUP BY 1, 2",
 )
+
+
+def _x69(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order write-layout key (profile.zorder_key): Morton interleave of
+    two quantized event dimensions (user bucket, value bucket) — sorting
+    by this key before writing co-locates rows that are close in BOTH
+    dimensions, so row-group min/max stats prune scans for predicates on
+    either. The query returns per-key-bucket counts (the layout
+    histogram); the oracle reproduces the bit interleave with plain
+    arithmetic."""
+    ev = read_sf_table(spark, sf, "events")
+    q = ev.select(
+        (F.col("user_id") % 16).alias("ub"),
+        F.least(F.lit(15), (F.col("value") / 32.0).cast("long")).alias("vb"),
+    )
+    key = X_prof.zorder_key(["ub", "vb"], bits=4)
+    return (
+        q.select(key.alias("zkey"))
+        .groupBy("zkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+_X69_ZKEY = " + ".join(
+    f"((({c} // {1 << b}) % 2) * {1 << (b * 2 + i)})"
+    for b in range(4)
+    for i, c in ((0, "ub"), (1, "vb"))
+)
+
+_register(
+    "x69_zorder_layout",
+    _x69,
+    "WITH q AS (SELECT user_id % 16 AS ub,"
+    "   least(15, CAST(trunc(\"value\" / 32.0) AS BIGINT)) AS vb FROM events)"
+    f" SELECT CAST({_X69_ZKEY} AS BIGINT) AS zkey,"
+    "  CAST(count(*) AS BIGINT) AS n"
+    " FROM q GROUP BY 1",
+)

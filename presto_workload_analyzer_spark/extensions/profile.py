@@ -214,3 +214,40 @@ def snapshot_diff(
         out = out.withColumn(group_col, F.coalesce(F.col("__g_new"), F.col("__g_old")))
         keys = [group_col, "status"]
     return out.groupBy(*keys).agg(F.count(F.lit(1)).cast("long").alias("n"))
+
+
+def zorder_key(cols: list, bits: int = 8) -> "F.Column":
+    """Morton (Z-order) key: interleave the low `bits` bits of already-
+    quantized non-negative int columns into one long — the write-layout
+    lever for multi-dimensional pruning at 100 TB: sort (or range-
+    partition) by the key before writing parquet and rows close in EVERY
+    quantized dimension land in the same row groups, so min/max row-group
+    stats prune scans for predicates on ANY prefix of the dimensions (the
+    same trick Delta/Iceberg expose as OPTIMIZE ZORDER BY; here it is a
+    pure Column expression usable with plain `df.sort(key).write`).
+
+    Callers quantize first (e.g. `F.least(lit(2**bits - 1), col / step)`);
+    values outside [0, 2^bits) raise via assert_true rather than silently
+    aliasing distant rows into the same locality bucket. n_cols * bits
+    must fit a long (<= 63).
+    """
+    n = len(cols)
+    if n == 0:
+        raise ValueError("zorder_key: need at least one column")
+    if n * bits > 63:
+        raise ValueError(f"zorder_key: {n} cols x {bits} bits exceeds a long")
+    key = F.lit(0).cast("long")
+    for i, c in enumerate(cols):
+        c = (F.col(c) if isinstance(c, str) else c).cast("long")
+        guarded = F.coalesce(
+            F.assert_true(
+                (c >= 0) & (c < (1 << bits)),
+                F.lit(f"zorder_key: column {i} outside [0, 2^{bits})"),
+            ).cast("long"),
+            c,
+        )
+        for b in range(bits):
+            key = key + F.shiftleft(
+                F.shiftright(guarded, b).bitwiseAND(F.lit(1)), b * n + i
+            )
+    return key

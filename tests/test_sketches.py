@@ -276,3 +276,37 @@ def test_snapshot_diff_ungrouped(spark):
     new = spark.createDataFrame([Row(id=1, txt="x"), Row(id=3, txt="z")])
     got = {r.status: r.n for r in profile.snapshot_diff(old, new, "id", ["txt"]).collect()}
     assert got == {"unchanged": 1, "removed": 1, "added": 1}
+
+
+# ------------------------------------------------------------------ z-order
+
+
+def test_zorder_key_interleave_and_guards(spark):
+    from presto_workload_analyzer_spark.extensions.profile import zorder_key
+
+    df = spark.createDataFrame(
+        [Row(a=0, b=0), Row(a=1, b=0), Row(a=0, b=1), Row(a=3, b=3), Row(a=5, b=2)]
+    )
+    got = {
+        (r.a, r.b): r.z
+        for r in df.select("a", "b", zorder_key(["a", "b"], bits=3).alias("z")).collect()
+    }
+
+    def ref(a, b, bits=3):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i) | ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert got == {(a, b): ref(a, b) for (a, b) in got}
+    # locality: the four cells of a 2x2 quadrant are contiguous in key space
+    quad = sorted(ref(a, b) for a in (0, 1) for b in (0, 1))
+    assert quad == [0, 1, 2, 3]
+    with pytest.raises(ValueError, match="exceeds a long"):
+        zorder_key(["a", "b"], bits=32)
+    with pytest.raises(ValueError, match="at least one"):
+        zorder_key([])
+    # out-of-range value fails loud, never aliases
+    bad = spark.createDataFrame([Row(a=9, b=0)])
+    with pytest.raises(Exception, match="outside"):
+        bad.select(zorder_key(["a", "b"], bits=3)).collect()
