@@ -4590,3 +4590,106 @@ _register(
     "  CAST(count(*) AS BIGINT) AS n"
     " FROM q GROUP BY 1",
 )
+
+
+def _x70(spark: SparkSession, sf: str) -> DataFrame:
+    """Population-stability-index drift report: per event_type, PSI of the
+    value distribution between the first and second half of the time range
+    — the standard ML-monitoring drift metric (PSI = Σ (p_cur − p_base) ·
+    ln(p_cur / p_base) over fixed buckets; > 0.2 conventionally flags
+    drift). Fixed-width buckets (16 × 32-wide, clamped) keep the bucket
+    edges engine-portable — no cross-engine percentile hazards; the 1e-6
+    floor keeps empty cells finite (standard PSI practice). Everything is
+    two bounded aggregates and a (type × bucket)-grain join."""
+    ev = read_sf_table(spark, sf, "events")
+    # ts arrives TIMESTAMP_NTZ from the batch parquet read; compare in
+    # micros space (value-preserving under the UTC-pinned session)
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    mid = ev.select(((F.min(us) + F.max(us)) / 2).cast("long").alias("m"))
+    b = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        F.when(us < F.col("m"), F.lit("base")).otherwise(F.lit("cur")).alias("half"),
+        F.least(F.lit(15), (F.col("value") / 32.0).cast("long")).alias("bucket"),
+    )
+    cell = b.groupBy("event_type", "half", "bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    tot = cell.groupBy("event_type", "half").agg(F.sum("n").alias("tn"))
+    p = cell.join(tot, on=["event_type", "half"]).select(
+        "event_type", "half", "bucket",
+        F.greatest(F.lit(1e-6), F.col("n") / F.col("tn")).alias("p"),
+    )
+    base = p.filter(F.col("half") == "base").select(
+        "event_type", "bucket", F.col("p").alias("pb")
+    )
+    cur = p.filter(F.col("half") == "cur").select(
+        "event_type", "bucket", F.col("p").alias("pc")
+    )
+    j = base.join(cur, on=["event_type", "bucket"], how="full_outer").select(
+        "event_type",
+        F.coalesce(F.col("pb"), F.lit(1e-6)).alias("pb"),
+        F.coalesce(F.col("pc"), F.lit(1e-6)).alias("pc"),
+    )
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.round(
+                F.sum((F.col("pc") - F.col("pb")) * F.log(F.col("pc") / F.col("pb")))
+                + 1e-9,
+                6,
+            ).alias("psi")
+        )
+    )
+
+
+_register(
+    "x70_psi_drift",
+    _x70,
+    "WITH mid AS (SELECT CAST((epoch_us(min(ts)) + epoch_us(max(ts))) / 2"
+    "   AS BIGINT) AS m FROM events),"
+    " b AS (SELECT event_type,"
+    "   CASE WHEN epoch_us(ts) < m THEN 'base' ELSE 'cur' END AS half,"
+    "   least(15, CAST(trunc(\"value\" / 32.0) AS BIGINT)) AS bucket"
+    "  FROM events, mid),"
+    " cell AS (SELECT event_type, half, bucket, count(*) AS n"
+    "  FROM b GROUP BY 1, 2, 3),"
+    " tot AS (SELECT event_type, half, sum(n) AS tn FROM cell GROUP BY 1, 2),"
+    " p AS (SELECT event_type, half, bucket,"
+    "   greatest(1e-6, CAST(n AS DOUBLE) / tn) AS p"
+    "  FROM cell JOIN tot USING (event_type, half)),"
+    " base AS (SELECT event_type, bucket, p AS pb FROM p WHERE half = 'base'),"
+    " cur AS (SELECT event_type, bucket, p AS pc FROM p WHERE half = 'cur'),"
+    " j AS (SELECT coalesce(base.event_type, cur.event_type) AS event_type,"
+    "   coalesce(pb, 1e-6) AS pb, coalesce(pc, 1e-6) AS pc"
+    "  FROM base FULL OUTER JOIN cur USING (event_type, bucket))"
+    " SELECT event_type, round(sum((pc - pb) * ln(pc / pb)) + 1e-9, 6) AS psi"
+    " FROM j GROUP BY 1",
+)
+
+
+def _x71(spark: SparkSession, sf: str) -> DataFrame:
+    """User-behavior transition matrix: adjacent event-type bigrams per
+    user in event-time order — the Markov-chain view of product telemetry
+    (which actions follow which). One lag window per user_id (a
+    corpus-cardinality key, never the enum) and a 25-cell aggregate."""
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("next_type"),
+    ).where(F.col("prev_type").isNotNull())
+    return t.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+_register(
+    "x71_behavior_transitions",
+    _x71,
+    "WITH t AS (SELECT lag(event_type) OVER"
+    "   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,"
+    "   event_type AS next_type FROM events)"
+    " SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n"
+    " FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2",
+)
