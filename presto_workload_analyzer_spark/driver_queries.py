@@ -4693,3 +4693,38 @@ _register(
     " SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n"
     " FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2",
 )
+
+
+def _x72(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup cluster-size histogram: log2-bucketed sizes of the x14
+    component clusters — the dedup-ops dashboard number (a corpus whose
+    mass sits in giant clusters needs different treatment than one with
+    only twins; the x34 scaling analysis is exactly the giant-cluster
+    regime). Component grain throughout; histogram grain is log2 buckets."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    cc = X_dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
+    return (
+        sizes.groupBy(
+            F.pow(F.lit(2.0), F.floor(F.log2("sz"))).cast("long").alias("size_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+        )
+    )
+
+
+_register(
+    "x72_cluster_size_histogram",
+    _x72,
+    _X14_CC_SQL.format(bands=_X02_BANDS)
+    + ", sizes AS (SELECT cluster_id, count(*) AS sz FROM cc GROUP BY 1)"
+    " SELECT CAST(power(2.0, floor(log2(sz))) AS BIGINT) AS size_bucket,"
+    "  CAST(count(*) AS BIGINT) AS n_clusters,"
+    "  CAST(sum(sz) AS BIGINT) AS n_docs"
+    " FROM sizes GROUP BY 1",
+)
