@@ -4728,3 +4728,47 @@ _register(
     "  CAST(sum(sz) AS BIGINT) AS n_docs"
     " FROM sizes GROUP BY 1",
 )
+
+
+def _x73(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing overlap detection (textstats.winnowing_fingerprints —
+    the MOSS algorithm): per-doc window-min k-gram fingerprints at density
+    ~2/(w+1), then doc pairs sharing >= 2 selected fingerprints through
+    the fingerprint inverted index. The winnowing guarantee (any shared
+    run of >= w+k-1 tokens shares a fingerprint) makes this the
+    position-robust plagiarism/overlap detector at a fraction of
+    full-shingle cost. Oracle replays hashing, window-min selection and
+    the pair join exactly (md5 mode)."""
+    docs = read_sf_table(spark, sf, "documents")
+    fp = X_text.winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4, mode="md5")
+    a = fp.select(F.col("id").alias("id_a"), "fp")
+    b = fp.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+
+
+_register(
+    "x73_winnowing_overlap",
+    _x73,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w"
+    "  FROM documents),"
+    " g AS (SELECT doc_id AS id, i AS pos,"
+    "   substr(md5(array_to_string(w[i:i+4], ' ')), 1, 8) AS h"
+    "  FROM tok, UNNEST(range(1, greatest(len(w)-4, 0)+1)) AS t(i)),"
+    " tagged AS (SELECT id, pos,"
+    "   h || '#' || lpad(CAST(pos AS VARCHAR), 8, '0') AS hp FROM g),"
+    " mx AS (SELECT id, max(pos) AS maxp FROM tagged GROUP BY 1),"
+    " sel AS (SELECT id, min(hp) OVER (PARTITION BY id ORDER BY pos"
+    "    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s, pos FROM tagged),"
+    " fp AS (SELECT DISTINCT sel.id, string_split(s, '#')[1] AS fp"
+    "  FROM sel JOIN mx ON mx.id = sel.id"
+    "  WHERE pos <= maxp - 3 OR pos = 1)"
+    " SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_shared"
+    " FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id"
+    " GROUP BY 1, 2 HAVING count(*) >= 2",
+)

@@ -918,3 +918,65 @@ def distinctive_terms(
         F.col("grp").alias(group_col), "term", "n", "z",
         F.col("rank").cast("long").alias("rank"),
     )
+
+
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 5, w: int = 4,
+    mode: str = "md5",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken 2003
+    — the MOSS algorithm): per document, hash every word k-gram, slide a
+    window of `w` consecutive gram positions, and select each window's
+    MINIMUM hash; the distinct selected hashes are the fingerprint set —
+    (id, fp). Guarantees: any shared run of >= w + k - 1 tokens between
+    two documents shares at least one selected fingerprint (the winnowing
+    theorem), while the expected density is only 2/(w+1) of all grams —
+    position-robust overlap detection at a fraction of full-shingle cost.
+
+    Ties inside a window resolve by (hash, position) — deterministic and
+    engine-portable: hash and zero-padded position concatenate into one
+    fixed-width string whose lexicographic window-min IS the tuple min,
+    so the oracle replays the selection exactly. The per-doc window
+    partitions by the document id (corpus-cardinality key). `md5` mode is
+    the oracle-portable hash (8-hex-char slice, same convention as
+    MinHash); `xxhash64` the production mode.
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+
+    grams = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(gram_array(text_col, k)).alias("pos", "gram"),
+    )
+    if mode == "md5":
+        h = F.substring(F.md5(F.col("gram")), 1, 8)
+    elif mode == "xxhash64":
+        h = F.lpad(
+            F.conv(F.xxhash64(F.col("gram")).cast("string"), 10, 16), 16, "0"
+        )
+    else:
+        raise ValueError(f"unknown hash mode {mode!r}")
+    tagged = grams.select(
+        "id",
+        "pos",
+        F.concat(h, F.lit("#"), F.lpad(F.col("pos").cast("string"), 8, "0")).alias(
+            "__hp"
+        ),
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    n_grams = tagged.groupBy("id").agg(F.max("pos").alias("__maxp"))
+    selected = (
+        tagged.withColumn("__sel", F.min("__hp").over(win))
+        .join(n_grams, on="id")
+        # only full windows select (positions 0 .. n-w); docs with fewer
+        # than w grams select their single global min (window [0, n-1])
+        .filter(
+            (F.col("pos") <= F.col("__maxp") - (w - 1)) | (F.col("pos") == 0)
+        )
+        .select("id", F.split(F.col("__sel"), "#", 2)[0].alias("fp"))
+        .distinct()
+    )
+    return selected

@@ -1790,3 +1790,29 @@ def test_distinctive_terms_fighting_words(spark):
     assert all(rk in (1, 2, 3) for rk, _, _ in by_grp["A"])
     assert sorted(rk for rk, _, _ in by_grp["A"]) == [1, 2, 3]
     assert by_grp["A"][0][2] > 0
+
+
+def test_winnowing_guarantee_and_density(spark):
+    shared = "one two three four five six seven eight nine ten"
+    rows = [
+        Row(doc_id=1, text=shared + " alpha beta gamma"),
+        Row(doc_id=2, text="xx yy " + shared),     # same long run, shifted
+        Row(doc_id=3, text="completely different words everywhere here now"),
+        Row(doc_id=4, text="tiny doc"),            # < k words -> no grams
+    ]
+    df = spark.createDataFrame(rows)
+    fp = textstats.winnowing_fingerprints(df, "doc_id", "text", k=5, w=4)
+    by_id = {}
+    for r in fp.collect():
+        by_id.setdefault(r.id, set()).add(r.fp)
+    # winnowing theorem: a shared run of >= w+k-1 = 8 tokens (here 10)
+    # guarantees a shared fingerprint
+    assert by_id[1] & by_id[2]
+    assert not (by_id[1] & by_id.get(3, set()))
+    assert 4 not in by_id                          # no k-grams at all
+    # density: selected fingerprints are far fewer than grams (~2/(w+1))
+    n_grams_1 = len(rows[0].text.split()) - 4
+    assert len(by_id[1]) < n_grams_1
+    # position robustness: doc 2's shift does not change the shared picks
+    with pytest.raises(ValueError, match="hash mode"):
+        textstats.winnowing_fingerprints(df, "doc_id", "text", mode="sha9")
