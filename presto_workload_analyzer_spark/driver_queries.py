@@ -4429,7 +4429,8 @@ _register(
     " tv AS (SELECT user_id,"
     "   sum(abs(CAST(n AS DOUBLE) / gn - ng / nt)) / 2"
     "    + (1 - sum(ng / nt)) / 2 AS tvd"
-    "  FROM cell JOIN grp USING (user_id) JOIN gl USING (event_type), tot"
+    "  FROM cell JOIN grp USING (user_id)"
+    "   JOIN gl ON cell.event_type IS NOT DISTINCT FROM gl.event_type, tot"
     "  GROUP BY 1)"
     " SELECT user_id, CAST(gn AS BIGINT) AS group_size,"
     "  round(tvd + 1e-9, 6) AS tvd,"
@@ -4605,7 +4606,11 @@ def _x70(spark: SparkSession, sf: str) -> DataFrame:
     # ts arrives TIMESTAMP_NTZ from the batch parquet read; compare in
     # micros space (value-preserving under the UTC-pinned session)
     us = F.unix_micros(F.col("ts").cast("timestamp"))
-    mid = ev.select(((F.min(us) + F.max(us)) / 2).cast("long").alias("m"))
+    # floor on both engines: Spark's cast truncates but DuckDB's CAST
+    # rounds-to-nearest, so an odd epoch sum would shift the boundary by
+    # 1 us cross-engine (the sum ~3.4e15 is exactly double-representable,
+    # so floor is exact on both)
+    mid = ev.select(F.floor((F.min(us) + F.max(us)) / 2).cast("long").alias("m"))
     b = ev.crossJoin(F.broadcast(mid)).select(
         "event_type",
         F.when(us < F.col("m"), F.lit("base")).otherwise(F.lit("cur")).alias("half"),
@@ -4645,8 +4650,8 @@ def _x70(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "x70_psi_drift",
     _x70,
-    "WITH mid AS (SELECT CAST((epoch_us(min(ts)) + epoch_us(max(ts))) / 2"
-    "   AS BIGINT) AS m FROM events),"
+    "WITH mid AS (SELECT CAST(floor((epoch_us(min(ts)) + epoch_us(max(ts)))"
+    "   / 2) AS BIGINT) AS m FROM events),"
     " b AS (SELECT event_type,"
     "   CASE WHEN epoch_us(ts) < m THEN 'base' ELSE 'cur' END AS half,"
     "   least(15, CAST(trunc(\"value\" / 32.0) AS BIGINT)) AS bucket"

@@ -154,7 +154,11 @@ def decode_gif_pixels(b: bytes) -> tuple[int, int, int, bytearray] | None:
                     c = table[3 * i : 3 * i + 3]
                     return c if len(c) == 3 else b"\x00\x00\x00"
 
-                bg = color(bg_index) if gct else b"\x00\x00\x00"
+                # background resolves in the GLOBAL color table per the GIF
+                # spec — `table` may be a frame-local table where bg_index
+                # means a different color entirely
+                gbg = gct[3 * bg_index : 3 * bg_index + 3] if gct else b""
+                bg = gbg if len(gbg) == 3 else b"\x00\x00\x00"
                 out = bytearray(bg * (sw * sh))
                 for y in range(min(ih, sh - top)):
                     for x in range(min(iw, sw - left)):

@@ -81,7 +81,12 @@ class _BitReader:
         if self.n == 0:
             self._fill()
         self.n -= 1
-        return (self.acc >> self.n) & 1
+        bit = (self.acc >> self.n) & 1
+        # truncate the consumed bit: without this the accumulator grows
+        # into an O(stream-size) bigint and every subsequent shift is
+        # O(len(acc)) — quadratic decode on real photos
+        self.acc &= (1 << self.n) - 1
+        return bit
 
     def read_bits(self, k: int) -> int:
         v = 0

@@ -193,9 +193,13 @@ def snapshot_diff(
         raise ValueError("snapshot_diff: cols must be non-empty")
 
     def _side(df: DataFrame, tag: str) -> DataFrame:
+        # hash ONE struct, not the column list: xxhash64(*cols) skips NULL
+        # arguments entirely, so ('bob', NULL) and (NULL, 'bob') would
+        # collide deterministically; the struct encodes per-field null
+        # flags and positions
         sel = [
             F.col(id_col).alias("__id"),
-            F.xxhash64(*[F.col(c) for c in cols]).alias(f"__h_{tag}"),
+            F.xxhash64(F.struct(*[F.col(c) for c in cols])).alias(f"__h_{tag}"),
         ]
         if group_col is not None:
             sel.append(F.col(group_col).alias(f"__g_{tag}"))

@@ -123,9 +123,12 @@ def cms_heavy_hitters(
          the candidate list — the groupBy now runs on margin*top keys, not
          the unbounded vocabulary);
       4. CERTIFY: since est(t) >= count(t) for every term, the exact top-k
-         is provably inside the candidate set iff the k-th candidate's
-         exact count >= the max estimate among NON-candidates. A loud
-         assert_true fails the job when the margin was too small —
+         is provably inside the candidate set if the k-th candidate's
+         exact count is STRICTLY greater than the max estimate among
+         NON-candidates (an outside term can then never reach the k-th
+         count; at equality it could TIE on count and win the (n desc,
+         term asc) order, so >= would certify a potentially-wrong list).
+         A loud assert_true fails the job when the margin was too small —
          a silent near-miss top-k would be a wrong answer.
 
     At 100 TB the vocabulary-wide groupBy of a naive top-k is the
@@ -166,7 +169,7 @@ def cms_heavy_hitters(
             "term",
             F.coalesce(
                 F.assert_true(
-                    F.col("__kth") >= F.col("__max_out"),
+                    F.col("__kth") > F.col("__max_out"),
                     F.lit(
                         "cms_heavy_hitters: certification failed — the k-th "
                         "candidate's exact count is below an outside term's "

@@ -474,11 +474,20 @@ def t_closeness(
         F.count(F.lit(1)).alias("__n")
     )
     grp = cell.groupBy(*quasi_cols).agg(F.sum("__n").alias("__gn"))
-    glob = df.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("__n_glob"))
+    # NULL-SAFE join on the sensitive value: a NULL sensitive entry is a
+    # real distribution mass point (both aggregates keep the NULL group);
+    # a plain equi-join would silently drop it — an all-NULL group would
+    # vanish from the audit entirely
+    glob = df.groupBy(sensitive_col).agg(
+        F.count(F.lit(1)).alias("__n_glob")
+    ).withColumnRenamed(sensitive_col, "__sv")
     total = df.select(F.count(F.lit(1)).alias("__tot"))
     joined = (
         cell.join(grp, on=quasi_cols)
-        .join(F.broadcast(glob), on=sensitive_col)
+        .join(
+            F.broadcast(glob),
+            F.col(sensitive_col).eqNullSafe(F.col("__sv")),
+        )
         .crossJoin(F.broadcast(total))
         .select(
             *quasi_cols,

@@ -64,7 +64,13 @@ def _cusum_fn(target: float, slack: float, threshold: float):
         p, m = state.get if state.exists else (0.0, 0.0)
         out = []
         for ts, eid, x in zip(rows["ts"], rows["event_id"], rows["value"]):
-            p += float(x) - shift
+            x = float(x)
+            if x != x or x in (float("inf"), float("-inf")):
+                # a single NaN/Inf would poison p and m FOREVER (every
+                # later comparison false -> the key silently stops
+                # alarming); skip the observation instead
+                continue
+            p += x - shift
             m = min(m, p)
             s = p - m
             if s > threshold:
@@ -96,7 +102,7 @@ def cusum_alarms(
         F.col(ts_col).alias("ts"),
         F.col(id_col).cast("long").alias("event_id"),
         F.col(value_col).cast("double").alias("value"),
-    )
+    ).where(F.col("value").isNotNull())
     return sel.groupBy("key").applyInPandasWithState(
         _cusum_fn(target, slack, threshold),
         outputStructType=ALARM_SCHEMA,
