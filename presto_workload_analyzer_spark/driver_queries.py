@@ -4777,3 +4777,240 @@ _register(
     " FROM fp a JOIN fp b ON a.fp = b.fp AND a.id < b.id"
     " GROUP BY 1, 2 HAVING count(*) >= 2",
 )
+
+
+def _x74(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocked fuzzy record linkage (dedup.fuzzy_linkage_pairs): pairs of
+    documents whose 48-char prefixes are within Levenshtein distance 8,
+    candidates generated by a (lang, length-band) blocking equi-join with
+    adjacent-band probing — the record-linkage operator (Fellegi-Sunter
+    blocking stage) for entity resolution over a 100 TB corpus. Both
+    engines implement classic Wagner-Fischer levenshtein(), so the verify
+    predicate is oracle-exact."""
+    docs = read_sf_table(spark, sf, "documents")
+    out = X_dedup.fuzzy_linkage_pairs(
+        docs, "doc_id", "text", block_cols=["lang"], band_col="n_chars",
+        band_width=64, prefix_len=48, max_dist=8,
+    )
+    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+
+
+_register(
+    "x74_fuzzy_linkage",
+    _x74,
+    "WITH base AS (SELECT doc_id AS id, substr(text, 1, 48) AS p, lang,"
+    "   CAST(trunc(n_chars / 64.0) AS BIGINT) AS band FROM documents),"
+    " probe AS (SELECT id AS idp, p AS pb, lang, band + d AS band, d"
+    "   FROM base, UNNEST([0, 1]) AS t(d))"
+    " SELECT least(a.id, probe.idp) AS id_a, greatest(a.id, probe.idp) AS id_b,"
+    "  CAST(levenshtein(a.p, probe.pb) AS BIGINT) AS dist"
+    " FROM base a JOIN probe ON a.lang = probe.lang AND a.band = probe.band"
+    " WHERE (probe.d = 1 OR a.id < probe.idp)"
+    "  AND levenshtein(a.p, probe.pb) <= 8",
+)
+
+
+def _x75(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise source-vocabulary Jaccard via KMV distinct sketches
+    (sketches.kmv_sketch + kmv_pairwise_jaccard): per-source word-BIGRAM
+    sets folded to the k=64 minimum md5 values, then every source pair's
+    similarity estimated from the bottom-k of the sketch union — the
+    bounded-memory way to answer "which sources share vocabulary" when
+    per-source vocabularies are 1e8-distinct at 100 TB (the exact version
+    is a vocabulary x vocabulary join; the sketch version is pairs x 2k
+    rows). k=64 < per-source bigram vocab here, so the driver exercises
+    the GENUINE estimation path; the oracle replays sketch selection and
+    the union bottom-k exactly (md5 order is engine-portable)."""
+    docs = read_sf_table(spark, sf, "documents")
+    grams = docs.select(
+        "source", F.explode(X_dedup.gram_array("text", 2)).alias("gram")
+    )
+    sk = X_sk.kmv_sketch(grams, "source", "gram", k=64, mode="md5")
+    out = X_sk.kmv_pairwise_jaccard(sk, "source", k=64)
+    return out.select(
+        F.col("ga").alias("source_a"), F.col("gb").alias("source_b"), "est_jaccard"
+    )
+
+
+_register(
+    "x75_kmv_jaccard",
+    _x75,
+    "WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w,"
+    "   source FROM documents),"
+    " grams AS (SELECT DISTINCT source,"
+    "   md5(w[i] || ' ' || w[i+1]) AS h"
+    "  FROM tok, UNNEST(range(1, greatest(len(w)-1, 0)+1)) AS t(i)),"
+    " sk AS (SELECT * FROM (SELECT source, h,"
+    "   row_number() OVER (PARTITION BY source ORDER BY h) AS rank"
+    "  FROM grams) WHERE rank <= 64),"
+    " srcs AS (SELECT DISTINCT source FROM sk),"
+    " pf AS (SELECT a.source AS ga, b.source AS gb FROM srcs a, srcs b"
+    "  WHERE a.source < b.source),"
+    " un AS (SELECT DISTINCT ga, gb, h FROM ("
+    "   SELECT pf.ga, pf.gb, sk.h FROM pf JOIN sk ON sk.source = pf.ga"
+    "   UNION ALL"
+    "   SELECT pf.ga, pf.gb, sk.h FROM pf JOIN sk ON sk.source = pf.gb)),"
+    " bot AS (SELECT * FROM (SELECT ga, gb, h,"
+    "   row_number() OVER (PARTITION BY ga, gb ORDER BY h) AS rank FROM un)"
+    "  WHERE rank <= 64)"
+    " SELECT bot.ga AS source_a, bot.gb AS source_b,"
+    "  round(sum(CASE WHEN sa.h IS NOT NULL AND sb.h IS NOT NULL THEN 1"
+    "    ELSE 0 END) / count(*), 6) AS est_jaccard"
+    " FROM bot"
+    " LEFT JOIN sk sa ON sa.source = bot.ga AND sa.h = bot.h"
+    " LEFT JOIN sk sb ON sb.source = bot.gb AND sb.h = bot.h"
+    " GROUP BY 1, 2",
+)
+
+
+_X76_PHRASES = ["table scan", "hash agg", "slow query", "window order"]
+
+
+def _x76(spark: SparkSession, sf: str) -> DataFrame:
+    """Banned-phrase contamination audit: per (source, phrase) document
+    and occurrence counts for a broadcast list of literal phrases — the
+    "is benchmark boilerplate / license text / canary string X in my
+    corpus, and where" question. Occurrences count by the replace-length
+    identity (len(t) - len(replace(t, p))) / len(p) — leftmost
+    non-overlapping on both engines — so the corpus is ONE scan with P
+    codegen expressions per row and a source-grain aggregate; no
+    corpus x phrases row explosion, no shuffle beyond #sources rows.
+    (For thousands of patterns the right tool is an Aho-Corasick automaton
+    in a mapInPandas stage; the expression form is the P <= dozens case.)"""
+    docs = read_sf_table(spark, sf, "documents")
+    occ = [
+        (
+            (F.length("text") - F.length(F.replace(F.col("text"), F.lit(p))))
+            / len(p)
+        ).cast("long").alias(f"__o{i}")
+        for i, p in enumerate(_X76_PHRASES)
+    ]
+    per_source = docs.select("source", *occ).groupBy("source").agg(
+        *[F.sum(f"__o{i}").alias(f"__hits{i}") for i in range(len(_X76_PHRASES))],
+        *[
+            F.sum((F.col(f"__o{i}") > 0).cast("long")).alias(f"__docs{i}")
+            for i in range(len(_X76_PHRASES))
+        ],
+    )
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(p).alias("phrase"),
+                    F.col(f"__docs{i}").alias("n_docs"),
+                    F.col(f"__hits{i}").alias("n_hits"),
+                )
+                for i, p in enumerate(_X76_PHRASES)
+            ]
+        )
+    ).alias("r")
+    return (
+        per_source.select("source", rows)
+        .select("source", "r.phrase", "r.n_docs", "r.n_hits")
+        .filter(F.col("n_hits") > 0)
+    )
+
+
+_register(
+    "x76_banned_phrases",
+    _x76,
+    "WITH p AS (SELECT * FROM (VALUES ('table scan'), ('hash agg'),"
+    "   ('slow query'), ('window order')) AS v(phrase)),"
+    " occ AS (SELECT source, phrase,"
+    "   CAST(trunc((length(text) - length(replace(text, phrase, '')))"
+    "     / length(phrase)) AS BIGINT) AS o"
+    "  FROM documents, p)"
+    " SELECT source, phrase, sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS n_docs,"
+    "  sum(o) AS n_hits"
+    " FROM occ GROUP BY 1, 2 HAVING sum(o) > 0",
+)
+
+
+def _x77(spark: SparkSession, sf: str) -> DataFrame:
+    """Inter-arrival-time histogram: per event_type, the distribution of
+    microsecond gaps between a user's consecutive events of that type,
+    log2-bucketed — the workload-cadence profile (bursty vs periodic
+    traffic) that sizes streaming watermarks and session timeouts. The
+    lag window partitions by (user_id, event_type) — corpus-cardinality
+    key, so no per-type single-task funnel — and the histogram grain is
+    #types x #buckets."""
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = (
+        ev.select(
+            "event_type",
+            "user_id",
+            "ts",
+            "event_id",
+            F.lag("ts").over(w).alias("__prev"),
+        )
+        # timestampdiff handles TIMESTAMP_NTZ (unix_micros does not)
+        .withColumn("gap_us", F.expr("timestampdiff(MICROSECOND, __prev, ts)"))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy(
+        "event_type",
+        F.floor(F.log2(F.col("gap_us") + 1)).cast("long").alias("gap_bucket"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1e6, 6).alias("mean_gap_s"),
+    )
+
+
+_register(
+    "x77_interarrival",
+    _x77,
+    "WITH g AS (SELECT event_type,"
+    "   date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id, event_type"
+    "     ORDER BY ts, event_id), ts) AS gap_us"
+    "  FROM events)"
+    " SELECT event_type,"
+    "  CAST(floor(log2(gap_us + 1)) AS BIGINT) AS gap_bucket,"
+    "  CAST(count(*) AS BIGINT) AS n_gaps,"
+    "  round(avg(gap_us) / 1e6, 6) AS mean_gap_s"
+    " FROM g WHERE gap_us IS NOT NULL GROUP BY 1, 2",
+)
+
+
+def _x78(spark: SparkSession, sf: str) -> DataFrame:
+    """Truncation-duplicate groups (dedup.truncation_dedup_groups):
+    documents agreeing on md5(head-64 || 0x1f || tail-64) — the archive
+    double-store failure mode (same crawl saved twice, one copy corrupted
+    mid-body) that whole-text exact hashing misses, caught at exact-dedup
+    cost (one hash-partitioned groupBy on a 32-hex key).
+
+    The synthetic corpus has no mid-body-corrupted twins, so the query
+    PLANTS them deterministically (every 7th long doc gets a twin with
+    the middle replaced and id+10^6) and both engines replay the same
+    planting — the oracle is falsifiable: every planted twin MUST come
+    back as a 2-doc group and nothing else may."""
+    docs = read_sf_table(spark, sf, "documents")
+    corrupted = (
+        docs.filter((F.col("doc_id") % 7 == 0) & (F.col("n_chars") >= 160))
+        .select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(
+                F.substring("text", 1, 80),
+                F.lit(" [snip] "),
+                F.substring(F.col("text"), -80, 80),
+            ).alias("text"),
+        )
+    )
+    corpus = docs.select("doc_id", "text").unionByName(corrupted)
+    return X_dedup.truncation_dedup_groups(corpus, "doc_id", "text", head=64, tail=64)
+
+
+_register(
+    "x78_truncation_dups",
+    _x78,
+    "WITH corpus AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000 AS doc_id,"
+    "   substr(text, 1, 80) || ' [snip] ' || substr(text, -80, 80) AS text"
+    "  FROM documents WHERE doc_id % 7 = 0 AND n_chars >= 160)"
+    " SELECT md5(substr(text, 1, 64) || chr(31) || substr(text, -64, 64))"
+    "   AS group_key,"
+    "  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id"
+    " FROM corpus GROUP BY 1 HAVING count(*) >= 2",
+)

@@ -988,3 +988,103 @@ def contamination_matrix(
             F.count(F.lit(1)).cast("long").alias("n_gram_hits"),
         )
     )
+
+
+def fuzzy_linkage_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    band_col: str,
+    band_width: int = 64,
+    prefix_len: int = 48,
+    max_dist: int = 8,
+) -> DataFrame:
+    """Blocked fuzzy record linkage: `(id_a, id_b, dist)` for record pairs
+    whose `prefix_len`-char text prefixes are within Levenshtein distance
+    `max_dist`, compared only INSIDE blocks.
+
+    The classic record-linkage shape: an edit-distance predicate cannot be
+    an equi-join key, so candidate generation is a BLOCKING equi-join —
+    records agree on `block_cols` (exact attributes, e.g. lang) and fall
+    in the same or ADJACENT `band_col // band_width` band (a numeric
+    attribute such as length; two near-matches may straddle a band
+    boundary, so each record probes its own band and band+1 — a same-band
+    pair meets once under the id_a < id_b order and an adjacent-band pair
+    meets exactly once through the lower record's +1 probe, so no dedup
+    pass is needed). Levenshtein then verifies candidates only.
+
+    100 TB posture: never all-pairs — candidates are equi-join buckets
+    (block x band), quadratic only within a block band, which is the
+    tunable knob (tighter bands -> fewer candidates, lower recall re
+    length-shifted edits; wider -> more). levenshtein() is a JVM codegen
+    builtin on both engines (Spark functions.scala, DuckDB identical
+    definition), O(prefix_len^2) per CANDIDATE, not per pair-of-all.
+    """
+    band = (F.col(band_col) / band_width).cast("long")
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("__p"),
+        *[F.col(c) for c in block_cols],
+        band.alias("__band"),
+    )
+    # probe side: each record registered under its own band (offset 0) and
+    # band + 1 (offset 1). A same-band pair meets twice through offset-0
+    # probes (once per orientation) — the id order keeps one; an
+    # adjacent-band pair meets exactly once, as (upper-band base,
+    # offset-1 probe of the lower record) — kept unconditionally, with
+    # the output pair canonicalized to id_a < id_b.
+    probe = base.select(
+        F.col("id").alias("__idp"),
+        F.col("__p").alias("__pb"),
+        *[F.col(c) for c in block_cols],
+        F.col("__band"),
+        F.explode(F.array(F.lit(0), F.lit(1))).alias("__d"),
+    ).withColumn("__band", F.col("__band") + F.col("__d"))
+    cand = (
+        base.withColumnRenamed("id", "__ida")
+        .withColumnRenamed("__p", "__pa")
+        .join(probe, on=[*block_cols, "__band"])
+        .filter((F.col("__d") == 1) | (F.col("__ida") < F.col("__idp")))
+    )
+    return (
+        cand.select(
+            F.least("__ida", "__idp").alias("id_a"),
+            F.greatest("__ida", "__idp").alias("id_b"),
+            F.levenshtein("__pa", "__pb").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def truncation_dedup_groups(
+    df: DataFrame, id_col: str, text_col: str, head: int = 64, tail: int = 64
+) -> DataFrame:
+    """Head+tail digest duplicate groups: `(group_key, n_docs, min_id)` for
+    groups of >= 2 docs agreeing on md5(first `head` chars || '\\x1f' ||
+    last `tail` chars) — catches the truncated / mid-body-corrupted
+    duplicates exact whole-text hashing misses (a very common archive
+    failure mode: same crawl stored twice, one copy cut or rotated
+    mid-file), at exact-dedup cost.
+
+    Same 100 TB posture as exact_dedup_groups: one hash-partitioned
+    groupBy on a 32-hex key, map-side combined; no length-proportional
+    state beyond the head/tail slices.
+    """
+    t = F.col(text_col)
+    key = F.md5(
+        F.concat(
+            F.substring(t, 1, head),
+            F.lit("\x1f"),
+            F.substring(t, -tail, tail),
+        )
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), key.alias("group_key"))
+        .groupBy("group_key")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("id").alias("min_id"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -20,7 +20,7 @@ equivalence of the two shapes is pinned in tests.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from presto_workload_analyzer_spark.extensions.textstats import tokens
 
@@ -104,6 +104,133 @@ def cms_estimate(
         probes.join(F.broadcast(sketch), on=["d", "pos"], how="left")
         .groupBy(term_col)
         .agg(F.min(F.coalesce(F.col("n"), F.lit(0))).alias("est"))
+    )
+
+
+def kmv_sketch(
+    df: DataFrame, group_col: str, term_col: str, k: int = 256, mode: str = "md5"
+) -> DataFrame:
+    """K-minimum-values distinct sketch per group: the k smallest distinct
+    term hashes — `(group_col, h, rank)` with rank in [1, k].
+
+    KMV (Bar-Yossef et al. 2002) is the mergeable distinct-count /
+    set-similarity sketch: keeping the k smallest hash values of a set
+    fixes sketch size at k rows per group regardless of corpus size, and
+    the k-th smallest value estimates the distinct count as (k-1)/h_k for
+    uniform h in (0,1). Build shape: distinct (group, term) -> hash ->
+    per-group bottom-k. The distinct pass is map-side combined; the
+    bottom-k window runs over per-group DISTINCT HASHES, not raw rows
+    (grain = vocabulary of the group, and only the k smallest survive).
+
+    md5 mode hashes to fixed-width lowercase hex so lexicographic order ==
+    numeric order and DuckDB reproduces the identical sketch; xxhash64 is
+    the production mode (zero-padded hex of the unsigned value preserves
+    order JVM-side).
+
+    The bottom-k is HIERARCHICAL (the pack_bins pattern): a first
+    row_number over (group, shard) — shard = hash prefix mod n_shards —
+    prunes each group to <= n_shards*k survivors in parallel tasks, and
+    only the survivors (bounded BY CONSTRUCTION, not by data) flow into
+    the per-group final rank. A single per-group window would sort each
+    group's whole vocabulary (~1e8 distinct tokens/source at 100 TB)
+    through one task.
+    """
+    c = F.col(term_col)
+    if mode == "md5":
+        h = F.md5(c)
+    elif mode == "xxhash64":
+        # map signed 64-bit to order-preserving fixed-width hex: flipping
+        # the sign bit (XOR min-long) makes two's-complement hex sort in
+        # signed order — no subtraction, no ANSI overflow
+        h = F.lpad(
+            F.hex(F.xxhash64(c).bitwiseXOR(F.lit(-9223372036854775808))), 16, "0"
+        )
+    else:
+        raise ValueError(f"unknown hash mode {mode!r}")
+    n_shards = 32
+    hashes = (
+        df.where(c.isNotNull())
+        .select(F.col(group_col), h.alias("h"))
+        .distinct()
+        .withColumn("__shard", F.pmod(F.crc32(F.col("h")), F.lit(n_shards)))
+    )
+    w_local = Window.partitionBy(group_col, "__shard").orderBy("h")
+    pruned = (
+        hashes.withColumn("__lr", F.row_number().over(w_local))
+        .filter(F.col("__lr") <= k)
+    )
+    w = Window.partitionBy(group_col).orderBy("h")
+    return (
+        pruned.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(group_col, "h", "rank")
+    )
+
+
+def kmv_pairwise_jaccard(
+    sketch: DataFrame, group_col: str, k: int = 256
+) -> DataFrame:
+    """Estimated pairwise Jaccard between every two groups from their KMV
+    sketches: `(group_a, group_b, est_jaccard)` for group_a < group_b.
+
+    The k smallest hashes of A ∪ B are a uniform sample of the union
+    (Beyer et al. 2007), so |{h in bottom-k(A ∪ B) : h in A and h in B}|
+    / k' is an unbiased Jaccard estimate (k' = min(k, |union sketch|)).
+    Build: union both sketches' rows, per-pair bottom-k' window over at
+    most 2k rows per pair, count rows present in both. Everything after
+    the sketches is sketch-grain — pairs x 2k rows — so the all-pairs
+    shape is affordable even with thousands of groups (pairs are
+    quadratic in GROUPS, never in corpus size; 10^3 sources -> 5*10^5
+    pairs x 2k rows, one modest shuffle).
+
+    When k >= the union's distinct-hash count for every pair, the sketch
+    IS the full set and the estimate is EXACTLY the Jaccard — the
+    exactness reduction the driver oracle uses (same pattern as IVF
+    n_probe == n_cells).
+    """
+    a = sketch.select(
+        F.col(group_col).alias("ga"), F.col("h").alias("h")
+    )
+    b = sketch.select(
+        F.col(group_col).alias("gb"), F.col("h").alias("h")
+    )
+    # every (pair, h) with a flag for which side(s) contributed
+    pairs = (
+        a.join(b, on="h")
+        .filter(F.col("ga") < F.col("gb"))
+        .select("ga", "gb", "h", F.lit(1).alias("in_both"))
+    )
+    # union of the two sketches per pair: all hashes from either sketch
+    ga = sketch.select(F.col(group_col).alias("ga"), "h")
+    gb = sketch.select(F.col(group_col).alias("gb"), "h")
+    groups = sketch.select(F.col(group_col).alias("g")).distinct()
+    pair_frame = (
+        groups.select(F.col("g").alias("ga"))
+        .join(F.broadcast(groups.select(F.col("g").alias("gb"))))
+        .filter(F.col("ga") < F.col("gb"))
+    )
+    union = (
+        pair_frame.join(ga, on="ga")
+        .select("ga", "gb", "h")
+        .unionByName(pair_frame.join(gb, on="gb").select("ga", "gb", "h"))
+        .distinct()
+    )
+    w = Window.partitionBy("ga", "gb").orderBy("h")
+    bottom = union.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+    joined = bottom.join(pairs, on=["ga", "gb", "h"], how="left")
+    return (
+        joined.groupBy("ga", "gb")
+        .agg(
+            F.count(F.lit(1)).alias("__kprime"),
+            F.sum(F.coalesce(F.col("in_both"), F.lit(0))).alias("__shared"),
+        )
+        .select(
+            "ga",
+            "gb",
+            F.round(F.col("__shared") / F.col("__kprime"), 6).alias("est_jaccard"),
+        )
     )
 
 

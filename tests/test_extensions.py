@@ -1816,3 +1816,77 @@ def test_winnowing_guarantee_and_density(spark):
     # position robustness: doc 2's shift does not change the shared picks
     with pytest.raises(ValueError, match="hash mode"):
         textstats.winnowing_fingerprints(df, "doc_id", "text", mode="sha9")
+
+
+# ------------------------------------------------------- fuzzy record linkage
+
+
+def test_fuzzy_linkage_same_and_adjacent_band(spark):
+    # a/b: same band, 1 edit; c: adjacent band (length straddle), 1 edit
+    # from a; d: same text as a but different lang -> blocked out;
+    # e: same block, > max_dist edits -> verified out
+    rows = [
+        Row(doc_id=1, text="the quick brown fox jumps over the dog", lang="en", n=100),
+        Row(doc_id=2, text="the quick brown fox jumps over the cat", lang="en", n=110),
+        Row(doc_id=3, text="the quick brown fox jumps over the do", lang="en", n=129),
+        Row(doc_id=4, text="the quick brown fox jumps over the dog", lang="fr", n=100),
+        Row(doc_id=5, text="completely different text with no overlap", lang="en", n=105),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.id_a, r.id_b): r.dist
+        for r in dedup.fuzzy_linkage_pairs(
+            df, "doc_id", "text", block_cols=["lang"], band_col="n",
+            band_width=64, prefix_len=48, max_dist=4,
+        ).collect()
+    }
+    # bands: 100->1, 110->1, 129->2, 105->1
+    assert (1, 2) in got and got[(1, 2)] == 3  # dog -> cat
+    assert (1, 3) in got and got[(1, 3)] == 1  # adjacent band via +1 probe
+    assert not any(4 in p for p in got)  # lang block
+    assert not any(5 in p for p in got)  # distance verify
+    # no pair may appear twice (exactly-once meeting guarantee)
+    pairs = dedup.fuzzy_linkage_pairs(
+        df, "doc_id", "text", block_cols=["lang"], band_col="n",
+        band_width=64, prefix_len=48, max_dist=4,
+    )
+    assert pairs.count() == pairs.select("id_a", "id_b").distinct().count()
+
+
+def test_fuzzy_linkage_distance_is_levenshtein(spark):
+    rows = [
+        Row(doc_id=1, text="kitten", lang="en", n=6),
+        Row(doc_id=2, text="sitting", lang="en", n=7),
+    ]
+    got = dedup.fuzzy_linkage_pairs(
+        spark.createDataFrame(rows), "doc_id", "text", block_cols=["lang"],
+        band_col="n", band_width=64, prefix_len=48, max_dist=10,
+    ).collect()
+    assert len(got) == 1 and got[0].dist == 3
+
+
+# ------------------------------------------------------- truncation dedup
+
+
+def test_truncation_dedup_catches_mid_body_corruption(spark):
+    head = "H" * 70
+    tail = "T" * 70
+    rows = [
+        Row(doc_id=1, text=head + "ORIGINAL MIDDLE BODY " * 5 + tail),
+        Row(doc_id=2, text=head + " [snip] " + tail),          # corrupted twin
+        Row(doc_id=3, text="X" + head + "whatever" + tail),    # head differs
+        Row(doc_id=4, text=head + "another body entirely" + tail),  # triplet
+    ]
+    out = dedup.truncation_dedup_groups(
+        spark.createDataFrame(rows), "doc_id", "text", head=64, tail=64
+    ).collect()
+    assert len(out) == 1
+    assert out[0].n_docs == 3 and out[0].min_id == 1
+
+
+def test_truncation_dedup_no_false_groups(spark):
+    rows = [Row(doc_id=i, text=f"unique document number {i} " * 10) for i in range(20)]
+    out = dedup.truncation_dedup_groups(
+        spark.createDataFrame(rows), "doc_id", "text"
+    ).collect()
+    assert out == []

@@ -310,3 +310,82 @@ def test_zorder_key_interleave_and_guards(spark):
     bad = spark.createDataFrame([Row(a=9, b=0)])
     with pytest.raises(Exception, match="outside"):
         bad.select(zorder_key(["a", "b"], bits=3)).collect()
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_kmv_sketch_is_true_bottom_k(spark):
+    rows = [Row(g="a", t=w) for w in ["w1", "w2", "w3", "w4", "w5"]] + [
+        Row(g="b", t=w) for w in ["w1", "w9"]
+    ]
+    df = spark.createDataFrame(rows)
+    sk = sketches.kmv_sketch(df, "g", "t", k=3, mode="md5").collect()
+    got_a = sorted((r.h, r.rank) for r in sk if r.g == "a")
+    expect_a = sorted(_md5(w) for w in ["w1", "w2", "w3", "w4", "w5"])[:3]
+    assert [h for h, _ in got_a] == expect_a
+    assert [r for _, r in got_a] == [1, 2, 3]
+    # group smaller than k keeps its whole (distinct) set
+    assert len([r for r in sk if r.g == "b"]) == 2
+
+
+def test_kmv_dedups_terms_and_skips_null(spark):
+    rows = [Row(g="a", t="w1"), Row(g="a", t="w1"), Row(g="a", t=None)]
+    sk = sketches.kmv_sketch(spark.createDataFrame(rows), "g", "t", k=5).collect()
+    assert len(sk) == 1 and sk[0].rank == 1
+
+
+def test_kmv_pairwise_exact_when_k_covers_union(spark):
+    # |A ∪ B| = 6, |A ∩ B| = 2 -> Jaccard = 1/3; k >= union -> exact
+    a = ["x1", "x2", "x3", "x4"]
+    b = ["x3", "x4", "x5", "x6"]
+    rows = [Row(g="a", t=w) for w in a] + [Row(g="b", t=w) for w in b]
+    sk = sketches.kmv_sketch(spark.createDataFrame(rows), "g", "t", k=64)
+    out = sketches.kmv_pairwise_jaccard(sk, "g", k=64).collect()
+    assert len(out) == 1
+    assert out[0].ga == "a" and out[0].gb == "b"
+    assert abs(out[0].est_jaccard - 1 / 3) < 1e-6  # output is round()ed to 6
+
+
+def test_kmv_pairwise_estimates_within_tolerance(spark):
+    # 200-element sets with 100 shared -> Jaccard = 100/300; k=64 sketch
+    shared = [f"s{i}" for i in range(100)]
+    a = shared + [f"a{i}" for i in range(100)]
+    b = shared + [f"b{i}" for i in range(100)]
+    rows = [Row(g="a", t=w) for w in a] + [Row(g="b", t=w) for w in b]
+    sk = sketches.kmv_sketch(spark.createDataFrame(rows), "g", "t", k=64)
+    est = sketches.kmv_pairwise_jaccard(sk, "g", k=64).collect()[0].est_jaccard
+    true = 100 / 300
+    # k=64 -> se ~ sqrt(J(1-J)/k) ~ 0.06; 3 sigma
+    assert abs(est - true) < 0.18
+
+
+def test_kmv_zero_overlap_pair_present(spark):
+    rows = [Row(g="a", t="x1"), Row(g="b", t="y1")]
+    sk = sketches.kmv_sketch(spark.createDataFrame(rows), "g", "t", k=8)
+    out = sketches.kmv_pairwise_jaccard(sk, "g", k=8).collect()
+    assert len(out) == 1 and out[0].est_jaccard == 0.0
+
+
+def test_kmv_xxhash_mode_shape_and_range(spark):
+    rows = [Row(g="a", t=f"w{i}") for i in range(10)] + [
+        Row(g="b", t=f"w{i}") for i in range(5, 15)
+    ]
+    sk = sketches.kmv_sketch(spark.createDataFrame(rows), "g", "t", k=4, mode="xxhash64")
+    rowsc = sk.collect()
+    assert all(len(r.h) == 16 for r in rowsc)  # fixed-width hex: order-safe
+    assert sorted(r.rank for r in rowsc if r.g == "a") == [1, 2, 3, 4]
+    est = sketches.kmv_pairwise_jaccard(sk, "g", k=4).collect()[0].est_jaccard
+    assert 0.0 <= est <= 1.0
+
+
+def test_kmv_mode_guard(spark):
+    df = spark.createDataFrame([Row(g="a", t="w")])
+    with pytest.raises(ValueError, match="hash mode"):
+        sketches.kmv_sketch(df, "g", "t", k=4, mode="sha9")
