@@ -5014,3 +5014,319 @@ _register(
     "  CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS min_id"
     " FROM corpus GROUP BY 1 HAVING count(*) >= 2",
 )
+
+
+def _x79(spark: SparkSession, sf: str) -> DataFrame:
+    """Mutual-kNN graph degree histogram: exact cosine top-5 inside a
+    capped query subset (vec_id < 200), keep edges where BOTH endpoints
+    rank each other, count mutual degree per node (0 included), histogram
+    the degrees — the neighborhood-quality diagnostic behind mutual-kNN
+    clustering and hubness detection (embeddings where many nodes have
+    degree 0 while a few hub at 5 embed poorly). The subset cap makes the
+    exact pass affordable; the 100 TB path feeds the SAME mutual-join +
+    histogram shape from ANN candidates (x12/x13) instead of exact top-k."""
+    emb = read_sf_table(spark, sf, "embeddings").filter(F.col("vec_id") < 200)
+    knn = X_sim.cosine_topk(emb, emb, k=5).select("query_id", "neighbor_id")
+    rev = knn.select(
+        F.col("neighbor_id").alias("query_id"), F.col("query_id").alias("neighbor_id")
+    )
+    mutual = knn.join(rev, on=["query_id", "neighbor_id"]).filter(
+        F.col("query_id") < F.col("neighbor_id")
+    )
+    ends = mutual.select(F.col("query_id").alias("id")).unionByName(
+        mutual.select(F.col("neighbor_id").alias("id"))
+    ).withColumn("__e", F.lit(1))
+    deg = (
+        emb.select(F.col("vec_id").alias("id"))
+        .join(ends, on="id", how="left")
+        .groupBy("id")
+        .agg(F.count("__e").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+
+
+_register(
+    "x79_mutual_knn",
+    _x79,
+    "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
+    "  FROM embeddings WHERE vec_id < 200),"
+    " s AS (SELECT a.query_id, b.query_id AS neighbor_id,"
+    "   list_dot_product(a.qv, b.qv) / (sqrt(list_dot_product(a.qv, a.qv))"
+    "    * sqrt(list_dot_product(b.qv, b.qv))) AS cosine"
+    "  FROM q a, q b WHERE a.query_id <> b.query_id),"
+    " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
+    "   ORDER BY cosine DESC, neighbor_id) AS rank FROM s),"
+    " e AS (SELECT query_id, neighbor_id FROM r WHERE rank <= 5),"
+    " m AS (SELECT a.query_id AS ida, a.neighbor_id AS idb FROM e a"
+    "  JOIN e b ON a.query_id = b.neighbor_id AND a.neighbor_id = b.query_id"
+    "  WHERE a.query_id < a.neighbor_id),"
+    " ends AS (SELECT ida AS id FROM m UNION ALL SELECT idb AS id FROM m),"
+    " deg AS (SELECT q.query_id AS id, count(ends.id) AS degree"
+    "  FROM q LEFT JOIN ends ON ends.id = q.query_id GROUP BY 1)"
+    " SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1",
+)
+
+
+def _x80(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-fertility accounting per (source, lang): chars per
+    whitespace token and BPE-ish subword tokens per whitespace token —
+    the cost model behind token-budgeted corpus planning (a source whose
+    fertility is 2x costs 2x the training tokens for the same text mass).
+    Sum-before-divide keeps every aggregate an exact integer until the
+    single final division; pure Column expressions at scan speed."""
+    docs = read_sf_table(spark, sf, "documents")
+    per = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        X_text.token_count("text").cast("long").alias("__ws"),
+        X_text.bpe_ish_token_count("text").cast("long").alias("__bpe"),
+    )
+    return per.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum("n_chars") / F.sum("__ws"), 6).alias("chars_per_token"),
+        F.round(F.sum("__bpe") / F.sum("__ws"), 6).alias("bpe_fertility"),
+    )
+
+
+_register(
+    "x80_tokenizer_fertility",
+    _x80,
+    "WITH per AS (SELECT source, lang, n_chars,"
+    "   len(string_split_regex(trim(text), '\\s+')) AS ws,"
+    "   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS bpe"
+    "  FROM documents)"
+    " SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  round(CAST(sum(n_chars) AS DOUBLE) / sum(ws), 6) AS chars_per_token,"
+    "  round(CAST(sum(bpe) AS DOUBLE) / sum(ws), 6) AS bpe_fertility"
+    " FROM per GROUP BY 1, 2",
+)
+
+
+def _x81(spark: SparkSession, sf: str) -> DataFrame:
+    """LSH dedup-quality evaluation: candidate pairs from the x02 MinHash
+    LSH configuration scored against the EXACT Jaccard >= 0.5 pair
+    universe — (tp, fp, fn, precision, recall) in one row. The eval-suite
+    twin of x44 (ANN recall) for the dedup family: precision says how much
+    verify work the bands waste, recall says what the dedup pass silently
+    misses at this (bands, rows) operating point. Ground truth restricted
+    to pairs sharing >= 1 shingle is COMPLETE for J >= 0.5 (a positive-
+    Jaccard pair shares a shingle by definition), so no all-pairs scan."""
+    docs = read_sf_table(spark, sf, "documents")
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    truth = (
+        X_dedup.ngram_jaccard(sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.lit(1).alias("__t"))
+    )
+    lsh = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    ).select("id_a", "id_b", F.lit(1).alias("__l"))
+    both = truth.join(lsh, on=["id_a", "id_b"], how="full_outer")
+    agg = both.agg(
+        F.sum(
+            ((F.col("__t") == 1) & (F.col("__l") == 1)).cast("long")
+        ).alias("tp"),
+        F.sum((F.col("__t").isNull() & (F.col("__l") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col("__t") == 1) & F.col("__l").isNull()).cast("long")).alias("fn"),
+    )
+    return agg.select(
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.round(F.col("tp") / (F.col("tp") + F.col("fn")), 6),
+        ).alias("recall"),
+    )
+
+
+_register(
+    "x81_lsh_dedup_eval",
+    _x81,
+    f"WITH {_SHINGLE_SQL},"
+    " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+    " inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS ni"
+    "  FROM sh a JOIN sh b USING (shingle) WHERE a.id < b.id GROUP BY 1, 2),"
+    " truth AS (SELECT id_a, id_b FROM inter"
+    "  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b"
+    "  WHERE CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) >= 0.5),"
+    f" sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " lsh AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " j AS (SELECT coalesce(t.id_a, l.id_a) AS ia,"
+    "   t.id_a IS NOT NULL AS in_t, l.id_a IS NOT NULL AS in_l"
+    "  FROM truth t FULL JOIN lsh l ON t.id_a = l.id_a AND t.id_b = l.id_b),"
+    " c AS (SELECT CAST(sum(CASE WHEN in_t AND in_l THEN 1 ELSE 0 END) AS BIGINT) AS tp,"
+    "   CAST(sum(CASE WHEN NOT in_t AND in_l THEN 1 ELSE 0 END) AS BIGINT) AS fp,"
+    "   CAST(sum(CASE WHEN in_t AND NOT in_l THEN 1 ELSE 0 END) AS BIGINT) AS fn"
+    "  FROM j)"
+    " SELECT tp, fp, fn,"
+    "  CASE WHEN tp + fp > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fp), 6) END"
+    "   AS precision,"
+    "  CASE WHEN tp + fn > 0 THEN round(CAST(tp AS DOUBLE) / (tp + fn), 6) END"
+    "   AS recall"
+    " FROM c",
+)
+
+
+def _x82(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus novelty accounting per source: the share of each source's
+    (doc, 3-gram) incidences whose gram FIRST appears in that very doc
+    (global min-doc_id attribution) — the redundancy-growth curve a
+    curriculum/dedup planner reads ("late sources add nothing new").
+    Vocabulary-grain first-seen join; integer sums until one final
+    division."""
+    docs = read_sf_table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id", "source", F.explode(X_dedup.gram_array("text", 3)).alias("g")
+    ).distinct()
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, on="g")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("doc_id") == F.col("first_doc")).cast("long")).alias(
+                "n_novel"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_grams").cast("long").alias("n_grams"),
+        F.sum("n_novel").cast("long").alias("n_novel"),
+        F.round(F.sum("n_novel") / F.sum("n_grams"), 6).alias("novelty"),
+    )
+
+
+_register(
+    "x82_source_novelty",
+    _x82,
+    "WITH tok AS (SELECT doc_id, source,"
+    "   string_split_regex(trim(text), '\\s+') AS w FROM documents),"
+    " g AS (SELECT DISTINCT doc_id, source, array_to_string(w[i:i+2], ' ') AS g"
+    "  FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),"
+    " f AS (SELECT g, min(doc_id) AS first_doc FROM g GROUP BY 1),"
+    " d AS (SELECT doc_id, source, count(*) AS n_grams,"
+    "   sum(CASE WHEN doc_id = first_doc THEN 1 ELSE 0 END) AS n_novel"
+    "  FROM g JOIN f USING (g) GROUP BY 1, 2)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  CAST(sum(n_grams) AS BIGINT) AS n_grams,"
+    "  CAST(sum(n_novel) AS BIGINT) AS n_novel,"
+    "  round(CAST(sum(n_novel) AS DOUBLE) / sum(n_grams), 6) AS novelty"
+    " FROM d GROUP BY 1",
+)
+
+
+def _p09(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-DP randomized response (Warner 1965) over a sensitive bit
+    (value > 100), deterministically replayable: per event, coin1 (md5
+    bits) decides truth-vs-forced with p = 1/2, coin2 supplies the forced
+    answer with q = 1/2; the per-type debiased prevalence estimate is
+    (obs - (1-p)q) / p. The privacy-suite leg where the CLIENT perturbs
+    before the engine ever sees the truth (RAPPOR-style telemetry); the
+    debias arithmetic is exact-integer until one final division, and the
+    audit emits true vs debiased side by side. Deterministic md5 coins
+    are the engine-portable stand-in for the client RNG — same pattern
+    as p05's deterministic Laplace."""
+    ev = read_sf_table(spark, sf, "events")
+    h = F.md5(F.concat(F.lit("rr#"), F.col("event_id").cast("string")))
+    coin1 = F.conv(F.substring(h, 1, 2), 16, 10).cast("long") < 128
+    coin2 = F.conv(F.substring(h, 3, 2), 16, 10).cast("long") < 128
+    bit = F.col("value") > 100
+    reported = F.when(coin1, bit).otherwise(coin2)
+    per = ev.select(
+        "event_type",
+        bit.cast("long").alias("__true"),
+        reported.cast("long").alias("__rep"),
+    )
+    return per.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("__rep").cast("long").alias("n_reported"),
+        F.round(F.sum("__true") / F.count(F.lit(1)), 6).alias("pi_true"),
+        F.round(
+            (F.sum("__rep") / F.count(F.lit(1)) - F.lit(0.25)) / F.lit(0.5), 6
+        ).alias("pi_debiased"),
+    )
+
+
+_P09_HEXPAIR = (
+    "((strpos('0123456789abcdef', substr(h, {a}, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(h, {b}, 1)) - 1))"
+)
+
+_register(
+    "p09_randomized_response",
+    _p09,
+    "WITH e AS (SELECT event_type, \"value\" > 100 AS bit,"
+    "   md5('rr#' || CAST(event_id AS VARCHAR)) AS h FROM events),"
+    " r AS (SELECT event_type, CASE WHEN bit THEN 1 ELSE 0 END AS t,"
+    "   CASE WHEN " + _P09_HEXPAIR.format(a=1, b=2) + " < 128 THEN"
+    "     (CASE WHEN bit THEN 1 ELSE 0 END)"
+    "    ELSE (CASE WHEN " + _P09_HEXPAIR.format(a=3, b=4) + " < 128"
+    "     THEN 1 ELSE 0 END) END AS rep"
+    "  FROM e)"
+    " SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
+    "  CAST(sum(rep) AS BIGINT) AS n_reported,"
+    "  round(CAST(sum(t) AS DOUBLE) / count(*), 6) AS pi_true,"
+    "  round((CAST(sum(rep) AS DOUBLE) / count(*) - 0.25) / 0.5, 6)"
+    "   AS pi_debiased"
+    " FROM r GROUP BY 1",
+)
+
+
+def _s13(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC latest-value snapshot: complete-mode per-user
+    aggregation keeping (last ts, value and type at the (ts, event_id)
+    argmax, event count) — the materialized "current state" table a
+    change-stream consumer maintains (upsert-by-key), expressed as a pure
+    declarative streaming agg (state = one row per key, no custom
+    stateful op needed: max/max_by/count all merge incrementally).
+    Deterministic argmax via the unique (ts, event_id) pair."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events")
+    snap = ev.groupBy("user_id").agg(
+        F.max("ts").alias("last_ts"),
+        F.max_by(
+            F.struct(F.col("value").alias("v"), F.col("event_type").alias("t")),
+            F.struct("ts", "event_id"),
+        ).alias("__last"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    name = f"s13_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(snap, name, output_mode="complete")
+        q.awaitTermination(300)
+    out = spark.table(name).select(
+        "user_id",
+        "last_ts",
+        F.col("__last.v").alias("last_value"),
+        F.col("__last.t").alias("last_type"),
+        "n_events",
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s13_stream_latest_snapshot",
+    _s13,
+    "SELECT user_id, ts AS last_ts, \"value\" AS last_value,"
+    " event_type AS last_type, n_events FROM ("
+    " SELECT *, row_number() OVER (PARTITION BY user_id"
+    "   ORDER BY ts DESC, event_id DESC) AS rn,"
+    "  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events"
+    " FROM events) WHERE rn = 1",
+)
