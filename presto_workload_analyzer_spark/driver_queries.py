@@ -5330,3 +5330,238 @@ _register(
     "  CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_events"
     " FROM events) WHERE rn = 1",
 )
+
+
+from presto_workload_analyzer_spark.extensions import graph as X_graph  # noqa: E402
+
+
+def _x83(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank centrality over the x02 LSH candidate-pair graph
+    (graph.pagerank, 5 fixed power iterations, damping 0.85) — duplication
+    gravity: boilerplate/template docs sit central in the near-dup graph
+    long before components fully merge. Per-iteration cost is one
+    equi-join + one aggregate over the (bucket-bounded) edge set; the
+    oracle unrolls the same recurrence as chained CTEs."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    pr = X_graph.pagerank(pairs, iters=5, damping=0.85)
+    return pr.select("id", F.round(F.col("rank") + 1e-9, 6).alias("rank"))
+
+
+def _x83_oracle() -> str:
+    ctes = [
+        "ed AS (SELECT id_a AS src, id_b AS dst FROM pairs"
+        " UNION SELECT id_b, id_a FROM pairs)",
+        "deg AS (SELECT src, count(*) AS dg FROM ed GROUP BY 1)",
+        "pr0 AS (SELECT src AS id, 1.0 AS rank FROM deg)",
+    ]
+    for i in range(5):
+        ctes.append(
+            f"pr{i + 1} AS (SELECT ed.dst AS id,"
+            f" 0.15 + 0.85 * sum(pr{i}.rank / deg.dg) AS rank"
+            f" FROM ed JOIN pr{i} ON pr{i}.id = ed.src"
+            f" JOIN deg ON deg.src = ed.src GROUP BY ed.dst)"
+        )
+    return (
+        f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+        f" bands AS ({_X02_BANDS}),"
+        " pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+        "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+        + ", ".join(ctes)
+        + " SELECT id, round(rank + 1e-9, 6) AS rank FROM pr5"
+    )
+
+
+_register("x83_dedup_pagerank", _x83, _x83_oracle())
+
+
+def _x84(spark: SparkSession, sf: str) -> DataFrame:
+    """Normalization-robust exact dedup: duplicate groups on
+    textstats.normalized_text (lowercase, strip punctuation, collapse
+    whitespace) — catches the formatting-variant duplicates (case
+    changes, punctuation injection, re-wrapping) that byte-exact hashing
+    misses, still at exact-dedup cost. The corpus has no formatting
+    variants, so the query PLANTS deterministic ones (every 9th doc gets
+    an uppercased, punctuation-noised twin at id+2*10^6); the oracle
+    replays the planting and the normalization, making every planted
+    twin a REQUIRED group."""
+    docs = read_sf_table(spark, sf, "documents").select("doc_id", "text")
+    variants = docs.filter(F.col("doc_id") % 9 == 0).select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat(F.lit("  "), F.upper("text"), F.lit(" !! ")).alias("text"),
+    )
+    corpus = docs.unionByName(variants)
+    keyed = corpus.select(
+        "doc_id", X_text.normalized_text("text").alias("__norm")
+    )
+    return (
+        keyed.groupBy(F.md5("__norm").alias("norm_key"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+        )
+        .filter(F.col("n_copies") >= 2)
+    )
+
+
+_register(
+    "x84_normalized_dedup",
+    _x84,
+    "WITH corpus AS ("
+    "  SELECT doc_id, text FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 2000000, '  ' || upper(text) || ' !! '"
+    "  FROM documents WHERE doc_id % 9 = 0),"
+    " keyed AS (SELECT doc_id,"
+    "   trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    "    '\\s+', ' ', 'g')) AS norm"
+    "  FROM corpus)"
+    " SELECT md5(norm) AS norm_key, CAST(count(*) AS BIGINT) AS n_copies,"
+    "  min(doc_id) AS canonical_id"
+    " FROM keyed GROUP BY 1 HAVING count(*) >= 2",
+)
+
+
+def _x85(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable histogram quantiles (sketches.histogram_quantiles): p50 /
+    p90 / p99 of events.value per event_type at centi-resolution — the
+    latency-dashboard percentile shape: histogram bounded by range x
+    resolution (not rows), shards merge by cell addition, readout exact
+    at the resolution grain (quantile_disc of rounded values). The oracle
+    replays bin-cumulative-ceil readout directly."""
+    ev = read_sf_table(spark, sf, "events")
+    return X_sk.histogram_quantiles(
+        ev, "event_type", "value", resolution=100, qs=(0.5, 0.9, 0.99)
+    )
+
+
+_register(
+    "x85_histogram_quantiles",
+    _x85,
+    "WITH bins AS (SELECT event_type,"
+    "   CAST(round(\"value\" * 100, 0) AS BIGINT) AS bin, count(*) AS n"
+    "  FROM events GROUP BY 1, 2),"
+    " cum AS (SELECT event_type, bin, n,"
+    "   sum(n) OVER (PARTITION BY event_type ORDER BY bin"
+    "    ROWS UNBOUNDED PRECEDING) AS c,"
+    "   sum(n) OVER (PARTITION BY event_type) AS tot"
+    "  FROM bins)"
+    " SELECT event_type, CAST(max(tot) AS BIGINT) AS n,"
+    "  round(min(CASE WHEN c >= ceil(0.5 * tot) THEN bin END) / 100.0, 6) AS p50,"
+    "  round(min(CASE WHEN c >= ceil(0.9 * tot) THEN bin END) / 100.0, 6) AS p90,"
+    "  round(min(CASE WHEN c >= ceil(0.99 * tot) THEN bin END) / 100.0, 6) AS p99"
+    " FROM cum GROUP BY 1",
+)
+
+
+def _x86(spark: SparkSession, sf: str) -> DataFrame:
+    """PII inventory per source: counts of email / IPv4 / phone matches
+    and affected docs — the "what leaks, where, how much" report a data
+    owner reads before choosing redaction (x23) vs dropping; same regex
+    definitions as redact_pii so inventory and redaction agree. PII is
+    PLANTED deterministically on modular doc_id classes (emails on %5,
+    IPs on %3, phones on %7) and the oracle replays the planting, so
+    every count is a required, falsifiable number. One scan, three
+    regexp_count codegen expressions, source-grain aggregate."""
+    docs = read_sf_table(spark, sf, "documents")
+    planted = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(F.lit(" from 10.0.0."), (F.col("doc_id") % 255).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" tel +12 3456 7890")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    counted = planted.select(
+        "source",
+        F.regexp_count(
+            "text", F.lit(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+        ).cast("long").alias("__em"),
+        F.regexp_count("text", F.lit(r"\b(\d{1,3}\.){3}\d{1,3}\b")).cast("long").alias(
+            "__ip"
+        ),
+        F.regexp_count("text", F.lit(r"\+?\d[\d\- ]{7,}\d")).cast("long").alias(
+            "__ph"
+        ),
+    )
+    return counted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(((F.col("__em") + F.col("__ip") + F.col("__ph")) > 0).cast("long"))
+        .cast("long")
+        .alias("docs_with_pii"),
+        F.sum("__em").cast("long").alias("n_emails"),
+        F.sum("__ip").cast("long").alias("n_ips"),
+        F.sum("__ph").cast("long").alias("n_phones"),
+    )
+
+
+_register(
+    "x86_pii_inventory",
+    _x86,
+    "WITH planted AS (SELECT source, text"
+    "   || CASE WHEN doc_id % 5 = 0 THEN ' contact user'"
+    "      || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END"
+    "   || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.0.'"
+    "      || CAST(doc_id % 255 AS VARCHAR) ELSE '' END"
+    "   || CASE WHEN doc_id % 7 = 0 THEN ' tel +12 3456 7890' ELSE '' END"
+    "   AS text FROM documents),"
+    " c AS (SELECT source,"
+    "   len(regexp_extract_all(text,"
+    "    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS em,"
+    "   len(regexp_extract_all(text, '\\b(\\d{1,3}\\.){3}\\d{1,3}\\b')) AS ip,"
+    "   len(regexp_extract_all(text, '\\+?\\d[\\d\\- ]{7,}\\d')) AS ph"
+    "  FROM planted)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  CAST(sum(CASE WHEN em + ip + ph > 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS docs_with_pii,"
+    "  CAST(sum(em) AS BIGINT) AS n_emails,"
+    "  CAST(sum(ip) AS BIGINT) AS n_ips,"
+    "  CAST(sum(ph) AS BIGINT) AS n_phones"
+    " FROM c GROUP BY 1",
+)
+
+
+def _p10(spark: SparkSession, sf: str) -> DataFrame:
+    """Quasi-identifier uniqueness spectrum: how many (user_id,
+    event_type) equivalence classes have size 1, 2, ... 5, 6+ and how
+    many ROWS sit in each — the re-identification risk profile that
+    motivates p04's k-anonymity suppression (the k_bucket=1 row IS the
+    unique-row attack surface; p04 suppresses below 10). Group sizes are
+    one aggregate; the spectrum is a second aggregate over group-grain
+    rows."""
+    ev = read_sf_table(spark, sf, "events")
+    gs = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("__gs"))
+    return (
+        gs.groupBy(F.least(F.col("__gs"), F.lit(6)).cast("long").alias("k_bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("__gs").cast("long").alias("n_rows"),
+        )
+    )
+
+
+_register(
+    "p10_uniqueness_spectrum",
+    _p10,
+    "WITH gs AS (SELECT user_id, event_type, count(*) AS gs"
+    "  FROM events GROUP BY 1, 2)"
+    " SELECT CAST(least(gs, 6) AS BIGINT) AS k_bucket,"
+    "  CAST(count(*) AS BIGINT) AS n_groups,"
+    "  CAST(sum(gs) AS BIGINT) AS n_rows"
+    " FROM gs GROUP BY 1",
+)

@@ -389,3 +389,46 @@ def test_kmv_mode_guard(spark):
     df = spark.createDataFrame([Row(g="a", t="w")])
     with pytest.raises(ValueError, match="hash mode"):
         sketches.kmv_sketch(df, "g", "t", k=4, mode="sha9")
+
+
+# ------------------------------------------------------ histogram quantiles
+
+
+def test_histogram_quantiles_hand_computed(spark):
+    # group a: values 1..10 (resolution-exact) -> p50 = 5, p90 = 9, p99 = 10
+    rows = [Row(g="a", v=float(i)) for i in range(1, 11)]
+    out = sketches.histogram_quantiles(
+        spark.createDataFrame(rows), "g", "v", resolution=100
+    ).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.n == 10 and r.p50 == 5.0 and r.p90 == 9.0 and r.p99 == 10.0
+
+
+def test_histogram_quantiles_resolution_grain(spark):
+    # sub-resolution values collapse into one bin: quantiles snap to it
+    rows = [Row(g="a", v=0.001), Row(g="a", v=0.004)]
+    r = sketches.histogram_quantiles(
+        spark.createDataFrame(rows), "g", "v", resolution=100
+    ).collect()[0]
+    assert r.p50 == 0.0 and r.p99 == 0.0  # both round to bin 0 at centi-res
+
+    r2 = sketches.histogram_quantiles(
+        spark.createDataFrame(rows), "g", "v", resolution=1000
+    ).collect()[0]
+    assert r2.p50 == 0.001 and r2.p99 == 0.004  # milli-res separates them
+
+
+def test_histogram_quantiles_duplicates_and_groups(spark):
+    rows = [Row(g="a", v=1.0)] * 99 + [Row(g="a", v=100.0)] + [
+        Row(g="b", v=7.0)
+    ]
+    got = {
+        r.g: r
+        for r in sketches.histogram_quantiles(
+            spark.createDataFrame(rows), "g", "v", resolution=100
+        ).collect()
+    }
+    # 99% of mass at 1.0: p50/p90 = 1, p99 hits ceil(.99*100)=99th row = 1.0
+    assert got["a"].p50 == 1.0 and got["a"].p90 == 1.0 and got["a"].p99 == 1.0
+    assert got["b"].n == 1 and got["b"].p50 == 7.0
