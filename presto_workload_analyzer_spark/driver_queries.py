@@ -4781,16 +4781,20 @@ _register(
 
 def _x74(spark: SparkSession, sf: str) -> DataFrame:
     """Blocked fuzzy record linkage (dedup.fuzzy_linkage_pairs): pairs of
-    documents whose 48-char prefixes are within Levenshtein distance 8,
-    candidates generated by a (lang, length-band) blocking equi-join with
-    adjacent-band probing — the record-linkage operator (Fellegi-Sunter
-    blocking stage) for entity resolution over a 100 TB corpus. Both
-    engines implement classic Wagner-Fischer levenshtein(), so the verify
-    predicate is oracle-exact."""
+    documents whose 32-char prefixes are within Levenshtein distance 8,
+    candidates generated by a (lang, 8-char-length-band) blocking
+    equi-join with adjacent-band probing — the record-linkage operator
+    (Fellegi-Sunter blocking stage) for entity resolution. Both engines
+    implement classic Wagner-Fischer levenshtein(), so the verify
+    predicate is oracle-exact. band_width is the quadratic knob: cost is
+    sum of block-size^2, so bands must stay narrow as the corpus grows
+    (8 chars here ~ 1.5 s at sf0.1 vs 18 s at width 64); corpora too
+    length-uniform to band should block by SNM rank or LSH instead
+    (x56/x65 provide both candidate generators)."""
     docs = read_sf_table(spark, sf, "documents")
     out = X_dedup.fuzzy_linkage_pairs(
         docs, "doc_id", "text", block_cols=["lang"], band_col="n_chars",
-        band_width=64, prefix_len=48, max_dist=8,
+        band_width=8, prefix_len=32, max_dist=8,
     )
     return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
 
@@ -4798,8 +4802,8 @@ def _x74(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "x74_fuzzy_linkage",
     _x74,
-    "WITH base AS (SELECT doc_id AS id, substr(text, 1, 48) AS p, lang,"
-    "   CAST(trunc(n_chars / 64.0) AS BIGINT) AS band FROM documents),"
+    "WITH base AS (SELECT doc_id AS id, substr(text, 1, 32) AS p, lang,"
+    "   CAST(trunc(n_chars / 8.0) AS BIGINT) AS band FROM documents),"
     " probe AS (SELECT id AS idp, p AS pb, lang, band + d AS band, d"
     "   FROM base, UNNEST([0, 1]) AS t(d))"
     " SELECT least(a.id, probe.idp) AS id_a, greatest(a.id, probe.idp) AS id_b,"
@@ -5564,4 +5568,209 @@ _register(
     "  CAST(count(*) AS BIGINT) AS n_groups,"
     "  CAST(sum(gs) AS BIGINT) AS n_rows"
     " FROM gs GROUP BY 1",
+)
+
+
+def _x87(spark: SparkSession, sf: str) -> DataFrame:
+    """Functional-dependency audit (profile.fd_audit) over three candidate
+    FDs: documents.source -> lang and lang -> source (both genuinely
+    violated — sources are multilingual) and nation.n_name -> n_regionkey
+    (holds — names are unique), so the audit exercises both verdicts. One
+    lhs-grain exact count-distinct per candidate; candidates union at one
+    row each."""
+    docs = read_sf_table(spark, sf, "documents")
+    nat = read_sf_table(spark, sf, "nation")
+    return (
+        X_prof.fd_audit(docs, "source", "lang", "documents.source->lang")
+        .unionByName(X_prof.fd_audit(docs, "lang", "source", "documents.lang->source"))
+        .unionByName(
+            X_prof.fd_audit(nat, "n_name", "n_regionkey", "nation.n_name->n_regionkey")
+        )
+    )
+
+
+_X87_ONE = (
+    " (SELECT '{name}' AS fd, CAST(count(*) AS BIGINT) AS n_groups,"
+    "  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,"
+    "  CAST(sum(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)"
+    "   AS rows_in_violating"
+    " FROM (SELECT {lhs}, count(DISTINCT {rhs}) AS nd, count(*) AS n"
+    "   FROM {tbl} GROUP BY 1))"
+)
+
+_register(
+    "x87_fd_audit",
+    _x87,
+    _X87_ONE.format(name="documents.source->lang", lhs="source", rhs="lang", tbl="documents")
+    + " UNION ALL "
+    + _X87_ONE.format(name="documents.lang->source", lhs="lang", rhs="source", tbl="documents")
+    + " UNION ALL "
+    + _X87_ONE.format(
+        name="nation.n_name->n_regionkey", lhs="n_name", rhs="n_regionkey", tbl="nation"
+    ),
+)
+
+
+def _x88(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based join-cardinality estimation (sketches.cms_inner_product):
+    |orders join customer ON custkey| estimated from two count-min
+    sketches vs the exact count — the cost-based-optimizer primitive
+    (estimate a 100 TB join's size from constant-size mergeable state
+    before choosing broadcast vs shuffle). Output: (est, exact,
+    overshoot); the CMS identity guarantees est >= exact. md5 mode so the
+    oracle replays cell placement digit-for-digit."""
+    orders = read_sf_table(spark, sf, "orders")
+    cust = read_sf_table(spark, sf, "customer")
+    sk_o = X_sk.countmin_sketch(
+        orders.select(F.col("o_custkey").cast("string").alias("term")),
+        "term", width=1024, depth=4, mode="md5",
+    )
+    sk_c = X_sk.countmin_sketch(
+        cust.select(F.col("c_custkey").cast("string").alias("term")),
+        "term", width=1024, depth=4, mode="md5",
+    )
+    est = X_sk.cms_inner_product(sk_o, sk_c)
+    oc = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("__no")
+    )
+    cc = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("__nc")
+    )
+    exact = oc.join(cc, on="k").agg(
+        F.coalesce(F.sum(F.col("__no") * F.col("__nc")), F.lit(0))
+        .cast("long")
+        .alias("exact")
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "est", "exact", F.round(F.col("est") / F.col("exact"), 6).alias("overshoot")
+        )
+    )
+
+
+def _x88_cell_sql(src: str) -> str:
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = " + ".join(
+        f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4)
+    )
+    return (
+        f"(SELECT d, pos, count(*) AS n FROM"
+        f" (SELECT d, ({val}) % 1024 AS pos FROM"
+        f"  (SELECT d, md5(CAST(d AS VARCHAR) || '#' || term) AS h"
+        f"   FROM {src}, UNNEST([0, 1, 2, 3]) AS t(d)))"
+        f" GROUP BY 1, 2)"
+    )
+
+
+_register(
+    "x88_join_size_estimate",
+    _x88,
+    "WITH oterm AS (SELECT CAST(o_custkey AS VARCHAR) AS term FROM orders),"
+    " cterm AS (SELECT CAST(c_custkey AS VARCHAR) AS term FROM customer),"
+    f" co AS {_x88_cell_sql('oterm')},"
+    f" cc AS {_x88_cell_sql('cterm')},"
+    " ipd AS (SELECT a.d, sum(a.n * coalesce(b.n, 0)) AS ip FROM co a"
+    "  LEFT JOIN cc b ON a.d = b.d AND a.pos = b.pos GROUP BY 1),"
+    " est AS (SELECT CAST(min(ip) AS BIGINT) AS est FROM ipd),"
+    " ex AS (SELECT CAST(coalesce(sum(o.cnt * c.cnt), 0) AS BIGINT) AS exact"
+    "  FROM (SELECT o_custkey AS k, count(*) AS cnt FROM orders GROUP BY 1) o"
+    "  JOIN (SELECT c_custkey AS k, count(*) AS cnt FROM customer GROUP BY 1) c"
+    "   USING (k))"
+    " SELECT est, exact, round(CAST(est AS DOUBLE) / exact, 6) AS overshoot"
+    " FROM est, ex",
+)
+
+
+def _x89(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level Shannon entropy per source (bits/char) — the
+    cheapest gibberish / encoding-damage / binary-spill detector: natural
+    text sits ~4-4.5 bits, base64 blobs and key dumps jump toward 6, and
+    mojibake collapses the char distribution. Char counts are one
+    map-side-combinable aggregate (grain = source x alphabet, a schema
+    constant); the entropy sum runs over alphabet-grain rows."""
+    docs = read_sf_table(spark, sf, "documents")
+    chars = docs.select(
+        "source", F.explode(F.split("text", "")).alias("c")
+    ).filter(F.col("c") != "")
+    counts = chars.groupBy("source", "c").agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.groupBy("source").agg(
+        F.sum("__n").alias("__tot"), F.count(F.lit(1)).alias("__distinct")
+    )
+    p = F.col("__n") / F.col("__tot")
+    return (
+        counts.join(tot, on="source")
+        .groupBy("source")
+        .agg(
+            F.max("__tot").cast("long").alias("n_chars"),
+            F.max("__distinct").cast("long").alias("n_distinct_chars"),
+            F.round(-F.sum(p * F.log2(p)) + 1e-9, 6).alias("entropy_bits"),
+        )
+    )
+
+
+_register(
+    "x89_char_entropy",
+    _x89,
+    "WITH ch AS (SELECT source, unnest(string_split(text, '')) AS c"
+    "  FROM documents),"
+    " counts AS (SELECT source, c, count(*) AS n FROM ch WHERE c <> ''"
+    "  GROUP BY 1, 2),"
+    " tot AS (SELECT source, sum(n) AS tot, count(*) AS nd FROM counts"
+    "  GROUP BY 1)"
+    " SELECT source, CAST(max(tot) AS BIGINT) AS n_chars,"
+    "  CAST(max(nd) AS BIGINT) AS n_distinct_chars,"
+    "  round(-sum((CAST(n AS DOUBLE) / tot) * log2(CAST(n AS DOUBLE) / tot))"
+    "   + 1e-9, 6) AS entropy_bits"
+    " FROM counts JOIN tot USING (source) GROUP BY 1",
+)
+
+
+def _s14(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming percentile dashboard: the histogram-sketch build
+    (bounded (event_type, centi-bin) cells) runs as a complete-mode
+    STREAMING aggregation — state = range x resolution cells, constant
+    regardless of stream length — and the exact-at-resolution quantile
+    readout (sketches.histogram_readout) runs batch-side on the drained
+    cells. The streaming twin of x85, sharing its oracle: histograms are
+    the percentile shape that streams, because cells merge and quantile
+    state does not."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events")
+    bins = ev.groupBy(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("__bin"),
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    name = f"s14_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(bins, name, output_mode="complete")
+        q.awaitTermination(300)
+    hist = spark.table(name)
+    out = X_sk.histogram_readout(hist, "event_type", resolution=100, qs=(0.5, 0.9, 0.99))
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s14_stream_percentiles",
+    _s14,
+    "WITH bins AS (SELECT event_type,"
+    "   CAST(round(\"value\" * 100, 0) AS BIGINT) AS bin, count(*) AS n"
+    "  FROM events GROUP BY 1, 2),"
+    " cum AS (SELECT event_type, bin, n,"
+    "   sum(n) OVER (PARTITION BY event_type ORDER BY bin"
+    "    ROWS UNBOUNDED PRECEDING) AS c,"
+    "   sum(n) OVER (PARTITION BY event_type) AS tot"
+    "  FROM bins)"
+    " SELECT event_type, CAST(max(tot) AS BIGINT) AS n,"
+    "  round(min(CASE WHEN c >= ceil(0.5 * tot) THEN bin END) / 100.0, 6) AS p50,"
+    "  round(min(CASE WHEN c >= ceil(0.9 * tot) THEN bin END) / 100.0, 6) AS p90,"
+    "  round(min(CASE WHEN c >= ceil(0.99 * tot) THEN bin END) / 100.0, 6) AS p99"
+    " FROM cum GROUP BY 1",
 )

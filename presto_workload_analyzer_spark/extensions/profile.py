@@ -255,3 +255,29 @@ def zorder_key(cols: list, bits: int = 8) -> "F.Column":
                 F.shiftright(guarded, b).bitwiseAND(F.lit(1)), b * n + i
             )
     return key
+
+
+def fd_audit(df: DataFrame, lhs: str, rhs: str, name: str) -> DataFrame:
+    """Functional-dependency audit for one candidate FD `lhs -> rhs`: a
+    single row `(fd, n_groups, n_violating, rows_in_violating)`.
+
+    A group violates when one lhs value maps to >= 2 distinct rhs values
+    — the schema-inference / data-quality primitive behind "is source a
+    reliable language key" and "did ingestion fan a key out". Cost: one
+    exact count-distinct aggregate at lhs grain (map-side combined), then
+    a single-row rollup; rows_in_violating weights violations by blast
+    radius, which is what triage sorts by. Run one fd_audit per candidate
+    and union the rows — each candidate is its own scan-grain aggregate,
+    so candidates parallelize trivially.
+    """
+    g = df.groupBy(lhs).agg(
+        F.countDistinct(rhs).alias("__nd"), F.count(F.lit(1)).alias("__n")
+    )
+    return g.agg(
+        F.lit(name).alias("fd"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum((F.col("__nd") > 1).cast("long")).cast("long").alias("n_violating"),
+        F.sum(F.when(F.col("__nd") > 1, F.col("__n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_in_violating"),
+    )

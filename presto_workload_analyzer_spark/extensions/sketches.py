@@ -341,14 +341,35 @@ def histogram_quantiles(
         )
         .agg(F.count(F.lit(1)).alias("__n"))
     )
+    return histogram_readout(bins, group_col, resolution=resolution, qs=qs)
+
+
+def histogram_readout(
+    bins: DataFrame,
+    group_col: str,
+    resolution: int = 100,
+    qs: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Quantile readout over an already-built `(group, __bin, __n)` cell
+    frame — the merge-then-read half of histogram_quantiles, reusable on
+    histograms accumulated elsewhere (a streaming complete-mode agg, a
+    union of per-day histograms, a parquet-persisted sketch store). The
+    cumulative window runs over AGGREGATED cells only."""
     w = (
         Window.partitionBy(group_col)
         .orderBy("__bin")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = bins.withColumn("__cum", F.sum("__n").over(w))
-    tot = bins.groupBy(group_col).agg(F.sum("__n").alias("__tot"))
-    j = cum.join(tot, on=group_col)
+    # total via an unbounded partition window rather than a groupBy +
+    # self-join: one pass over the (aggregated) cells, and no conflicting
+    # self-references when the cell frame is an externally-materialized
+    # table (e.g. a drained streaming memory sink)
+    w_tot = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    j = bins.withColumn("__cum", F.sum("__n").over(w)).withColumn(
+        "__tot", F.sum("__n").over(w_tot)
+    )
     aggs = [F.max("__tot").cast("long").alias("n")]
     for q in qs:
         label = f"p{round(q * 100):d}"
@@ -365,3 +386,31 @@ def histogram_quantiles(
             ).alias(label)
         )
     return j.groupBy(group_col).agg(*aggs)
+
+
+def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
+    """Equi-join cardinality estimate from two count-min sketches: one row
+    `(est,)` = min over depth rows of the cell-wise inner product.
+
+    The classic sketch identity (Cormode & Muthukrishnan 2005, §4.2):
+    sum_w cms_A[d][w] * cms_B[d][w] >= |A join B on key| for every d,
+    with overshoot bounded by n_A * n_B * e / width — so the min over
+    depth is a one-sided join-size estimate from CONSTANT-size state.
+    This is what a cost-based optimizer consults before picking a join
+    strategy at 100 TB: both sides' sketches are built in one scan each
+    (mergeable across shards), and the estimate itself joins depth x
+    width cells — microseconds, no data movement.
+
+    A-side cells missing from B contribute zero (left join + coalesce);
+    depth rows always exist on the A side, so an empty-overlap row
+    correctly yields est = 0 rather than vanishing from the min.
+    """
+    b = sk_b.select("d", "pos", F.col("n").alias("__nb"))
+    per_d = (
+        sk_a.join(b, on=["d", "pos"], how="left")
+        .groupBy("d")
+        .agg(
+            F.sum(F.col("n") * F.coalesce(F.col("__nb"), F.lit(0))).alias("__ip")
+        )
+    )
+    return per_d.agg(F.min("__ip").cast("long").alias("est"))

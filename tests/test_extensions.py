@@ -1890,3 +1890,23 @@ def test_truncation_dedup_no_false_groups(spark):
         spark.createDataFrame(rows), "doc_id", "text"
     ).collect()
     assert out == []
+
+
+# ------------------------------------------------------------- FD audit
+
+
+def test_fd_audit_holds_and_violations(spark):
+    from presto_workload_analyzer_spark.extensions import profile
+
+    rows = [
+        Row(a="x", b="p"), Row(a="x", b="p"),      # group x: consistent
+        Row(a="y", b="p"), Row(a="y", b="q"),      # group y: violated (2 rows)
+        Row(a="z", b="r"),                          # singleton: consistent
+    ]
+    df = spark.createDataFrame(rows)
+    r = profile.fd_audit(df, "a", "b", "a->b").collect()[0]
+    assert r.fd == "a->b"
+    assert r.n_groups == 3 and r.n_violating == 1 and r.rows_in_violating == 2
+    # the reverse FD b->r: b=p maps to {x, y} -> violated with 3 rows
+    r2 = profile.fd_audit(df, "b", "a", "b->a").collect()[0]
+    assert r2.n_groups == 3 and r2.n_violating == 1 and r2.rows_in_violating == 3

@@ -432,3 +432,29 @@ def test_histogram_quantiles_duplicates_and_groups(spark):
     # 99% of mass at 1.0: p50/p90 = 1, p99 hits ceil(.99*100)=99th row = 1.0
     assert got["a"].p50 == 1.0 and got["a"].p90 == 1.0 and got["a"].p99 == 1.0
     assert got["b"].n == 1 and got["b"].p50 == 7.0
+
+
+# --------------------------------------------------- CMS join-size estimate
+
+
+def test_cms_inner_product_upper_bound_and_exact_when_wide(spark):
+    # A keys: 1 x3, 2 x2, 3 x1 ; B keys: 1 x2, 3 x5, 4 x9
+    # exact |A join B| = 3*2 + 1*5 = 11
+    a = spark.createDataFrame([Row(term=t) for t in ["1"] * 3 + ["2"] * 2 + ["3"]])
+    b = spark.createDataFrame(
+        [Row(term=t) for t in ["1"] * 2 + ["3"] * 5 + ["4"] * 9]
+    )
+    for mode in ("md5", "xxhash64"):
+        sa = sketches.countmin_sketch(a, "term", width=1024, depth=4, mode=mode)
+        sb = sketches.countmin_sketch(b, "term", width=1024, depth=4, mode=mode)
+        est = sketches.cms_inner_product(sa, sb).collect()[0].est
+        assert est >= 11          # one-sided always
+        assert est == 11          # collision-free at width >> keys
+
+
+def test_cms_inner_product_disjoint_keys_zero(spark):
+    a = spark.createDataFrame([Row(term="x")])
+    b = spark.createDataFrame([Row(term="y")])
+    sa = sketches.countmin_sketch(a, "term", width=1024, depth=4)
+    sb = sketches.countmin_sketch(b, "term", width=1024, depth=4)
+    assert sketches.cms_inner_product(sa, sb).collect()[0].est == 0
