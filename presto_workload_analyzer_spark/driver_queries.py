@@ -4780,37 +4780,47 @@ _register(
 
 
 def _x74(spark: SparkSession, sf: str) -> DataFrame:
-    """Blocked fuzzy record linkage (dedup.fuzzy_linkage_pairs): pairs of
-    documents whose 32-char prefixes are within Levenshtein distance 8,
-    candidates generated by a (lang, 8-char-length-band) blocking
-    equi-join with adjacent-band probing — the record-linkage operator
-    (Fellegi-Sunter blocking stage) for entity resolution. Both engines
-    implement classic Wagner-Fischer levenshtein(), so the verify
-    predicate is oracle-exact. band_width is the quadratic knob: cost is
-    sum of block-size^2, so bands must stay narrow as the corpus grows
-    (8 chars here ~ 1.5 s at sf0.1 vs 18 s at width 64); corpora too
-    length-uniform to band should block by SNM rank or LSH instead
-    (x56/x65 provide both candidate generators)."""
+    """Fuzzy record linkage, SNM-blocked: candidates from a sorted-
+    neighborhood pass keyed by the 32-char text prefix (window 10 —
+    LINEAR candidate count by construction, n x window), verified with
+    Levenshtein distance <= 8 on the prefixes — the record-linkage
+    operator (Fellegi-Sunter blocking + edit-distance compare). Both
+    engines implement classic Wagner-Fischer levenshtein(), so the
+    verify predicate is oracle-exact.
+
+    The attribute-banded generator (dedup.fuzzy_linkage_pairs) remains
+    the right blocking when a discriminative exact attribute exists, but
+    its cost is sum-of-block-size^2 — on this corpus (5 langs x narrow
+    length range) blocks grow with the data and the sf0.1->sf1 slope
+    measured 94x. Rank-window blocking replaces the quadratic with
+    n x window while KEEPING edit-distance verification; the recall
+    trade (leading-char edits sort apart) is SNM's documented blind
+    spot, closed in production by multi-pass keys (x65's pattern)."""
     docs = read_sf_table(spark, sf, "documents")
-    out = X_dedup.fuzzy_linkage_pairs(
-        docs, "doc_id", "text", block_cols=["lang"], band_col="n_chars",
-        band_width=8, prefix_len=32, max_dist=8,
+    cand = X_dedup.sorted_neighborhood_pairs(
+        docs, "doc_id", "text", window=10, key=F.substring("text", 1, 32)
     )
-    return out.select("id_a", "id_b", F.col("dist").cast("long").alias("dist"))
+    pref = docs.select(F.col("doc_id").alias("id"), F.substring("text", 1, 32).alias("__p"))
+    return (
+        cand.join(pref.withColumnsRenamed({"id": "id_a", "__p": "__pa"}), on="id_a")
+        .join(pref.withColumnsRenamed({"id": "id_b", "__p": "__pb"}), on="id_b")
+        .select(
+            "id_a", "id_b", F.levenshtein("__pa", "__pb").cast("long").alias("dist")
+        )
+        .filter(F.col("dist") <= 8)
+    )
 
 
 _register(
     "x74_fuzzy_linkage",
     _x74,
-    "WITH base AS (SELECT doc_id AS id, substr(text, 1, 32) AS p, lang,"
-    "   CAST(trunc(n_chars / 8.0) AS BIGINT) AS band FROM documents),"
-    " probe AS (SELECT id AS idp, p AS pb, lang, band + d AS band, d"
-    "   FROM base, UNNEST([0, 1]) AS t(d))"
-    " SELECT least(a.id, probe.idp) AS id_a, greatest(a.id, probe.idp) AS id_b,"
-    "  CAST(levenshtein(a.p, probe.pb) AS BIGINT) AS dist"
-    " FROM base a JOIN probe ON a.lang = probe.lang AND a.band = probe.band"
-    " WHERE (probe.d = 1 OR a.id < probe.idp)"
-    "  AND levenshtein(a.p, probe.pb) <= 8",
+    "WITH pk AS (SELECT doc_id AS id, substr(text, 1, 32) AS p FROM documents),"
+    " r AS (SELECT id, p, row_number() OVER (ORDER BY p ASC NULLS FIRST, id ASC)"
+    "   AS rnk FROM pk)"
+    " SELECT a.id AS id_a, b.id AS id_b,"
+    "  CAST(levenshtein(a.p, b.p) AS BIGINT) AS dist"
+    " FROM r a JOIN r b ON b.rnk > a.rnk AND b.rnk - a.rnk <= 9"
+    " WHERE levenshtein(a.p, b.p) <= 8",
 )
 
 
@@ -6009,4 +6019,249 @@ _register(
     "  r_entropy, r_fertility, r_novelty, r_dup,"
     "  r_entropy + r_fertility + r_novelty + r_dup AS composite"
     " FROM ranked",
+)
+
+
+def _x93(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash estimator calibration: for every x02 LSH candidate pair,
+    the signature-level similarity estimate (matching components / 16)
+    against exact shingle Jaccard, rolled up into a calibration summary —
+    (n_pairs, mean_est, mean_exact, mean_abs_err, max_abs_err). The
+    estimator-quality eval for the dedup family's measuring stick itself:
+    E[est] = J per component, so a drifting mean_abs_err beyond binomial
+    noise means a broken hash or band pipeline. Cost: signatures already
+    exist at doc grain; exact Jaccard runs on CANDIDATES only."""
+    docs = read_sf_table(spark, sf, "documents")
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    sig = X_dedup.minhash_signatures(
+        X_dedup.shingles(docs, "doc_id", "text", k=3, distinct=False),
+        num_hashes=16, mode="md5",
+    )
+    bands = X_dedup.lsh_bands(sig, bands=4, rows_per_band=4, mode="md5")
+    cand = X_dedup.lsh_candidate_pairs(bands)
+    exact = X_dedup.ngram_jaccard(sh, pairs=cand)
+    sa = sig.select(
+        F.col("id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"__a{i}") for i in range(16)],
+    )
+    sb = sig.select(
+        F.col("id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"__b{i}") for i in range(16)],
+    )
+    est = (
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                sum(
+                    (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int")
+                    for i in range(16)
+                )
+                / F.lit(16.0)
+            ).alias("__est"),
+        )
+    )
+    j = est.join(exact, on=["id_a", "id_b"])
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.round(F.avg("__est") + 1e-9, 6).alias("mean_est"),
+        F.round(F.avg("jaccard") + 1e-9, 6).alias("mean_exact"),
+        F.round(F.avg(F.abs(F.col("__est") - F.col("jaccard"))) + 1e-9, 6).alias(
+            "mean_abs_err"
+        ),
+        F.round(F.max(F.abs(F.col("__est") - F.col("jaccard"))) + 1e-9, 6).alias(
+            "max_abs_err"
+        ),
+    )
+
+
+_register(
+    "x93_minhash_calibration",
+    _x93,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),"
+    " inter AS (SELECT c.id_a, c.id_b, count(*) AS ni FROM cand c"
+    "  JOIN sh a ON a.id = c.id_a JOIN sh b ON b.id = c.id_b"
+    "   AND b.shingle = a.shingle GROUP BY 1, 2),"
+    " exact AS (SELECT id_a, id_b,"
+    "   CAST(ni AS DOUBLE) / (sa.n + sb.n - ni) AS jac FROM inter"
+    "  JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b),"
+    " est AS (SELECT c.id_a, c.id_b, ("
+    + " + ".join(
+        f"CASE WHEN a.sig_{i} = b.sig_{i} THEN 1 ELSE 0 END" for i in range(16)
+    )
+    + ") / 16.0 AS e"
+    "  FROM cand c JOIN sig a ON a.id = c.id_a JOIN sig b ON b.id = c.id_b)"
+    " SELECT CAST(count(*) AS BIGINT) AS n_pairs,"
+    "  round(avg(e) + 1e-9, 6) AS mean_est,"
+    "  round(avg(jac) + 1e-9, 6) AS mean_exact,"
+    "  round(avg(abs(e - jac)) + 1e-9, 6) AS mean_abs_err,"
+    "  round(max(abs(e - jac)) + 1e-9, 6) AS max_abs_err"
+    " FROM est JOIN exact USING (id_a, id_b)",
+)
+
+
+def _x94(spark: SparkSession, sf: str) -> DataFrame:
+    """Conditional entropy H(lang | source) vs H(lang): how many bits of
+    language uncertainty remain once the source is known — the
+    information-theoretic refinement of x87's binary FD verdict (an FD
+    that is violated may still be NEARLY deterministic; mutual
+    information says how nearly). One (source x lang) joint-count
+    aggregate; entropies from exact integer counts with one final
+    division chain."""
+    docs = read_sf_table(spark, sf, "documents")
+    joint = docs.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("__n"))
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    w_src = Window.partitionBy("source").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    enriched = joint.withColumn("__tot", F.sum("__n").over(w_all)).withColumn(
+        "__nsrc", F.sum("__n").over(w_src)
+    )
+    p_joint = F.col("__n") / F.col("__tot")
+    p_cond = F.col("__n") / F.col("__nsrc")
+    # H(lang|source) = -sum p(s,l) log2 p(l|s); H(lang) from lang marginals
+    h_cond = enriched.agg(
+        F.round(-F.sum(p_joint * F.log2(p_cond)) + 1e-9, 6).alias("h_lang_given_source")
+    )
+    lang_m = joint.groupBy("lang").agg(F.sum("__n").alias("__nl"))
+    w_all2 = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    h_lang = (
+        lang_m.withColumn("__tot", F.sum("__nl").over(w_all2))
+        .agg(
+            F.round(
+                -F.sum((F.col("__nl") / F.col("__tot")) * F.log2(F.col("__nl") / F.col("__tot")))
+                + 1e-9,
+                6,
+            ).alias("h_lang")
+        )
+    )
+    return (
+        h_lang.crossJoin(F.broadcast(h_cond))
+        .select(
+            "h_lang",
+            "h_lang_given_source",
+            F.round(
+                F.col("h_lang") - F.col("h_lang_given_source") + 1e-9, 6
+            ).alias("mutual_information"),
+        )
+    )
+
+
+_register(
+    "x94_conditional_entropy",
+    _x94,
+    "WITH joint AS (SELECT source, lang, count(*) AS n FROM documents"
+    "  GROUP BY 1, 2),"
+    " tot AS (SELECT sum(n) AS t FROM joint),"
+    " src AS (SELECT source, sum(n) AS ns FROM joint GROUP BY 1),"
+    " hc AS (SELECT round(-sum((CAST(n AS DOUBLE) / t)"
+    "   * log2(CAST(n AS DOUBLE) / ns)) + 1e-9, 6) AS h_lang_given_source"
+    "  FROM joint JOIN src USING (source) CROSS JOIN tot),"
+    " lm AS (SELECT lang, sum(n) AS nl FROM joint GROUP BY 1),"
+    " hl AS (SELECT round(-sum((CAST(nl AS DOUBLE) / t)"
+    "   * log2(CAST(nl AS DOUBLE) / t)) + 1e-9, 6) AS h_lang FROM lm, tot)"
+    " SELECT h_lang, h_lang_given_source,"
+    "  round(h_lang - h_lang_given_source + 1e-9, 6) AS mutual_information"
+    " FROM hl, hc",
+)
+
+
+def _x95(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget mix planner: given target mix weights over sources
+    and a global token budget, the per-source sampling rate, allocated
+    tokens, and achieved mix — the PLANNING step upstream of x27's
+    resampling (compute rates from source-grain token totals, then
+    sample). rate_s = min(1, budget * w_s / tokens_s): undersized
+    sources saturate at 1 and the achieved mix shows the shortfall
+    honestly. Everything after the one token-count aggregate is
+    source-grain arithmetic."""
+    docs = read_sf_table(spark, sf, "documents")
+    budget = 100_000
+    per_src = docs.groupBy("source").agg(
+        F.sum(X_text.token_count("text").cast("long")).alias("__tokens")
+    )
+    n_src = 20  # uniform target mix over the fixed source set
+    w = 1.0 / n_src
+    planned = per_src.select(
+        "source",
+        F.col("__tokens").cast("long").alias("tokens_available"),
+        F.round(
+            F.least(F.lit(1.0), F.lit(budget * w) / F.col("__tokens")), 6
+        ).alias("rate"),
+        F.least(F.lit(float(budget * w)), F.col("__tokens").cast("double"))
+        .cast("long")
+        .alias("tokens_allocated"),
+    )
+    w_all = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return planned.withColumn(
+        "achieved_share",
+        F.round(
+            F.col("tokens_allocated") / F.sum("tokens_allocated").over(w_all), 6
+        ),
+    )
+
+
+_register(
+    "x95_mix_planner",
+    _x95,
+    "WITH per AS (SELECT source,"
+    "   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+    "    AS tokens_available"
+    "  FROM documents GROUP BY 1),"
+    " planned AS (SELECT source, tokens_available,"
+    "   round(least(1.0, 5000.0 / tokens_available), 6) AS rate,"
+    "   CAST(least(5000.0, CAST(tokens_available AS DOUBLE)) AS BIGINT)"
+    "    AS tokens_allocated"
+    "  FROM per)"
+    " SELECT source, tokens_available, rate, tokens_allocated,"
+    "  round(CAST(tokens_allocated AS DOUBLE)"
+    "   / sum(tokens_allocated) OVER (), 6) AS achieved_share"
+    " FROM planned",
+)
+
+
+def _p11(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity risk-utility sweep: for k in {2, 5, 10, 20}, how many
+    (user_id, event_type) groups and rows p04-style suppression would
+    drop — the curve a data owner reads to pick k (the p04 operator
+    fixes k=10; this query shows what that choice costs and what the
+    alternatives would). One group-size aggregate, then four CASE sums
+    over group-grain rows."""
+    ev = read_sf_table(spark, sf, "events")
+    gs = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("__gs"))
+    rows_ = [
+        F.struct(
+            F.lit(k).alias("k"),
+            F.sum((F.col("__gs") < k).cast("long")).cast("long").alias("groups_suppressed"),
+            F.sum(F.when(F.col("__gs") < k, F.col("__gs")).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("rows_suppressed"),
+        )
+        for k in (2, 5, 10, 20)
+    ]
+    agg = gs.agg(F.array(*rows_).alias("__arr"))
+    return agg.select(F.explode("__arr").alias("r")).select(
+        F.col("r.k").cast("long").alias("k"),
+        "r.groups_suppressed",
+        "r.rows_suppressed",
+    )
+
+
+_register(
+    "p11_k_sweep",
+    _p11,
+    "WITH gs AS (SELECT user_id, event_type, count(*) AS gs FROM events"
+    "  GROUP BY 1, 2)"
+    " SELECT CAST(k AS BIGINT) AS k,"
+    "  CAST(sum(CASE WHEN gs < k THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS groups_suppressed,"
+    "  CAST(sum(CASE WHEN gs < k THEN gs ELSE 0 END) AS BIGINT)"
+    "   AS rows_suppressed"
+    " FROM gs, UNNEST([2, 5, 10, 20]) AS t(k) GROUP BY 1",
 )

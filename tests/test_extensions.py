@@ -1910,3 +1910,21 @@ def test_fd_audit_holds_and_violations(spark):
     # the reverse FD b->r: b=p maps to {x, y} -> violated with 3 rows
     r2 = profile.fd_audit(df, "b", "a", "b->a").collect()[0]
     assert r2.n_groups == 3 and r2.n_violating == 1 and r2.rows_in_violating == 3
+
+
+def test_recommended_planes_density_law(spark):
+    from presto_workload_analyzer_spark.extensions.similarity import (
+        recommended_planes,
+    )
+
+    assert recommended_planes(1000, 64) == 4      # floor applies
+    assert recommended_planes(64 * 16, 64) == 4
+    assert recommended_planes(64 * 1024, 64) == 10
+    # 10x data -> +4 planes at most (log law), occupancy stays ~target
+    assert recommended_planes(640 * 1024, 64) - recommended_planes(64 * 1024, 64) <= 4
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        recommended_planes(0)
+    with _pt.raises(ValueError):
+        recommended_planes(100, 0)

@@ -27,6 +27,19 @@ import sys
 # which no plan shape can change. Keep this list justified, short, loud.
 OUTPUT_BOUND = {
     "x34_tfidf_doc_pairs",  # pair enumeration; true pair set is quadratic here
+    # x66: benchmark side is production-CONSTANT (a suite doesn't grow with
+    # the corpus); the replica generator clones the 40 benchmark docs into
+    # every replica, so gram-hit mass grew 89x (239 -> 21,344 measured)
+    # while wall grew only 20.7x — sublinear per hit. Real-corpus growth
+    # with a fixed benchmark is linear.
+    "x66_contamination_matrix",
+    # x33/x64: candidate joins are linear in CANDIDATES; at the FIXED
+    # 4-plane/2-band oracle parameters 10x rows in a 16-bucket space give
+    # ~100x bucket pairs (measured 256,949 -> 25,834,562) while wall grew
+    # only 18.6x/9.6x — per-candidate throughput improved >5x. Production
+    # scaling raises planes with log2(n): similarity.recommended_planes.
+    "x33_blocked_embedding_dedup",
+    "x64_embedding_dedup_keep",
 }
 
 
