@@ -6265,3 +6265,182 @@ _register(
     "   AS rows_suppressed"
     " FROM gs, UNNEST([2, 5, 10, 20]) AS t(k) GROUP BY 1",
 )
+
+
+def _x96(spark: SparkSession, sf: str) -> DataFrame:
+    """Robust per-source length outliers via median/MAD (the
+    histogram-quantile machinery applied twice at resolution 1 — both
+    medians EXACT): a doc is an outlier when |n_chars - median| exceeds
+    5 x MAD (any positive deviation when MAD = 0). Mean/stddev outlier
+    rules break on the very contamination they should find (a few huge
+    docs drag the mean); median/MAD has a 50% breakdown point. Cost: two
+    value-grain histogram passes + one broadcast join of source-grain
+    stats."""
+    docs = read_sf_table(spark, sf, "documents")
+    med = X_sk.histogram_quantiles(
+        docs, "source", "n_chars", resolution=1, qs=(0.5,)
+    ).select("source", F.col("p50").cast("long").alias("__med"))
+    dev = docs.join(F.broadcast(med), on="source").select(
+        "source", F.abs(F.col("n_chars") - F.col("__med")).cast("long").alias("dev")
+    )
+    mad = X_sk.histogram_quantiles(
+        dev, "source", "dev", resolution=1, qs=(0.5,)
+    ).select("source", F.col("p50").cast("long").alias("__mad"))
+    flagged = dev.join(F.broadcast(mad), on="source").select(
+        "source",
+        (
+            (F.col("dev") > 5 * F.col("__mad"))
+            & (F.col("dev") > 0)
+        ).cast("long").alias("__out"),
+    )
+    per = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__out").cast("long").alias("n_outliers"),
+    )
+    return (
+        per.join(F.broadcast(med), on="source")
+        .join(F.broadcast(mad), on="source")
+        .select(
+            "source",
+            "n_docs",
+            F.col("__med").alias("median_chars"),
+            F.col("__mad").alias("mad_chars"),
+            "n_outliers",
+        )
+    )
+
+
+_X96_MED = (
+    " {out} AS (SELECT source,"
+    "  CAST(min(CASE WHEN c >= ceil(0.5 * tot) THEN v END) AS BIGINT) AS {col}"
+    " FROM (SELECT source, v, sum(n) OVER (PARTITION BY source ORDER BY v"
+    "    ROWS UNBOUNDED PRECEDING) AS c,"
+    "   sum(n) OVER (PARTITION BY source) AS tot"
+    "  FROM (SELECT source, {expr} AS v, count(*) AS n FROM {src}"
+    "   GROUP BY 1, 2)) GROUP BY 1)"
+)
+
+_register(
+    "x96_length_outliers",
+    _x96,
+    "WITH"
+    + _X96_MED.format(out="med", col="med", expr="n_chars", src="documents")
+    + ", dev AS (SELECT d.source, abs(d.n_chars - med.med) AS dev"
+    "  FROM documents d JOIN med ON med.source = d.source),"
+    + _X96_MED.format(out="madt", col="mad", expr="dev", src="dev")
+    + " SELECT dev.source, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  CAST(max(med.med) AS BIGINT) AS median_chars,"
+    "  CAST(max(madt.mad) AS BIGINT) AS mad_chars,"
+    "  CAST(sum(CASE WHEN dev > 5 * madt.mad AND dev > 0 THEN 1 ELSE 0 END)"
+    "   AS BIGINT) AS n_outliers"
+    " FROM dev JOIN med ON med.source = dev.source"
+    " JOIN madt ON madt.source = dev.source"
+    " GROUP BY 1",
+)
+
+
+def _x97(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew audit: for each candidate partition/join key, the
+    row count, exact distinct-key count, and the hottest key's share of
+    rows — the pre-flight numbers that decide salting (p02), AQE skew
+    hints, and broadcast choices BEFORE a 100 TB shuffle is launched.
+    Max-share needs no sort and no window: key-grain counts then max/sum
+    — every statement map-side combinable."""
+
+    def audit(df: DataFrame, col: str, name: str) -> DataFrame:
+        g = df.groupBy(F.col(col).alias("__k")).agg(F.count(F.lit(1)).alias("__n"))
+        return g.agg(
+            F.lit(name).alias("key_name"),
+            F.sum("__n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("ndv"),
+            F.round(F.max("__n") / F.sum("__n"), 6).alias("max_key_share"),
+        )
+
+    ev = read_sf_table(spark, sf, "events")
+    orders = read_sf_table(spark, sf, "orders")
+    li = read_sf_table(spark, sf, "lineitem")
+    docs = read_sf_table(spark, sf, "documents")
+    return (
+        audit(ev, "user_id", "events.user_id")
+        .unionByName(audit(ev, "event_type", "events.event_type"))
+        .unionByName(audit(orders, "o_custkey", "orders.o_custkey"))
+        .unionByName(audit(li, "l_orderkey", "lineitem.l_orderkey"))
+        .unionByName(audit(docs, "source", "documents.source"))
+    )
+
+
+_X97_ONE = (
+    " (SELECT '{name}' AS key_name, CAST(sum(n) AS BIGINT) AS n_rows,"
+    "  CAST(count(*) AS BIGINT) AS ndv,"
+    "  round(CAST(max(n) AS DOUBLE) / sum(n), 6) AS max_key_share"
+    " FROM (SELECT {col} AS k, count(*) AS n FROM {tbl} GROUP BY 1))"
+)
+
+_register(
+    "x97_skew_audit",
+    _x97,
+    " UNION ALL ".join(
+        _X97_ONE.format(name=n, col=c, tbl=t)
+        for n, c, t in [
+            ("events.user_id", "user_id", "events"),
+            ("events.event_type", "event_type", "events"),
+            ("orders.o_custkey", "o_custkey", "orders"),
+            ("lineitem.l_orderkey", "l_orderkey", "lineitem"),
+            ("documents.source", "source", "documents"),
+        ]
+    ),
+)
+
+
+def _p12(spark: SparkSession, sf: str) -> DataFrame:
+    """Contribution-clipped DP daily histogram: each user contributes at
+    most C = 5 events (first 5 by (ts, event_id) — deterministic clip),
+    bounding the L1 sensitivity of every daily count at C, then
+    deterministic Laplace(scale = C/eps, eps = 1) noise per day — the
+    sensitivity-accounting step p05's raw noisy counts deliberately
+    skipped, and the difference between "added noise" and an actual DP
+    budget claim. The clip window is keyed by user_id (corpus
+    cardinality); noise reuses p05's reproducible inverse-CDF hash
+    mechanism (salt swap = real entropy in production)."""
+    from presto_workload_analyzer_spark.privacy.obfuscate import laplace_noise
+
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    clipped = ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5)
+    g = clipped.groupBy(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_clipped"))
+    return g.withColumn(
+        "noisy_n",
+        F.round(
+            F.col("n_clipped")
+            + laplace_noise(F.col("bucket"), scale=5.0, salt="dphist")
+            + 1e-9,
+            6,
+        ),
+    )
+
+
+_register(
+    "p12_dp_clipped_histogram",
+    _p12,
+    "WITH r AS (SELECT ts, row_number() OVER (PARTITION BY user_id"
+    "   ORDER BY ts, event_id) AS rn FROM events),"
+    " g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,"
+    "   CAST(count(*) AS BIGINT) AS n_clipped FROM r WHERE rn <= 5 GROUP BY 1),"
+    " k AS (SELECT bucket, n_clipped,"
+    "   md5('dphist|' || CAST(bucket AS VARCHAR)) AS h FROM g),"
+    " u AS (SELECT bucket, n_clipped,"
+    "   (((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576"
+    "    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536"
+    "    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096"
+    "    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256"
+    "    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16"
+    "    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1) + 0.5)"
+    "    / 16777216.0 - 0.5 AS u"
+    "  FROM k)"
+    " SELECT bucket, n_clipped,"
+    "  round(n_clipped + (-5.0 * sign(u) * ln(1.0 - 2.0 * abs(u))) + 1e-9, 6)"
+    "   AS noisy_n"
+    " FROM u",
+)
