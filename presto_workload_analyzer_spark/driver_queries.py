@@ -6444,3 +6444,144 @@ _register(
     "   AS noisy_n"
     " FROM u",
 )
+
+
+def _x98(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT shingle-Jaccard self-join via prefix filtering — the lossless
+    counterpart to x02's MinHash-LSH: same candidate-then-verify shape,
+    but the df-ascending prefix guarantee means zero false negatives, so
+    the oracle can be a completely independent BRUTE-FORCE all-pairs
+    Jaccard (the strongest falsifiability in the suite: any pair the
+    pruning drops that it shouldn't is an instant hash mismatch)."""
+    docs = read_sf_table(spark, sf, "documents")
+    return X_dedup.prefix_filter_jaccard_join(
+        docs, "doc_id", "text", k=4, threshold=0.5
+    )
+
+
+_register(
+    "x98_prefix_filter_join",
+    _x98,
+    r"WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w"
+    "   FROM documents),"
+    " tok AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS tok"
+    "   FROM t0, UNNEST(range(1, greatest(len(w) - 3, 0) + 1)) AS t(i)),"
+    " sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY 1),"
+    " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+    "   FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id"
+    "   GROUP BY 1, 2)"
+    " SELECT id_a, id_b,"
+    "  round(CAST(i AS DOUBLE) / (sa.m + sb.m - i), 6) AS jaccard"
+    " FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b"
+    " WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.5",
+)
+
+
+def _a38(spark: SparkSession, sf: str) -> DataFrame:
+    """Join-graph mining: which table PAIRS are scanned inside the same
+    query, how often, and what share of the workload that is — the
+    numbers behind bucketing / co-partitioning / sort-key advice (two
+    tables co-scanned in 40% of queries are the ones to co-locate).
+    Per-query distinct tables first, so the pair fan-out is bounded by
+    (tables per query)^2 — a plan-shape constant — not corpus size."""
+    pn = (
+        workload_plan_nodes(spark, sf)
+        .select("query_id", F.col("deepest_scan_table").alias("t"))
+        .distinct()
+    )
+    tot = pn.agg(F.countDistinct("query_id").alias("__nq"))
+    pairs = (
+        pn.alias("a")
+        .join(pn.alias("b"), "query_id")
+        .filter(F.col("a.t") < F.col("b.t"))
+        .select(F.col("a.t").alias("table_a"), F.col("b.t").alias("table_b"))
+    )
+    return (
+        pairs.groupBy("table_a", "table_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "table_a",
+            "table_b",
+            "n_queries",
+            F.round(F.col("n_queries") / F.col("__nq"), 6).alias("query_share"),
+        )
+    )
+
+
+_register(
+    "a38_table_cooccurrence",
+    _a38,
+    _ALL_CTES
+    + ", pt AS (SELECT DISTINCT query_id, deepest_scan_table AS t FROM pnodes)"
+    " SELECT a.t AS table_a, b.t AS table_b,"
+    "  CAST(count(*) AS BIGINT) AS n_queries,"
+    "  round(count(*) / CAST((SELECT count(DISTINCT query_id) FROM pt) AS DOUBLE),"
+    "   6) AS query_share"
+    " FROM pt a JOIN pt b ON a.query_id = b.query_id AND a.t < b.t"
+    " GROUP BY 1, 2",
+)
+
+
+def _x99(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis-Spirakis A-ES): per
+    source, the 20 documents with the largest key ln(u)/w, u a 24-bit
+    md5-derived uniform, w = whitespace token count — equivalent to
+    sampling WITHOUT replacement with probability proportional to token
+    mass, the right way to subsample a corpus when downstream cost is
+    token-metered. The hash replaces RNG state so any engine replays the
+    same sample (salt swap = fresh entropy in production). The per-source
+    top-k runs through sampling._hierarchical_row_number (range shards of
+    the key, per-shard local top-20, aggregated offset window) — `source`
+    alone is the low-cardinality partition key the engine's window lint
+    bans over raw rows."""
+    docs = read_sf_table(spark, sf, "documents")
+    w = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
+    u = (
+        (F.conv(F.substring(F.md5(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double") + 0.5)
+        / F.lit(16777216.0)
+    )
+    keyed = docs.select(
+        "source",
+        "doc_id",
+        w.cast("long").alias("n_tokens"),
+        (F.log(u) / w).alias("__key"),
+    )
+    # shard = coarse range bucket of the DESCENDING sort key: ascending
+    # floor(-key) tracks descending key, so shards are order-monotone as
+    # _hierarchical_row_number requires
+    ranked = X_samp._hierarchical_row_number(
+        keyed,
+        ["source"],
+        [F.col("__key").desc(), F.col("doc_id")],
+        F.floor(-F.col("__key") * 1024).cast("long"),
+        "__rk",
+        local_prune=F.lit(20),
+    )
+    return (
+        ranked.filter(F.col("__rk") <= 20)
+        .select("source", "doc_id", "n_tokens", F.col("__rk").cast("long").alias("sample_rank"))
+    )
+
+
+_register(
+    "x99_weighted_sample",
+    _x99,
+    r"WITH b AS (SELECT source, doc_id,"
+    r"   len(string_split_regex(trim(text), '\s+')) AS n_tokens,"
+    "   md5('wsamp|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),"
+    " k AS (SELECT source, doc_id, n_tokens,"
+    "   ln((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576"
+    "    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536"
+    "    + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096"
+    "    + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256"
+    "    + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16"
+    "    + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1) + 0.5)"
+    "    / 16777216.0) / n_tokens AS key FROM b),"
+    " r AS (SELECT source, doc_id, n_tokens,"
+    "   row_number() OVER (PARTITION BY source ORDER BY key DESC, doc_id) AS rk"
+    "  FROM k)"
+    " SELECT source, doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,"
+    "  CAST(rk AS BIGINT) AS sample_rank"
+    " FROM r WHERE rk <= 20",
+)

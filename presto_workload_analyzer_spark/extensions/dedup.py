@@ -1088,3 +1088,80 @@ def truncation_dedup_groups(
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT set-similarity self-join via AllPairs/PPJoin prefix filtering.
+
+    Returns every unordered pair (id_a < id_b) whose word-k-shingle-set
+    Jaccard is >= threshold, with the exact score: (id_a, id_b, jaccard).
+    Unlike MinHash-LSH (minhash_lsh_pairs) there are NO false negatives —
+    the output is identical to the all-pairs answer — yet the all-pairs
+    comparison never runs.
+
+    Prefix-filter guarantee (SSJoin / AllPairs family, public literature):
+    order each document's shingles by ascending global document frequency
+    (rarest first, ties by shingle value); with prefix length
+    p = m - ceil(t * m) + 1 over a set of size m, any pair with
+    J(a, b) >= t must share at least one PREFIX shingle of each side, so
+    an equi-join on prefix shingles alone cannot miss a qualifying pair.
+    The pruning is what scales: prefixes hold each document's RAREST
+    shingles, so a boilerplate shingle shared by half the corpus lands in
+    nobody's prefix and the hot-token quadratic blowup of a naive inverted
+    index never happens. Candidates are then verified with true
+    intersection counts joined ON THE CANDIDATE PAIRS ONLY.
+
+    Shuffle structure at 100 TB: shingle-grain df count + id-grain rank
+    window + prefix equi-join (short rare-token posting lists) + a
+    candidate-scoped verify join; residual hot prefixes are AQE skew-join
+    territory. ceil is computed with a -1e-9 guard so float error can only
+    LENGTHEN the prefix (more candidates, never a lost pair).
+    """
+    toks = shingles(df, id_col, text_col, k=k, distinct=True)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__m"))
+    dfreq = toks.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = (
+        toks.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("__df", "shingle")),
+        )
+        .withColumn(
+            "__p",
+            (F.col("__m") - F.ceil(F.col("__m") * threshold - 1e-9) + 1).cast("int"),
+        )
+    )
+    prefix = ranked.filter(F.col("__rn") <= F.col("__p")).select("id", "shingle")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = toks.select(F.col("id").alias("id_a"), "shingle")
+    tb = toks.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("__m").alias("__ma"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("__m").alias("__mb"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "__j", F.col("__i") / (F.col("__ma") + F.col("__mb") - F.col("__i"))
+        )
+        .filter(F.col("__j") >= threshold)
+        .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
+    )

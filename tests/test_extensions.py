@@ -1928,3 +1928,83 @@ def test_recommended_planes_density_law(spark):
         recommended_planes(0)
     with _pt.raises(ValueError):
         recommended_planes(100, 0)
+
+
+def test_prefix_filter_join_is_lossless_vs_brute_force(spark):
+    """The prefix filter must return EXACTLY the all-pairs answer: every
+    pair with shingle-set Jaccard >= t, none below, exact scores."""
+    from itertools import combinations
+
+    from presto_workload_analyzer_spark.extensions.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    texts = {
+        1: "the quick brown fox jumps over the lazy dog today",
+        2: "the quick brown fox jumps over the lazy dog tonight",  # near-dup of 1
+        3: "the quick brown fox jumps over the lazy dog today",  # exact dup of 1
+        4: "completely different words about training data pipelines here now",
+        5: "entirely unrelated sentence mentioning spark catalyst and tungsten",
+        6: "short text",  # < k words -> zero shingles, must not crash
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    out = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_join(
+            df, "doc_id", "text", k=4, threshold=0.5
+        ).collect()
+    }
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 4]) for i in range(len(w) - 3)}
+
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= 0.5:
+            expect[(a, b)] = round(j, 6)
+    assert out == expect  # completeness AND soundness AND exact scores
+    assert (1, 3) in out and out[(1, 3)] == 1.0
+
+
+def test_prefix_filter_join_prunes_hot_shingles(spark):
+    """A boilerplate shingle shared by every doc must not appear in any
+    prefix (it is the globally most frequent), so candidate generation
+    stays far below all-pairs even on a template-heavy corpus."""
+    from presto_workload_analyzer_spark.extensions.dedup import shingles
+
+    from pyspark.sql import functions as F
+
+    # 8 shared boilerplate words, then 10 per-doc-unique words: each doc
+    # has >= 10 df=1 shingles, comfortably more than its prefix length
+    # p = m - ceil(0.5 m) + 1, so the frequency ordering can always fill
+    # the prefix with rare shingles.
+    boiler = "standard header line for every document corpus intro"
+    rows = [
+        (i, boiler + " " + " ".join(f"w{i}t{j}" for j in range(10)))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    toks = shingles(df, "doc_id", "text", k=4, distinct=True)
+    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("m"))
+    dfreq = toks.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql import Window
+
+    ranked = (
+        toks.join(dfreq, "shingle")
+        .join(sizes, "id")
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("id").orderBy("df", "shingle")),
+        )
+        .withColumn("p", (F.col("m") - F.ceil(F.col("m") * 0.5 - 1e-9) + 1))
+    )
+    prefix = ranked.filter(F.col("rn") <= F.col("p"))
+    # every fully-shared boilerplate shingle (df == 30) must be pruned
+    assert prefix.filter(F.col("df") == 30).count() == 0
