@@ -6585,3 +6585,35 @@ _register(
     "  CAST(rk AS BIGINT) AS sample_rank"
     " FROM r WHERE rk <= 20",
 )
+
+
+def _x100(spark: SparkSession, sf: str) -> DataFrame:
+    """Triangle census of the x02 LSH candidate-pair graph
+    (graph.triangle_counts, degree-ordered orientation): clique-density
+    refinement between raw pairs and x14's components — high triangle
+    counts mark mutual-duplicate template clusters, zero marks banding
+    hubs/chains where collapsing a whole component would over-delete.
+    The oracle enumerates triangles BRUTE-FORCE as an a<b<c triple join
+    over the replayed pair set — fully independent of the orientation
+    trick, so a wedge the pruning miscounts is a hash mismatch."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    return X_graph.triangle_counts(pairs)
+
+
+_register(
+    "x100_dup_triangles",
+    _x100,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " tri AS (SELECT p1.id_a AS x, p1.id_b AS y, p2.id_b AS z"
+    "  FROM pairs p1 JOIN pairs p2 ON p2.id_a = p1.id_b"
+    "  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),"
+    " tn AS (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri"
+    "  UNION ALL SELECT z FROM tri)"
+    " SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM tn GROUP BY 1",
+)

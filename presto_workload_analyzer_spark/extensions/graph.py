@@ -80,3 +80,66 @@ def pagerank(
         return ranks
     finally:
         contrib_edges.unpersist()
+
+
+def triangle_counts(pairs: DataFrame) -> DataFrame:
+    """Per-node triangle counts over the undirected candidate-pair graph:
+    `(id, n_triangles)` for every node appearing in at least one triangle.
+
+    Triangle density separates clique-like template clusters (mutual
+    near-dups — safe to collapse to one survivor) from star/chain
+    artifacts of banding (a hub doc LSH-adjacent to many docs that are
+    NOT adjacent to each other — collapse would over-delete), the
+    standard graph refinement between raw pairs (x02) and connected
+    components (x14).
+
+    Algorithm: degree-ordered edge orientation (the MapReduce triangle
+    formulation of Suri & Vassilvitskii, WWW'11 "Counting Triangles and
+    the Curse of the Last Reducer" — public literature). Every edge is
+    directed from its (degree, id)-smaller endpoint to the larger; each
+    triangle then has exactly one pivot with two out-edges, so a
+    self-join of out-edges on the pivot enumerates every candidate wedge
+    exactly once and an equi-join against the oriented edges closes it.
+    The orientation caps out-degree at O(sqrt(|E|)) REGARDLESS of raw
+    degree — a viral hub with a million neighbors contributes wedges
+    only through its low-degree endpoints, so the "last reducer"
+    quadratic of the naive neighbor self-join never happens. Cost: two
+    degree aggregations + one wedge equi-join + one closing equi-join,
+    all key-shuffled; no driver state.
+    """
+    # canonicalize so a duplicate edge reported in both orientations
+    # cannot double a degree (same robustness contract as pagerank)
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).distinct()
+    und = e.select(F.col("a").alias("id")).unionAll(e.select(F.col("b").alias("id")))
+    deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("dg"))
+    ed = e.join(deg.select(F.col("id").alias("a"), F.col("dg").alias("dga")), "a").join(
+        deg.select(F.col("id").alias("b"), F.col("dg").alias("dgb")), "b"
+    )
+    lt = (F.col("dga") < F.col("dgb")) | (
+        (F.col("dga") == F.col("dgb")) & (F.col("a") < F.col("b"))
+    )
+    orient = ed.select(
+        F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
+        F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        F.when(lt, F.col("dgb")).otherwise(F.col("dga")).alias("dg_dst"),
+    )
+    e1 = orient.select("src", F.col("dst").alias("d1"), F.col("dg_dst").alias("g1"))
+    e2 = orient.select("src", F.col("dst").alias("d2"), F.col("dg_dst").alias("g2"))
+    # wedge endpoints ordered by the SAME (degree, id) key as the
+    # orientation, so the closing edge is oriented d1 -> d2 by construction
+    wedges = e1.join(e2, "src").filter(
+        (F.col("g1") < F.col("g2"))
+        | ((F.col("g1") == F.col("g2")) & (F.col("d1") < F.col("d2")))
+    )
+    closing = orient.select(F.col("src").alias("d1"), F.col("dst").alias("d2"))
+    tris = wedges.join(closing, ["d1", "d2"])
+    nodes = (
+        tris.select(F.col("src").alias("id"))
+        .unionAll(tris.select(F.col("d1").alias("id")))
+        .unionAll(tris.select(F.col("d2").alias("id")))
+    )
+    return nodes.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_triangles")
+    )

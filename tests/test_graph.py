@@ -67,3 +67,54 @@ def test_pagerank_duplicate_pairs_collapse(spark):
     g1 = {r.id: r.rank for r in graph.pagerank(once, iters=2).collect()}
     g2 = {r.id: r.rank for r in graph.pagerank(twice, iters=2).collect()}
     assert g1 == g2
+
+
+def test_triangle_counts_planted_shapes(spark):
+    """K4 (every node in C(3,2)=3 triangles), a star (zero triangles —
+    the banding-hub shape), and a chain (zero) in one graph."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    star = [(100, x) for x in (101, 102, 103, 104)]
+    chain = [(200, 201), (201, 202), (202, 203)]
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in k4 + star + chain]
+    )
+    got = {r.id: r.n_triangles for r in graph.triangle_counts(pairs).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}  # star/chain nodes absent
+
+
+def test_triangle_counts_orientation_robust_to_duplicates(spark):
+    """An edge reported in both orientations must not fabricate wedges."""
+    tri = [(1, 2), (2, 3), (1, 3)]
+    doubled = tri + [(b, a) for a, b in tri]
+    g1 = {
+        r.id: r.n_triangles
+        for r in graph.triangle_counts(
+            spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in tri])
+        ).collect()
+    }
+    g2 = {
+        r.id: r.n_triangles
+        for r in graph.triangle_counts(
+            spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in doubled])
+        ).collect()
+    }
+    assert g1 == {1: 1, 2: 1, 3: 1}
+    assert g2 == g1
+
+
+def test_triangle_counts_hub_no_blowup_and_correct(spark):
+    """A hub of degree 40 fused with K5: counts must come out exactly
+    right even though the naive neighbor self-join would enumerate
+    C(40,2) = 780 wedges through the hub — the orientation routes every
+    wedge through low-degree endpoints instead."""
+    hub = [(0, x) for x in range(1, 41)]
+    k5 = [(a, b) for a in range(1, 6) for b in range(a + 1, 6)]  # nodes 1..5
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in hub + k5]
+    )
+    got = {r.id: r.n_triangles for r in graph.triangle_counts(pairs).collect()}
+    # triangles: C(5,3)=10 inside K5, plus hub+each K5 edge = 10 more.
+    # hub: 10; each K5 node: C(4,2)=6 inside + 4 with the hub = 10.
+    assert got[0] == 10
+    assert all(got[n] == 10 for n in range(1, 6))
+    assert set(got) == {0, 1, 2, 3, 4, 5}
