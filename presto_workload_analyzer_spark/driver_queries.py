@@ -6617,3 +6617,52 @@ _register(
     "  UNION ALL SELECT z FROM tri)"
     " SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM tn GROUP BY 1",
 )
+
+
+def _s15(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming funnel-conversion detection (streaming/funnel.py,
+    applyInPandasWithState): signup ARMS, error DISARMS, purchase
+    CONSUMES within a 1h horizon — the order-SENSITIVE pattern a
+    stream-stream interval join (s04) cannot express. Conversions emit
+    in the purchase's own batch (no watermark-dependent residue), so
+    the drained stream equals the batch lag() formulation exactly."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        funnel_conversions,
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events").withWatermark("ts", "1 minute")
+    conv = funnel_conversions(ev, horizon_seconds=3600.0)
+    name = f"s15_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(conv, name, output_mode="append")
+        q.awaitTermination(300)
+    out = spark.table(name).select(
+        "user_id",
+        "signup_ts",
+        "purchase_ts",
+        F.round("latency_s", 6).alias("latency_s"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register(
+    "s15_stream_funnel",
+    _s15,
+    "WITH rel AS (SELECT user_id, ts, event_id, event_type FROM events"
+    "  WHERE event_type IN ('signup', 'error', 'purchase')),"
+    " lagd AS (SELECT user_id, ts, event_type,"
+    "   lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "    AS ptype,"
+    "   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pts"
+    "  FROM rel)"
+    " SELECT user_id, pts AS signup_ts, ts AS purchase_ts,"
+    "  round(CAST(epoch_us(ts) - epoch_us(pts) AS DOUBLE) / 1e6, 6)"
+    "   AS latency_s"
+    " FROM lagd WHERE event_type = 'purchase' AND ptype = 'signup'"
+    "  AND epoch_us(ts) - epoch_us(pts) <= 3600000000",
+)

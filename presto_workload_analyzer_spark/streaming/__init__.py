@@ -1,3 +1,4 @@
+from presto_workload_analyzer_spark.streaming.funnel import funnel_conversions
 from presto_workload_analyzer_spark.streaming.joins import interval_join
 from presto_workload_analyzer_spark.streaming.sessions import query_sessions
 from presto_workload_analyzer_spark.streaming.ingest import (
@@ -14,6 +15,7 @@ from presto_workload_analyzer_spark.streaming.ingest import (
 )
 
 __all__ = [
+    "funnel_conversions",
     "interval_join",
     "query_sessions",
     "idempotent_parquet_batch_sink",

@@ -285,3 +285,55 @@ def test_cusum_alarms_stateful(spark, tmp_path):
     got = {(r.key, r.event_id): r.s_plus for r in spark.read.parquet(out).collect()}
     # P after rows 0..4 for 'a': 8,16,24,32,40 -> alarms at rows 2,3,4
     assert got == {("a", 2): 24.0, ("a", 3): 32.0, ("a", 4): 40.0}
+
+
+def test_funnel_conversions_state_machine(spark, tmp_path):
+    """Every transition of the funnel machine: arm->convert, error
+    disarm, re-arm overwrite, consume-once, beyond-horizon consume
+    without emit, and irrelevant events ignored."""
+    import pandas as pd
+
+    from presto_workload_analyzer_spark.streaming.funnel import (
+        funnel_conversions,
+    )
+
+    def ev(user, sec, eid, typ):
+        return (user, "2024-01-01 00:%02d:%02d" % (sec // 60, sec % 60), eid, typ)
+
+    rows = [
+        # user 1: signup -> purchase within horizon => converts (latency 10)
+        ev(1, 0, 1, "signup"), ev(1, 10, 2, "purchase"),
+        # user 1 again: second purchase finds IDLE (consumed) => nothing
+        ev(1, 20, 3, "purchase"),
+        # user 2: signup -> error -> purchase => disarmed, nothing
+        ev(2, 0, 4, "signup"), ev(2, 5, 5, "error"), ev(2, 10, 6, "purchase"),
+        # user 3: signup, signup (re-arm), purchase => converts from 2nd arm
+        ev(3, 0, 7, "signup"), ev(3, 30, 8, "signup"), ev(3, 40, 9, "purchase"),
+        # user 4: signup -> purchase BEYOND 60s horizon => consumed, no emit
+        ev(4, 0, 10, "signup"), ev(4, 120, 11, "purchase"),
+        # user 5: click/view noise between arm and purchase is ignored
+        ev(5, 0, 12, "signup"), ev(5, 5, 13, "click"),
+        ev(5, 7, 14, "view"), ev(5, 15, 15, "purchase"),
+    ]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    src = str(tmp_path / "funnel_src")
+    spark.createDataFrame(pdf).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_id long, event_type string"
+    ).parquet(src).withWatermark("ts", "1 minute")
+    conv = funnel_conversions(stream, horizon_seconds=60.0)
+    out, ckpt = str(tmp_path / "funnel_out"), str(tmp_path / "funnel_ckpt")
+    q = (
+        conv.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.latency_s) for r in spark.read.parquet(out).collect()
+    }
+    assert got == {(1, 10.0), (3, 10.0), (5, 15.0)}
