@@ -183,3 +183,57 @@ def test_containment_vs_jaccard_invariants(spark):
         a, b = sets[pair[0]], sets[pair[1]]
         small, big = (a, b) if len(a) <= len(b) else (b, a)
         assert (abs(c - 1.0) < 1e-12) == small.issubset(big)
+
+
+@pytest.fixture(scope="module")
+def spark_pp(spark):
+    return spark
+
+
+@given(data=st.data())
+@settings(max_examples=8, deadline=None)
+def test_prefix_filter_join_equals_brute_force(spark_pp, data):
+    """prefix_filter_jaccard_join is LOSSLESS for arbitrary corpora and
+    thresholds: its output must equal the all-pairs k-shingle Jaccard
+    computed independently in Python — completeness, soundness, and
+    exact scores, under adversarially shared vocabularies."""
+    from itertools import combinations
+
+    from presto_workload_analyzer_spark.extensions.dedup import (
+        prefix_filter_jaccard_join,
+    )
+
+    words = ["aa", "bb", "cc", "dd", "ee", "ff"]
+    n_docs = data.draw(st.integers(min_value=2, max_value=10))
+    texts = {
+        i: " ".join(
+            data.draw(
+                st.lists(st.sampled_from(words), min_size=2, max_size=8)
+            )
+        )
+        for i in range(n_docs)
+    }
+    threshold = data.draw(st.sampled_from([0.34, 0.5, 0.75]))
+    df = spark_pp.createDataFrame(
+        [(i, t) for i, t in texts.items()], ["doc_id", "text"]
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_jaccard_join(
+            df, "doc_id", "text", k=2, threshold=threshold
+        ).collect()
+    }
+
+    def sh(t):
+        w = t.split()
+        return {" ".join(w[i : i + 2]) for i in range(len(w) - 1)}
+
+    expect = {}
+    for a, b in combinations(sorted(texts), 2):
+        sa, sb = sh(texts[a]), sh(texts[b])
+        if not sa or not sb:
+            continue
+        j = len(sa & sb) / len(sa | sb)
+        if j >= threshold:
+            expect[(a, b)] = round(j, 6)
+    assert got == expect
