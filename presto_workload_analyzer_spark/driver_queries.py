@@ -6666,3 +6666,165 @@ _register(
     " FROM lagd WHERE event_type = 'purchase' AND ptype = 'signup'"
     "  AND epoch_us(ts) - epoch_us(pts) <= 3600000000",
 )
+
+
+def _x101(spark: SparkSession, sf: str) -> DataFrame:
+    """Leakage-FREE split assignment — the fix for what x61 audits: every
+    member of a near-dup cluster (x14 components; singletons are their
+    own cluster) is split by the hash of its CLUSTER canonical id, so
+    near-duplicate train/test straddle is impossible BY CONSTRUCTION,
+    not by post-hoc repair. Composition of two proven operators
+    (connected_components ∘ hash_split), which is the point: the split
+    key must be the canonical id, a contract a per-doc hash_split (x16)
+    silently violates on deduplicated corpora."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    cc = X_dedup.connected_components(pairs)
+    canon = (
+        docs.select("doc_id")
+        .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("split_key"))
+    )
+    out = X_samp.hash_split(canon, "split_key", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.select("doc_id", "split_key", "split")
+
+
+_X101_BUCKET = (
+    "((strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(CAST(split_key AS VARCHAR)), 2, 1)) - 1))"
+)
+
+_register(
+    "x101_leakage_free_split",
+    _x101,
+    _X14_CC_SQL.format(bands=_X02_BANDS)
+    + ", canon AS (SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS split_key"
+    "   FROM documents d LEFT JOIN cc ON cc.id = d.doc_id),"
+    f" lab AS (SELECT doc_id, split_key, {_X101_BUCKET} AS bucket FROM canon)"
+    " SELECT doc_id, split_key,"
+    "  CASE WHEN bucket < 205 THEN 'train' WHEN bucket < 231 THEN 'val'"
+    "   ELSE 'test' END AS split FROM lab",
+)
+
+
+def _p13(spark: SparkSession, sf: str) -> DataFrame:
+    """DP histogram release with STABILITY THRESHOLDING over an unbounded
+    key domain ((source, lang) cells): noisy count released only when it
+    clears tau = 1 + 2*ln(3/(2*delta))/eps (eps=1, delta=0.05 ->
+    tau ~= 7.802) — the step that makes a histogram over keys the
+    adversary may not know (approximate-DP: the key set itself leaks)
+    actually private, and the difference between p05's mechanism shape
+    and a releasable artifact. Suppression happens AFTER noise, so the
+    release is a pure function of (cell key, count) — engine-replayable.
+    At sf0.01 both branches are exercised (18 of 97 cells clear tau)."""
+    import math
+
+    from presto_workload_analyzer_spark.privacy.obfuscate import laplace_noise
+
+    tau = 1.0 + 2.0 * math.log(3.0 / (2.0 * 0.05))
+    docs = read_sf_table(spark, sf, "documents")
+    g = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    key = F.concat_ws("|", F.col("source"), F.col("lang"))
+    noisy = g.withColumn(
+        "noisy_n",
+        F.round(F.col("__n") + laplace_noise(key, scale=1.0, salt="dprel") + 1e-9, 6),
+    )
+    return noisy.filter(F.col("noisy_n") > F.lit(tau)).select(
+        "source", "lang", "noisy_n"
+    )
+
+
+def _p13_sql() -> str:
+    import math
+
+    tau = 1.0 + 2.0 * math.log(3.0 / (2.0 * 0.05))
+    hexpos = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    v = " + ".join(f"{hexpos.format(i=i + 1)} * {16 ** (5 - i)}" for i in range(6))
+    return (
+        "WITH g AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n"
+        "  FROM documents GROUP BY 1, 2),"
+        " k AS (SELECT source, lang, n,"
+        "  md5('dprel|' || source || '|' || lang) AS h FROM g),"
+        f" u AS (SELECT source, lang, n, (({v}) + 0.5) / {float(16 ** 6)!r} - 0.5 AS u"
+        "  FROM k),"
+        " r AS (SELECT source, lang,"
+        "  round(n + (-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u))) + 1e-9, 6) AS noisy_n"
+        "  FROM u)"
+        f" SELECT source, lang, noisy_n FROM r WHERE noisy_n > {tau!r}"
+    )
+
+
+_register("p13_dp_thresholded_release", _p13, _p13_sql())
+
+
+def _x102(spark: SparkSession, sf: str) -> DataFrame:
+    """Matryoshka/truncation recall curve: recall@5 of exact top-k over
+    PREFIX-truncated embeddings (16 and 32 of 64 dims) against the full-
+    dimension truth — the measurement behind the modern "store the prefix,
+    rerank with the tail" embedding-cost play: it tells you how many dims
+    the ANN tier can drop before recall pays. Pure composition of proven
+    pieces (slice -> cosine_topk -> ann_recall), one curve row per
+    (dims, query); queries capped to vec_id < 10 like x44 (broadcast query
+    side; corpus side scans once per dims level)."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    q_full = emb.filter(F.col("vec_id") < 10)
+    exact = X_sim.cosine_topk(emb, q_full, k=5)
+    out = None
+    for dims in (16, 32):
+        tr = emb.select("vec_id", F.slice("embedding", 1, dims).alias("embedding"))
+        ann = X_sim.cosine_topk(tr, tr.filter(F.col("vec_id") < 10), k=5)
+        rec = X_sim.ann_recall(ann, exact, k=5).select(
+            F.lit(dims).cast("long").alias("dims"), "query_id", "n_hits", "recall"
+        )
+        out = rec if out is None else out.unionByName(rec)
+    return out
+
+
+def _x102_sql() -> str:
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+
+    def topk(name: str, src: str) -> str:
+        return (
+            f" {name}s AS (SELECT a.id AS query_id, b.id AS neighbor_id,"
+            f" {cos} AS cosine FROM {src} a, {src} b"
+            "  WHERE a.id < 10 AND a.id <> b.id),"
+            f" {name}r AS (SELECT query_id, neighbor_id, row_number() OVER ("
+            f"  PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk"
+            f"  FROM {name}s),"
+            f" {name} AS (SELECT query_id, neighbor_id FROM {name}r WHERE rnk <= 5)"
+        )
+
+    per_dims = []
+    for dims in (16, 32):
+        per_dims.append(
+            f"(SELECT {dims} AS dims, q.query_id,"
+            f" CAST(coalesce(h{dims}.n_hits, 0) AS BIGINT) AS n_hits,"
+            f" round(coalesce(h{dims}.n_hits, 0) / CAST(q.n_exact AS DOUBLE), 6)"
+            "  AS recall"
+            " FROM qd q LEFT JOIN ("
+            "  SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits"
+            f"  FROM ex JOIN an{dims} USING (query_id, neighbor_id) GROUP BY 1"
+            f" ) h{dims} USING (query_id))"
+        )
+    return (
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        "  FROM embeddings),"
+        " e16 AS (SELECT id, v[1:16] AS v FROM e),"
+        " e32 AS (SELECT id, v[1:32] AS v FROM e),"
+        + topk("ex", "e") + ","
+        + topk("an16", "e16") + ","
+        + topk("an32", "e32") + ","
+        " qd AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact"
+        "  FROM ex GROUP BY 1)"
+        " SELECT * FROM (" + " UNION ALL ".join(per_dims) + ")"
+    )
+
+
+_register("x102_matryoshka_recall", _x102, _x102_sql())
