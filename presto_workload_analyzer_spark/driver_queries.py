@@ -6828,3 +6828,208 @@ def _x102_sql() -> str:
 
 
 _register("x102_matryoshka_recall", _x102, _x102_sql())
+
+
+def _x103(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-adjusted effective-token accounting per source: each doc's
+    tokens weighted by 1/near-dup-cluster-size (x14 components; singleton
+    docs weigh 1), so a source padded with 10 copies of the same page
+    contributes its tokens once — the "how much data do we REALLY have"
+    number that sizes training runs, where raw token counts over-report
+    duplicated sources. Integer sums + one weighted sum; cluster sizes
+    join back at doc grain."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    cc = X_dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
+    member = cc.join(sizes, "cluster_id").select(
+        F.col("id").alias("doc_id"), F.col("__sz")
+    )
+    toks = docs.select(
+        "doc_id", "source", X_text.token_count("text").cast("long").alias("__t")
+    )
+    weighted = toks.join(member, "doc_id", "left").withColumn(
+        "__w", F.coalesce(F.col("__sz"), F.lit(1))
+    )
+    return weighted.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("__t").cast("long").alias("raw_tokens"),
+        F.round(F.sum(F.col("__t") / F.col("__w")), 6).alias("effective_tokens"),
+        F.round(1 - F.sum(F.col("__t") / F.col("__w")) / F.sum("__t"), 6).alias(
+            "dup_discount"
+        ),
+    )
+
+
+_register(
+    "x103_effective_tokens",
+    _x103,
+    _X14_CC_SQL.format(bands=_X02_BANDS)
+    + ", sz AS (SELECT cluster_id, count(*) AS s FROM cc GROUP BY 1),"
+    " mem AS (SELECT cc.id AS doc_id, sz.s FROM cc JOIN sz USING (cluster_id)),"
+    " t AS (SELECT d.doc_id, d.source,"
+    "   CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS tok,"
+    "   coalesce(mem.s, 1) AS w"
+    "  FROM documents d LEFT JOIN mem ON mem.doc_id = d.doc_id)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  CAST(sum(tok) AS BIGINT) AS raw_tokens,"
+    "  round(sum(CAST(tok AS DOUBLE) / w), 6) AS effective_tokens,"
+    "  round(1 - sum(CAST(tok AS DOUBLE) / w) / sum(tok), 6) AS dup_discount"
+    " FROM t GROUP BY 1",
+)
+
+
+def _x104(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplication concentration (Lorenz curve + Gini) over near-dup
+    cluster sizes, computed ENTIRELY at cluster-SIZE grain: cluster sizes
+    (singletons = 1) collapse to a (size, n_clusters) histogram — a few
+    hundred rows no matter the corpus — and both the descending-size
+    Lorenz points and the grouped-data Gini
+    (G = sum s_k*c_k*(2*K_{k-1} + c_k - C) / (C*N), ascending sizes,
+    K = cumulative cluster count) are exact integer arithmetic over that
+    histogram until the final divisions. The global windows therefore run
+    over DOUBLY-aggregated rows — the engine's lint-accepted shape — and
+    "the top 1% of clusters hold X% of docs" never touches doc grain."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    )
+    cc = X_dedup.connected_components(pairs)
+    sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("s"))
+    n_clustered_docs = sizes.select(F.sum("s").alias("v"))
+    singles = (
+        docs.select(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(n_clustered_docs))
+        .select((F.col("n") - F.col("v")).alias("c1"))
+    )
+    hist = (
+        sizes.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .unionByName(
+            singles.select(F.lit(1).alias("s"), F.col("c1").alias("c"))
+        )
+        .groupBy("s")
+        .agg(F.sum("c").cast("long").alias("c"))
+    )
+    tot = hist.agg(
+        F.sum("c").alias("__C"), F.sum(F.col("s") * F.col("c")).alias("__N")
+    )
+    w_desc = Window.orderBy(F.col("s").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_asc_excl = Window.orderBy(F.col("s")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum = (
+        hist.withColumn("__cc", F.sum("c").over(w_desc))
+        .withColumn("__cd", F.sum(F.col("s") * F.col("c")).over(w_desc))
+        .withColumn("__k", F.coalesce(F.sum("c").over(w_asc_excl), F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+    )
+    gini = cum.select(
+        F.sum(
+            F.col("s") * F.col("c") * (2 * F.col("__k") + F.col("c") - F.col("__C"))
+        ).alias("__g"),
+        F.first("__C").alias("__C2"),
+        F.first("__N").alias("__N2"),
+    ).select(
+        F.round(F.col("__g") / (F.col("__C2") * F.col("__N2")), 6).alias("gini")
+    )
+    return cum.crossJoin(F.broadcast(gini)).select(
+        F.col("s").cast("long").alias("cluster_size"),
+        F.col("c").alias("n_clusters"),
+        F.round(F.col("__cc") / F.col("__C"), 6).alias("cum_cluster_share"),
+        F.round(F.col("__cd") / F.col("__N"), 6).alias("cum_doc_share"),
+        "gini",
+    )
+
+
+_register(
+    "x104_dup_concentration",
+    _x104,
+    _X14_CC_SQL.format(bands=_X02_BANDS)
+    + ", szs AS (SELECT cluster_id, count(*) AS s FROM cc GROUP BY 1),"
+    " h0 AS (SELECT s, CAST(count(*) AS BIGINT) AS c FROM szs GROUP BY 1),"
+    " ones AS (SELECT 1 AS s, CAST((SELECT count(*) FROM documents)"
+    "   - coalesce((SELECT sum(s) FROM szs), 0) AS BIGINT) AS c),"
+    " h AS (SELECT s, CAST(sum(c) AS BIGINT) AS c FROM"
+    "   (SELECT * FROM h0 UNION ALL SELECT * FROM ones) GROUP BY 1),"
+    " tot AS (SELECT sum(c) AS ctot, sum(s * c) AS ntot FROM h),"
+    " cum AS (SELECT s, c,"
+    "   sum(c) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cc,"
+    "   sum(s * c) OVER (ORDER BY s DESC ROWS UNBOUNDED PRECEDING) AS cd,"
+    "   coalesce(sum(c) OVER (ORDER BY s ASC"
+    "     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS k"
+    "  FROM h),"
+    " g AS (SELECT round(CAST(sum(s * c * (2 * k + c"
+    "     - (SELECT ctot FROM tot))) AS DOUBLE)"
+    "   / ((SELECT ctot FROM tot) * (SELECT ntot FROM tot)), 6) AS gini FROM cum)"
+    " SELECT CAST(s AS BIGINT) AS cluster_size, c AS n_clusters,"
+    "  round(CAST(cc AS DOUBLE) / (SELECT ctot FROM tot), 6) AS cum_cluster_share,"
+    "  round(CAST(cd AS DOUBLE) / (SELECT ntot FROM tot), 6) AS cum_doc_share,"
+    "  (SELECT gini FROM g) AS gini"
+    " FROM cum",
+)
+
+
+def _x105(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-source quantile normalization of the x08 quality score:
+    each doc's percent_rank (RANK semantics: ties share, = (rank-1)/(n-1))
+    among its source's docs — the transform that makes quality thresholds
+    comparable ACROSS sources whose raw score distributions differ (a 0.6
+    from a boilerplate-heavy crawl is not a 0.6 from curated text). Ranks
+    run through sampling._hierarchical_row_number (range shards of the
+    rounded score; `source` alone is the lint-banned partition key), then
+    collapse to RANK via min-row_number per (source, score). Scores are
+    rounded (+1e-9, 6) BEFORE ranking so the order compares identically
+    in any engine (the x03/x08 half-grid convention)."""
+    docs = read_sf_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        F.round(X_text.quality_score("text") + 1e-9, 6).alias("quality"),
+    )
+    ranked = X_samp._hierarchical_row_number(
+        scored,
+        ["source"],
+        [F.col("quality"), F.col("doc_id")],
+        F.floor(F.col("quality") * 64).cast("long"),
+        "__rn",
+    )
+    minrn = ranked.groupBy("source", "quality").agg(
+        F.min("__rn").alias("__rank")
+    )
+    n = scored.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        ranked.join(minrn, ["source", "quality"])
+        .join(F.broadcast(n), "source")
+        .select(
+            "doc_id",
+            "source",
+            "quality",
+            F.when(F.col("__n") > 1,
+                   F.round((F.col("__rank") - 1) / (F.col("__n") - 1), 6))
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
+        )
+    )
+
+
+_register(
+    "x105_quality_quantile_norm",
+    _x105,
+    "WITH q AS (SELECT doc_id, source, round("
+    f" 0.4 * least(({_RATIO_SQL.format(lst=_EN_LIST)}) / 0.25, 1.0)"
+    " + 0.3 * (1.0 - least((CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+    "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END) * 5.0, 1.0))"
+    " + 0.3 * least((CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+    "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))) / 8.0, 1.0)"
+    " + 1e-9, 6) AS quality FROM documents)"
+    " SELECT doc_id, source, quality,"
+    "  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6)"
+    "   AS pct_rank"
+    " FROM q",
+)
