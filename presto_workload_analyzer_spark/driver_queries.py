@@ -7033,3 +7033,107 @@ _register(
     "   AS pct_rank"
     " FROM q",
 )
+
+
+def _x106(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion (RRF, k=60): the
+    embedding cosine top-10 (dense leg, x05's operator) fused with an
+    n-gram-Jaccard lexical top-10 (sparse leg, posting-list join scoped
+    to the query side), fused score = sum over legs of 1/(60 + rank),
+    top-5 per query — the standard way to combine rankers with
+    incomparable score scales, and the shape of every modern
+    hybrid-search stack. A candidate present in one leg only simply
+    contributes one term (full-outer fusion join). Per-query windows key
+    on query_id (bounded candidates per query); the lexical leg's
+    shingle join only explodes the 10-query side, never corpus x corpus."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    docs = read_sf_table(spark, sf, "documents")
+    r1 = X_sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10).select(
+        "query_id", "neighbor_id", F.col("rank").alias("__r1")
+    )
+    shc = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    szs = shc.groupBy("id").agg(F.count(F.lit(1)).alias("__m"))
+    inter = (
+        shc.filter(F.col("id") < 10)
+        .select(F.col("id").alias("query_id"), "shingle")
+        .join(shc.select(F.col("id").alias("neighbor_id"), "shingle"), "shingle")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.count(F.lit(1)).alias("__i"))
+    )
+    jac = (
+        inter.join(szs.select(F.col("id").alias("query_id"), F.col("__m").alias("__ma")), "query_id")
+        .join(szs.select(F.col("id").alias("neighbor_id"), F.col("__m").alias("__mb")), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (F.col("__i") / (F.col("__ma") + F.col("__mb") - F.col("__i"))).alias("__j"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.col("__j").desc(), F.col("neighbor_id"))
+    r2 = (
+        jac.withColumn("__r2", F.row_number().over(w2))
+        .filter(F.col("__r2") <= 10)
+        .select("query_id", "neighbor_id", "__r2")
+    )
+    fused = (
+        r1.join(r2, ["query_id", "neighbor_id"], "full_outer")
+        .withColumn(
+            "__s",
+            F.coalesce(1.0 / (60 + F.col("__r1")), F.lit(0.0))
+            + F.coalesce(1.0 / (60 + F.col("__r2")), F.lit(0.0)),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("__s").desc(), F.col("neighbor_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(wf))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(F.col("__s"), 6).alias("rrf_score"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _x106_sql() -> str:
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    return (
+        f"WITH {_SHINGLE_SQL},"
+        " e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        "  FROM embeddings),"
+        f" es AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
+        "   FROM e a, e b WHERE a.id < 10 AND a.id <> b.id),"
+        " r1 AS (SELECT query_id, neighbor_id, rnk AS r1 FROM ("
+        "   SELECT query_id, neighbor_id, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk"
+        "   FROM es) WHERE rnk <= 10),"
+        " szs AS (SELECT id, count(*) AS m FROM sh GROUP BY 1),"
+        " inter AS (SELECT q.id AS query_id, c.id AS neighbor_id, count(*) AS i"
+        "   FROM sh q JOIN sh c USING (shingle)"
+        "   WHERE q.id < 10 AND q.id <> c.id GROUP BY 1, 2),"
+        " jac AS (SELECT query_id, neighbor_id,"
+        "   CAST(i AS DOUBLE) / (ma.m + mb.m - i) AS j"
+        "  FROM inter JOIN szs ma ON ma.id = query_id"
+        "  JOIN szs mb ON mb.id = neighbor_id),"
+        " r2 AS (SELECT query_id, neighbor_id, rnk AS r2 FROM ("
+        "   SELECT query_id, neighbor_id, row_number() OVER ("
+        "    PARTITION BY query_id ORDER BY j DESC, neighbor_id) AS rnk"
+        "   FROM jac) WHERE rnk <= 10),"
+        " fused AS (SELECT coalesce(r1.query_id, r2.query_id) AS query_id,"
+        "   coalesce(r1.neighbor_id, r2.neighbor_id) AS neighbor_id,"
+        "   coalesce(1.0 / (60 + r1), 0.0) + coalesce(1.0 / (60 + r2), 0.0) AS s"
+        "  FROM r1 FULL OUTER JOIN r2 USING (query_id, neighbor_id))"
+        " SELECT query_id, neighbor_id, round(s, 6) AS rrf_score,"
+        "  CAST(rank AS BIGINT) AS rank FROM ("
+        "  SELECT query_id, neighbor_id, s, row_number() OVER ("
+        "   PARTITION BY query_id ORDER BY s DESC, neighbor_id) AS rank"
+        "  FROM fused) WHERE rank <= 5"
+    )
+
+
+_register("x106_rrf_hybrid_search", _x106, _x106_sql())
