@@ -877,6 +877,37 @@ from presto_workload_analyzer_spark.extensions import (  # noqa: E402
     textstats as X_text,
 )
 
+
+def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical md5-mode LSH candidate pairs over the full documents
+    corpus (k=3, 16 hashes, 4 bands), built ONCE per (session, sf) and
+    persisted — the dedup/graph family's shared silver, exactly as the
+    workload adapters share theirs: ~14 registry queries consume this
+    identical pair set, and re-running the minhash pipeline per query is
+    pure waste at bench time. The cache holds candidate PAIRS (pair
+    grain), not shingles, so it stays tiny at any scale."""
+    return _cached_adapter(
+        "lsh_pairs_md5_k3_h16_b4",
+        spark,
+        sf_dir,
+        lambda: X_dedup.minhash_lsh_pairs(
+            read_sf_table(spark, sf_dir, "documents"),
+            "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5",
+        ),
+    )
+
+
+def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected_components over shared_lsh_pairs, cached at the same
+    (session, sf) grain — the five clustering consumers (x14, x72, x101,
+    x103, x104) share one label propagation instead of five."""
+    return _cached_adapter(
+        "dedup_cc_md5",
+        spark,
+        sf_dir,
+        lambda: X_dedup.connected_components(shared_lsh_pairs(spark, sf_dir)),
+    )
+
 _SHINGLE_SQL = r"""
 tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -895,9 +926,7 @@ _register(
 
 def _x02(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
-    return X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    return shared_lsh_pairs(spark, sf)
 
 
 # 4 x 32-bit slices per md5 call, mirroring minhash_signatures' md5 mode
@@ -983,10 +1012,7 @@ _X14_CC_SQL = (
 
 def _x14(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
-    return X_dedup.connected_components(pairs)
+    return shared_dedup_clusters(spark, sf)
 
 
 _register(
@@ -998,9 +1024,7 @@ _register(
 
 def _x15(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    pairs = shared_lsh_pairs(spark, sf)
     return X_dedup.drop_near_duplicates(docs, "doc_id", pairs).select("doc_id")
 
 
@@ -3964,9 +3988,7 @@ def _x59(spark: SparkSession, sf: str) -> DataFrame:
     best copy. Oracle: x14's recursive-CTE components + the same
     struct-argmax, so the election rule itself is cross-checked."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    pairs = shared_lsh_pairs(spark, sf)
     return X_dedup.drop_near_duplicates_by(
         docs, "doc_id", pairs, F.col("n_chars")
     ).select("doc_id")
@@ -4031,9 +4053,7 @@ def _x60(spark: SparkSession, sf: str) -> DataFrame:
     operator reads before deciding which source to drop; pair-grain work
     is bounded by the candidate pairs, source-matrix grain by #sources²."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    pairs = shared_lsh_pairs(spark, sf)
     src = docs.select("doc_id", "source")
     j = (
         pairs.join(src.select(F.col("doc_id").alias("id_a"),
@@ -4115,9 +4135,7 @@ def _x61(spark: SparkSession, sf: str) -> DataFrame:
     oracle replays both stages (md5 bucket split + band joins) in SQL."""
     docs = read_sf_table(spark, sf, "documents")
     split = X_samp.hash_split(docs, "doc_id").select("doc_id", "split")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    pairs = shared_lsh_pairs(spark, sf)
     j = (
         pairs.join(split.select(F.col("doc_id").alias("id_a"),
                                 F.col("split").alias("__pa")), on="id_a")
@@ -4707,10 +4725,7 @@ def _x72(spark: SparkSession, sf: str) -> DataFrame:
     only twins; the x34 scaling analysis is exactly the giant-cluster
     regime). Component grain throughout; histogram grain is log2 buckets."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
-    cc = X_dedup.connected_components(pairs)
+    cc = shared_dedup_clusters(spark, sf)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("sz"))
     return (
         sizes.groupBy(
@@ -5133,9 +5148,7 @@ def _x81(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("jaccard") >= 0.5)
         .select("id_a", "id_b", F.lit(1).alias("__t"))
     )
-    lsh = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    ).select("id_a", "id_b", F.lit(1).alias("__l"))
+    lsh = shared_lsh_pairs(spark, sf).select("id_a", "id_b", F.lit(1).alias("__l"))
     both = truth.join(lsh, on=["id_a", "id_b"], how="full_outer")
     agg = both.agg(
         F.sum(
@@ -5357,9 +5370,7 @@ def _x83(spark: SparkSession, sf: str) -> DataFrame:
     equi-join + one aggregate over the (bucket-bounded) edge set; the
     oracle unrolls the same recurrence as chained CTEs."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    pairs = shared_lsh_pairs(spark, sf)
     pr = X_graph.pagerank(pairs, iters=5, damping=0.85)
     return pr.select("id", F.round(F.col("rank") + 1e-9, 6).alias("rank"))
 
@@ -5913,9 +5924,7 @@ def _x92(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
 
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    pairs = shared_lsh_pairs(spark, sf)
     dup_ids = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -6597,9 +6606,7 @@ def _x100(spark: SparkSession, sf: str) -> DataFrame:
     over the replayed pair set — fully independent of the orientation
     trick, so a wedge the pruning miscounts is a hash mismatch."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
+    pairs = shared_lsh_pairs(spark, sf)
     return X_graph.triangle_counts(pairs)
 
 
@@ -6678,10 +6685,7 @@ def _x101(spark: SparkSession, sf: str) -> DataFrame:
     key must be the canonical id, a contract a per-doc hash_split (x16)
     silently violates on deduplicated corpora."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
-    cc = X_dedup.connected_components(pairs)
+    cc = shared_dedup_clusters(spark, sf)
     canon = (
         docs.select("doc_id")
         .join(cc.withColumnRenamed("id", "doc_id"), "doc_id", "left")
@@ -6839,10 +6843,7 @@ def _x103(spark: SparkSession, sf: str) -> DataFrame:
     duplicated sources. Integer sums + one weighted sum; cluster sizes
     join back at doc grain."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
-    cc = X_dedup.connected_components(pairs)
+    cc = shared_dedup_clusters(spark, sf)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("__sz"))
     member = cc.join(sizes, "cluster_id").select(
         F.col("id").alias("doc_id"), F.col("__sz")
@@ -6893,10 +6894,7 @@ def _x104(spark: SparkSession, sf: str) -> DataFrame:
     over DOUBLY-aggregated rows — the engine's lint-accepted shape — and
     "the top 1% of clusters hold X% of docs" never touches doc grain."""
     docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    )
-    cc = X_dedup.connected_components(pairs)
+    cc = shared_dedup_clusters(spark, sf)
     sizes = cc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("s"))
     n_clustered_docs = sizes.select(F.sum("s").alias("v"))
     singles = (
