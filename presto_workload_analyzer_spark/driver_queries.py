@@ -7135,3 +7135,69 @@ def _x106_sql() -> str:
 
 
 _register("x106_rrf_hybrid_search", _x106, _x106_sql())
+
+
+def _x107(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source embedding isotropy / collapse audit: centroid norm vs
+    mean vector norm. A healthy embedding space has a small common-mean
+    component (ratio << 1); ratio -> 1 means the source's vectors have
+    collapsed toward one direction (dead encoder, templated inputs, or a
+    normalization bug) — the DISTRIBUTIONAL complement to x50's
+    per-vector hygiene. All dim-grain aggregates: posexplode ->
+    (source, dim) centroid cells (sources x dims rows, corpus-size
+    independent) + per-vector norms at scan speed; no vector ever
+    crosses the wire whole."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    docs = read_sf_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    j = emb.join(docs, "vec_id")
+    cells = j.select("source", F.posexplode("embedding").alias("pos", "v"))
+    centroid = (
+        cells.groupBy("source", "pos")
+        .agg(F.avg("v").alias("m"))
+        .groupBy("source")
+        .agg(F.sqrt(F.sum(F.col("m") * F.col("m"))).alias("centroid_norm"))
+    )
+    norms = j.select(
+        "source",
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ).alias("nrm"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.avg("nrm").alias("mean_norm"),
+    )
+    return norms.join(centroid, "source").select(
+        "source",
+        "n_vecs",
+        F.round(F.col("mean_norm") + 1e-9, 6).alias("mean_norm"),
+        F.round(F.col("centroid_norm") + 1e-9, 6).alias("centroid_norm"),
+        F.round(F.col("centroid_norm") / F.col("mean_norm") + 1e-9, 6).alias(
+            "isotropy_ratio"
+        ),
+    )
+
+
+_register(
+    "x107_embedding_isotropy",
+    _x107,
+    "WITH j AS (SELECT d.source, CAST(e.embedding AS DOUBLE[]) AS v"
+    "  FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id),"
+    " cells AS (SELECT source, t.pos, v[t.pos] AS val FROM j,"
+    "   UNNEST(range(1, len(v) + 1)) AS t(pos)),"
+    " cent AS (SELECT source, sqrt(sum(m * m)) AS centroid_norm FROM ("
+    "   SELECT source, pos, avg(val) AS m FROM cells GROUP BY 1, 2)"
+    "  GROUP BY 1),"
+    " nrm AS (SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,"
+    "   avg(sqrt(list_dot_product(v, v))) AS mean_norm FROM j GROUP BY 1)"
+    " SELECT nrm.source, n_vecs,"
+    "  round(mean_norm + 1e-9, 6) AS mean_norm,"
+    "  round(centroid_norm + 1e-9, 6) AS centroid_norm,"
+    "  round(centroid_norm / mean_norm + 1e-9, 6) AS isotropy_ratio"
+    " FROM nrm JOIN cent ON cent.source = nrm.source",
+)
