@@ -7201,3 +7201,188 @@ _register(
     "  round(centroid_norm / mean_norm + 1e-9, 6) AS isotropy_ratio"
     " FROM nrm JOIN cent ON cent.source = nrm.source",
 )
+
+
+def _x108(spark: SparkSession, sf: str) -> DataFrame:
+    """Benford first-significant-digit audit over the two positive money
+    columns — the classic fabricated/synthetic-numbers forensic: natural
+    multiplicative data follows P(d) = log10(1 + 1/d); uniform or
+    hand-typed data does not. Digit extraction goes through SCALED
+    INTEGERS (round(v*100) -> first char of the integer's decimal
+    string), not floor(log10): integer->string is bit-identical in every
+    engine while log10 of an exact power of ten is a last-ulp lottery.
+    One scan per column, 9-cell output grain."""
+
+    def digits(df: DataFrame, col: str, name: str) -> DataFrame:
+        d = df.filter(F.col(col) > 0).select(
+            F.substring(
+                F.round(F.col(col) * 100, 0).cast("long").cast("string"), 1, 1
+            )
+            .cast("int")
+            .alias("digit")
+        )
+        g = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+        tot = g.agg(F.sum("n").alias("__t"))
+        return (
+            g.crossJoin(F.broadcast(tot))
+            .select(
+                F.lit(name).alias("column_name"),
+                "digit",
+                "n",
+                F.round(F.col("n") / F.col("__t"), 6).alias("share"),
+                F.round(F.log10(1 + 1 / F.col("digit")), 6).alias("benford_share"),
+                F.round(
+                    F.abs(F.col("n") / F.col("__t") - F.log10(1 + 1 / F.col("digit"))),
+                    6,
+                ).alias("abs_dev"),
+            )
+        )
+
+    ev = read_sf_table(spark, sf, "events")
+    li = read_sf_table(spark, sf, "lineitem")
+    return digits(ev, "value", "events.value").unionByName(
+        digits(li, "l_extendedprice", "lineitem.l_extendedprice")
+    )
+
+
+_X108_ONE = (
+    " (SELECT '{name}' AS column_name, digit, CAST(count(*) AS BIGINT) AS n,"
+    "  round(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE), 6) AS share,"
+    "  round(log10(1 + 1.0 / digit), 6) AS benford_share,"
+    "  round(abs(count(*) / CAST(sum(count(*)) OVER () AS DOUBLE)"
+    "   - log10(1 + 1.0 / digit)), 6) AS abs_dev"
+    " FROM (SELECT CAST(substr(CAST(CAST(round({col} * 100, 0) AS BIGINT)"
+    "    AS VARCHAR), 1, 1) AS INT) AS digit"
+    "  FROM {tbl} WHERE {col} > 0) GROUP BY digit)"
+)
+
+_register(
+    "x108_benford_audit",
+    _x108,
+    _X108_ONE.format(name="events.value", col='"value"', tbl="events")
+    + " UNION ALL "
+    + _X108_ONE.format(
+        name="lineitem.l_extendedprice", col="l_extendedprice", tbl="lineitem"
+    ),
+)
+
+
+def _x109(spark: SparkSession, sf: str) -> DataFrame:
+    """Pearson correlation matrix over the four lineitem numerics from
+    EXACT integer moments: every column is scaled to integer units
+    (cents / percent), the five sums per pair accumulate as
+    decimal(38,0) (associative, order-independent — a raw double sum
+    differs between engines in its last bits because partitions add in
+    different orders), and the only floating arithmetic is the final
+    r = (nSxy - SxSy) / sqrt((nSxx - Sx^2)(nSyy - Sy^2)) over identical
+    integers. One aggregation pass computes all pairs (profiling's
+    standard single-scan trick)."""
+    li = read_sf_table(spark, sf, "lineitem")
+    cols = {
+        "quantity": F.col("l_quantity"),
+        "price_c": F.round(F.col("l_extendedprice") * 100, 0),
+        "disc_pct": F.round(F.col("l_discount") * 100, 0),
+        "tax_pct": F.round(F.col("l_tax") * 100, 0),
+    }
+    ints = li.select(
+        *[c.cast("decimal(38,0)").alias(k) for k, c in cols.items()]
+    )
+    names = list(cols)
+    aggs = [F.count(F.lit(1)).cast("decimal(38,0)").alias("__n")]
+    for k in names:
+        aggs.append(F.sum(F.col(k)).alias(f"s_{k}"))
+        aggs.append(F.sum(F.col(k) * F.col(k)).alias(f"ss_{k}"))
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            aggs.append(F.sum(F.col(a) * F.col(b)).alias(f"sp_{a}_{b}"))
+    m = ints.agg(*aggs)
+    outs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            num = (F.col("__n") * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")).cast("double")
+            va = (F.col("__n") * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")).cast("double")
+            vb = (F.col("__n") * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")).cast("double")
+            outs.append(
+                F.struct(
+                    F.lit(f"{a}~{b}").alias("pair"),
+                    F.round(num / F.sqrt(va * vb), 6).alias("pearson_r"),
+                )
+            )
+    return (
+        m.select(F.explode(F.array(*outs)).alias("o"))
+        .select(F.col("o.pair").alias("pair"), F.col("o.pearson_r").alias("pearson_r"))
+    )
+
+
+def _x109_sql() -> str:
+    names = ["quantity", "price_c", "disc_pct", "tax_pct"]
+    base = (
+        "SELECT CAST(l_quantity AS HUGEINT) AS quantity,"
+        " CAST(round(l_extendedprice * 100, 0) AS HUGEINT) AS price_c,"
+        " CAST(round(l_discount * 100, 0) AS HUGEINT) AS disc_pct,"
+        " CAST(round(l_tax * 100, 0) AS HUGEINT) AS tax_pct FROM lineitem"
+    )
+    sums = ["CAST(count(*) AS HUGEINT) AS n"]
+    for k in names:
+        sums.append(f"sum({k}) AS s_{k}")
+        sums.append(f"sum({k} * {k}) AS ss_{k}")
+    pairs = []
+    for i, a in enumerate(names):
+        for b in names[i + 1 :]:
+            sums.append(f"sum({a} * {b}) AS sp_{a}_{b}")
+            pairs.append(
+                f"SELECT '{a}~{b}' AS pair,"
+                f" round(CAST(n * sp_{a}_{b} - s_{a} * s_{b} AS DOUBLE)"
+                f" / sqrt(CAST(n * ss_{a} - s_{a} * s_{a} AS DOUBLE)"
+                f" * CAST(n * ss_{b} - s_{b} * s_{b} AS DOUBLE)), 6) AS pearson_r"
+                " FROM m"
+            )
+    return (
+        f"WITH b AS ({base}), m AS (SELECT {', '.join(sums)} FROM b) "
+        + " UNION ALL ".join(pairs)
+    )
+
+
+_register("x109_correlation_matrix", _x109, _x109_sql())
+
+
+def _a39(spark: SparkSession, sf: str) -> DataFrame:
+    """Workload-fairness Gini over per-user scheduled time: the pairwise
+    mean-absolute-difference form G = sum_ij |x_i - x_j| / (2 n^2 mu)
+    over USER-grain sums (bounded population), so no sorting and no
+    cumulative window — a 0 means perfectly even cluster usage, ->1
+    means one user owns the queue; the number a capacity/fairness
+    scheduler review starts from."""
+    q = workload_queries(spark, sf)
+    per = q.groupBy("user").agg(F.sum("scheduled_time").alias("x"))
+    a = per.select(F.col("x").alias("xa"))
+    b = per.select(F.col("x").alias("xb"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .agg(
+            F.countDistinct(F.lit(1)).alias("__one"),
+            F.sum(F.abs(F.col("xa") - F.col("xb"))).alias("__sad"),
+            F.sum(F.col("xa")).alias("__sx"),
+            F.count(F.lit(1)).alias("__n2"),
+        )
+        .select(
+            F.sqrt(F.col("__n2")).cast("long").alias("n_users"),
+            F.round(
+                F.col("__sad") / (2 * F.sqrt(F.col("__n2")) * F.col("__sx") / F.sqrt(F.col("__n2"))),
+                6,
+            ).alias("gini"),
+        )
+    )
+
+
+_register(
+    "a39_workload_gini",
+    _a39,
+    _ALL_CTES
+    + ", per AS (SELECT user_name, sum(scheduled_time) AS x FROM queries"
+    "   GROUP BY 1)"
+    " SELECT CAST((SELECT count(*) FROM per) AS BIGINT) AS n_users,"
+    "  round((SELECT sum(abs(a.x - b.x)) FROM per a, per b)"
+    "   / (2.0 * (SELECT count(*) FROM per) * (SELECT sum(x) FROM per)), 6)"
+    "   AS gini",
+)
