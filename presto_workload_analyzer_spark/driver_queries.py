@@ -7386,3 +7386,167 @@ _register(
     "   / (2.0 * (SELECT count(*) FROM per) * (SELECT sum(x) FROM per)), 6)"
     "   AS gini",
 )
+
+
+def _x110(spark: SparkSession, sf: str) -> DataFrame:
+    """Heaps-law vocabulary-growth exponent per source: V(n) ~ K * n^beta
+    estimated from four id-range prefixes (25/50/75/100% of the doc_id
+    span). beta near 1 = every doc brings new vocabulary (high novelty /
+    noisy tokens); beta near 0 = closed vocabulary (templates) — the
+    growth-curve refinement of x58's coverage snapshot and x82's
+    first-seen accounting. Prefixes are ID-RANGE cuts (no global rank
+    window); each gram contributes through its min-doc_id first
+    appearance, so the whole curve is ONE vocabulary-grain aggregate +
+    conditional sums; the 4-point log-log least squares is closed-form
+    column arithmetic on the wide row (identical expression tree in both
+    engines — no order-dependent float summation)."""
+    docs = read_sf_table(spark, sf, "documents")
+    mx = docs.groupBy("source").agg(F.max("doc_id").alias("__mx"))
+    toks = docs.select(
+        "source", "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    first = toks.groupBy("source", "w").agg(F.min("doc_id").alias("__fd"))
+    fj = first.join(F.broadcast(mx), "source")
+    dj = docs.select("source", "doc_id").join(F.broadcast(mx), "source")
+
+    def _cut(i: int):
+        return F.floor(F.col("__mx") * i / 4)
+
+    v = fj.groupBy("source").agg(
+        *[
+            F.sum((F.col("__fd") <= _cut(i)).cast("long")).alias(f"v{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    n = dj.groupBy("source").agg(
+        *[
+            F.sum((F.col("doc_id") <= _cut(i)).cast("long")).alias(f"n{i}")
+            for i in (1, 2, 3, 4)
+        ]
+    )
+    wide = v.join(n, "source")
+    xs = [F.log(F.col(f"n{i}")) for i in (1, 2, 3, 4)]
+    ys = [F.log(F.col(f"v{i}")) for i in (1, 2, 3, 4)]
+    sx = xs[0] + xs[1] + xs[2] + xs[3]
+    sy = ys[0] + ys[1] + ys[2] + ys[3]
+    sxy = sum((x * y for x, y in zip(xs, ys)), F.lit(0.0))
+    sxx = sum((x * x for x in xs), F.lit(0.0))
+    beta = (4 * sxy - sx * sy) / (4 * sxx - sx * sx)
+    return wide.select(
+        "source",
+        F.col("n4").alias("n_docs"),
+        F.col("v4").alias("vocab_full"),
+        F.round(beta + 1e-9, 6).alias("heaps_beta"),
+    )
+
+
+def _x110_sql() -> str:
+    cuts = {i: f"CAST(floor(mx * {i} / 4.0) AS BIGINT)" for i in (1, 2, 3, 4)}
+    vsum = ", ".join(
+        f"CAST(sum(CASE WHEN fd <= {c} THEN 1 ELSE 0 END) AS BIGINT) AS v{i}"
+        for i, c in cuts.items()
+    )
+    nsum = ", ".join(
+        f"CAST(sum(CASE WHEN doc_id <= {c} THEN 1 ELSE 0 END) AS BIGINT) AS n{i}"
+        for i, c in cuts.items()
+    )
+    xs = [f"ln(n{i})" for i in (1, 2, 3, 4)]
+    ys = [f"ln(v{i})" for i in (1, 2, 3, 4)]
+    sx = " + ".join(xs)
+    sy = " + ".join(ys)
+    sxy = " + ".join(f"{x} * {y}" for x, y in zip(xs, ys))
+    sxx = " + ".join(f"{x} * {x}" for x in xs)
+    return (
+        r"WITH mxs AS (SELECT source, max(doc_id) AS mx FROM documents"
+        "  GROUP BY 1),"
+        " toks AS (SELECT d.source, d.doc_id, t.w FROM documents d,"
+        r"   UNNEST(string_split_regex(trim(d.text), '\s+')) AS t(w)"
+        "  WHERE t.w <> ''),"
+        " first AS (SELECT source, w, min(doc_id) AS fd FROM toks GROUP BY 1, 2),"
+        f" v AS (SELECT f.source, {vsum} FROM first f"
+        "   JOIN mxs ON mxs.source = f.source GROUP BY 1),"
+        f" n AS (SELECT d.source, {nsum} FROM documents d"
+        "   JOIN mxs ON mxs.source = d.source GROUP BY 1)"
+        " SELECT v.source, n4 AS n_docs, v4 AS vocab_full,"
+        f"  round((4 * ({sxy}) - ({sx}) * ({sy}))"
+        f"   / (4 * ({sxx}) - ({sx}) * ({sx})) + 1e-9, 6) AS heaps_beta"
+        " FROM v JOIN n ON n.source = v.source"
+    )
+
+
+_register("x110_heaps_law", _x110, _x110_sql())
+
+
+def _a40(spark: SparkSession, sf: str) -> DataFrame:
+    """Little's-law audit per hour: measured average concurrency
+    L = busy_seconds/3600 (exact interval-clip accounting, queries
+    exploded over the <= 2 hour buckets they span) against offered load
+    lambda*W = sum of starters' elapsed / 3600. ratio -> 1 in steady
+    state; sustained deviation flags boundary flux / load imbalance —
+    the queueing-theory sanity check a capacity review runs against a36's
+    concurrency profile. Explode fan-out is bounded by max elapsed /
+    3600 + 1 (a plan constant), never corpus-sized."""
+    q = workload_queries(spark, sf).select(
+        "query_ts",
+        F.col("elapsed_time").alias("el"),
+        (F.col("query_ts").cast("double") + F.col("elapsed_time")).alias("__end"),
+    )
+    spans = q.select(
+        "query_ts",
+        "el",
+        "__end",
+        F.explode(
+            F.sequence(
+                F.date_trunc("hour", F.col("query_ts")),
+                F.date_trunc("hour", F.col("__end").cast("timestamp")),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket"),
+    )
+    clip = spans.select(
+        "bucket",
+        (
+            F.least(F.col("__end"), F.col("bucket").cast("double") + 3600)
+            - F.greatest(F.col("query_ts").cast("double"), F.col("bucket").cast("double"))
+        ).alias("__busy"),
+    )
+    busy = clip.groupBy("bucket").agg(F.sum("__busy").alias("busy_s"))
+    starters = q.groupBy(F.date_trunc("hour", "query_ts").alias("bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("arrivals"),
+        F.sum("el").alias("offered_s"),
+    )
+    return (
+        starters.join(busy, "bucket", "left")
+        .select(
+            "bucket",
+            "arrivals",
+            F.round("offered_s", 6).alias("offered_s"),
+            F.round("busy_s", 6).alias("busy_s"),
+            F.round(F.col("busy_s") / F.col("offered_s"), 6).alias("littles_ratio"),
+        )
+    )
+
+
+_register(
+    "a40_littles_law",
+    _a40,
+    _ALL_CTES
+    + ", iv AS (SELECT query_ts, elapsed_time AS el,"
+    "   epoch(query_ts) + elapsed_time AS e FROM queries),"
+    " spans AS (SELECT query_ts, el, e,"
+    "   date_trunc('hour', query_ts) + to_seconds(3600 * t.k) AS bucket"
+    "  FROM iv, UNNEST(range(0, CAST(floor(epoch(date_trunc('hour',"
+    "    to_timestamp(e))) - epoch(date_trunc('hour', query_ts))) / 3600"
+    "    AS BIGINT) + 1)) AS t(k)),"
+    " clip AS (SELECT bucket,"
+    "   least(e, epoch(bucket) + 3600) - greatest(epoch(query_ts),"
+    "    epoch(bucket)) AS busy FROM spans),"
+    " busy AS (SELECT bucket, sum(busy) AS busy_s FROM clip GROUP BY 1),"
+    " st AS (SELECT date_trunc('hour', query_ts) AS bucket,"
+    "   CAST(count(*) AS BIGINT) AS arrivals, sum(el) AS offered_s"
+    "  FROM iv GROUP BY 1)"
+    " SELECT st.bucket, arrivals, round(offered_s, 6) AS offered_s,"
+    "  round(busy_s, 6) AS busy_s,"
+    "  round(busy_s / offered_s, 6) AS littles_ratio"
+    " FROM st LEFT JOIN busy ON busy.bucket = st.bucket",
+)
