@@ -7550,3 +7550,76 @@ _register(
     "  round(busy_s / offered_s, 6) AS littles_ratio"
     " FROM st LEFT JOIN busy ON busy.bucket = st.bucket",
 )
+
+
+def _s16(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming hot-key monitor with COUNT-MIN state: the sketch cells
+    (depth x width, CONSTANT regardless of key cardinality — the reason
+    to sketch instead of s13-style per-key state when keys are unbounded:
+    IPs, digests, session tokens) accumulate as a complete-mode streaming
+    aggregation; the drained cells then drive x53's certified-exact
+    readout batch-side (estimate -> margin-cut candidates -> exact-count
+    candidates only -> assert the certification bound), so the expected
+    output is the hash-free exact top-10 and the oracle is plain SQL —
+    the streaming twin of x53 exactly as s14 is of x85."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    width, depth = 1024, 4
+    ev = stream_sf_table(spark, sf, "events")
+    terms = ev.select(F.col("user_id").cast("string").alias("term"))
+    cells = X_sk.countmin_sketch(terms, "term", width=width, depth=depth, mode="xxhash64")
+    name = f"s16_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(cells, name, output_mode="complete")
+        q.awaitTermination(300)
+    sketch = spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+
+    evb = read_sf_table(spark, sf, "events").select(
+        F.col("user_id").cast("string").alias("term")
+    )
+    vocab = evb.distinct()
+    est = X_sk.cms_estimate(sketch, vocab, "term", width=width, depth=depth, mode="xxhash64")
+    cand = est.orderBy(F.col("est").desc(), "term").limit(40)
+    exact = (
+        evb.join(F.broadcast(cand.select("term")), on="term", how="left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    max_out = est.join(
+        F.broadcast(cand.select("term")), on="term", how="left_anti"
+    ).agg(F.coalesce(F.max("est"), F.lit(0)).alias("__max_out"))
+    topk = exact.orderBy(F.col("n").desc(), "term").limit(10)
+    kth = topk.agg(F.coalesce(F.min("n"), F.lit(0)).alias("__kth"))
+    return (
+        topk.crossJoin(F.broadcast(kth))
+        .crossJoin(F.broadcast(max_out))
+        .select(
+            F.col("term").alias("user_id"),
+            F.coalesce(
+                F.assert_true(
+                    F.col("__kth") > F.col("__max_out"),
+                    F.lit(
+                        "s16: certification failed — raise margin/width/depth"
+                    ),
+                ).cast("long"),
+                F.col("n"),
+            ).alias("n"),
+        )
+    )
+
+
+_register(
+    "s16_stream_hotkeys",
+    _s16,
+    "SELECT CAST(user_id AS VARCHAR) AS user_id,"
+    " CAST(count(*) AS BIGINT) AS n"
+    " FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10",
+)
