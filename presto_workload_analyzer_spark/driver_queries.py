@@ -7623,3 +7623,46 @@ _register(
     " CAST(count(*) AS BIGINT) AS n"
     " FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10",
 )
+
+
+def _x111(spark: SparkSession, sf: str) -> DataFrame:
+    """Text↔embedding consistency audit: for every ground-truth-ish text
+    near-dup pair (the shared x02 LSH candidates), the embedding cosine
+    of the same two ids — the sanity check that the embedding model
+    actually agrees with textual duplication (a near-dup pair with low
+    cosine means the encoder missed it, and x33-style embedding dedup
+    would UNDER-delete; systematically low cosines flag a stale or
+    misnormalized embedding column before anyone trusts ANN dedup).
+    Candidate-scoped: two broadcast-free equi-joins on the pair ids,
+    never pairs × corpus."""
+    pairs = shared_lsh_pairs(spark, sf)
+    emb = read_sf_table(spark, sf, "embeddings")
+    ea = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("__va"))
+    eb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("__vb"))
+    return (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                X_sim.cosine_expr(F.col("__va"), F.col("__vb")) + 1e-9, 6
+            ).alias("emb_cosine"),
+        )
+    )
+
+
+_register(
+    "x111_dup_embedding_consistency",
+    _x111,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+    "  FROM embeddings)"
+    " SELECT id_a, id_b,"
+    "  round(list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v))"
+    "   * sqrt(list_dot_product(eb.v, eb.v))) + 1e-9, 6) AS emb_cosine"
+    " FROM pairs JOIN e ea ON ea.id = id_a JOIN e eb ON eb.id = id_b",
+)
