@@ -7666,3 +7666,89 @@ _register(
     "   * sqrt(list_dot_product(eb.v, eb.v))) + 1e-9, 6) AS emb_cosine"
     " FROM pairs JOIN e ea ON ea.id = id_a JOIN e eb ON eb.id = id_b",
 )
+
+
+def _x112(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-defined chunking (storage-dedup style): a chunk boundary
+    opens wherever md5(word-4-gram) % 16 == 0, so boundaries move WITH
+    the content — insert one word near the head of a doc and only the
+    chunk containing the edit changes its digest, where x24's fixed-size
+    chunking re-digests everything downstream (the whole point of CDC:
+    rsync/LBFS/backup dedup, and incremental re-embedding of edited
+    docs). Output is chunk grain: (doc_id, chunk_id, n_tokens,
+    chunk_md5). Expected chunk length is the modulus (16 words); the
+    segment id is a running boundary count over a doc-keyed window
+    (corpus-cardinality key, lint-fine)."""
+    docs = read_sf_table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    toks = grams.withColumn(
+        "__g4",
+        F.concat_ws(
+            " ",
+            "w",
+            F.lead("w", 1).over(
+                Window.partitionBy("doc_id").orderBy("pos")
+            ),
+            F.lead("w", 2).over(Window.partitionBy("doc_id").orderBy("pos")),
+            F.lead("w", 3).over(Window.partitionBy("doc_id").orderBy("pos")),
+        ),
+    ).withColumn(
+        "__brk",
+        (
+            (F.conv(F.substring(F.md5("__g4"), 1, 4), 16, 10) % 16 == 0)
+            & (F.lead("w", 3).over(Window.partitionBy("doc_id").orderBy("pos")).isNotNull())
+        ).cast("long"),
+    )
+    seg = toks.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("__brk").over(
+                Window.partitionBy("doc_id")
+                .orderBy("pos")
+                .rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    return seg.groupBy("doc_id", "chunk_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        # collect_list order is partition-merge-dependent: sort the
+        # (pos, w) structs before joining or the digest is nondeterministic
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            )
+        ).alias("chunk_md5"),
+    )
+
+
+_register(
+    "x112_cdc_chunking",
+    _x112,
+    r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w"
+    "  FROM documents),"
+    " g AS (SELECT doc_id, i.pos, w[i.pos] AS wd,"
+    "   CASE WHEN i.pos + 3 <= len(w) THEN"
+    "    array_to_string(w[i.pos:i.pos+3], ' ') END AS g4"
+    "  FROM t, UNNEST(range(1, len(w) + 1)) AS i(pos)),"
+    " b AS (SELECT doc_id, pos, wd,"
+    "   CASE WHEN g4 IS NOT NULL AND"
+    "    CAST(('0x' || substr(md5(g4), 1, 4)) AS BIGINT) % 16 = 0"
+    "    THEN 1 ELSE 0 END AS brk"
+    "  FROM g),"
+    " s AS (SELECT doc_id, pos, wd,"
+    "   coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id"
+    "  FROM b)"
+    " SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,"
+    "  CAST(count(*) AS BIGINT) AS n_tokens,"
+    "  md5(string_agg(wd, ' ' ORDER BY pos)) AS chunk_md5"
+    " FROM s GROUP BY 1, 2",
+)
