@@ -7752,3 +7752,74 @@ _register(
     "  md5(string_agg(wd, ' ' ORDER BY pos)) AS chunk_md5"
     " FROM s GROUP BY 1, 2",
 )
+
+
+def _x113(spark: SparkSession, sf: str) -> DataFrame:
+    """Code-switch / language-mixing detector: per doc, the top-2 marker
+    language scores and their margin — a doc whose runner-up language
+    scores within 0.05 of the winner is mixed-language (or the detector
+    is guessing), the docs a monolingual pipeline silently mangles and a
+    router should fork. Unpivots the 5 scores to (doc, lang) rows and
+    ranks inside a doc-keyed window (corpus-cardinality key); ties break
+    by the same en>de>fr>es>zh precedence as x09's argmax."""
+    docs = read_sf_table(spark, sf, "documents")
+    scores = X_text.language_scores(F.col("text"))
+    order = list(scores)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(lang).alias("lang"),
+                scores[lang].alias("r"),
+                F.lit(i).alias("prio"),
+            )
+            for i, lang in enumerate(order)
+        ]
+    )
+    ex = docs.select("doc_id", F.explode(pairs).alias("s")).select(
+        "doc_id",
+        F.col("s.lang").alias("lang"),
+        F.col("s.r").alias("r"),
+        F.col("s.prio").alias("prio"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("r").desc(), F.col("prio"))
+    ranked = ex.withColumn("__rk", F.row_number().over(w)).filter(F.col("__rk") <= 2)
+    top = ranked.groupBy("doc_id").agg(
+        F.max(F.when(F.col("__rk") == 1, F.col("lang"))).alias("top_lang"),
+        F.max(F.when(F.col("__rk") == 1, F.col("r"))).alias("__r1"),
+        F.max(F.when(F.col("__rk") == 2, F.col("lang"))).alias("second_lang"),
+        F.max(F.when(F.col("__rk") == 2, F.col("r"))).alias("__r2"),
+    )
+    return top.select(
+        "doc_id",
+        "top_lang",
+        "second_lang",
+        F.round(F.col("__r1") - F.col("__r2") + 1e-9, 6).alias("margin"),
+        (F.col("__r1") - F.col("__r2") < 0.05).alias("is_mixed"),
+    )
+
+
+def _x113_sql() -> str:
+    structs = ", ".join(
+        f"{{'lang': '{lang}', 'r': ({_RATIO_SQL.format(lst=lst)}), 'prio': {i}}}"
+        for i, (lang, lst) in enumerate(_X09_LISTS.items())
+    )
+    return (
+        f"WITH ex AS (SELECT doc_id, u.s['lang'] AS lang, CAST(u.s['r'] AS DOUBLE)"
+        "   AS r, CAST(u.s['prio'] AS INT) AS prio"
+        f"  FROM documents, UNNEST([{structs}]) AS u(s)),"
+        " rk AS (SELECT doc_id, lang, r,"
+        "   row_number() OVER (PARTITION BY doc_id ORDER BY r DESC, prio) AS k"
+        "  FROM ex),"
+        " top AS (SELECT doc_id,"
+        "   max(CASE WHEN k = 1 THEN lang END) AS top_lang,"
+        "   max(CASE WHEN k = 1 THEN r END) AS r1,"
+        "   max(CASE WHEN k = 2 THEN lang END) AS second_lang,"
+        "   max(CASE WHEN k = 2 THEN r END) AS r2"
+        "  FROM rk WHERE k <= 2 GROUP BY 1)"
+        " SELECT doc_id, top_lang, second_lang,"
+        "  round(r1 - r2 + 1e-9, 6) AS margin, (r1 - r2 < 0.05) AS is_mixed"
+        " FROM top"
+    )
+
+
+_register("x113_language_mixing", _x113, _x113_sql())
