@@ -7823,3 +7823,64 @@ def _x113_sql() -> str:
 
 
 _register("x113_language_mixing", _x113, _x113_sql())
+
+
+def _x114(spark: SparkSession, sf: str) -> DataFrame:
+    """Corrupted-SECTION detector: 16-token rolling mean of per-token
+    -ln p(tok) under the corpus unigram LM, per doc — x26 scores whole
+    documents, but a mostly-good doc with one pasted gibberish block
+    passes a doc-level filter and still poisons training; the worst
+    rolling window finds the block. Per-token logprobs come from one
+    vocabulary-grain join (x26's shape); the rolling window is doc-keyed
+    (corpus-cardinality partition key). Output: (doc_id, n_tokens,
+    n_windows, worst_neg_logprob)."""
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(F.split(F.trim("text"), r"\s+"), lambda t: F.lower(t))
+        ).alias("pos", "term"),
+    ).filter(F.col("term") != "")
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.select(F.sum("cnt").alias("__total"))
+    lp = (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id", "pos", (-F.log(F.col("cnt") / F.col("__total"))).alias("__lp")
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-15, 0)
+    wm = lp.withColumn("__wm", F.avg("__lp").over(w))
+    return wm.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        F.sum((F.col("pos") >= 15).cast("long")).alias("n_windows"),
+        F.round(
+            F.max(F.when(F.col("pos") >= 15, F.col("__wm"))) + 1e-9, 6
+        ).alias("worst_neg_logprob"),
+    )
+
+
+_register(
+    "x114_gibberish_spans",
+    _x114,
+    r"WITH toks AS (SELECT doc_id, t.p - 1 AS pos, lower(ws[t.p]) AS term"
+    r"  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws"
+    "   FROM documents) d,"
+    "  UNNEST(range(1, len(ws) + 1)) AS t(p)"
+    "  WHERE ws[t.p] <> ''),"
+    " vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1),"
+    " tot AS (SELECT sum(cnt) AS total FROM vocab),"
+    " lp AS (SELECT doc_id, pos,"
+    "   -ln(cnt / (SELECT total FROM tot)) AS l"
+    "  FROM toks JOIN vocab USING (term)),"
+    " wm AS (SELECT doc_id, pos,"
+    "   avg(l) OVER (PARTITION BY doc_id ORDER BY pos"
+    "    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS m"
+    "  FROM lp)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
+    "  CAST(sum(CASE WHEN pos >= 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_windows,"
+    "  round(max(CASE WHEN pos >= 15 THEN m END) + 1e-9, 6)"
+    "   AS worst_neg_logprob"
+    " FROM wm GROUP BY 1",
+)
