@@ -7884,3 +7884,102 @@ _register(
     "   AS worst_neg_logprob"
     " FROM wm GROUP BY 1",
 )
+
+
+def _a41(spark: SparkSession, sf: str) -> DataFrame:
+    """Weekly periodicity heatmap: (day-of-week x hour-of-day) cells of
+    query count, scheduled-time mass and mean input size — a01-a06 show
+    trends along one axis; capacity planning needs the WEEKLY cycle (is
+    Monday 09:00 the peak, is the weekend batch window real). 168-cell
+    output grain, one map-side-combined aggregate."""
+    q = workload_queries(spark, sf)
+    return (
+        q.groupBy(
+            F.dayofweek("query_ts").cast("long").alias("dow"),
+            F.hour("query_ts").cast("long").alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_queries"),
+            F.round(F.sum("scheduled_time") / 86400.0, 6).alias("scheduled_days"),
+            F.round(F.avg("input_size") / 1e9, 6).alias("avg_input_gb"),
+        )
+    )
+
+
+_register(
+    "a41_weekly_heatmap",
+    _a41,
+    _ALL_CTES
+    + "SELECT CAST(dayofweek(query_ts) + 1 AS BIGINT) AS dow,"
+    "  CAST(hour(query_ts) AS BIGINT) AS hour,"
+    "  CAST(count(*) AS BIGINT) AS n_queries,"
+    "  round(sum(scheduled_time) / 86400.0, 6) AS scheduled_days,"
+    "  round(avg(input_size) / 1e9, 6) AS avg_input_gb"
+    " FROM queries GROUP BY 1, 2",
+)
+
+
+def _x115(spark: SparkSession, sf: str) -> DataFrame:
+    """Scalar-quantization error audit per source: reconstruct each
+    vector from its x36 int8 codes (x_hat = code/255*(mx-mn)+mn) and
+    report max absolute component error, RMSE, and reconstructed-cosine
+    floor — the acceptance numbers that justify (or veto) shipping the
+    8-bit index before x44-style recall evals. Codes and reconstruction
+    use the SAME quantize_expr as the serving path, so this audits the
+    deployed code path, not a lookalike; global (mn, mx) codebook is one
+    broadcast row, everything else scan-grain zip_with arithmetic."""
+    emb = read_sf_table(spark, sf, "embeddings")
+    docs = read_sf_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    bounds = X_sim.scalar_quantization_bounds(emb)
+    j = emb.join(docs, "vec_id").crossJoin(F.broadcast(bounds))
+    codes = X_sim.quantize_expr(F.col("embedding"), F.col("mn"), F.col("mx"))
+    recon = F.transform(
+        codes, lambda c: c.cast("double") / 255.0 * (F.col("mx") - F.col("mn")) + F.col("mn")
+    )
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    err = F.zip_with(v, recon, lambda a, b: F.abs(a - b))
+    se = F.aggregate(
+        F.zip_with(v, recon, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cosr = X_sim.cosine_expr(v, recon)
+    per = j.select(
+        "source",
+        F.array_max(err).alias("__mx_err"),
+        (se / F.size("embedding")).alias("__mse"),
+        cosr.alias("__cos"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.round(F.max("__mx_err") + 1e-9, 6).alias("max_abs_err"),
+        F.round(F.sqrt(F.avg("__mse")) + 1e-9, 6).alias("rmse"),
+        F.round(F.min("__cos") + 1e-9, 6).alias("min_recon_cosine"),
+    )
+
+
+_register(
+    "x115_quantization_audit",
+    _x115,
+    "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+    " b AS (SELECT min(list_min(v)) AS mn, max(list_max(v)) AS mx FROM e),"
+    " r AS (SELECT d.source, e.v,"
+    "   list_transform(e.v, x -> round((x - b.mn) / (b.mx - b.mn) * 255.0"
+    "     + 1e-9) / 255.0 * (b.mx - b.mn) + b.mn) AS rv"
+    "  FROM e JOIN documents d ON d.doc_id = e.vec_id, b),"
+    " per AS (SELECT source,"
+    "   list_max(list_transform(list_zip(v, rv),"
+    "    p -> abs(p[1] - p[2]))) AS mx_err,"
+    "   list_sum(list_transform(list_zip(v, rv),"
+    "    p -> (p[1] - p[2]) * (p[1] - p[2]))) / len(v) AS mse,"
+    "   list_dot_product(v, rv) / (sqrt(list_dot_product(v, v))"
+    "    * sqrt(list_dot_product(rv, rv))) AS cosr"
+    "  FROM r)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_vecs,"
+    "  round(max(mx_err) + 1e-9, 6) AS max_abs_err,"
+    "  round(sqrt(avg(mse)) + 1e-9, 6) AS rmse,"
+    "  round(min(cosr) + 1e-9, 6) AS min_recon_cosine"
+    " FROM per GROUP BY 1",
+)
