@@ -7983,3 +7983,42 @@ _register(
     "  round(min(cosr) + 1e-9, 6) AS min_recon_cosine"
     " FROM per GROUP BY 1",
 )
+
+
+def _p14(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-USER re-identification risk: each record's risk is 1/size of
+    its (event_type, day) quasi-identifier class — p10 profiles the
+    corpus; this names WHO is exposed (max and mean record risk, and how
+    many of the user's records sit in classes smaller than 10 — p04's
+    suppression bound). Class sizes are one cell-grain aggregate joined
+    back at record grain; output is user-bounded. The release decision
+    ("generalize day->week for these users") starts from this table."""
+    ev = read_sf_table(spark, sf, "events")
+    cells = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("__d")
+    ).agg(F.count(F.lit(1)).alias("__cs"))
+    rec = ev.select(
+        "user_id", "event_type", F.date_trunc("day", "ts").alias("__d")
+    ).join(cells, ["event_type", "__d"])
+    return rec.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.round(F.max(1.0 / F.col("__cs")) + 1e-9, 6).alias("max_risk"),
+        F.round(F.avg(1.0 / F.col("__cs")) + 1e-9, 6).alias("mean_risk"),
+        F.sum((F.col("__cs") < 10).cast("long")).alias("n_below_k10"),
+    )
+
+
+_register(
+    "p14_record_risk",
+    _p14,
+    "WITH cells AS (SELECT event_type, date_trunc('day', ts) AS d,"
+    "   count(*) AS cs FROM events GROUP BY 1, 2),"
+    " rec AS (SELECT e.user_id, c.cs FROM events e JOIN cells c"
+    "  ON c.event_type = e.event_type AND c.d = date_trunc('day', e.ts))"
+    " SELECT user_id, CAST(count(*) AS BIGINT) AS n_records,"
+    "  round(max(1.0 / cs) + 1e-9, 6) AS max_risk,"
+    "  round(avg(1.0 / cs) + 1e-9, 6) AS mean_risk,"
+    "  CAST(sum(CASE WHEN cs < 10 THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_below_k10"
+    " FROM rec GROUP BY 1",
+)
