@@ -8022,3 +8022,71 @@ _register(
     "   AS n_below_k10"
     " FROM rec GROUP BY 1",
 )
+
+
+def _x116(spark: SparkSession, sf: str) -> DataFrame:
+    """Leave-one-source-out (jackknife) influence on the corpus mean
+    quality score: for each source, what the corpus mean becomes WITHOUT
+    it — the attribution step after x38's triage ("dropping crawl-X
+    moves corpus quality +0.01, dropping forum-Y −0.004"), computed
+    exactly from per-source sums against broadcast grand totals (no
+    second corpus pass per source, which is the naive N-passes trap).
+    Sums are of 6-dp-rounded per-doc scores, so the subtraction
+    (S - s_i)/(N - n_i) is engine-stable arithmetic on identical
+    doubles."""
+    docs = read_sf_table(spark, sf, "documents")
+    scored = docs.select(
+        "source", F.round(X_text.quality_score("text") + 1e-9, 6).alias("q")
+    )
+    per = scored.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"), F.sum("q").alias("__s")
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("__nt"), F.sum("__s").alias("__st")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("__s") / F.col("n_docs") + 1e-9, 6).alias("source_mean"),
+            F.round(
+                (F.col("__st") - F.col("__s")) / (F.col("__nt") - F.col("n_docs"))
+                + 1e-9,
+                6,
+            ).alias("mean_without"),
+            F.round(
+                F.col("__st") / F.col("__nt")
+                - (F.col("__st") - F.col("__s")) / (F.col("__nt") - F.col("n_docs"))
+                + 1e-9,
+                6,
+            ).alias("influence"),
+        )
+    )
+
+
+def _x116_sql() -> str:
+    qual = (
+        "round("
+        f" 0.4 * least(({_RATIO_SQL.format(lst=_EN_LIST)}) / 0.25, 1.0)"
+        " + 0.3 * (1.0 - least((CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+        "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END) * 5.0, 1.0))"
+        " + 0.3 * least((CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+        "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))) / 8.0, 1.0)"
+        " + 1e-9, 6)"
+    )
+    return (
+        f"WITH sc AS (SELECT source, {qual} AS q FROM documents),"
+        " per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "   sum(q) AS s FROM sc GROUP BY 1),"
+        " tot AS (SELECT sum(n_docs) AS n, sum(s) AS st FROM per)"
+        " SELECT source, n_docs,"
+        "  round(s / n_docs + 1e-9, 6) AS source_mean,"
+        "  round((st - s) / (n - n_docs) + 1e-9, 6) AS mean_without,"
+        "  round(st / n - (st - s) / (n - n_docs) + 1e-9, 6) AS influence"
+        " FROM per, tot"
+    )
+
+
+_register("x116_source_influence", _x116, _x116_sql())
