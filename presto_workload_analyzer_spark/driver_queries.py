@@ -8090,3 +8090,66 @@ def _x116_sql() -> str:
 
 
 _register("x116_source_influence", _x116, _x116_sql())
+
+
+def _x117(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order EFFECTIVENESS measurement — x69 emits the layout key;
+    this measures what it buys: bucket rows by key range (the row-group
+    analogue), take per-bucket min/max of each dimension (exactly the
+    stats parquet footers carry), and report the mean span fraction per
+    (layout, column) — the fraction of the value domain a point query
+    must scan. The naive user-sorted layout prunes user_id (~1/16 span)
+    but never value (span 1.0); the Morton layout holds BOTH near 1/4 at
+    64 buckets — the quantitative case for multi-dim clustering, as
+    measured numbers instead of a design claim. All integer min/max
+    aggregates at bucket grain."""
+    ev = read_sf_table(spark, sf, "events")
+    q = ev.select(
+        (F.col("user_id") % 16).alias("ub"),
+        F.least(F.lit(15), (F.col("value") / 32.0).cast("long")).alias("vb"),
+    )
+    zkey = X_prof.zorder_key(["ub", "vb"], bits=4)
+    layouts = q.select(
+        "ub", "vb", (zkey / F.lit(4)).cast("long").alias("__bz")
+    )
+
+    def spans(df, bucket_col, layout):
+        g = df.groupBy(F.col(bucket_col).alias("__b")).agg(
+            F.min("ub").alias("u0"), F.max("ub").alias("u1"),
+            F.min("vb").alias("v0"), F.max("vb").alias("v1"),
+        )
+        return g.agg(
+            F.lit(layout).alias("layout"),
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.round(F.avg((F.col("u1") - F.col("u0") + 1) / 16.0), 6).alias(
+                "user_span_frac"
+            ),
+            F.round(F.avg((F.col("v1") - F.col("v0") + 1) / 16.0), 6).alias(
+                "value_span_frac"
+            ),
+        )
+
+    zorder = spans(layouts, "__bz", "zorder_64buckets")
+    naive = spans(q.withColumn("__bu", F.col("ub")), "__bu", "user_sorted_16buckets")
+    return zorder.unionByName(naive)
+
+
+_register(
+    "x117_zorder_effectiveness",
+    _x117,
+    "WITH q AS (SELECT user_id % 16 AS ub,"
+    "   least(15, CAST(trunc(\"value\" / 32.0) AS BIGINT)) AS vb FROM events),"
+    f" z AS (SELECT ub, vb, CAST(({_X69_ZKEY}) AS BIGINT) // 4 AS b FROM q),"
+    " gz AS (SELECT b, min(ub) AS u0, max(ub) AS u1, min(vb) AS v0,"
+    "   max(vb) AS v1 FROM z GROUP BY 1),"
+    " gn AS (SELECT ub AS b, min(ub) AS u0, max(ub) AS u1, min(vb) AS v0,"
+    "   max(vb) AS v1 FROM q GROUP BY 1)"
+    " SELECT 'zorder_64buckets' AS layout,"
+    "  CAST(count(*) AS BIGINT) AS n_buckets,"
+    "  round(avg((u1 - u0 + 1) / 16.0), 6) AS user_span_frac,"
+    "  round(avg((v1 - v0 + 1) / 16.0), 6) AS value_span_frac FROM gz"
+    " UNION ALL"
+    " SELECT 'user_sorted_16buckets', CAST(count(*) AS BIGINT),"
+    "  round(avg((u1 - u0 + 1) / 16.0), 6),"
+    "  round(avg((v1 - v0 + 1) / 16.0), 6) FROM gn",
+)
