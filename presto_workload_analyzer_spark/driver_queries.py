@@ -8153,3 +8153,96 @@ _register(
     "  round(avg((u1 - u0 + 1) / 16.0), 6),"
     "  round(avg((v1 - v0 + 1) / 16.0), 6) FROM gn",
 )
+
+
+def _x118(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared-chunk containment pairs over x112's content-defined chunks
+    — the storage-dedup question "which files share blocks" applied to
+    documents: doc pairs sharing >= 2 chunk digests, with the shared
+    count. Chunk-grain inverted index; postings are df-bounded
+    (2 <= df <= 50 — a chunk in half the corpus is boilerplate x90/x42
+    already profile, and an unbounded posting list is the x34 quadratic)
+    so pair fan-out is sum-of-df^2 over CAPPED dfs. Catches partial
+    plagiarism/mirroring that whole-doc digests miss and span-shingles
+    (x47) price at much finer grain."""
+    docs = read_sf_table(spark, sf, "documents")
+    grams = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    toks = grams.withColumn(
+        "__g4",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(wdoc), F.lead("w", 2).over(wdoc),
+            F.lead("w", 3).over(wdoc),
+        ),
+    ).withColumn(
+        "__brk",
+        (
+            (F.conv(F.substring(F.md5("__g4"), 1, 4), 16, 10) % 16 == 0)
+            & (F.lead("w", 3).over(wdoc).isNotNull())
+        ).cast("long"),
+    )
+    seg = toks.withColumn(
+        "chunk_id",
+        F.coalesce(
+            F.sum("__brk").over(wdoc.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    )
+    chunks = seg.groupBy("doc_id", "chunk_id").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            )
+        ).alias("h")
+    ).select("doc_id", "h").distinct()
+    dfreq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+    keep = chunks.join(
+        dfreq.filter((F.col("__df") >= 2) & (F.col("__df") <= 50)), "h"
+    )
+    a = keep.select(F.col("doc_id").alias("doc_a"), "h")
+    b = keep.select(F.col("doc_id").alias("doc_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_chunks"))
+        .filter(F.col("n_shared_chunks") >= 2)
+    )
+
+
+_register(
+    "x118_shared_chunks",
+    _x118,
+    r"WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w"
+    "  FROM documents),"
+    " g AS (SELECT doc_id, i.pos, w[i.pos] AS wd,"
+    "   CASE WHEN i.pos + 3 <= len(w) THEN"
+    "    array_to_string(w[i.pos:i.pos+3], ' ') END AS g4"
+    "  FROM t, UNNEST(range(1, len(w) + 1)) AS i(pos)),"
+    " b AS (SELECT doc_id, pos, wd,"
+    "   CASE WHEN g4 IS NOT NULL AND"
+    "    CAST(('0x' || substr(md5(g4), 1, 4)) AS BIGINT) % 16 = 0"
+    "    THEN 1 ELSE 0 END AS brk"
+    "  FROM g),"
+    " s AS (SELECT doc_id, pos, wd,"
+    "   coalesce(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_id"
+    "  FROM b),"
+    " ch AS (SELECT DISTINCT doc_id,"
+    "   md5(string_agg(wd, ' ' ORDER BY pos)) AS h"
+    "  FROM s GROUP BY doc_id, chunk_id),"
+    " dfq AS (SELECT h FROM (SELECT h, count(*) AS df FROM ch GROUP BY 1)"
+    "  WHERE df BETWEEN 2 AND 50)"
+    " SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,"
+    "  CAST(count(*) AS BIGINT) AS n_shared_chunks"
+    " FROM ch a JOIN dfq USING (h) JOIN ch b USING (h)"
+    " WHERE a.doc_id < b.doc_id"
+    " GROUP BY 1, 2 HAVING count(*) >= 2",
+)
