@@ -8246,3 +8246,73 @@ _register(
     " WHERE a.doc_id < b.doc_id"
     " GROUP BY 1, 2 HAVING count(*) >= 2",
 )
+
+
+def _x119(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer training (textstats.bpe_merges): the first 8 merge
+    rules learned from the corpus word-frequency table — tokenizer
+    construction as engine aggregates. The oracle replays all 8
+    sequential rounds in SQL with the IDENTICAL string-accumulator
+    greedy-left merge (list_reduce ↔ F.aggregate), so a single
+    divergence anywhere in the sequential training trajectory is a hash
+    mismatch — the strongest falsifiability an iterative algorithm can
+    get. Scale: iteration state is the (top_words)-row frequency table;
+    the corpus is touched once."""
+    docs = read_sf_table(spark, sf, "documents")
+    rows = X_text.bpe_merges(docs, "text", rounds=8, top_words=500)
+    return spark.createDataFrame(
+        rows, "round long, left_sym string, right_sym string,"
+        " merged string, pair_count long"
+    )
+
+
+def _x119_sql(rounds: int = 8, top_words: int = 500) -> str:
+    def join_out(tail: str) -> str:
+        return (
+            "(CASE WHEN split_part(a, chr(31), 1) = '' THEN " + tail
+            + " ELSE split_part(a, chr(31), 1) || ' ' || " + tail + " END)"
+        )
+
+    reduce_expr = (
+        "trim(replace(list_reduce(list_prepend(chr(31), string_split(syms, ' ')),"
+        " (a, s) -> CASE"
+        " WHEN split_part(a, chr(31), 2) = '' THEN"
+        "  split_part(a, chr(31), 1) || chr(31) || s"
+        " WHEN split_part(a, chr(31), 2) = bl AND s = br THEN "
+        + join_out("(bl || br)")
+        + " || chr(31)"
+        " ELSE " + join_out("split_part(a, chr(31), 2)") + " || chr(31) || s END"
+        "), chr(31), ' '))"
+    )
+    ctes = [
+        r"w0 AS (SELECT t.w AS w, count(*) AS cnt FROM documents,"
+        r" UNNEST(string_split_regex(trim(text), '\s+')) AS t(w)"
+        " WHERE regexp_matches(t.w, '^[a-z]+$') GROUP BY 1"
+        f" ORDER BY cnt DESC, w LIMIT {top_words})",
+        "c0 AS (SELECT array_to_string(string_split_regex(w, ''), ' ')"
+        " AS syms, cnt FROM w0)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"p{r} AS (SELECT arr[i.i] || ' ' || arr[i.i+1] AS pair,"
+            " sum(cnt) AS pc"
+            f" FROM (SELECT string_split(syms, ' ') AS arr, cnt FROM c{r-1}) t,"
+            " UNNEST(range(1, len(arr))) AS i(i) GROUP BY 1)"
+        )
+        ctes.append(
+            f"b{r} AS (SELECT pair, pc, split_part(pair, ' ', 1) AS bl,"
+            f" split_part(pair, ' ', 2) AS br FROM p{r}"
+            " ORDER BY pc DESC, pair LIMIT 1)"
+        )
+        ctes.append(
+            f"c{r} AS (SELECT {reduce_expr} AS syms, cnt FROM c{r-1}, b{r})"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, bl AS left_sym, br AS right_sym,"
+        f" bl || br AS merged, CAST(pc AS BIGINT) AS pair_count FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "WITH " + ", ".join(ctes) + " " + sel
+
+
+_register("x119_bpe_training", _x119, _x119_sql())

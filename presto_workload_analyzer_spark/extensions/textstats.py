@@ -980,3 +980,97 @@ def winnowing_fingerprints(
         .distinct()
     )
     return selected
+
+
+def bpe_merges(
+    df: DataFrame,
+    text_col: str,
+    rounds: int = 8,
+    top_words: int = 500,
+) -> list[tuple[int, str, str, str, int]]:
+    """BPE tokenizer TRAINING as engine aggregates: learn the first
+    `rounds` merge rules from the corpus and return the merge table
+    [(round, left, right, merged, pair_count)].
+
+    Classic byte-pair-encoding training (Sennrich et al., public
+    literature) runs on the WORD FREQUENCY TABLE, not the corpus — which
+    is what makes it scale: the iteration state is vocabulary-grain
+    (top_words rows), so a 100 TB corpus pays one corpus-sized word
+    count and every merge round is an aggregate over <= top_words rows.
+    Per round: (1) adjacent symbol pairs explode from each word's symbol
+    string and weight-sum (pair-vocabulary grain); (2) the argmax pair —
+    ties broken (count desc, pair asc) — becomes the round's rule (one
+    1-row collect per round: the merge table is inherently sequential,
+    and this loop-counter-sized driver traffic is the CC-loop
+    precedent); (3) the rule applies to every word via a portable
+    string-accumulator aggregate (greedy LEFT-TO-RIGHT non-overlapping,
+    BPE's application order): acc = "<out>\\x1f<pending>", identical
+    logic in Spark's F.aggregate and DuckDB's list_reduce, so an oracle
+    can replay training bit-for-bit. localCheckpoint truncates the
+    8-deep lambda lineage each round.
+
+    Words are lowercase-alpha only and capped at the `top_words` most
+    frequent (deterministic count-desc/word-asc cut) — the standard
+    practical bound; symbols therefore never contain spaces or the
+    \\x1f sentinel.
+    """
+    US = "\x1f"
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "w")
+        .limit(top_words)
+    )
+    cur = words.select(
+        F.array_join(F.split("w", "(?!^)"), " ").alias("syms"), "cnt"
+    ).localCheckpoint(eager=True)
+
+    out: list[tuple[int, str, str, str, int]] = []
+    for r in range(1, rounds + 1):
+        arr = F.split(F.col("syms"), " ")
+        n = F.size(arr)
+        pair_col = F.explode(
+            F.zip_with(
+                F.slice(arr, 1, n - 1),
+                F.slice(arr, 2, n - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        )
+        pairs = (
+            cur.select(pair_col.alias("pair"), "cnt")
+            .groupBy("pair")
+            .agg(F.sum("cnt").alias("pc"))
+        )
+        best = pairs.orderBy(F.col("pc").desc(), "pair").limit(1).collect()
+        if not best:
+            break
+        a_sym, b_sym = best[0]["pair"].split(" ")
+        merged = a_sym + b_sym
+        out.append((r, a_sym, b_sym, merged, int(best[0]["pc"])))
+
+        def make_step(_a, _b, _m):
+            def step(acc, s):
+                o = F.substring_index(acc, US, 1)
+                p = F.substring_index(acc, US, -1)
+                join_out = lambda tail: F.when(o == "", tail).otherwise(
+                    F.concat(o, F.lit(" "), tail)
+                )
+                return (
+                    F.when(p == "", F.concat(o, F.lit(US), s))
+                    .when(
+                        (p == _a) & (s == _b),
+                        F.concat(join_out(F.lit(_m)), F.lit(US)),
+                    )
+                    .otherwise(F.concat(join_out(p), F.lit(US), s))
+                )
+            return step
+
+        step = make_step(a_sym, b_sym, merged)
+
+        new_syms = F.trim(
+            F.regexp_replace(F.aggregate(arr, F.lit(US), step), US, " ")
+        )
+        cur = cur.select(new_syms.alias("syms"), "cnt").localCheckpoint(eager=True)
+    return out

@@ -2008,3 +2008,36 @@ def test_prefix_filter_join_prunes_hot_shingles(spark):
     prefix = ranked.filter(F.col("rn") <= F.col("p"))
     # every fully-shared boilerplate shingle (df == 30) must be pruned
     assert prefix.filter(F.col("df") == 30).count() == 0
+
+
+def test_bpe_merges_hand_checked(spark):
+    """Classic BPE example, hand-computed: counts low:3 lower:1
+    newest:2 give pair counts {l o:4, o w:4, w e:3, ...}; ties break
+    pair-ascending ('l o' < 'o w'), then the merged symbol chains."""
+    from presto_workload_analyzer_spark.extensions.textstats import bpe_merges
+
+    df = spark.createDataFrame(
+        [(1, "low low low lower newest newest")], ["doc_id", "text"]
+    )
+    got = bpe_merges(df, "text", rounds=3, top_words=10)
+    # round 3: merging 'low' consumed lower's (w, e), so five pairs tie
+    # at 2 and the ascending tie-break picks 'e s'
+    assert got == [
+        (1, "l", "o", "lo", 4),
+        (2, "lo", "w", "low", 4),
+        (3, "e", "s", "es", 2),
+    ]
+
+
+def test_bpe_merge_application_greedy_left(spark):
+    """Greedy left-to-right non-overlap: 'a a a' merges (a,a) ONCE into
+    'aa a', never the overlapping middle pair."""
+    from presto_workload_analyzer_spark.extensions.textstats import bpe_merges
+
+    df = spark.createDataFrame([(1, "aaa aaa aa")], ["doc_id", "text"])
+    got = bpe_merges(df, "text", rounds=2, top_words=10)
+    # round 1: pairs 'a a' count 2*2 + 1 = 5 -> merge (a, a) -> aa.
+    # 'aaa' becomes [aa, a] (one merge, greedy-left), 'aa' becomes [aa].
+    assert got[0] == (1, "a", "a", "aa", 5)
+    # round 2: only 'aaa' has an adjacent pair now: (aa, a) with count 2
+    assert got[1] == (2, "aa", "a", "aaa", 2)
