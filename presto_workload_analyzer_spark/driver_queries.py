@@ -8316,3 +8316,85 @@ def _x119_sql(rounds: int = 8, top_words: int = 500) -> str:
 
 
 _register("x119_bpe_training", _x119, _x119_sql())
+
+
+def _x120(spark: SparkSession, sf: str) -> DataFrame:
+    """True BPE fertility per source: train the 8-rule merge table
+    globally (x119), ENCODE every source's word table with the identical
+    greedy-left application (textstats.bpe_apply — encode mirrors train
+    or the numbers lie), and report subwords-per-word-token — the real
+    tokenizer-cost figure x80's regex proxy approximates. Lowercase-alpha
+    word grain; fertility = sum(cnt * n_subwords) / sum(cnt), exact
+    integer sums."""
+    docs = read_sf_table(spark, sf, "documents")
+    merges = X_text.bpe_merges(docs, "text", rounds=8, top_words=500)
+    sw = docs.select(
+        "source", F.explode(X_text.tokens("text")).alias("w")
+    ).filter(F.col("w").rlike("^[a-z]+$")).groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    enc = X_text.bpe_apply(sw, "w", merges)
+    return enc.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_word_tokens"),
+        F.sum(F.col("cnt") * F.col("n_subwords")).cast("long").alias("n_subword_tokens"),
+        F.round(
+            F.sum(F.col("cnt") * F.col("n_subwords")) / F.sum("cnt") + 1e-9, 6
+        ).alias("bpe_fertility"),
+    )
+
+
+def _x120_sql() -> str:
+    # the x119 training chain verbatim (rules b1..b8 + the reduce step),
+    # then a per-(source, word) table encoded through the same 8 rules
+    train = _x119_sql(rounds=8, top_words=500)
+    ctes = train.split(" UNION ALL ")[0]
+    # strip the final SELECT of round 1 to keep only the WITH chain
+    with_part = ctes[: ctes.rindex(" SELECT ")]
+
+    def join_out(tail: str) -> str:
+        return (
+            "(CASE WHEN split_part(a, chr(31), 1) = '' THEN " + tail
+            + " ELSE split_part(a, chr(31), 1) || ' ' || " + tail + " END)"
+        )
+
+    def reduce_expr(bl: str, br: str) -> str:
+        return (
+            "trim(replace(list_reduce(list_prepend(chr(31),"
+            " string_split(syms, ' ')),"
+            " (a, s) -> CASE"
+            " WHEN split_part(a, chr(31), 2) = '' THEN"
+            "  split_part(a, chr(31), 1) || chr(31) || s"
+            f" WHEN split_part(a, chr(31), 2) = {bl} AND s = {br} THEN "
+            + join_out(f"({bl} || {br})")
+            + " || chr(31)"
+            " ELSE " + join_out("split_part(a, chr(31), 2)")
+            + " || chr(31) || s END"
+            "), chr(31), ' '))"
+        )
+
+    parts = [
+        with_part,
+        r", sw AS (SELECT d.source, t.w AS w, count(*) AS cnt FROM documents d,"
+        r" UNNEST(string_split_regex(trim(d.text), '\s+')) AS t(w)"
+        " WHERE regexp_matches(t.w, '^[a-z]+$') GROUP BY 1, 2),"
+        " e0 AS (SELECT source, cnt,"
+        " array_to_string(string_split_regex(w, ''), ' ') AS syms FROM sw)",
+    ]
+    for r in range(1, 9):
+        parts.append(
+            f", e{r} AS (SELECT source, cnt,"
+            f" {reduce_expr(f'b{r}.bl', f'b{r}.br')} AS syms"
+            f" FROM e{r-1}, b{r})"
+        )
+    parts.append(
+        " SELECT source, CAST(sum(cnt) AS BIGINT) AS n_word_tokens,"
+        " CAST(sum(cnt * len(string_split(syms, ' '))) AS BIGINT)"
+        "  AS n_subword_tokens,"
+        " round(sum(cnt * len(string_split(syms, ' ')))"
+        "  / CAST(sum(cnt) AS DOUBLE) + 1e-9, 6) AS bpe_fertility"
+        " FROM e8 GROUP BY 1"
+    )
+    return "".join(parts)
+
+
+_register("x120_bpe_fertility", _x120, _x120_sql())

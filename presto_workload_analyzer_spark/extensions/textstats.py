@@ -1074,3 +1074,58 @@ def bpe_merges(
         )
         cur = cur.select(new_syms.alias("syms"), "cnt").localCheckpoint(eager=True)
     return out
+
+
+def bpe_apply(
+    words: DataFrame,
+    word_col: str,
+    merges: list[tuple[int, str, str, str, int]],
+) -> DataFrame:
+    """Apply a learned BPE merge table (bpe_merges output) to a word
+    column: adds `n_subwords`, the tokenized length of each word under
+    the rules, applied in training order with the same greedy-left
+    string-accumulator step used during training (encode MUST mirror
+    train or fertility numbers lie). Vocabulary-grain input expected;
+    lineage checkpointed every other rule to keep the 2R-deep lambda
+    plan flat."""
+    US = "\x1f"
+    cur = words.withColumn(
+        "__syms", F.array_join(F.split(F.col(word_col), "(?!^)"), " ")
+    )
+    for i, (_r, a_sym, b_sym, merged, _pc) in enumerate(merges):
+
+        def make_step(_a, _b, _m):
+            def step(acc, s):
+                o = F.substring_index(acc, US, 1)
+                p = F.substring_index(acc, US, -1)
+                join_out = lambda tail: F.when(o == "", tail).otherwise(
+                    F.concat(o, F.lit(" "), tail)
+                )
+                return (
+                    F.when(p == "", F.concat(o, F.lit(US), s))
+                    .when(
+                        (p == _a) & (s == _b),
+                        F.concat(join_out(F.lit(_m)), F.lit(US)),
+                    )
+                    .otherwise(F.concat(join_out(p), F.lit(US), s))
+                )
+
+            return step
+
+        new_syms = F.trim(
+            F.regexp_replace(
+                F.aggregate(
+                    F.split(F.col("__syms"), " "),
+                    F.lit(US),
+                    make_step(a_sym, b_sym, merged),
+                ),
+                US,
+                " ",
+            )
+        )
+        cur = cur.withColumn("__syms", new_syms)
+        if i % 2 == 1:
+            cur = cur.localCheckpoint(eager=True)
+    return cur.withColumn(
+        "n_subwords", F.size(F.split(F.col("__syms"), " ")).cast("long")
+    ).drop("__syms")
