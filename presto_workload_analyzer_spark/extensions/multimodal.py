@@ -416,3 +416,68 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
         "doc_id",
         F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
     )
+
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("dhash", T.StringType()),
+    ]
+)
+
+
+def _dhash_bytes(payload: bytes, hash_size: int = 8) -> tuple[str, str] | None:
+    """(container, hex dHash) from a decodable payload, else None.
+
+    Difference hash (public domain technique): grayscale, nearest-neighbor
+    downsample to (hash_size+1) x hash_size, bit = left pixel > right
+    pixel per adjacent horizontal pair. Scale/re-encode-invariant by
+    construction (the downsample normalizes size; the gradient sign
+    survives brightness-preserving container round-trips), which is what
+    makes it a PERCEPTUAL key: the same picture re-encoded or resized
+    groups together where byte digests see unrelated blobs.
+    """
+    px = _decode_pixels(payload)
+    if px is None:
+        return None
+    container, w, h, c, samples = px
+    if w < 2 or h < 1:
+        return None
+    gw, gh = hash_size + 1, hash_size
+    bits = []
+    for y in range(gh):
+        sy = min(h - 1, (y * h) // gh)
+        row = []
+        for x in range(gw):
+            sx = min(w - 1, (x * w) // gw)
+            base = (sy * w + sx) * c
+            row.append(sum(samples[base : base + min(c, 3)]))
+        bits.extend(1 if row[x] > row[x + 1] else 0 for x in range(hash_size))
+    val = 0
+    for b in bits:
+        val = (val << 1) | b
+    return container, f"{val:0{hash_size * hash_size // 4}x}"
+
+
+def dhash_media(media: DataFrame, hash_size: int = 8, batch_size_hint: int = 1024) -> DataFrame:
+    """Perceptual difference-hash per media row: (doc_id, container,
+    dhash) — the dedup key for images where exact byte digests miss
+    re-encodes/resizes. Arrow-batched mapInPandas like decode_media
+    (payloads stay on executors); undecodable payloads yield null dhash
+    (loud absence, not fake bits). Downstream: groupBy(dhash) for exact
+    perceptual dup groups, or simhash-style band pairing for
+    hamming-tolerant matching."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                got = _dhash_bytes(bytes(payload), hash_size)
+                if got is None:
+                    rows.append((doc_id, None, None))
+                else:
+                    rows.append((doc_id, got[0], got[1]))
+            yield pd.DataFrame(rows, columns=["doc_id", "container", "dhash"])
+
+    return media.select("doc_id", "payload").mapInPandas(gen, DHASH_SCHEMA)

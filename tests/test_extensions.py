@@ -2041,3 +2041,43 @@ def test_bpe_merge_application_greedy_left(spark):
     assert got[0] == (1, "a", "a", "aa", 5)
     # round 2: only 'aaa' has an adjacent pair now: (aa, a) with count 2
     assert got[1] == (2, "aa", "a", "aaa", 2)
+
+
+def test_dhash_perceptual_invariance_and_discrimination(spark):
+    """The same logical picture at two sizes hashes identically (the
+    whole point of a perceptual key); a different picture does not; a
+    non-image payload yields null."""
+    from presto_workload_analyzer_spark.extensions.multimodal import dhash_media
+
+    _enc = _encode_png  # the test-local all-filters encoder (this module)
+
+    def gradient_png(w, h):
+        # horizontal ramp: dHash bits depend on gradient SIGN, which is
+        # size-invariant under nearest-neighbor sampling
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = (x * 255) // max(1, w - 1)
+                rgb += bytes((v, v, v))
+        return _enc(w, h, 2, bytes(rgb), row_filters=[0] * h)
+
+    def reverse_png(w, h):
+        rgb = bytearray()
+        for y in range(h):
+            for x in range(w):
+                v = 255 - (x * 255) // max(1, w - 1)
+                rgb += bytes((v, v, v))
+        return _enc(w, h, 2, bytes(rgb), row_filters=[0] * h)
+
+    rows = [
+        (1, bytearray(gradient_png(32, 32))),
+        (2, bytearray(gradient_png(64, 48))),   # same picture, other size
+        (3, bytearray(reverse_png(32, 32))),    # different picture
+        (4, bytearray(b"not an image at all")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.container, r.dhash) for r in dhash_media(df).collect()}
+    assert got[1][0] == "png" and got[1][1] is not None
+    assert got[1][1] == got[2][1]          # scale-invariant
+    assert got[3][1] != got[1][1]          # discriminates
+    assert got[4] == (None, None)          # loud absence for non-images
