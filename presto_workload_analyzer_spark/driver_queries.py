@@ -7557,11 +7557,14 @@ def _s16(spark: SparkSession, sf: str) -> DataFrame:
     (depth x width, CONSTANT regardless of key cardinality — the reason
     to sketch instead of s13-style per-key state when keys are unbounded:
     IPs, digests, session tokens) accumulate as a complete-mode streaming
-    aggregation; the drained cells then drive x53's certified-exact
-    readout batch-side (estimate -> margin-cut candidates -> exact-count
-    candidates only -> assert the certification bound), so the expected
-    output is the hash-free exact top-10 and the oracle is plain SQL —
-    the streaming twin of x53 exactly as s14 is of x85."""
+    aggregation; the drained cells then answer a THRESHOLD heavy-hitter
+    question batch-side: est >= T is a provably COMPLETE candidate set
+    (CMS only overestimates), exact-count candidates, keep n >= T.
+    Threshold semantics — not top-k — because completeness is
+    unconditional: x53's certified top-k needs a Zipfian key law (its
+    tokens), while near-uniform traffic ties at the k-th count and no
+    margin can certify it; thresholds have no such cliff. The expected
+    output is hash-free, so the oracle is plain SQL."""
     import uuid
 
     from presto_workload_analyzer_spark.streaming import (
@@ -7570,7 +7573,7 @@ def _s16(spark: SparkSession, sf: str) -> DataFrame:
         stream_sf_table,
     )
 
-    width, depth = 1024, 4
+    width, depth, threshold = 8192, 4, 85
     ev = stream_sf_table(spark, sf, "events")
     terms = ev.select(F.col("user_id").cast("string").alias("term"))
     cells = X_sk.countmin_sketch(terms, "term", width=width, depth=depth, mode="xxhash64")
@@ -7587,32 +7590,14 @@ def _s16(spark: SparkSession, sf: str) -> DataFrame:
     )
     vocab = evb.distinct()
     est = X_sk.cms_estimate(sketch, vocab, "term", width=width, depth=depth, mode="xxhash64")
-    cand = est.orderBy(F.col("est").desc(), "term").limit(40)
+    cand = est.filter(F.col("est") >= threshold).select("term")
     exact = (
-        evb.join(F.broadcast(cand.select("term")), on="term", how="left_semi")
+        evb.join(F.broadcast(cand), on="term", how="left_semi")
         .groupBy("term")
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
-    max_out = est.join(
-        F.broadcast(cand.select("term")), on="term", how="left_anti"
-    ).agg(F.coalesce(F.max("est"), F.lit(0)).alias("__max_out"))
-    topk = exact.orderBy(F.col("n").desc(), "term").limit(10)
-    kth = topk.agg(F.coalesce(F.min("n"), F.lit(0)).alias("__kth"))
-    return (
-        topk.crossJoin(F.broadcast(kth))
-        .crossJoin(F.broadcast(max_out))
-        .select(
-            F.col("term").alias("user_id"),
-            F.coalesce(
-                F.assert_true(
-                    F.col("__kth") > F.col("__max_out"),
-                    F.lit(
-                        "s16: certification failed — raise margin/width/depth"
-                    ),
-                ).cast("long"),
-                F.col("n"),
-            ).alias("n"),
-        )
+    return exact.filter(F.col("n") >= threshold).select(
+        F.col("term").alias("user_id"), "n"
     )
 
 
@@ -7621,7 +7606,7 @@ _register(
     _s16,
     "SELECT CAST(user_id AS VARCHAR) AS user_id,"
     " CAST(count(*) AS BIGINT) AS n"
-    " FROM events GROUP BY 1 ORDER BY n DESC, user_id LIMIT 10",
+    " FROM events GROUP BY 1 HAVING count(*) >= 85",
 )
 
 
