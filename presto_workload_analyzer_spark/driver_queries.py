@@ -8383,3 +8383,65 @@ def _x120_sql() -> str:
 
 
 _register("x120_bpe_fertility", _x120, _x120_sql())
+
+
+def _x121(spark: SparkSession, sf: str) -> DataFrame:
+    """HyperLogLog distinct-vocabulary estimate per source vs exact, with
+    relative error — the register-based mergeable-distinct classic beside
+    x75's KMV (HLL: fixed 256-register state, cheapest merges; KMV:
+    bottom-k values, supports Jaccard). The engine-portable rank layout
+    (md5 hex registers + bin()-length rho) lets the oracle replay the
+    SKETCH itself, so the driver checks the estimator pipeline
+    bit-for-bit, not just its tolerance."""
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    regs = X_sk.hll_registers(toks, "source", "w", p=8)
+    est = X_sk.hll_estimate(regs, p=8).withColumnRenamed("g", "source")
+    exact = toks.groupBy("source").agg(
+        F.countDistinct("w").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "source").select(
+        "source",
+        "n_exact",
+        F.col("est").alias("hll_est"),
+        F.round(F.abs(F.col("est") - F.col("n_exact")) / F.col("n_exact") + 1e-9, 6).alias(
+            "rel_err"
+        ),
+    )
+
+
+def _x121_sql() -> str:
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return (
+        r"WITH toks AS (SELECT source, t.w AS w FROM documents,"
+        r" UNNEST(string_split_regex(trim(text), '\s+')) AS t(w) WHERE t.w <> ''),"
+        " hx AS (SELECT source, w, md5(w) AS h FROM (SELECT DISTINCT source, w FROM toks)),"
+        " rr AS (SELECT source,"
+        "   CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS reg,"
+        "   CAST(('0x' || substr(h, 3, 4)) AS BIGINT) AS s FROM hx),"
+        " rg AS (SELECT source, reg,"
+        "   max(CASE WHEN s = 0 THEN 17 ELSE 17 - len(bin(s)) END) AS mx"
+        "  FROM rr GROUP BY 1, 2),"
+        " fr AS (SELECT g.source, r.range AS reg FROM"
+        "   (SELECT DISTINCT source FROM rg) g, range(256) r),"
+        " jj AS (SELECT f.source, coalesce(rg.mx, 0) AS mx FROM fr f"
+        "   LEFT JOIN rg ON rg.source = f.source AND rg.reg = f.reg),"
+        " ag AS (SELECT source, sum(pow(2.0, -mx)) AS z,"
+        "   CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v"
+        "  FROM jj GROUP BY 1),"
+        f" ee AS (SELECT source, CAST({alpha!r} AS DOUBLE) * 65536.0 / z AS raw, v FROM ag),"
+        " es AS (SELECT source,"
+        f"  round(CASE WHEN raw < 640 AND v > 0 THEN 256.0 * ln(256.0 / v)"
+        "   ELSE raw END + 1e-9, 6) AS hll_est FROM ee),"
+        " ex AS (SELECT source, CAST(count(DISTINCT w) AS BIGINT) AS n_exact"
+        "  FROM toks GROUP BY 1)"
+        " SELECT es.source, n_exact, hll_est,"
+        "  round(abs(hll_est - n_exact) / n_exact + 1e-9, 6) AS rel_err"
+        " FROM es JOIN ex ON ex.source = es.source"
+    )
+
+
+_register("x121_hll_distinct", _x121, _x121_sql())

@@ -414,3 +414,58 @@ def cms_inner_product(sk_a: DataFrame, sk_b: DataFrame) -> DataFrame:
         )
     )
     return per_d.agg(F.min("__ip").cast("long").alias("est"))
+
+
+def hll_registers(
+    terms: DataFrame, group_col: str, term_col: str, p: int = 8
+) -> DataFrame:
+    """HyperLogLog registers per group: (group, reg, mx) with at most
+    2^p rows per group — the constant-size mergeable distinct sketch
+    (Flajolet et al., public literature), laid out engine-portably:
+    register = first p/4 hex digits of md5(term), rho = 17 - len(bin(s))
+    over the next 16 hash bits (bin() drops leading zeros identically in
+    Spark and DuckDB, so the rank function replays bit-for-bit — no
+    platform popcount/clz dependence). Merge across shards/partitions is
+    max per (group, reg): map-side combinable, constant state."""
+    assert p == 8, "portable layout fixed at p=8 (256 registers)"
+    h = F.md5(F.col(term_col).cast("string"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    s = F.conv(F.substring(h, 3, 4), 16, 10).cast("long")
+    rho = F.when(s == 0, F.lit(17)).otherwise(
+        17 - F.length(F.bin(s))
+    ).cast("int")
+    return (
+        terms.select(F.col(group_col).alias("g"), reg.alias("reg"), rho.alias("rho"))
+        .groupBy("g", "reg")
+        .agg(F.max("rho").alias("mx"))
+    )
+
+
+def hll_estimate(registers: DataFrame, p: int = 8) -> DataFrame:
+    """Distinct-count estimate per group from hll_registers output:
+    (g, est) via the standard raw harmonic-mean estimator with the
+    small-range linear-counting correction (E < 5/2 m and V > 0 ->
+    m ln(m/V)). Absent registers count as zero-valued (the 2^0 = 1 sum
+    term and the V tally) through a generated full register frame, so
+    the estimate is exact over the sketch regardless of sparsity."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    groups = registers.select("g").distinct()
+    full = groups.crossJoin(
+        F.broadcast(
+            registers.sparkSession.range(m).select(F.col("id").cast("int").alias("reg"))
+        )
+    )
+    j = full.join(registers, ["g", "reg"], "left").select(
+        "g", F.coalesce(F.col("mx"), F.lit(0)).alias("mx")
+    )
+    agg = j.groupBy("g").agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("mx"))).alias("__z"),
+        F.sum((F.col("mx") == 0).cast("long")).alias("__v"),
+    )
+    raw = F.lit(alpha * m * m) / F.col("__z")
+    est = F.when(
+        (raw < 2.5 * m) & (F.col("__v") > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / F.col("__v")),
+    ).otherwise(raw)
+    return agg.select("g", F.round(est + 1e-9, 6).alias("est"))

@@ -458,3 +458,32 @@ def test_cms_inner_product_disjoint_keys_zero(spark):
     sa = sketches.countmin_sketch(a, "term", width=1024, depth=4)
     sb = sketches.countmin_sketch(b, "term", width=1024, depth=4)
     assert sketches.cms_inner_product(sa, sb).collect()[0].est == 0
+
+
+def test_hll_estimate_accuracy_and_merge(spark):
+    """HLL at p=8 should land within ~10% on a 2k-distinct set (std err
+    1.04/sqrt(256) ~ 6.5%), and register frames must merge by max."""
+    from pyspark.sql import functions as F
+
+    from presto_workload_analyzer_spark.extensions.sketches import (
+        hll_estimate,
+        hll_registers,
+    )
+
+    df = spark.range(2000).select(
+        F.lit("g").alias("grp"), F.concat(F.lit("t"), F.col("id")).alias("w")
+    )
+    regs = hll_registers(df, "grp", "w")
+    est = hll_estimate(regs).collect()[0]["est"]
+    assert abs(est - 2000) / 2000 < 0.10
+
+    # merge = max per register: sketch(A ∪ B) == merge(sketch A, sketch B)
+    a = df.filter(F.col("w") < "t1")          # ids 0, 10..19, 100..199, 1000..1999
+    b = df.subtract(a)
+    ra, rb = hll_registers(a, "grp", "w"), hll_registers(b, "grp", "w")
+    merged = (
+        ra.unionByName(rb).groupBy("g", "reg").agg(F.max("mx").alias("mx"))
+    )
+    e_union = hll_estimate(regs).collect()[0]["est"]
+    e_merged = hll_estimate(merged).collect()[0]["est"]
+    assert e_union == e_merged
