@@ -8445,3 +8445,75 @@ def _x121_sql() -> str:
 
 
 _register("x121_hll_distinct", _x121, _x121_sql())
+
+
+def _x122(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup threshold sensitivity curve: from ONE exact prefix-filter
+    pass at t=0.5 (x98 — lossless, so every pair >= 0.5 is present with
+    its exact score), the pair count and distinct-docs-involved at each
+    candidate threshold 0.5..0.9 — the evidence for choosing the dedup
+    threshold instead of folklore-0.8. Conditional sums over the pair
+    set; no re-run per threshold."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = X_dedup.prefix_filter_jaccard_join(
+        docs, "doc_id", "text", k=4, threshold=0.5
+    )
+    ts = [0.5, 0.6, 0.7, 0.8, 0.9]
+    counts = pairs.agg(
+        *[
+            F.sum((F.col("jaccard") >= t).cast("long")).alias(f"n_{int(t * 10)}")
+            for t in ts
+        ]
+    )
+    ids = pairs.select(
+        F.explode(F.array("id_a", "id_b")).alias("id"), "jaccard"
+    )
+    docs_at = ids.groupBy().agg(
+        *[
+            F.countDistinct(
+                F.when(F.col("jaccard") >= t, F.col("id"))
+            ).cast("long").alias(f"d_{int(t * 10)}")
+            for t in ts
+        ]
+    )
+    wide = counts.crossJoin(docs_at)
+    rows = [
+        F.struct(
+            F.lit(t).alias("threshold"),
+            F.col(f"n_{int(t * 10)}").alias("n_pairs"),
+            F.col(f"d_{int(t * 10)}").alias("n_docs_involved"),
+        )
+        for t in ts
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("r")).select(
+        F.col("r.threshold").alias("threshold"),
+        F.col("r.n_pairs").alias("n_pairs"),
+        F.col("r.n_docs_involved").alias("n_docs_involved"),
+    )
+
+
+_register(
+    "x122_dedup_threshold_curve",
+    _x122,
+    r"WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w"
+    "   FROM documents),"
+    " tok AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS tok"
+    "   FROM t0, UNNEST(range(1, greatest(len(w) - 3, 0) + 1)) AS t(i)),"
+    " sz AS (SELECT doc_id, count(*) AS m FROM tok GROUP BY 1),"
+    " inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i"
+    "   FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id < b.doc_id"
+    "   GROUP BY 1, 2),"
+    " pr AS (SELECT id_a, id_b,"
+    "   CAST(i AS DOUBLE) / (sa.m + sb.m - i) AS j"
+    "  FROM inter JOIN sz sa ON sa.doc_id = id_a"
+    "  JOIN sz sb ON sb.doc_id = id_b"
+    "  WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.5)"
+    " SELECT t.t AS threshold,"
+    "  CAST((SELECT count(*) FROM pr WHERE round(j, 6) >= t.t) AS BIGINT)"
+    "   AS n_pairs,"
+    "  CAST((SELECT count(DISTINCT id) FROM (SELECT id_a AS id, j FROM pr"
+    "    UNION ALL SELECT id_b, j FROM pr) u WHERE round(j, 6) >= t.t)"
+    "   AS BIGINT)"
+    "   AS n_docs_involved"
+    " FROM UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS t(t)",
+)
