@@ -8517,3 +8517,51 @@ _register(
     "   AS n_docs_involved"
     " FROM UNNEST([0.5, 0.6, 0.7, 0.8, 0.9]) AS t(t)",
 )
+
+
+def _x123(spark: SparkSession, sf: str) -> DataFrame:
+    """2-core of the near-dup graph (graph.kcore_nodes): the density
+    refinement above triangles — nodes surviving iterated peeling of
+    degree < 2 are the solid template-cluster mass (safe bulk-collapse
+    targets); chains and banding stars peel away entirely. Fixpoint
+    peeling Spark-side (loud failure if unconverged); the oracle unrolls
+    12 synchronous peel rounds as chained CTEs, so the whole peeling
+    trajectory is hash-checked."""
+    pairs = shared_lsh_pairs(spark, sf)
+    return X_graph.kcore_nodes(pairs, k=2, max_rounds=12)
+
+
+def _x123_sql(k: int = 3, rounds: int = 12) -> str:
+    ctes = [
+        f"{_SHINGLE_SQL}",
+        f"sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id)",
+        f"bands AS ({_X02_BANDS})",
+        "e0 AS MATERIALIZED (SELECT DISTINCT a.id AS a, b.id AS b"
+        "  FROM bands x JOIN bands y USING (band, band_hash),"
+        "  LATERAL (SELECT least(x.id, y.id) AS id) a,"
+        "  LATERAL (SELECT greatest(x.id, y.id) AS id) b"
+        "  WHERE x.id < y.id)",
+    ]
+    # MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    # its predecessor three times -> 3^rounds expansion without it
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS MATERIALIZED (SELECT id, count(*) AS dg FROM ("
+            f" SELECT a AS id FROM e{r-1} UNION ALL SELECT b FROM e{r-1})"
+            " GROUP BY 1)"
+        )
+        ctes.append(f"k{r} AS MATERIALIZED (SELECT id FROM d{r} WHERE dg >= {k})")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.a, e.b FROM e{r-1} e"
+            f" JOIN k{r} ka ON ka.id = e.a JOIN k{r} kb ON kb.id = e.b)"
+        )
+    return (
+        "WITH " + ", ".join(ctes)
+        + f" SELECT id, CAST(dg AS BIGINT) AS degree FROM ("
+        f"  SELECT id, count(*) AS dg FROM (SELECT a AS id FROM e{rounds}"
+        f"   UNION ALL SELECT b FROM e{rounds}) GROUP BY 1)"
+        f" WHERE dg >= {k}"
+    )
+
+
+_register("x123_dup_kcore", _x123, _x123_sql(k=2))

@@ -143,3 +143,49 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     return nodes.groupBy("id").agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles")
     )
+
+
+def kcore_nodes(pairs: DataFrame, k: int = 3, max_rounds: int = 12) -> DataFrame:
+    """Nodes of the k-core of the undirected pair graph: the maximal
+    subgraph where every node keeps degree >= k — the standard density
+    refinement above triangles: a template cluster is a high-k core,
+    while banding chains/stars peel away entirely. Returns (id, degree)
+    with the degree INSIDE the core.
+
+    Algorithm: synchronous peeling — drop all nodes with degree < k,
+    recompute degrees on the induced subgraph, repeat to fixpoint. Each
+    round is one semi-join + one degree aggregate on the surviving edge
+    set (shrinking monotonically), lineage truncated with
+    localCheckpoint; rounds needed = longest peel chain, small for
+    near-dup graphs. Raises RuntimeError if `max_rounds` does not reach
+    the fixpoint — a half-peeled "core" is a wrong answer, never
+    returned silently. The oracle unrolls the same synchronous rounds as
+    chained CTEs (the x83 PageRank move), so the whole trajectory is
+    hash-checked.
+    """
+    e = pairs.select(
+        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+    ).distinct().localCheckpoint(eager=True)
+    prev_n = None
+    for _ in range(max_rounds):
+        deg = (
+            e.select(F.col("a").alias("id"))
+            .unionAll(e.select(F.col("b").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("dg"))
+        )
+        keep = deg.filter(F.col("dg") >= k).select("id")
+        n = keep.count()
+        if n == prev_n:
+            return deg.filter(F.col("dg") >= k).select(
+                "id", F.col("dg").cast("long").alias("degree")
+            )
+        prev_n = n
+        e = (
+            e.join(keep.withColumnRenamed("id", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("id", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"kcore_nodes: no fixpoint after {max_rounds} rounds — raise max_rounds"
+    )

@@ -118,3 +118,32 @@ def test_triangle_counts_hub_no_blowup_and_correct(spark):
     assert got[0] == 10
     assert all(got[n] == 10 for n in range(1, 6))
     assert set(got) == {0, 1, 2, 3, 4, 5}
+
+
+def test_kcore_peeling(spark):
+    """Chain peels to nothing at k=2; a triangle with a pendant keeps
+    only the triangle; K4 survives at k=3 with in-core degrees."""
+    chain = [(1, 2), (2, 3), (3, 4)]
+    tri_pendant = [(10, 11), (11, 12), (10, 12), (12, 13)]
+    k4 = [(a, b) for a in range(20, 24) for b in range(a + 1, 24)]
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in chain + tri_pendant + k4]
+    )
+    core2 = {r.id: r.degree for r in graph.kcore_nodes(pairs, k=2).collect()}
+    assert all(n not in core2 for n in (1, 2, 3, 4, 13))  # chain + pendant gone
+    assert core2[10] == core2[11] == core2[12] == 2       # triangle survives
+    assert all(core2[n] == 3 for n in range(20, 24))      # K4 intact
+    core3 = {r.id: r.degree for r in graph.kcore_nodes(pairs, k=3).collect()}
+    assert set(core3) == {20, 21, 22, 23}
+
+
+def test_kcore_cascading_peel(spark):
+    """Peeling must CASCADE: a star of triangles hanging off one path —
+    removing the ends re-exposes inner nodes round after round."""
+    # path 1-2-3-4-5 where each inner node also closes a triangle with
+    # its successor via a helper node; at k=2 the path endpoints peel,
+    # then nothing else (triangles hold) — but a bare path 1..5 cascades
+    # to empty in ceil(len/2) rounds
+    path = [(i, i + 1) for i in range(1, 9)]
+    pairs = spark.createDataFrame([Row(id_a=a, id_b=b) for a, b in path])
+    assert graph.kcore_nodes(pairs, k=2).count() == 0
