@@ -8565,3 +8565,95 @@ def _x123_sql(k: int = 3, rounds: int = 12) -> str:
 
 
 _register("x123_dup_kcore", _x123, _x123_sql(k=2))
+
+
+def _jl_signs(d_out: int = 16, d_in: int = 64) -> list[list[float]]:
+    """Deterministic ±1/sqrt(d_out) JL rows from md5 — shared constants
+    for the Spark expression and the SQL oracle (the x12 hyperplane
+    literal-array move)."""
+    import hashlib
+    import math
+
+    s = 1.0 / math.sqrt(d_out)
+    return [
+        [
+            s if hashlib.md5(f"jl|{o}|{i}".encode()).digest()[0] & 1 else -s
+            for i in range(d_in)
+        ]
+        for o in range(d_out)
+    ]
+
+
+def _x124(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson-Lindenstrauss distortion audit: random-sign projection
+    64 -> 16 dims (deterministic md5 rows, the acceptance companion to
+    x33's hyperplane LSH and x102's prefix truncation — JL preserves
+    DISTANCES, the guarantee truncation lacks), measured on the
+    deterministic pair set (2i, 2i+1): squared-L2 ratio per pair. JL
+    theory says ratios concentrate near 1 at ~1/sqrt(16) spread — the
+    audit shows the actual spread before anyone swaps the ANN tier onto
+    projected vectors. Projection is 16 literal-array dots at scan
+    speed."""
+    signs = _jl_signs()
+    emb = read_sf_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(row: list[float]):
+        lit = F.array(*[F.lit(c) for c in row])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+
+    proj = emb.select(
+        "vec_id", v.alias("v"), F.array(*[dot(r) for r in signs]).alias("p")
+    )
+    a = proj.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") + 1).alias("vec_id"),
+        F.col("v").alias("va"),
+        F.col("p").alias("pa"),
+        F.col("vec_id").alias("id_a"),
+    )
+    j = a.join(proj, "vec_id").select(
+        "id_a",
+        F.col("vec_id").alias("id_b"),
+        F.aggregate(
+            F.zip_with("va", "v", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("__do"),
+        F.aggregate(
+            F.zip_with("pa", "p", lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        ).alias("__dp"),
+    )
+    return j.filter(F.col("__do") > 0).select(
+        "id_a",
+        "id_b",
+        F.round(F.col("__dp") / F.col("__do") + 1e-9, 6).alias("dist2_ratio"),
+    )
+
+
+def _x124_sql() -> str:
+    signs = _jl_signs()
+    arrs = ", ".join(
+        "[" + ", ".join(f"{c!r}" for c in row) + "]" for row in signs
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        "  FROM embeddings),"
+        f" pr AS (SELECT vec_id, v, [list_dot_product(v, r) FOR r IN [{arrs}]]"
+        "   AS p FROM e)"
+        " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
+        "  round(list_sum(list_transform(list_zip(a.p, b.p),"
+        "    q -> (q[1] - q[2]) * (q[1] - q[2])))"
+        "   / list_sum(list_transform(list_zip(a.v, b.v),"
+        "    q -> (q[1] - q[2]) * (q[1] - q[2]))) + 1e-9, 6) AS dist2_ratio"
+        " FROM pr a JOIN pr b ON b.vec_id = a.vec_id + 1"
+        " WHERE a.vec_id % 2 = 0"
+        "  AND list_sum(list_transform(list_zip(a.v, b.v),"
+        "   q -> (q[1] - q[2]) * (q[1] - q[2]))) > 0",
+    )[0]
+
+
+_register("x124_jl_distortion", _x124, _x124_sql())
