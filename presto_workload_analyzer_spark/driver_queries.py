@@ -8657,3 +8657,73 @@ def _x124_sql() -> str:
 
 
 _register("x124_jl_distortion", _x124, _x124_sql())
+
+
+def _x125(spark: SparkSession, sf: str) -> DataFrame:
+    """Modularity of the SOURCE partition over the near-dup graph:
+    per-source q_contrib = e_ss/m - (d_s/2m)^2 (Newman modularity,
+    public literature). Sum near 0 = duplication ignores source
+    boundaries (mirrors everywhere — dedup must be global, x60's
+    pairs quantified structurally); near its max = duplication is
+    within-source (per-source dedup shards cleanly, a real partitioning
+    decision). Exact integer edge/degree counts; two broadcast joins of
+    the doc->source map onto the shared pair set."""
+    pairs = shared_lsh_pairs(spark, sf)
+    src = read_sf_table(spark, sf, "documents").select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("__sa"))
+    sb = src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("__sb"))
+    e = pairs.join(F.broadcast(sa), "id_a").join(F.broadcast(sb), "id_b")
+    m = e.agg(F.count(F.lit(1)).alias("__m"))
+    internal = (
+        e.filter(F.col("__sa") == F.col("__sb"))
+        .groupBy(F.col("__sa").alias("source"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_internal_edges"))
+    )
+    degs = (
+        e.select(F.col("__sa").alias("source"))
+        .unionAll(e.select(F.col("__sb").alias("source")))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree_sum"))
+    )
+    return (
+        degs.join(internal, "source", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "source",
+            F.coalesce("n_internal_edges", F.lit(0)).cast("long").alias(
+                "n_internal_edges"
+            ),
+            "degree_sum",
+            F.round(
+                F.coalesce(F.col("n_internal_edges"), F.lit(0)) / F.col("__m")
+                - F.pow(F.col("degree_sum") / (2.0 * F.col("__m")), 2)
+                + 1e-9,
+                6,
+            ).alias("q_contrib"),
+        )
+    )
+
+
+_register(
+    "x125_source_modularity",
+    _x125,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " e AS (SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb"
+    "  FROM pairs p JOIN documents da ON da.doc_id = p.id_a"
+    "  JOIN documents db ON db.doc_id = p.id_b),"
+    " m AS (SELECT count(*) AS m FROM e),"
+    " ii AS (SELECT sa AS source, CAST(count(*) AS BIGINT) AS n_internal_edges"
+    "  FROM e WHERE sa = sb GROUP BY 1),"
+    " dd AS (SELECT source, CAST(count(*) AS BIGINT) AS degree_sum FROM ("
+    "  SELECT sa AS source FROM e UNION ALL SELECT sb FROM e) GROUP BY 1)"
+    " SELECT dd.source,"
+    "  CAST(coalesce(n_internal_edges, 0) AS BIGINT) AS n_internal_edges,"
+    "  degree_sum,"
+    "  round(coalesce(n_internal_edges, 0) / CAST((SELECT m FROM m) AS DOUBLE)"
+    "   - pow(degree_sum / (2.0 * (SELECT m FROM m)), 2) + 1e-9, 6)"
+    "   AS q_contrib"
+    " FROM dd LEFT JOIN ii ON ii.source = dd.source",
+)
