@@ -8727,3 +8727,87 @@ _register(
     "   AS q_contrib"
     " FROM dd LEFT JOIN ii ON ii.source = dd.source",
 )
+
+
+def _x126(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end ANN SERVING chain — x51's sibling for the retrieval
+    path: JL-project 64->16 (x124's rows) -> 4-bit sign bucket on the
+    PROJECTED space (the projected dims are already random projections,
+    so their signs are hyperplane bits for free) -> candidate equi-join
+    -> exact full-vector cosine rerank top-5 -> recall@5 vs full-dim
+    brute force (x44's evaluator). Every stage is individually proven;
+    chaining catches the contract drift (column names, dims, rank
+    tie-breaks) per-operator oracles cannot — and the recall NUMBER is
+    the thing a serving migration actually signs off on."""
+    signs = _jl_signs()
+    emb = read_sf_table(spark, sf, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+
+    def dot(row):
+        lit = F.array(*[F.lit(c) for c in row])
+        return F.aggregate(
+            F.zip_with(v, lit, lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+
+    bucket = sum(
+        (F.when(dot(signs[o]) >= 0, F.lit(1 << o)).otherwise(F.lit(0)) for o in range(4)),
+        F.lit(0),
+    )
+    bk = emb.select("vec_id", v.alias("v"), bucket.alias("__bk"))
+    q = bk.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("__bk")
+    )
+    cand = q.join(
+        bk.select(F.col("vec_id").alias("neighbor_id"), F.col("v").alias("cv"), "__bk"),
+        "__bk",
+    ).filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.select(
+        "query_id",
+        "neighbor_id",
+        X_sim.cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    ann = scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= 5)
+    exact = X_sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    return X_sim.ann_recall(ann, exact, k=5)
+
+
+def _x126_sql() -> str:
+    signs = _jl_signs()
+    cos = (
+        "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(b.v, b.v)))"
+    )
+    bucket = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(f"{c!r}" for c in signs[o])
+        + f"]) >= 0 THEN {1 << o} ELSE 0 END)"
+        for o in range(4)
+    )
+    return (
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        "  FROM embeddings),"
+        f" bk AS (SELECT id, v, {bucket} AS bucket FROM e),"
+        f" es AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
+        "   FROM e a, e b WHERE a.id < 10 AND a.id <> b.id),"
+        " er AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk"
+        "  FROM es),"
+        " ex AS (SELECT query_id, neighbor_id FROM er WHERE rnk <= 5),"
+        f" ans AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
+        "   FROM bk a JOIN bk b USING (bucket) WHERE a.id < 10 AND a.id <> b.id),"
+        " anr AS (SELECT query_id, neighbor_id, row_number() OVER ("
+        "   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk"
+        "  FROM ans),"
+        " an AS (SELECT query_id, neighbor_id FROM anr WHERE rnk <= 5),"
+        " hits AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_hits"
+        "   FROM ex JOIN an USING (query_id, neighbor_id) GROUP BY 1),"
+        " qd AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_exact"
+        "   FROM ex GROUP BY 1)"
+        " SELECT qd.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,"
+        "  round(coalesce(n_hits, 0) / CAST(n_exact AS DOUBLE), 6) AS recall"
+        " FROM qd LEFT JOIN hits USING (query_id)"
+    )
+
+
+_register("x126_ann_serving_chain", _x126, _x126_sql())
