@@ -2081,3 +2081,17 @@ def test_dhash_perceptual_invariance_and_discrimination(spark):
     assert got[1][1] == got[2][1]          # scale-invariant
     assert got[3][1] != got[1][1]          # discriminates
     assert got[4] == (None, None)          # loud absence for non-images
+
+
+def test_shared_lsh_cache_is_per_sf_and_reused(spark):
+    """The session-scoped LSH pair cache must key on the sf dir (no
+    cross-SF contamination) and return the SAME persisted frame on
+    repeat calls (that is the point of the cache)."""
+    from presto_workload_analyzer_spark import driver_queries as dq
+
+    a1 = dq.shared_lsh_pairs(spark, "/root/testdata/sf0.001")
+    a2 = dq.shared_lsh_pairs(spark, "/root/testdata/sf0.001")
+    b = dq.shared_lsh_pairs(spark, "/root/testdata/sf0.01")
+    assert a1 is a2          # cached object reused
+    assert b is not a1       # different sf -> different cache entry
+    assert a1.count() != b.count() or a1.count() >= 0  # both evaluable
