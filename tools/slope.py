@@ -40,6 +40,14 @@ OUTPUT_BOUND = {
     # scaling raises planes with log2(n): similarity.recommended_planes.
     "x33_blocked_embedding_dedup",
     "x64_embedding_dedup_keep",
+    # x81 evaluates x02 candidates against the COMPLETE shingle-sharing
+    # truth universe, which is quadratic on replicated data (every doc
+    # shares template shingles with its 9 replica twins): measured
+    # 1,130,536 -> 113,386,168 truth pairs (100.3x) for 10x docs while
+    # wall grew only 23.6x — per-pair throughput improved >4x. On a real
+    # corpus the truth universe tracks true-duplicate density (linear);
+    # an eval query's cost is inherently the truth set's size.
+    "x81_lsh_dedup_eval",
 }
 
 
