@@ -337,3 +337,48 @@ def test_funnel_conversions_state_machine(spark, tmp_path):
         (r.user_id, r.latency_s) for r in spark.read.parquet(out).collect()
     }
     assert got == {(1, 10.0), (3, 10.0), (5, 15.0)}
+
+
+def test_funnel_state_survives_restart(spark, tmp_path):
+    """Stateful recovery: a user ARMED in the first run must convert on a
+    purchase that arrives in a second run from the same checkpoint — the
+    state store, not the batch, carries the arm across restarts."""
+    import pandas as pd
+
+    from presto_workload_analyzer_spark.streaming.funnel import funnel_conversions
+
+    src = tmp_path / "funnel_src"
+    src.mkdir()
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    def write_file(name, rows):
+        pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_id", "event_type"])
+        pdf["ts"] = pd.to_datetime(pdf["ts"])
+        spark.createDataFrame(pdf).coalesce(1).write.mode("append").parquet(str(src))
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        ).parquet(str(src)).withWatermark("ts", "1 minute")
+        q = (
+            funnel_conversions(stream, horizon_seconds=3600.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: user 7 arms (signup), no purchase yet
+    write_file("f1", [(7, "2024-01-01 00:00:00", 1, "signup")])
+    run_once()
+    assert spark.read.schema(
+        "user_id long, signup_ts timestamp, purchase_ts timestamp, latency_s double"
+    ).parquet(out).count() == 0
+
+    # run 2 (fresh query, same checkpoint): the purchase arrives
+    write_file("f2", [(7, "2024-01-01 00:10:00", 2, "purchase")])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 1 and rows[0].user_id == 7 and rows[0].latency_s == 600.0
