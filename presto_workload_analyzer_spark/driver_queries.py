@@ -8811,3 +8811,72 @@ def _x126_sql() -> str:
 
 
 _register("x126_ann_serving_chain", _x126, _x126_sql())
+
+
+def _x127(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup method disagreement audit — the "which detector do I trust"
+    Venn table: exact shingle-Jaccard >= 0.5 TRUTH (x98's lossless
+    prefix filter at k=3, the same grain x02 approximates), MinHash-LSH
+    candidates (A), SimHash hamming<=1 pairs (B), counted per Venn
+    region (in_truth, in_lsh, in_simhash). The regions ARE the decision:
+    truth-only rows are each method's false negatives, method-only rows
+    their verification load; three proven generators full-outer-joined
+    on pair keys, pair-grain throughout. Scoped to doc_id < 300 like
+    x32 (16-bit simhash collides heavily on synthetic text)."""
+    docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
+    truth = X_dedup.prefix_filter_jaccard_join(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    lsh = X_dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    ).select("id_a", "id_b", F.lit(1).alias("__a"))
+    sim = X_dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=1, bands=4
+    ).select("id_a", "id_b", F.lit(1).alias("__b"))
+    venn = truth.join(lsh, ["id_a", "id_b"], "full_outer").join(
+        sim, ["id_a", "id_b"], "full_outer"
+    )
+    return (
+        venn.groupBy(
+            F.coalesce("__t", F.lit(0)).cast("boolean").alias("in_truth"),
+            F.coalesce("__a", F.lit(0)).cast("boolean").alias("in_lsh"),
+            F.coalesce("__b", F.lit(0)).cast("boolean").alias("in_simhash"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+
+
+def _x127_sql() -> str:
+    return (
+        f"WITH {_SHINGLE_SQL},"
+        " shs AS (SELECT id, shingle FROM sh WHERE id < 300),"
+        " szs AS (SELECT id, count(*) AS m FROM shs GROUP BY 1),"
+        " itr AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i"
+        "   FROM shs a JOIN shs b ON a.shingle = b.shingle AND a.id < b.id"
+        "   GROUP BY 1, 2),"
+        " tr AS (SELECT id_a, id_b FROM itr"
+        "  JOIN szs sa ON sa.id = id_a JOIN szs sb ON sb.id = id_b"
+        "  WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.5),"
+        f" sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+        f" bands AS ({_X02_BANDS}),"
+        " lp AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+        "  FROM bands a JOIN bands b USING (band, band_hash)"
+        "  WHERE a.id < b.id AND a.id < 300 AND b.id < 300),"
+        f" s0 AS ({_x04_sql()}), ss AS (SELECT * FROM s0 WHERE id < 300),"
+        " sp AS (SELECT a.id AS id_a, b.id AS id_b FROM ss a JOIN ss b"
+        "  ON a.id < b.id WHERE bit_count(xor(a.simhash, b.simhash)) <= 1),"
+        " venn AS (SELECT coalesce(tr.id_a, lp.id_a, sp.id_a) AS id_a,"
+        "   coalesce(tr.id_b, lp.id_b, sp.id_b) AS id_b,"
+        "   tr.id_a IS NOT NULL AS in_truth,"
+        "   lp.id_a IS NOT NULL AS in_lsh,"
+        "   sp.id_a IS NOT NULL AS in_simhash"
+        "  FROM tr FULL OUTER JOIN lp ON lp.id_a = tr.id_a AND lp.id_b = tr.id_b"
+        "  FULL OUTER JOIN sp ON sp.id_a = coalesce(tr.id_a, lp.id_a)"
+        "   AND sp.id_b = coalesce(tr.id_b, lp.id_b))"
+        " SELECT in_truth, in_lsh, in_simhash,"
+        "  CAST(count(*) AS BIGINT) AS n_pairs"
+        " FROM venn GROUP BY 1, 2, 3"
+    )
+
+
+_register("x127_dedup_method_venn", _x127, _x127_sql())
