@@ -8880,3 +8880,96 @@ def _x127_sql() -> str:
 
 
 _register("x127_dedup_method_venn", _x127, _x127_sql())
+
+
+def _x128(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampling-convergence curve per source: the x08 quality mean
+    estimated from NESTED md5-bucket subsamples (buckets < 4, 16, 64,
+    then all 256) with the absolute error against the full mean — the
+    audit-sizing evidence ("reading 1/16th of this source estimates its
+    quality within X") that turns 'sample some docs' into a number.
+    Nesting (each sample contains the previous) comes free from bucket
+    thresholds, and the whole curve is ONE conditional aggregate over
+    one scan."""
+    from presto_workload_analyzer_spark.extensions.sampling import hash_bucket
+
+    docs = read_sf_table(spark, sf, "documents")
+    scored = docs.select(
+        "source",
+        F.round(X_text.quality_score("text") + 1e-9, 6).alias("q"),
+        hash_bucket("doc_id").alias("__b"),
+    )
+    sizes = [4, 16, 64, 256]
+    agg = scored.groupBy("source").agg(
+        *[
+            F.sum(F.when(F.col("__b") < s, 1).otherwise(0)).cast("long").alias(f"n{s}")
+            for s in sizes
+        ],
+        *[
+            F.sum(F.when(F.col("__b") < s, F.col("q"))).alias(f"s{s}")
+            for s in sizes
+        ],
+    )
+    rows = [
+        F.struct(
+            F.lit(s).cast("long").alias("sample_buckets"),
+            F.col(f"n{s}").alias("n_docs"),
+            F.round(F.col(f"s{s}") / F.col(f"n{s}") + 1e-9, 6).alias("mean_q"),
+            F.round(
+                F.abs(F.col(f"s{s}") / F.col(f"n{s}") - F.col("s256") / F.col("n256"))
+                + 1e-9,
+                6,
+            ).alias("abs_err"),
+        )
+        for s in sizes
+    ]
+    return (
+        agg.select("source", F.explode(F.array(*rows)).alias("r"))
+        .filter(F.col("r.n_docs") > 0)
+        .select(
+            "source",
+            F.col("r.sample_buckets").alias("sample_buckets"),
+            F.col("r.n_docs").alias("n_docs"),
+            F.col("r.mean_q").alias("mean_q"),
+            F.col("r.abs_err").alias("abs_err"),
+        )
+    )
+
+
+def _x128_sql() -> str:
+    qual = (
+        "round("
+        f" 0.4 * least(({_RATIO_SQL.format(lst=_EN_LIST)}) / 0.25, 1.0)"
+        " + 0.3 * (1.0 - least((CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+        "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+        "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END) * 5.0, 1.0))"
+        " + 0.3 * least((CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+        "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))) / 8.0, 1.0)"
+        " + 1e-9, 6)"
+    )
+    bucket = (
+        "((strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1))"
+    )
+    sizes = [4, 16, 64, 256]
+    conds = ", ".join(
+        f"CAST(sum(CASE WHEN b < {s} THEN 1 ELSE 0 END) AS BIGINT) AS n{s},"
+        f" sum(CASE WHEN b < {s} THEN q END) AS s{s}"
+        for s in sizes
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT source, CAST({s} AS BIGINT) AS sample_buckets,"
+        f" n{s} AS n_docs,"
+        f" round(s{s} / n{s} + 1e-9, 6) AS mean_q,"
+        f" round(abs(s{s} / n{s} - s256 / n256) + 1e-9, 6) AS abs_err"
+        f" FROM agg WHERE n{s} > 0"
+        for s in sizes
+    )
+    return (
+        f"WITH sc AS (SELECT source, {qual} AS q, {bucket} AS b FROM documents),"
+        f" agg AS (SELECT source, {conds} FROM sc GROUP BY 1)"
+        f" {rows}"
+    )
+
+
+_register("x128_sampling_convergence", _x128, _x128_sql())
