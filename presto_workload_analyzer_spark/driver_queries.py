@@ -8973,3 +8973,78 @@ def _x128_sql() -> str:
 
 
 _register("x128_sampling_convergence", _x128, _x128_sql())
+
+
+def _s17(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming distinct-users-per-event-type dashboard with
+    HYPERLOGLOG state: the 256-register frames (x121's portable layout)
+    accumulate as a complete-mode streaming max-aggregation — state =
+    groups x 256 rows, CONSTANT in both stream length and key
+    cardinality (the third member of the sketch-streaming family:
+    histogram cells s14, count-min s16, HLL here — distinct counts are
+    the one aggregate exact streaming cannot bound). Readout runs
+    hll_estimate batch-side on the drained registers; the oracle replays
+    registers + estimator exactly, plus the exact distinct for the
+    honesty column."""
+    import uuid
+
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    ev = stream_sf_table(spark, sf, "events")
+    terms = ev.select(
+        F.col("event_type").alias("g"), F.col("user_id").cast("string").alias("w")
+    )
+    regs = X_sk.hll_registers(terms, "g", "w", p=8)
+    name = f"s17_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(regs, name, output_mode="complete")
+        q.awaitTermination(300)
+    drained = spark.createDataFrame(
+        spark.table(name).collect(), spark.table(name).schema
+    )
+    est = X_sk.hll_estimate(drained, p=8).withColumnRenamed("g", "event_type")
+    exact = read_sf_table(spark, sf, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("n_exact")
+    )
+    return est.join(exact, "event_type").select(
+        "event_type", "n_exact", F.col("est").alias("hll_est")
+    )
+
+
+def _s17_sql() -> str:
+    m = 256
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return (
+        "WITH hx AS (SELECT event_type AS g, md5(CAST(user_id AS VARCHAR)) AS h"
+        "  FROM (SELECT DISTINCT event_type, user_id FROM events)),"
+        " rr AS (SELECT g,"
+        "   CAST(('0x' || substr(h, 1, 2)) AS BIGINT) AS reg,"
+        "   CAST(('0x' || substr(h, 3, 4)) AS BIGINT) AS s FROM hx),"
+        " rg AS (SELECT g, reg,"
+        "   max(CASE WHEN s = 0 THEN 17 ELSE 17 - len(bin(s)) END) AS mx"
+        "  FROM rr GROUP BY 1, 2),"
+        " fr AS (SELECT gg.g, r.range AS reg FROM"
+        "   (SELECT DISTINCT g FROM rg) gg, range(256) r),"
+        " jj AS (SELECT f.g, coalesce(rg.mx, 0) AS mx FROM fr f"
+        "   LEFT JOIN rg ON rg.g = f.g AND rg.reg = f.reg),"
+        " ag AS (SELECT g, sum(pow(2.0, -mx)) AS z,"
+        "   CAST(sum(CASE WHEN mx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS v"
+        "  FROM jj GROUP BY 1),"
+        f" ee AS (SELECT g, CAST({alpha!r} AS DOUBLE) * 65536.0 / z AS raw, v"
+        "  FROM ag),"
+        " es AS (SELECT g AS event_type,"
+        "  round(CASE WHEN raw < 640 AND v > 0 THEN 256.0 * ln(256.0 / v)"
+        "   ELSE raw END + 1e-9, 6) AS hll_est FROM ee),"
+        " ex AS (SELECT event_type,"
+        "   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact"
+        "  FROM events GROUP BY 1)"
+        " SELECT es.event_type, n_exact, hll_est"
+        " FROM es JOIN ex ON ex.event_type = es.event_type"
+    )
+
+
+_register("s17_stream_hll_distinct", _s17, _s17_sql())
