@@ -9048,3 +9048,72 @@ def _s17_sql() -> str:
 
 
 _register("s17_stream_hll_distinct", _s17, _s17_sql())
+
+
+def _a42(spark: SparkSession, sf: str) -> DataFrame:
+    """Workload trend forecast per update type: daily query counts fitted
+    with least squares on the integer day index — slope/day and the
+    next-day forecast, the capacity-planning number a01's raw series
+    implies but never states. Both regression inputs are INTEGERS (day
+    ordinal, count), so the moments accumulate exactly as decimal(38,0)
+    (x109's order-independence trick) and the only float is the final
+    division."""
+    q = workload_queries(spark, sf)
+    daily = q.groupBy(
+        F.coalesce("update", F.lit("SELECT")).alias("update_type"),
+        F.datediff(F.date_trunc("day", "query_ts"), F.lit("1970-01-01")).alias("__d"),
+    ).agg(F.count(F.lit(1)).alias("__y"))
+    base = daily.groupBy("update_type").agg(F.min("__d").alias("__d0"))
+    dd = daily.join(base, "update_type").select(
+        "update_type",
+        (F.col("__d") - F.col("__d0")).cast("decimal(38,0)").alias("x"),
+        F.col("__y").cast("decimal(38,0)").alias("y"),
+    )
+    m = dd.groupBy("update_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return m.select(
+        "update_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.round(slope + 1e-9, 6).alias("slope_per_day"),
+        F.round(intercept + slope * F.col("n").cast("double") + 1e-9, 6).alias(
+            "next_day_forecast"
+        ),
+    )
+
+
+_register(
+    "a42_workload_forecast",
+    _a42,
+    _ALL_CTES
+    + ", daily AS (SELECT coalesce(update_type, 'SELECT') AS update_type,"
+    "   datediff('day', DATE '1970-01-01', date_trunc('day', query_ts)) AS d,"
+    "   count(*) AS y FROM queries GROUP BY 1, 2),"
+    " b AS (SELECT update_type, min(d) AS d0 FROM daily GROUP BY 1),"
+    " dd AS (SELECT daily.update_type, CAST(daily.d - b.d0 AS HUGEINT) AS x,"
+    "   CAST(y AS HUGEINT) AS y FROM daily JOIN b USING (update_type)),"
+    " m AS (SELECT update_type, CAST(count(*) AS HUGEINT) AS n,"
+    "   sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx"
+    "  FROM dd GROUP BY 1)"
+    " SELECT update_type, CAST(n AS BIGINT) AS n_days,"
+    "  round(CAST(n * sxy - sx * sy AS DOUBLE)"
+    "   / CAST(n * sxx - sx * sx AS DOUBLE) + 1e-9, 6) AS slope_per_day,"
+    "  round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE)"
+    "    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))"
+    "   / CAST(n AS DOUBLE)"
+    "   + (CAST(n * sxy - sx * sy AS DOUBLE)"
+    "    / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(n AS DOUBLE)"
+    "   + 1e-9, 6) AS next_day_forecast"
+    " FROM m",
+)
