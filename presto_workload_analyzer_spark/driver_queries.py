@@ -9117,3 +9117,69 @@ _register(
     "   + 1e-9, 6) AS next_day_forecast"
     " FROM m",
 )
+
+
+def _x129(spark: SparkSession, sf: str) -> DataFrame:
+    """WHERE the language switches (x113 says whether): language_id of
+    each doc's first vs second character-half, per-source switch rate —
+    half-grain localization catches the append-translation and
+    stitched-crawl shapes (doc starts English, ends German) that
+    whole-doc argmax averages away. Same marker-ratio detector applied
+    to substrings; char-midpoint split is engine-exact."""
+    docs = read_sf_table(spark, sf, "documents")
+    half1 = F.substring(F.col("text"), 1, (F.length("text") / 2).cast("int"))
+    half2 = F.substring(
+        F.col("text"),
+        (F.length("text") / 2).cast("int") + 1,
+        F.length("text"),
+    )
+    per = docs.select(
+        "source",
+        X_text.language_id(half1).alias("__l1"),
+        X_text.language_id(half2).alias("__l2"),
+    )
+    return per.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("__l1") != F.col("__l2")).cast("long")).alias("n_switched"),
+        F.round(
+            F.sum((F.col("__l1") != F.col("__l2")).cast("long"))
+            / F.count(F.lit(1))
+            + 1e-9,
+            6,
+        ).alias("switch_rate"),
+    )
+
+
+def _x129_sql() -> str:
+    def langid(expr: str) -> str:
+        ratios = {
+            lang: _RATIO_SQL.format(lst=lst).replace("text", expr)
+            for lang, lst in _X09_LISTS.items()
+        }
+        return (
+            "CASE"
+            f" WHEN ({ratios['en']}) >= ({ratios['de']}) AND ({ratios['en']}) >= ({ratios['fr']})"
+            f"  AND ({ratios['en']}) >= ({ratios['es']}) AND ({ratios['en']}) >= ({ratios['zh']}) THEN 'en'"
+            f" WHEN ({ratios['de']}) >= ({ratios['fr']}) AND ({ratios['de']}) >= ({ratios['es']})"
+            f"  AND ({ratios['de']}) >= ({ratios['zh']}) THEN 'de'"
+            f" WHEN ({ratios['fr']}) >= ({ratios['es']}) AND ({ratios['fr']}) >= ({ratios['zh']}) THEN 'fr'"
+            f" WHEN ({ratios['es']}) >= ({ratios['zh']}) THEN 'es'"
+            " ELSE 'zh' END"
+        )
+
+    return (
+        "WITH h AS (SELECT source,"
+        "  substr(text, 1, len(text) // 2) AS h1,"
+        "  substr(text, len(text) // 2 + 1, len(text)) AS h2"
+        " FROM documents),"
+        f" l AS (SELECT source, {langid('h1')} AS l1, {langid('h2')} AS l2 FROM h)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(CASE WHEN l1 <> l2 THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_switched,"
+        "  round(sum(CASE WHEN l1 <> l2 THEN 1 ELSE 0 END)"
+        "   / CAST(count(*) AS DOUBLE) + 1e-9, 6) AS switch_rate"
+        " FROM l GROUP BY 1",
+    )[0]
+
+
+_register("x129_lang_switch_position", _x129, _x129_sql())
