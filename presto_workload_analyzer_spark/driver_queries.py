@@ -9183,3 +9183,64 @@ def _x129_sql() -> str:
 
 
 _register("x129_lang_switch_position", _x129, _x129_sql())
+
+
+def _x130(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup impact report: corpus composition BEFORE vs AFTER near-dedup
+    (x15's min-id survivors) per source — docs kept, token mass kept, and
+    the mean-quality shift. Dedup is usually justified by counts alone;
+    this is the composition evidence (a source losing 40% of tokens but
+    gaining quality was template spam; one losing quality lost its good
+    duplicates to ANOTHER source's canonical — cross-source min-id
+    election made visible). One pass over docs + the survivor anti-join,
+    conditional aggregates."""
+    docs = read_sf_table(spark, sf, "documents")
+    pairs = shared_lsh_pairs(spark, sf)
+    kept = X_dedup.drop_near_duplicates(docs, "doc_id", pairs).select("doc_id")
+    base = docs.select(
+        "source",
+        "doc_id",
+        X_text.token_count("text").cast("long").alias("__t"),
+        F.round(X_text.quality_score("text") + 1e-9, 6).alias("__q"),
+    ).join(kept.withColumn("__k", F.lit(1)), "doc_id", "left")
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.coalesce("__k", F.lit(0))).cast("long").alias("n_kept"),
+        F.sum("__t").cast("long").alias("tokens"),
+        F.sum(F.when(F.col("__k") == 1, F.col("__t")).otherwise(0)).cast("long").alias(
+            "tokens_kept"
+        ),
+        F.round(F.avg("__q") + 1e-9, 6).alias("mean_q_before"),
+        F.round(F.avg(F.when(F.col("__k") == 1, F.col("__q"))) + 1e-9, 6).alias(
+            "mean_q_after"
+        ),
+    )
+
+
+_register(
+    "x130_dedup_impact",
+    _x130,
+    _X14_CC_SQL.format(bands=_X02_BANDS)
+    + ", kept AS (SELECT doc_id FROM documents WHERE doc_id NOT IN"
+    "   (SELECT id FROM cc WHERE id <> cluster_id)),"
+    " b AS (SELECT d.source, d.doc_id,"
+    "   CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT) AS t,"
+    "   round("
+    f" 0.4 * least(({_RATIO_SQL.format(lst=_EN_LIST)}) / 0.25, 1.0)"
+    " + 0.3 * (1.0 - least((CASE WHEN len(regexp_replace(text, '\\s', '', 'g')) > 0"
+    "   THEN CAST(len(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END) * 5.0, 1.0))"
+    " + 0.3 * least((CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
+    "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))) / 8.0, 1.0)"
+    "   + 1e-9, 6) AS q,"
+    "   CASE WHEN k.doc_id IS NOT NULL THEN 1 ELSE 0 END AS kept"
+    "  FROM documents d LEFT JOIN kept k ON k.doc_id = d.doc_id)"
+    " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+    "  CAST(sum(kept) AS BIGINT) AS n_kept,"
+    "  CAST(sum(t) AS BIGINT) AS tokens,"
+    "  CAST(sum(CASE WHEN kept = 1 THEN t ELSE 0 END) AS BIGINT)"
+    "   AS tokens_kept,"
+    "  round(avg(q) + 1e-9, 6) AS mean_q_before,"
+    "  round(avg(CASE WHEN kept = 1 THEN q END) + 1e-9, 6) AS mean_q_after"
+    " FROM b GROUP BY 1",
+)
