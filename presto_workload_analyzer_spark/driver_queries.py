@@ -9244,3 +9244,88 @@ _register(
     "  round(avg(CASE WHEN kept = 1 THEN q END) + 1e-9, 6) AS mean_q_after"
     " FROM b GROUP BY 1",
 )
+
+
+def _x131(spark: SparkSession, sf: str) -> DataFrame:
+    """Bloom filter false-positive-rate audit: build an md5-mode bitmap
+    over even-doc texts (m=4096, k=3 — sized small so the FPR is
+    non-degenerate at sf0.01), probe TRUE non-members (odd docs whose
+    text anti-joins the member set), and report empirical FPR against
+    the theoretical (1 - e^{-kn/m})^k — the acceptance measurement
+    behind x52's prefilter sizing (a bloom with FPR 30% wastes its exact
+    pass; theory needs validating because real value distributions are
+    not the uniform hash ideal). A probe is positive iff ALL its k bit
+    positions are set — the oracle replays the exact md5 positions, so
+    the measured FPR is hash-checked, not approximated."""
+    m_bits, k = 4096, 3
+    docs = read_sf_table(spark, sf, "documents")
+    members = docs.filter(F.col("doc_id") % 2 == 0).select("text").distinct()
+    probes = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", "text")
+        .join(members.withColumnRenamed("text", "text"), "text", "left_anti")
+    )
+    mpos = members.select(
+        F.explode(X_dedup.bloom_positions("text", m_bits, k, mode="md5")).alias("pos")
+    ).distinct()
+    ppos = probes.select(
+        "doc_id",
+        F.explode(X_dedup.bloom_positions("text", m_bits, k, mode="md5")).alias("pos"),
+    ).distinct()
+    hits = ppos.join(F.broadcast(mpos), "pos").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("__hit")
+    )
+    need = ppos.groupBy("doc_id").agg(F.count(F.lit(1)).alias("__need"))
+    pos_probe = (
+        need.join(hits, "doc_id", "left")
+        .filter(F.coalesce("__hit", F.lit(0)) == F.col("__need"))
+        .select("doc_id")
+    )
+    n_mem = members.count()
+    stats = probes.agg(
+        F.count(F.lit(1)).cast("long").alias("n_probes")
+    ).crossJoin(
+        pos_probe.agg(F.count(F.lit(1)).cast("long").alias("n_false_pos"))
+    )
+    import math
+
+    theory = (1.0 - math.exp(-k * n_mem / m_bits)) ** k
+    return stats.select(
+        F.lit(n_mem).cast("long").alias("n_members"),
+        "n_probes",
+        "n_false_pos",
+        F.round(F.col("n_false_pos") / F.col("n_probes") + 1e-9, 6).alias("fpr"),
+        F.round(F.lit(theory) + 1e-9, 6).alias("fpr_theory"),
+    )
+
+
+def _x131_sql() -> str:
+    m_bits, k = 4096, 3
+    pos = ", ".join(
+        f"CAST(('0x' || substr(md5('{i}|' || text), 1, 15)) AS BIGINT) % {m_bits}"
+        for i in range(k)
+    )
+    return (
+        f"WITH mem AS (SELECT DISTINCT text FROM documents WHERE doc_id % 2 = 0),"
+        " prb AS (SELECT d.doc_id, d.text FROM documents d"
+        "  LEFT JOIN mem ON mem.text = d.text"
+        "  WHERE d.doc_id % 2 = 1 AND mem.text IS NULL),"
+        f" mp AS (SELECT DISTINCT p FROM mem, UNNEST([{pos}]) AS u(p)),"
+        f" pp AS (SELECT DISTINCT doc_id, p FROM prb, UNNEST([{pos}]) AS u(p)),"
+        " need AS (SELECT doc_id, count(*) AS nd FROM pp GROUP BY 1),"
+        " hit AS (SELECT pp.doc_id, count(*) AS nh FROM pp JOIN mp USING (p)"
+        "  GROUP BY 1),"
+        " posit AS (SELECT need.doc_id FROM need LEFT JOIN hit USING (doc_id)"
+        "  WHERE coalesce(nh, 0) = nd),"
+        " nm AS (SELECT count(*) AS n FROM mem)"
+        " SELECT CAST((SELECT n FROM nm) AS BIGINT) AS n_members,"
+        "  CAST((SELECT count(*) FROM prb) AS BIGINT) AS n_probes,"
+        "  CAST((SELECT count(*) FROM posit) AS BIGINT) AS n_false_pos,"
+        "  round((SELECT count(*) FROM posit)"
+        "   / CAST((SELECT count(*) FROM prb) AS DOUBLE) + 1e-9, 6) AS fpr,"
+        f"  round(pow(1.0 - exp(-{k}.0 * (SELECT n FROM nm) / {m_bits}.0),"
+        f"   {k}) + 1e-9, 6) AS fpr_theory"
+    )
+
+
+_register("x131_bloom_fpr_audit", _x131, _x131_sql())

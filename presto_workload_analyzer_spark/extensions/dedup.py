@@ -719,12 +719,47 @@ def strip_duplicate_spans(
     )
 
 
-def bloom_bitmap(df: DataFrame, text_col: str, m_bits: int, k_hashes: int) -> DataFrame:
+def bloom_positions(text_col: str, m_bits: int, k_hashes: int, mode: str = "xxhash64"):
+    """The k bit positions of a value, as an array Column. xxhash64 is the
+    production mode (JVM codegen); md5 mode derives positions from 15 hex
+    digits per hash index — bit-identical in any engine that can md5, so
+    an oracle can replay the exact bitmap (the engine-wide dual-mode
+    convention of minhash/_hash_expr)."""
+    if mode == "xxhash64":
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(F.lit(i), F.col(text_col)), F.lit(m_bits))
+                for i in range(k_hashes)
+            ]
+        )
+    if mode == "md5":
+        return F.array(
+            *[
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(F.concat(F.lit(f"{i}|"), F.col(text_col))), 1, 15
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.lit(m_bits),
+                )
+                for i in range(k_hashes)
+            ]
+        )
+    raise ValueError(f"unknown mode {mode!r}")
+
+
+def bloom_bitmap(
+    df: DataFrame, text_col: str, m_bits: int, k_hashes: int, mode: str = "xxhash64"
+) -> DataFrame:
     """Fold a column's values into an m-bit Bloom bitmap: (word_idx, bits)
     with at most m/64 rows, each row one long of the bitmap.
 
-    Each non-null value sets k bit positions pos_i = xxhash64(i, value) mod
-    m; positions become (word_idx = pos / 64, mask = 1 << (pos % 64)) rows
+    Each non-null value sets k bit positions pos_i = hash(i, value) mod
+    m (bloom_positions; xxhash64 production mode, md5 oracle mode);
+    positions become (word_idx = pos / 64, mask = 1 << (pos % 64)) rows
     and bit_or-aggregate per word. Everything is JVM Column expressions
     inside whole-stage codegen; the aggregation's map-side partial bit_or
     means the shuffle carries at most m/64 rows PER TASK no matter how many
@@ -733,14 +768,7 @@ def bloom_bitmap(df: DataFrame, text_col: str, m_bits: int, k_hashes: int) -> Da
     """
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
-    pos = F.explode(
-        F.array(
-            *[
-                F.pmod(F.xxhash64(F.lit(i), F.col(text_col)), F.lit(m_bits))
-                for i in range(k_hashes)
-            ]
-        )
-    ).alias("__pos")
+    pos = F.explode(bloom_positions(text_col, m_bits, k_hashes, mode)).alias("__pos")
     return (
         df.where(F.col(text_col).isNotNull())
         .select(pos)
