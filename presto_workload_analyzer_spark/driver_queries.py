@@ -9329,3 +9329,73 @@ def _x131_sql() -> str:
 
 
 _register("x131_bloom_fpr_audit", _x131, _x131_sql())
+
+
+def _x132(spark: SparkSession, sf: str) -> DataFrame:
+    """Count-min ERROR profile — the estimator-audit trio's third leg
+    (x93 MinHash, x131 Bloom): per-token overestimate (est - true, >= 0
+    by the CMS identity) log2-bucketed, with the Markov theory bound
+    eps*N = (e/width)*N for context. Shingle-grain terms at width 256, depth 2 so
+    collisions still occur at sf0.01 yet spread across buckets; md5 mode so every cell replays in the oracle. One
+    sketch + one vocabulary-grain probe + exact counts."""
+    width, depth = 256, 2
+    docs = read_sf_table(spark, sf, "documents")
+    # 3-gram shingles: ~12k distinct values at sf0.01 (the unigram vocab
+    # is only 31 words — zero collisions, a degenerate audit)
+    toks = X_dedup.shingles(docs, "doc_id", "text", k=3, distinct=False).select(
+        F.col("shingle").alias("term")
+    )
+    sk = X_sk.countmin_sketch(toks, "term", width=width, depth=depth, mode="md5")
+    vocab = toks.distinct()
+    est = X_sk.cms_estimate(sk, vocab, "term", width=width, depth=depth, mode="md5")
+    exact = toks.groupBy("term").agg(F.count(F.lit(1)).alias("__n"))
+    err = est.join(exact, "term").select(
+        (F.col("est") - F.col("__n")).alias("__e")
+    )
+    tot = toks.count()
+    import math
+
+    bound = (math.e / width) * tot
+    buck = F.when(F.col("__e") == 0, F.lit(0)).otherwise(
+        F.pow(F.lit(2.0), F.floor(F.log2("__e")) + 1).cast("long")
+    )
+    return err.groupBy(buck.alias("err_bucket")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.lit(bound) + 1e-9, 6).alias("markov_bound"),
+    )
+
+
+def _x132_sql() -> str:
+    import math
+
+    digit = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    val = " + ".join(f"{digit.format(i=i + 1)} * {16 ** (3 - i)}" for i in range(4))
+    return (
+        r"WITH t0 AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w"
+        "   FROM documents),"
+        " toks AS (SELECT array_to_string(w[i:i+2], ' ') AS term"
+        "  FROM t0, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),"
+        " cells AS (SELECT d, pos, count(*) AS n FROM"
+        f" (SELECT d, ({val}) % 256 AS pos FROM"
+        "  (SELECT d, md5(CAST(d AS VARCHAR) || '#' || term) AS h"
+        "   FROM toks, UNNEST([0, 1]) AS t(d))) GROUP BY 1, 2),"
+        " vocab AS (SELECT DISTINCT term FROM toks),"
+        " probe AS (SELECT term, d,"
+        f"  ({val}) % 256 AS pos FROM"
+        "  (SELECT term, d, md5(CAST(d AS VARCHAR) || '#' || term) AS h"
+        "   FROM vocab, UNNEST([0, 1]) AS t(d))),"
+        " est AS (SELECT term, min(coalesce(cells.n, 0)) AS est FROM probe"
+        "  LEFT JOIN cells USING (d, pos) GROUP BY 1),"
+        " exact AS (SELECT term, count(*) AS n FROM toks GROUP BY 1),"
+        " err AS (SELECT est.est - exact.n AS e FROM est JOIN exact USING (term)),"
+        " tot AS (SELECT count(*) AS n FROM toks)"
+        " SELECT CAST(CASE WHEN e = 0 THEN 0"
+        "   ELSE pow(2.0, floor(log2(e)) + 1) END AS BIGINT) AS err_bucket,"
+        "  CAST(count(*) AS BIGINT) AS n_terms,"
+        f"  round({math.e!r} / 256.0 * (SELECT n FROM tot) + 1e-9, 6)"
+        "   AS markov_bound"
+        " FROM err GROUP BY 1"
+    )
+
+
+_register("x132_cms_error_profile", _x132, _x132_sql())
