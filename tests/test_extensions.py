@@ -2095,3 +2095,44 @@ def test_shared_lsh_cache_is_per_sf_and_reused(spark):
     assert a1 is a2          # cached object reused
     assert b is not a1       # different sf -> different cache entry
     assert a1.count() != b.count() or a1.count() >= 0  # both evaluable
+
+
+def _mk_box(typ: bytes, payload: bytes) -> bytes:
+    return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+
+def _mk_mp4(timescale=1000, duration=5000, w=320, h=240, v1=False):
+    if v1:
+        mvhd = bytes([1, 0, 0, 0]) + b"\x00" * 16 + timescale.to_bytes(4, "big") + duration.to_bytes(8, "big") + b"\x00" * 80
+        tkhd = bytes([1, 0, 0, 0]) + b"\x00" * 84 + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    else:
+        mvhd = bytes([0, 0, 0, 0]) + b"\x00" * 8 + timescale.to_bytes(4, "big") + duration.to_bytes(4, "big") + b"\x00" * 76
+        tkhd = bytes([0, 0, 0, 0]) + b"\x00" * 72 + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+    trak = _mk_box(b"trak", _mk_box(b"tkhd", tkhd))
+    moov = _mk_box(b"moov", _mk_box(b"mvhd", mvhd) + trak)
+    return _mk_box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_mp4_meta_parse_v0_and_v1():
+    from presto_workload_analyzer_spark.extensions.multimodal import _parse_mp4_meta
+
+    d, w, h, n = _parse_mp4_meta(_mk_mp4())
+    assert (d, w, h, n) == (5.0, 320, 240, 1)
+    d, w, h, n = _parse_mp4_meta(_mk_mp4(timescale=600, duration=900, w=1920, h=1080, v1=True))
+    assert (d, w, h, n) == (1.5, 1920, 1080, 1)
+    assert _parse_mp4_meta(b"not a video") is None
+    assert _parse_mp4_meta(_mk_mp4()[:20]) is None  # truncated -> None
+
+
+def test_video_meta_kernel(spark):
+    from presto_workload_analyzer_spark.extensions.multimodal import video_meta
+
+    rows = [
+        (1, bytearray(_mk_mp4())),
+        (2, bytearray(b"\x89PNG\r\n\x1a\nnot mp4")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.container, r.duration_s, r.width, r.height, r.n_tracks)
+           for r in video_meta(df).collect()}
+    assert got[1] == ("mp4", 5.0, 320, 240, 1)
+    assert got[2] == (None, None, None, None, None)
