@@ -586,3 +586,71 @@ def video_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(gen, VIDEO_META_SCHEMA)
+
+
+def _parse_wav_meta(b: bytes) -> tuple[int, int, int, float] | None:
+    """REAL WAV/RIFF metadata parse: (sample_rate, n_channels,
+    bits_per_sample, duration_seconds) from the fmt and data chunks —
+    the audio filter stage ('drop clips under 1s / not 16kHz mono')
+    without an audio library. Chunk walk tolerates extra chunks (LIST,
+    fact) and odd-size padding; non-WAV/truncated -> None."""
+    try:
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return None
+        rate = ch = bits = None
+        data_len = None
+        i = 12
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"fmt " and i + 24 <= len(b):
+                ch = int.from_bytes(b[i + 10 : i + 12], "little")
+                rate = int.from_bytes(b[i + 12 : i + 16], "little")
+                bits = int.from_bytes(b[i + 22 : i + 24], "little")
+            elif cid == b"data":
+                data_len = clen
+            i += 8 + clen + (clen & 1)
+        if not rate or not ch or not bits or data_len is None:
+            return None
+        return (rate, ch, bits, data_len / (rate * ch * (bits // 8)))
+    except (IndexError, ValueError, ZeroDivisionError):
+        return None
+
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("container", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("bits_per_sample", T.IntegerType()),
+        T.StructField("duration_s", T.DoubleType()),
+    ]
+)
+
+
+def audio_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """Binary payloads -> real WAV container metadata; Arrow-batched like
+    image_dims / video_meta. Non-WAV payloads yield nulls. PCM sample
+    DECODE is trivial from here (the data chunk IS the samples) but out
+    of scope for the metadata stage."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                meta = _parse_wav_meta(bytes(payload))
+                if meta is None:
+                    rows.append((doc_id, None, None, None, None, None))
+                else:
+                    r, c, bi, d = meta
+                    rows.append((doc_id, "wav", r, c, bi, d))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "container", "sample_rate", "n_channels",
+                    "bits_per_sample", "duration_s",
+                ],
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(gen, AUDIO_META_SCHEMA)

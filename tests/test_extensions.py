@@ -2136,3 +2136,39 @@ def test_video_meta_kernel(spark):
            for r in video_meta(df).collect()}
     assert got[1] == ("mp4", 5.0, 320, 240, 1)
     assert got[2] == (None, None, None, None, None)
+
+
+def test_wav_meta_parse_and_kernel(spark):
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        _parse_wav_meta,
+        audio_meta,
+    )
+
+    def mk_wav(rate=16000, ch=1, bits=16, n_samples=16000, extra_chunk=True):
+        fmt = (
+            (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+            + rate.to_bytes(4, "little")
+            + (rate * ch * bits // 8).to_bytes(4, "little")
+            + (ch * bits // 8).to_bytes(2, "little") + bits.to_bytes(2, "little")
+        )
+        data = b"\x00" * (n_samples * ch * bits // 8)
+        chunks = b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+        if extra_chunk:  # a LIST chunk with odd size exercises padding
+            chunks += b"LIST" + (3).to_bytes(4, "little") + b"abc\x00"
+        chunks += b"data" + len(data).to_bytes(4, "little") + data
+        return b"RIFF" + (4 + len(chunks)).to_bytes(4, "little") + b"WAVE" + chunks
+
+    assert _parse_wav_meta(mk_wav()) == (16000, 1, 16, 1.0)
+    assert _parse_wav_meta(mk_wav(rate=44100, ch=2, bits=16, n_samples=44100)) == (
+        44100, 2, 16, 1.0,
+    )
+    assert _parse_wav_meta(b"RIFFxxxxNOPE") is None
+
+    df = spark.createDataFrame(
+        [(1, bytearray(mk_wav())), (2, bytearray(b"not audio"))],
+        "doc_id long, payload binary",
+    )
+    got = {r.doc_id: (r.container, r.sample_rate, r.duration_s)
+           for r in audio_meta(df).collect()}
+    assert got[1] == ("wav", 16000, 1.0)
+    assert got[2] == (None, None, None)
