@@ -9399,3 +9399,76 @@ def _x132_sql() -> str:
 
 
 _register("x132_cms_error_profile", _x132, _x132_sql())
+
+
+def _x133(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio metadata pipeline: deterministic WAV payloads synthesized
+    per doc (rate 8 kHz, channels = 1 + doc_id%2, 16-bit, n_chars
+    samples) flow through the REAL RIFF parser (multimodal.audio_meta) —
+    the oracle computes the expected metadata from the construction
+    parameters alone, so any parser offset/endianness/padding bug is a
+    hash mismatch (the x11 synthesize-then-run move, now for audio).
+    Payloads are built and parsed executor-side (declared Arrow
+    surfaces); only the metadata rows move."""
+    import pandas as pd_  # noqa: F401
+
+    docs = read_sf_table(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                ch = 1 + int(doc_id) % 2
+                rate, bits = 8000, 16
+                n_samples = int(n_chars)
+                fmt = (
+                    (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+                    + rate.to_bytes(4, "little")
+                    + (rate * ch * bits // 8).to_bytes(4, "little")
+                    + (ch * bits // 8).to_bytes(2, "little")
+                    + bits.to_bytes(2, "little")
+                )
+                data = b"\x00" * (n_samples * ch * bits // 8)
+                chunks = (
+                    b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                payload = (
+                    b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                    + b"WAVE" + chunks
+                )
+                rows.append((int(doc_id), payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T_
+
+    media = docs.mapInPandas(
+        synth,
+        T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("payload", T_.BinaryType()),
+            ]
+        ),
+    )
+    out = X_mm.audio_meta(media)
+    return out.select(
+        "doc_id",
+        "sample_rate",
+        "n_channels",
+        "bits_per_sample",
+        F.round("duration_s", 6).alias("duration_s"),
+    )
+
+
+_register(
+    "x133_audio_meta_pipeline",
+    _x133,
+    "SELECT doc_id, CAST(8000 AS INT) AS sample_rate,"
+    " CAST(1 + doc_id % 2 AS INT) AS n_channels,"
+    " CAST(16 AS INT) AS bits_per_sample,"
+    " round(n_chars / 8000.0, 6) AS duration_s"
+    " FROM documents",
+)

@@ -25,6 +25,7 @@ _ALLOWED_PANDAS = {
     "x11_multimodal_meta",      # mapInPandas decode plumbing (declared surface)
     "x13_ivf_ann_topk",         # MLlib KMeans internals + assignment UDF
     "x19_cosine_topk_pandas",   # Arrow/BLAS matmul variant (declared surface)
+    "x133_audio_meta_pipeline", # WAV synth + RIFF parse kernels (declared surface)
 }
 
 _PANDAS_MARKERS = (
