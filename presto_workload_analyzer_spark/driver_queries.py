@@ -9472,3 +9472,82 @@ _register(
     " round(n_chars / 8000.0, 6) AS duration_s"
     " FROM documents",
 )
+
+
+def _x134(spark: SparkSession, sf: str) -> DataFrame:
+    """Video metadata pipeline — x133's MP4 twin: minimal ISO-BMFF box
+    trees synthesized per doc (timescale 600, duration = n_chars ticks,
+    display dims from doc_id; v1 layout every third doc so BOTH mvhd/
+    tkhd variants flow through the parser), parsed by the REAL box walk
+    (multimodal.video_meta); oracle from construction params."""
+    docs = read_sf_table(spark, sf, "documents").select("doc_id", "n_chars")
+
+    def synth(batches):
+        import pandas as pd
+
+        def box(typ, payload):
+            return (8 + len(payload)).to_bytes(4, "big") + typ + payload
+
+        for pdf in batches:
+            rows = []
+            for doc_id, n_chars in zip(pdf["doc_id"], pdf["n_chars"]):
+                doc_id, dur = int(doc_id), int(n_chars)
+                w, h = 160 + (doc_id % 8) * 16, 120 + (doc_id % 8) * 16
+                v1 = doc_id % 3 == 0
+                if v1:
+                    mvhd = (
+                        bytes([1, 0, 0, 0]) + b"\x00" * 16
+                        + (600).to_bytes(4, "big") + dur.to_bytes(8, "big")
+                        + b"\x00" * 80
+                    )
+                    tkhd = (
+                        bytes([1, 0, 0, 0]) + b"\x00" * 84
+                        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+                    )
+                else:
+                    mvhd = (
+                        bytes([0, 0, 0, 0]) + b"\x00" * 8
+                        + (600).to_bytes(4, "big") + dur.to_bytes(4, "big")
+                        + b"\x00" * 76
+                    )
+                    tkhd = (
+                        bytes([0, 0, 0, 0]) + b"\x00" * 72
+                        + (w << 16).to_bytes(4, "big") + (h << 16).to_bytes(4, "big")
+                    )
+                moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+                payload = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + moov
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T_
+
+    media = docs.mapInPandas(
+        synth,
+        T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("payload", T_.BinaryType()),
+            ]
+        ),
+    )
+    out = X_mm.video_meta(media)
+    return out.select(
+        "doc_id",
+        "container",
+        F.round("duration_s", 6).alias("duration_s"),
+        "width",
+        "height",
+        "n_tracks",
+    )
+
+
+_register(
+    "x134_video_meta_pipeline",
+    _x134,
+    "SELECT doc_id, 'mp4' AS container,"
+    " round(n_chars / 600.0, 6) AS duration_s,"
+    " CAST(160 + (doc_id % 8) * 16 AS INT) AS width,"
+    " CAST(120 + (doc_id % 8) * 16 AS INT) AS height,"
+    " CAST(1 AS INT) AS n_tracks"
+    " FROM documents",
+)
