@@ -9551,3 +9551,78 @@ _register(
     " CAST(1 AS INT) AS n_tracks"
     " FROM documents",
 )
+
+
+def _x135(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio quality-gate pipeline: square-wave WAVs synthesized per doc
+    (amplitude 1000 + (doc_id%25)*1500, CLAMPED at int16 full scale so
+    docs with doc_id%25 >= 22 genuinely clip) flow through the REAL PCM
+    feature kernel (multimodal.audio_features). A ±A square wave has
+    peak = RMS = A and clip_ratio = 1 exactly when clamped — so the
+    oracle states the expected features in closed form and any sample
+    decode/endianness/ratio bug is a hash mismatch."""
+    docs = read_sf_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                amp = min(32767, 1000 + (doc_id % 25) * 1500)
+                n, rate, bits, ch = 100, 8000, 16, 1
+                data = b"".join(
+                    (amp if i % 2 == 0 else -amp).to_bytes(2, "little", signed=True)
+                    for i in range(n)
+                )
+                fmt = (
+                    (1).to_bytes(2, "little") + ch.to_bytes(2, "little")
+                    + rate.to_bytes(4, "little")
+                    + (rate * ch * bits // 8).to_bytes(4, "little")
+                    + (ch * bits // 8).to_bytes(2, "little")
+                    + bits.to_bytes(2, "little")
+                )
+                chunks = (
+                    b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+                    + b"data" + len(data).to_bytes(4, "little") + data
+                )
+                payload = (
+                    b"RIFF" + (4 + len(chunks)).to_bytes(4, "little")
+                    + b"WAVE" + chunks
+                )
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T_
+
+    media = docs.mapInPandas(
+        synth,
+        T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("payload", T_.BinaryType()),
+            ]
+        ),
+    )
+    out = X_mm.audio_features(media)
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "peak",
+        F.round("rms", 6).alias("rms"),
+        F.round("clip_ratio", 6).alias("clip_ratio"),
+    )
+
+
+_register(
+    "x135_audio_quality_gate",
+    _x135,
+    "SELECT doc_id, CAST(100 AS BIGINT) AS n_samples,"
+    " CAST(least(32767, 1000 + (doc_id % 25) * 1500) AS INT) AS peak,"
+    " round(CAST(least(32767, 1000 + (doc_id % 25) * 1500) AS DOUBLE), 6)"
+    "  AS rms,"
+    " CASE WHEN 1000 + (doc_id % 25) * 1500 >= 32767 THEN 1.0 ELSE 0.0 END"
+    "  AS clip_ratio"
+    " FROM documents",
+)

@@ -654,3 +654,59 @@ def audio_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
             )
 
     return media.select("doc_id", "payload").mapInPandas(gen, AUDIO_META_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.IntegerType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("clip_ratio", T.DoubleType()),
+    ]
+)
+
+
+def audio_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+    """REAL audio feature extraction over 16-bit PCM WAV payloads: peak
+    amplitude, RMS level and the full-scale clipping ratio — the quality
+    gates of an audio corpus ('drop silent / clipped clips') computed
+    from the actual samples (the WAV data chunk IS the PCM; no codec
+    needed). Integer sums are exact, so the numbers replay in any
+    engine. Non-WAV / non-16-bit payloads yield nulls. Arrow-batched
+    like the other media kernels; samples never leave the executor."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                meta = _parse_wav_meta(b)
+                if meta is None or meta[2] != 16:
+                    rows.append((doc_id, None, None, None, None))
+                    continue
+                # locate the data chunk again (the parser proved it exists)
+                i, data = 12, b""
+                while i + 8 <= len(b):
+                    cid = b[i : i + 4]
+                    clen = int.from_bytes(b[i + 4 : i + 8], "little")
+                    if cid == b"data":
+                        data = b[i + 8 : i + 8 + clen]
+                        break
+                    i += 8 + clen + (clen & 1)
+                x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
+                    np.int64
+                )
+                if x.size == 0:
+                    rows.append((doc_id, 0, 0, 0.0, 0.0))
+                    continue
+                peak = int(np.max(np.abs(x)))
+                rms = float(np.sqrt(np.sum(x * x) / x.size))
+                clip = float(np.sum(np.abs(x) >= 32767) / x.size)
+                rows.append((doc_id, int(x.size), peak, rms, clip))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_samples", "peak", "rms", "clip_ratio"]
+            )
+
+    return media.select("doc_id", "payload").mapInPandas(gen, AUDIO_FEATURES_SCHEMA)

@@ -27,6 +27,7 @@ _ALLOWED_PANDAS = {
     "x19_cosine_topk_pandas",   # Arrow/BLAS matmul variant (declared surface)
     "x133_audio_meta_pipeline", # WAV synth + RIFF parse kernels (declared surface)
     "x134_video_meta_pipeline", # MP4 synth + box-walk kernels (declared surface)
+    "x135_audio_quality_gate",  # PCM synth + feature kernels (declared surface)
 }
 
 _PANDAS_MARKERS = (
