@@ -9626,3 +9626,61 @@ _register(
     "  AS clip_ratio"
     " FROM documents",
 )
+
+
+def _x136(spark: SparkSession, sf: str) -> DataFrame:
+    """Image decode pipeline through the REAL PNG codec: per doc, a
+    (4 + doc_id%5)-square grayscale PNG with every pixel = doc_id % 256
+    is encoded (multimodal._encode_png: real zlib IDAT + CRCs) and
+    decoded back by decode_media's real inflate+unfilter path — the
+    driver-gate version of the codec's pytest round-trip: width, height,
+    channels and mean intensity all have closed forms, so a filter/CRC/
+    stride bug anywhere in the codec pair is a hash mismatch."""
+    docs = read_sf_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from presto_workload_analyzer_spark.extensions.multimodal import (
+            _encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                side = 4 + doc_id % 5
+                v = doc_id % 256
+                payload = _encode_png(side, side, 1, bytes([v]) * (side * side))
+                rows.append((doc_id, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T_
+
+    media = docs.mapInPandas(
+        synth,
+        T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("payload", T_.BinaryType()),
+            ]
+        ),
+    )
+    out = X_mm.decode_media(media)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+_register(
+    "x136_png_decode_pipeline",
+    _x136,
+    "SELECT doc_id, CAST(4 + doc_id % 5 AS INT) AS width,"
+    " CAST(4 + doc_id % 5 AS INT) AS height, CAST(1 AS INT) AS n_channels,"
+    " round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 6) AS mean_intensity"
+    " FROM documents",
+)
