@@ -9684,3 +9684,57 @@ _register(
     " round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 6) AS mean_intensity"
     " FROM documents",
 )
+
+
+def _x137(spark: SparkSession, sf: str) -> DataFrame:
+    """Perceptual-hash driver gate: even docs get a horizontally
+    DESCENDING 16x16 gray ramp (every left pixel > its right neighbor →
+    dHash = all ones = 'ffffffffffffffff'), odd docs a constant image
+    (no gradient → all zeros) — the two closed-form dHash fixtures,
+    pushed through the REAL decode+downsample+gradient kernel
+    (multimodal.dhash_media). Bit-order, sampling and comparison-
+    direction bugs all flip known hex digits."""
+    docs = read_sf_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from presto_workload_analyzer_spark.extensions.multimodal import (
+            _encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                if doc_id % 2 == 0:
+                    px = b"".join(
+                        bytes(255 - x * 16 for x in range(16)) for _ in range(16)
+                    )
+                else:
+                    px = bytes([128]) * 256
+                rows.append((doc_id, _encode_png(16, 16, 1, px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T_
+
+    media = docs.mapInPandas(
+        synth,
+        T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("payload", T_.BinaryType()),
+            ]
+        ),
+    )
+    return X_mm.dhash_media(media).select("doc_id", "container", "dhash")
+
+
+_register(
+    "x137_dhash_pipeline",
+    _x137,
+    "SELECT doc_id, 'png' AS container,"
+    " CASE WHEN doc_id % 2 = 0 THEN 'ffffffffffffffff'"
+    "  ELSE '0000000000000000' END AS dhash"
+    " FROM documents",
+)

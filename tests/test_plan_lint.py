@@ -29,6 +29,7 @@ _ALLOWED_PANDAS = {
     "x134_video_meta_pipeline", # MP4 synth + box-walk kernels (declared surface)
     "x135_audio_quality_gate",  # PCM synth + feature kernels (declared surface)
     "x136_png_decode_pipeline", # PNG encode + real-decode kernels (declared surface)
+    "x137_dhash_pipeline",      # PNG synth + perceptual-hash kernels (declared surface)
 }
 
 _PANDAS_MARKERS = (
