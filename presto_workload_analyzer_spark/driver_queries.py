@@ -9738,3 +9738,62 @@ _register(
     "  ELSE '0000000000000000' END AS dhash"
     " FROM documents",
 )
+
+
+def _x138(spark: SparkSession, sf: str) -> DataFrame:
+    """GIF codec driver gate (x136's sibling): constant-color 8x8 GIFs
+    on the encoder's exact 64-color cube grid ({0,85,170,255} — so LZW
+    quantization is lossless and the round-trip has a closed form),
+    encoded by the real LZW writer and decoded by the real LZW reader;
+    every third doc writes INTERLACED rows so the 4-pass de-interlace
+    path is gate-checked too (a pass-order bug scrambles rows but a
+    constant image would hide it — the interlace flag still exercises
+    the code path; the constant value pins the palette/LZW arithmetic)."""
+    docs = read_sf_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from presto_workload_analyzer_spark.extensions.gifcodec import encode_gif
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                v = [0, 85, 170, 255][doc_id % 4]
+                rgb = bytes([v, v, v]) * 64
+                rows.append(
+                    (doc_id, encode_gif(8, 8, rgb, interlace=doc_id % 3 == 0))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T_
+
+    media = docs.mapInPandas(
+        synth,
+        T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("payload", T_.BinaryType()),
+            ]
+        ),
+    )
+    out = X_mm.decode_media(media)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+_register(
+    "x138_gif_decode_pipeline",
+    _x138,
+    "SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,"
+    " CAST(3 AS INT) AS n_channels,"
+    " round(CAST(CASE doc_id % 4 WHEN 0 THEN 0 WHEN 1 THEN 85"
+    "  WHEN 2 THEN 170 ELSE 255 END AS DOUBLE) / 255.0, 6) AS mean_intensity"
+    " FROM documents",
+)

@@ -30,6 +30,7 @@ _ALLOWED_PANDAS = {
     "x135_audio_quality_gate",  # PCM synth + feature kernels (declared surface)
     "x136_png_decode_pipeline", # PNG encode + real-decode kernels (declared surface)
     "x137_dhash_pipeline",      # PNG synth + perceptual-hash kernels (declared surface)
+    "x138_gif_decode_pipeline", # GIF synth + LZW-decode kernels (declared surface)
 }
 
 _PANDAS_MARKERS = (
