@@ -9797,3 +9797,68 @@ _register(
     "  WHEN 2 THEN 170 ELSE 255 END AS DOUBLE) / 255.0, 6) AS mean_intensity"
     " FROM documents",
 )
+
+
+def _x139(spark: SparkSession, sf: str) -> DataFrame:
+    """Resize pipeline gate: constant gray PNGs at per-doc source sizes
+    run decode → real NN resample to 6x6 → real PNG re-encode
+    (multimodal.resize_media) → decode again — output dims and intensity
+    are closed-form (constant images are NN-resample fixpoints), so the
+    whole three-kernel chain (decode, resample, encode, decode) is
+    hash-gated end to end."""
+    docs = read_sf_table(spark, sf, "documents").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from presto_workload_analyzer_spark.extensions.multimodal import (
+            _encode_png,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                side = 8 + doc_id % 9
+                v = doc_id % 256
+                rows.append(
+                    (doc_id, _encode_png(side, side, 1, bytes([v]) * (side * side)))
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from pyspark.sql import types as T_
+
+    media = docs.mapInPandas(
+        synth,
+        T_.StructType(
+            [
+                T_.StructField("doc_id", T_.LongType()),
+                T_.StructField("payload", T_.BinaryType()),
+            ]
+        ),
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.lit("image/png").alias("mime"),
+            F.octet_length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
+    resized = X_mm.resize_media(media, 6, 6)
+    out = X_mm.decode_media(resized)
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+_register(
+    "x139_resize_pipeline",
+    _x139,
+    "SELECT doc_id, CAST(6 AS INT) AS width, CAST(6 AS INT) AS height,"
+    " CAST(1 AS INT) AS n_channels,"
+    " round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 6) AS mean_intensity"
+    " FROM documents",
+)

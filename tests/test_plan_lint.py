@@ -31,6 +31,7 @@ _ALLOWED_PANDAS = {
     "x136_png_decode_pipeline", # PNG encode + real-decode kernels (declared surface)
     "x137_dhash_pipeline",      # PNG synth + perceptual-hash kernels (declared surface)
     "x138_gif_decode_pipeline", # GIF synth + LZW-decode kernels (declared surface)
+    "x139_resize_pipeline",     # PNG synth + resize + decode chain (declared surface)
 }
 
 _PANDAS_MARKERS = (
