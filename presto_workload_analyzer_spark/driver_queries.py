@@ -9862,3 +9862,60 @@ _register(
     " round(CAST(doc_id % 256 AS DOUBLE) / 255.0, 6) AS mean_intensity"
     " FROM documents",
 )
+
+
+def _x140(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user behavioral entropy RATE: H(next event type | current) =
+    sum over current types p(cur) * H(next | cur), from exact transition
+    counts over each user's (ts, event_id)-ordered stream — the
+    scripted-client detector (a bot cycling a fixed sequence scores near
+    0 bits; organic users sit much higher), the per-user refinement of
+    x71's global transition matrix. Lag windows keyed by user_id
+    (corpus-cardinality); entropy sums run at (user, cur, next) cell
+    grain."""
+    ev = read_sf_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("__nxt", F.lead("event_type").over(w))
+        .filter(F.col("__nxt").isNotNull())
+        .groupBy("user_id", F.col("event_type").alias("cur"), F.col("__nxt").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cur_tot = tr.groupBy("user_id", "cur").agg(F.sum("__n").alias("__nc"))
+    usr_tot = tr.groupBy("user_id").agg(F.sum("__n").alias("__nu"))
+    ent = (
+        tr.join(cur_tot, ["user_id", "cur"])
+        .join(usr_tot, "user_id")
+        .select(
+            "user_id",
+            "__nu",
+            (
+                (F.col("__n") / F.col("__nu"))
+                * -F.log2(F.col("__n") / F.col("__nc"))
+            ).alias("__h"),
+        )
+    )
+    return ent.groupBy("user_id").agg(
+        F.max("__nu").cast("long").alias("n_transitions"),
+        F.round(F.sum("__h") + 1e-9, 6).alias("entropy_rate_bits"),
+    )
+
+
+_register(
+    "x140_behavior_entropy",
+    _x140,
+    "WITH o AS (SELECT user_id, event_type AS cur,"
+    "   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    "    AS nxt FROM events),"
+    " tr AS (SELECT user_id, cur, nxt, count(*) AS n FROM o"
+    "  WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),"
+    " ct AS (SELECT user_id, cur, sum(n) AS nc FROM tr GROUP BY 1, 2),"
+    " ut AS (SELECT user_id, sum(n) AS nu FROM tr GROUP BY 1)"
+    " SELECT tr.user_id, CAST(max(ut.nu) AS BIGINT) AS n_transitions,"
+    "  round(sum((tr.n / CAST(ut.nu AS DOUBLE))"
+    "   * -log2(tr.n / CAST(ct.nc AS DOUBLE))) + 1e-9, 6)"
+    "   AS entropy_rate_bits"
+    " FROM tr JOIN ct ON ct.user_id = tr.user_id AND ct.cur = tr.cur"
+    " JOIN ut ON ut.user_id = tr.user_id"
+    " GROUP BY 1",
+)
