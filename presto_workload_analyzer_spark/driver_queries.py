@@ -9919,3 +9919,62 @@ _register(
     " JOIN ut ON ut.user_id = tr.user_id"
     " GROUP BY 1",
 )
+
+
+def _x141(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic data augmentation: token dropout with md5-coin
+    probability 1/8 per (doc, position) — the contrastive-pair /
+    denoising-objective generator, made REPRODUCIBLE the same way the
+    engine's sampling is (hash coins instead of RNG state, salt swap =
+    fresh augmentation epoch). Output: kept-token count and the md5 of
+    the augmented text, so the oracle replays every coin and the
+    reassembled string byte-for-byte. Pure Column expressions: filter
+    over a posexploded token frame + ordered re-aggregation at doc
+    grain."""
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    coin = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws("|", F.lit("aug"), F.col("doc_id"), F.col("pos"))
+                ),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 8
+    )
+    kept = toks.filter(coin != 0)
+    return kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            )
+        ).alias("aug_md5"),
+    )
+
+
+_register(
+    "x141_token_dropout_augment",
+    _x141,
+    r"WITH t AS (SELECT doc_id, t.p - 1 AS pos, ws[t.p] AS w"
+    r"  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws"
+    "   FROM documents) d, UNNEST(range(1, len(ws) + 1)) AS t(p)),"
+    " k AS (SELECT doc_id, pos, w FROM t WHERE"
+    "  CAST(('0x' || substr(md5('aug|' || CAST(doc_id AS VARCHAR) || '|'"
+    "   || CAST(pos AS VARCHAR)), 1, 2)) AS BIGINT) % 8 <> 0)"
+    " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,"
+    "  md5(string_agg(w, ' ' ORDER BY pos)) AS aug_md5"
+    " FROM k GROUP BY 1",
+)
