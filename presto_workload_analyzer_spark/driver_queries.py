@@ -9978,3 +9978,101 @@ _register(
     "  md5(string_agg(w, ' ' ORDER BY pos)) AS aug_md5"
     " FROM k GROUP BY 1",
 )
+
+
+def _x142(spark: SparkSession, sf: str) -> DataFrame:
+    """T5-style span corruption (x141's structured sibling): md5 coins
+    mark span STARTS (p=1/16), each span covers 3 tokens, overlapping
+    spans merge, and every masked RUN collapses to one <extra_id_k>
+    sentinel numbered left to right — the denoising-objective input
+    layout, reproducible by construction. Span membership is a
+    doc-keyed window max over the trailing 3 start-coins; run starts
+    (masked and predecessor unmasked) number the sentinels via a
+    doc-keyed running sum. Output: token/sentinel counts + the corrupted
+    text's md5, byte-replayed by the oracle."""
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim("text"), r"\s+")).alias("pos", "w"),
+    )
+    start = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("span"), F.col("doc_id"), F.col("pos"))),
+                1,
+                2,
+            ),
+            16,
+            10,
+        ).cast("int")
+        % 16
+        == 0
+    ).cast("int")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    marked = toks.withColumn("__s", start).withColumn(
+        "__m",
+        F.max("__s").over(w.rowsBetween(-2, 0)),
+    )
+    runs = marked.withColumn(
+        "__runstart",
+        ((F.col("__m") == 1) & (F.coalesce(F.lag("__m").over(w), F.lit(0)) == 0)).cast(
+            "int"
+        ),
+    ).withColumn("__sid", F.sum("__runstart").over(w))
+    # emit: unmasked tokens as-is; masked run-start rows as the sentinel;
+    # other masked rows drop
+    out_tok = runs.filter((F.col("__m") == 0) | (F.col("__runstart") == 1)).select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("__m") == 1,
+            F.concat(F.lit("<extra_id_"), (F.col("__sid") - 1).cast("string"), F.lit(">")),
+        ).otherwise(F.col("w")).alias("w"),
+        F.col("__m"),
+    )
+    return out_tok.groupBy("doc_id").agg(
+        F.sum((F.col("__m") == 0).cast("long")).alias("n_kept_tokens"),
+        F.sum(F.col("__m").cast("long")).alias("n_sentinels"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "w"))),
+                    lambda s: s.getField("w"),
+                ),
+                " ",
+            )
+        ).alias("corrupted_md5"),
+    )
+
+
+_register(
+    "x142_span_corruption",
+    _x142,
+    r"WITH t AS (SELECT doc_id, t.p - 1 AS pos, ws[t.p] AS w"
+    r"  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws"
+    "   FROM documents) d, UNNEST(range(1, len(ws) + 1)) AS t(p)),"
+    " s AS (SELECT doc_id, pos, w,"
+    "  CASE WHEN CAST(('0x' || substr(md5('span|' || CAST(doc_id AS VARCHAR)"
+    "   || '|' || CAST(pos AS VARCHAR)), 1, 2)) AS BIGINT) % 16 = 0"
+    "   THEN 1 ELSE 0 END AS st FROM t),"
+    " m AS (SELECT doc_id, pos, w,"
+    "  max(st) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mk FROM s),"
+    " r AS (SELECT doc_id, pos, w, mk,"
+    "  CASE WHEN mk = 1 AND coalesce(lag(mk) OVER ("
+    "   PARTITION BY doc_id ORDER BY pos), 0) = 0 THEN 1 ELSE 0 END AS rs"
+    "  FROM m),"
+    " n AS (SELECT doc_id, pos, w, mk, rs,"
+    "  sum(rs) OVER (PARTITION BY doc_id ORDER BY pos"
+    "   ROWS UNBOUNDED PRECEDING) AS sid FROM r),"
+    " o AS (SELECT doc_id, pos, mk,"
+    "  CASE WHEN mk = 1 THEN '<extra_id_' || CAST(sid - 1 AS VARCHAR) || '>'"
+    "   ELSE w END AS w"
+    "  FROM n WHERE mk = 0 OR rs = 1)"
+    " SELECT doc_id,"
+    "  CAST(sum(CASE WHEN mk = 0 THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_kept_tokens,"
+    "  CAST(sum(mk) AS BIGINT) AS n_sentinels,"
+    "  md5(string_agg(w, ' ' ORDER BY pos)) AS corrupted_md5"
+    " FROM o GROUP BY 1",
+)
