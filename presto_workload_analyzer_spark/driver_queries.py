@@ -10076,3 +10076,127 @@ _register(
     "  md5(string_agg(w, ' ' ORDER BY pos)) AS corrupted_md5"
     " FROM o GROUP BY 1",
 )
+
+
+def _x143(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source KL divergence D(source || corpus) over unigram
+    distributions — the information-theoretic distinctiveness scalar
+    beside x67's per-term log-odds and x94's conditional entropy:
+    sum over the source's terms of p_s ln(p_s / p_c). Exact integer
+    counts at (source, term) and term grain; one vocabulary-grain join;
+    the corpus side can never be zero where the source side is positive
+    (every source term is a corpus term), so the sum is always finite."""
+    docs = read_sf_table(spark, sf, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.trim("text"), r"\s+")).alias("w")
+    ).filter(F.col("w") != "")
+    st = toks.groupBy("source", "w").agg(F.count(F.lit(1)).alias("__ns"))
+    ct = toks.groupBy("w").agg(F.count(F.lit(1)).alias("__nc"))
+    stot = st.groupBy("source").agg(F.sum("__ns").alias("__ts"))
+    ctot = ct.agg(F.sum("__nc").alias("__tc"))
+    j = (
+        st.join(ct, "w")
+        .join(stot, "source")
+        .crossJoin(F.broadcast(ctot))
+        .select(
+            "source",
+            "__ts",
+            (
+                (F.col("__ns") / F.col("__ts"))
+                * F.log(
+                    (F.col("__ns") / F.col("__ts"))
+                    / (F.col("__nc") / F.col("__tc"))
+                )
+            ).alias("__kl"),
+        )
+    )
+    return j.groupBy("source").agg(
+        F.max("__ts").cast("long").alias("n_tokens"),
+        F.round(F.sum("__kl") + 1e-9, 6).alias("kl_nats"),
+    )
+
+
+_register(
+    "x143_source_kl_divergence",
+    _x143,
+    r"WITH toks AS (SELECT source, t.w AS w FROM documents,"
+    r" UNNEST(string_split_regex(trim(text), '\s+')) AS t(w) WHERE t.w <> ''),"
+    " st AS (SELECT source, w, count(*) AS ns FROM toks GROUP BY 1, 2),"
+    " ct AS (SELECT w, count(*) AS nc FROM toks GROUP BY 1),"
+    " stot AS (SELECT source, sum(ns) AS ts FROM st GROUP BY 1),"
+    " ctot AS (SELECT sum(nc) AS tc FROM ct)"
+    " SELECT st.source, CAST(max(stot.ts) AS BIGINT) AS n_tokens,"
+    "  round(sum((st.ns / CAST(stot.ts AS DOUBLE))"
+    "   * ln((st.ns / CAST(stot.ts AS DOUBLE))"
+    "    / (ct.nc / CAST((SELECT tc FROM ctot) AS DOUBLE)))) + 1e-9, 6)"
+    "   AS kl_nats"
+    " FROM st JOIN ct ON ct.w = st.w JOIN stot ON stot.source = st.source"
+    " GROUP BY 1",
+)
+
+
+def _x144(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity of the near-dup graph: the Pearson
+    correlation of endpoint degrees over edges (Newman) — positive means
+    template clusters link to template clusters (bulk-collapse safe),
+    negative means hub-and-spoke banding artifacts dominate (collapse
+    over-deletes). Degrees are integers, so the five correlation moments
+    accumulate exactly as decimal(38,0) (the x109 order-independence
+    trick) over the symmetrized edge list; float only in the final
+    ratio."""
+    pairs = shared_lsh_pairs(spark, sf)
+    e = pairs.select("id_a", "id_b")
+    deg = (
+        e.select(F.col("id_a").alias("id"))
+        .unionAll(e.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    sym = e.unionAll(e.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b")))
+    jd = (
+        sym.join(deg.select(F.col("id").alias("id_a"), F.col("dg").alias("__x")), "id_a")
+        .join(deg.select(F.col("id").alias("id_b"), F.col("dg").alias("__y")), "id_b")
+        .select(
+            F.col("__x").cast("decimal(38,0)").alias("x"),
+            F.col("__y").cast("decimal(38,0)").alias("y"),
+        )
+    )
+    m = jd.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    vx = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    vy = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return m.select(
+        (F.col("n") / 2).cast("long").alias("n_edges"),
+        F.round(num / F.sqrt(vx * vy) + 1e-9, 6).alias("assortativity"),
+    )
+
+
+_register(
+    "x144_dup_assortativity",
+    _x144,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " deg AS (SELECT id, count(*) AS dg FROM (SELECT id_a AS id FROM pairs"
+    "  UNION ALL SELECT id_b FROM pairs) GROUP BY 1),"
+    " sym AS (SELECT id_a, id_b FROM pairs"
+    "  UNION ALL SELECT id_b, id_a FROM pairs),"
+    " jd AS (SELECT CAST(da.dg AS HUGEINT) AS x, CAST(db.dg AS HUGEINT) AS y"
+    "  FROM sym JOIN deg da ON da.id = sym.id_a"
+    "  JOIN deg db ON db.id = sym.id_b),"
+    " m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy,"
+    "  sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy FROM jd)"
+    " SELECT CAST(n // 2 AS BIGINT) AS n_edges,"
+    "  round(CAST(n * sxy - sx * sy AS DOUBLE)"
+    "   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)"
+    "    * CAST(n * syy - sy * sy AS DOUBLE)) + 1e-9, 6) AS assortativity"
+    " FROM m",
+)
