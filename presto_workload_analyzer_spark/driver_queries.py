@@ -10200,3 +10200,54 @@ _register(
     "    * CAST(n * syy - sy * sy AS DOUBLE)) + 1e-9, 6) AS assortativity"
     " FROM m",
 )
+
+
+def _x145(spark: SparkSession, sf: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the near-dup
+    graph: 3 * triangles / wedges, with wedges = sum over nodes of
+    C(deg, 2) — the closure scalar completing the structural set
+    (components, PageRank, triangles, k-core, modularity,
+    assortativity): near 1 = mutual-duplicate cliques, near 0 = banding
+    stars. Triangle total reuses the degree-ordered orientation
+    (graph.triangle_counts at node grain sums to 3x the triangle count);
+    wedges are exact integer arithmetic on the degree frame."""
+    pairs = shared_lsh_pairs(spark, sf)
+    tri = X_graph.triangle_counts(pairs)
+    tri_total = tri.agg(
+        (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("__t")
+    )
+    e = pairs.select("id_a", "id_b")
+    deg = (
+        e.select(F.col("id_a").alias("id"))
+        .unionAll(e.select(F.col("id_b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("dg"))
+    )
+    wedges = deg.agg(
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).cast("long").alias("__w")
+    )
+    return tri_total.crossJoin(F.broadcast(wedges)).select(
+        F.col("__t").alias("n_triangles"),
+        F.col("__w").alias("n_wedges"),
+        F.round(3.0 * F.col("__t") / F.col("__w") + 1e-9, 6).alias("transitivity"),
+    )
+
+
+_register(
+    "x145_dup_transitivity",
+    _x145,
+    f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+    f" bands AS ({_X02_BANDS}),"
+    " pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
+    "  FROM bands a JOIN bands b USING (band, band_hash) WHERE a.id < b.id),"
+    " tri AS (SELECT p1.id_a AS x, p1.id_b AS y, p2.id_b AS z"
+    "  FROM pairs p1 JOIN pairs p2 ON p2.id_a = p1.id_b"
+    "  JOIN pairs p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),"
+    " deg AS (SELECT id, count(*) AS dg FROM (SELECT id_a AS id FROM pairs"
+    "  UNION ALL SELECT id_b FROM pairs) GROUP BY 1)"
+    " SELECT CAST((SELECT count(*) FROM tri) AS BIGINT) AS n_triangles,"
+    "  CAST((SELECT sum(dg * (dg - 1) // 2) FROM deg) AS BIGINT) AS n_wedges,"
+    "  round(3.0 * (SELECT count(*) FROM tri)"
+    "   / (SELECT sum(dg * (dg - 1) // 2) FROM deg) + 1e-9, 6)"
+    "   AS transitivity",
+)
