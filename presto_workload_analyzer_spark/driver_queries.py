@@ -10251,3 +10251,64 @@ _register(
     "   / (SELECT sum(dg * (dg - 1) // 2) FROM deg) + 1e-9, 6)"
     "   AS transitivity",
 )
+
+
+def _x146(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end PRIVACY release chain — the third composition capstone
+    (curation x51, serving x126): generalize (user -> cohort of 10,
+    ts -> day), k-anonymity suppression (cells under k=10 dropped),
+    deterministic-Laplace noise, stability threshold (release only
+    noisy > tau = p13's 7.802) — the full pipeline a real data release
+    runs, chained as ONE plan so contract drift between the privacy
+    operators (key shapes, suppression-before-noise order, tau
+    semantics) is hash-caught. Oracle replays every stage."""
+    import math
+
+    from presto_workload_analyzer_spark.privacy.obfuscate import laplace_noise
+
+    tau = 1.0 + 2.0 * math.log(3.0 / (2.0 * 0.05))
+    ev = read_sf_table(spark, sf, "events")
+    gen = ev.select(
+        (F.col("user_id") / 10).cast("long").alias("cohort"),
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+    )
+    cells = gen.groupBy("cohort", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("__n")
+    )
+    kept = cells.filter(F.col("__n") >= 10)
+    key = F.concat_ws("|", F.col("cohort"), F.col("day"))
+    noisy = kept.withColumn(
+        "noisy_n",
+        F.round(
+            F.col("__n") + laplace_noise(key, scale=1.0, salt="release") + 1e-9, 6
+        ),
+    )
+    return noisy.filter(F.col("noisy_n") > F.lit(tau)).select(
+        "cohort", "day", "noisy_n"
+    )
+
+
+def _x146_sql() -> str:
+    import math
+
+    tau = 1.0 + 2.0 * math.log(3.0 / (2.0 * 0.05))
+    hexpos = "(strpos('0123456789abcdef', substr(h, {i}, 1)) - 1)"
+    v = " + ".join(f"{hexpos.format(i=i + 1)} * {16 ** (5 - i)}" for i in range(6))
+    return (
+        "WITH g AS (SELECT CAST(user_id // 10 AS BIGINT) AS cohort,"
+        "   CAST(date_trunc('day', ts) AS DATE) AS day FROM events),"
+        " c AS (SELECT cohort, day, CAST(count(*) AS BIGINT) AS n FROM g"
+        "  GROUP BY 1, 2 HAVING count(*) >= 10),"
+        " k AS (SELECT cohort, day, n,"
+        "  md5('release|' || CAST(cohort AS VARCHAR) || '|'"
+        "   || CAST(day AS VARCHAR)) AS h FROM c),"
+        f" u AS (SELECT cohort, day, n, (({v}) + 0.5) / {float(16 ** 6)!r} - 0.5"
+        "   AS u FROM k),"
+        " r AS (SELECT cohort, day,"
+        "  round(n + (-1.0 * sign(u) * ln(1.0 - 2.0 * abs(u))) + 1e-9, 6)"
+        "   AS noisy_n FROM u)"
+        f" SELECT cohort, day, noisy_n FROM r WHERE noisy_n > {tau!r}"
+    )
+
+
+_register("x146_privacy_release_chain", _x146, _x146_sql())
