@@ -751,12 +751,21 @@ _register(
 #      oracle is None counts as verified once a round recorded its
 #      rows-only check (there is nothing stronger to wait for);
 #   3. then queries hash-verified in SOME round but not the LATEST one
-#      (the pass expired — code may have changed since), registration order;
+#      (the pass expired — code may have changed since), OLDEST green
+#      first, then registration order;
 #   4. then everything the latest round verified, registration order.
-# Each round the freshly-checked names fall to group 4 and the expired ones
-# slide forward — a freshness round-robin that re-verifies every non-gate
-# query every ~2 rounds while guaranteeing first-ever verification of new
-# code the round it ships.
+# Round-5 verdict fix: a fixed quota of the 50-slot window
+# (_EXPIRED_QUOTA) is RESERVED for group 3 ahead of the never-verified
+# backlog — without it a 116-query registration burst starved the
+# oldest-green tier indefinitely (x02–x19 sat three rounds stale behind
+# the never-verified queue). The head of the ordering is therefore
+# gate + never[:window-gate-quota] + expired[:quota]; the tail continues
+# never-rest, expired-rest, latest-verified. Each round the
+# freshly-checked names fall to group 4 and the expired ones slide
+# forward — a freshness round-robin that guarantees BOTH first-ever
+# verification throughput (~30 new names/round) and a bounded staleness
+# drain (~10 oldest-green names/round) no matter how lopsided the
+# backlog.
 _GATE = [
     # sentinels: one per major §2A code path (the other analyzers share
     # these exact adapters/kernels and rotate through groups 3/4)
@@ -837,6 +846,10 @@ def _verified_names() -> tuple[set[str], dict[str, int]]:
     return _round_verified(rounds[-1]), last_round
 
 
+_WINDOW = 50          # driver verification slots per round
+_EXPIRED_QUOTA = 10   # window slots reserved for the oldest-green tier
+
+
 def _ordered(registry: dict) -> dict:
     latest, last_round = _verified_names()
     reg_pos = {n: i for i, n in enumerate(registry)}
@@ -851,7 +864,19 @@ def _ordered(registry: dict) -> dict:
         key=lambda n: (last_round[n], reg_pos[n]),
     )
     done = [n for n in rest if n in latest]
-    return {n: registry[n] for n in gate + never + expired + done}
+    # Reserve _EXPIRED_QUOTA window slots for the oldest-green tier so a
+    # registration burst can't starve it; the never-verified tier gets
+    # every remaining slot. Tail keeps the tier order (never, expired,
+    # done) so underfilled quotas flow to the next tier naturally.
+    exp_head = expired[:_EXPIRED_QUOTA]
+    never_head = never[: max(0, _WINDOW - len(gate) - len(exp_head))]
+    head = gate + never_head + exp_head
+    tail = (
+        never[len(never_head):]
+        + expired[len(exp_head):]
+        + done
+    )
+    return {n: registry[n] for n in head + tail}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -4949,8 +4974,9 @@ _register(
     "   CAST(trunc((length(text) - length(replace(text, phrase, '')))"
     "     / length(phrase)) AS BIGINT) AS o"
     "  FROM documents, p)"
-    " SELECT source, phrase, sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS n_docs,"
-    "  sum(o) AS n_hits"
+    " SELECT source, phrase,"
+    "  CAST(sum(CASE WHEN o > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,"
+    "  CAST(sum(o) AS BIGINT) AS n_hits"
     " FROM occ GROUP BY 1, 2 HAVING sum(o) > 0",
 )
 
@@ -8508,7 +8534,7 @@ _register(
     "  FROM inter JOIN sz sa ON sa.doc_id = id_a"
     "  JOIN sz sb ON sb.doc_id = id_b"
     "  WHERE CAST(i AS DOUBLE) / (sa.m + sb.m - i) >= 0.5)"
-    " SELECT t.t AS threshold,"
+    " SELECT CAST(t.t AS DOUBLE) AS threshold,"
     "  CAST((SELECT count(*) FROM pr WHERE round(j, 6) >= t.t) AS BIGINT)"
     "   AS n_pairs,"
     "  CAST((SELECT count(DISTINCT id) FROM (SELECT id_a AS id, j FROM pr"
@@ -9622,8 +9648,8 @@ _register(
     " CAST(least(32767, 1000 + (doc_id % 25) * 1500) AS INT) AS peak,"
     " round(CAST(least(32767, 1000 + (doc_id % 25) * 1500) AS DOUBLE), 6)"
     "  AS rms,"
-    " CASE WHEN 1000 + (doc_id % 25) * 1500 >= 32767 THEN 1.0 ELSE 0.0 END"
-    "  AS clip_ratio"
+    " CAST(CASE WHEN 1000 + (doc_id % 25) * 1500 >= 32767"
+    "  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS clip_ratio"
     " FROM documents",
 )
 
@@ -10269,7 +10295,7 @@ def _x146(spark: SparkSession, sf: str) -> DataFrame:
     tau = 1.0 + 2.0 * math.log(3.0 / (2.0 * 0.05))
     ev = read_sf_table(spark, sf, "events")
     gen = ev.select(
-        (F.col("user_id") / 10).cast("long").alias("cohort"),
+        F.floor(F.col("user_id") / 10).cast("long").alias("cohort"),
         F.date_trunc("day", "ts").cast("date").alias("day"),
     )
     cells = gen.groupBy("cohort", "day").agg(

@@ -17,24 +17,53 @@ def test_gate_always_leads():
     assert len(dq._GATE) <= 12
 
 
-def test_never_verified_lead_the_window():
-    """Every query no round has ever hash-verified must land inside the
-    50-slot window (or fill every free slot when there are more of them
-    than slots — round-robin, not starvation)."""
+def test_never_verified_fill_their_quota():
+    """Never-hash-verified queries fill every window slot NOT reserved
+    for the gate or the oldest-green quota (round-5 verdict: the quota
+    stops a registration burst from starving the stale tier)."""
     names = list(dq.queries())
-    _, ever = dq._verified_names()
+    latest, ever = dq._verified_names()
     never = [n for n in names if n not in ever and n not in dq._GATE]
+    expired = [
+        n for n in names
+        if n in ever and n not in latest and n not in dq._GATE
+    ]
     window = names[:WINDOW]
-    free_slots = WINDOW - len(dq._GATE)
+    reserved = min(len(expired), dq._EXPIRED_QUOTA)
+    free_slots = WINDOW - len(dq._GATE) - reserved
     expected = min(len(never), free_slots)
     assert sum(1 for n in window if n in never) == expected
-    # with the current registry/record state they must ALL fit — this is
-    # the round-4 contract: no never-verified query waits another round
+    # when the backlog fits, every never-verified query is in the window
     if len(never) <= free_slots:
         assert all(n in window for n in never)
 
 
+def test_expired_quota_reserved_in_window():
+    """At least min(quota, len(expired)) oldest-green names sit INSIDE the
+    50-slot window even when the never-verified backlog alone could fill
+    it — the round-5 fix for the three-rounds-stale x02–x19 block."""
+    names = list(dq.queries())
+    latest, ever = dq._verified_names()
+    expired = [
+        n for n in names
+        if n in ever and n not in latest and n not in dq._GATE
+    ]
+    window = set(names[:WINDOW])
+    expect = min(len(expired), dq._EXPIRED_QUOTA)
+    assert sum(1 for n in expired if n in window) >= expect
+    # and the ones in the window are the OLDEST ones
+    if expired:
+        oldest_round = min(ever[n] for n in expired)
+        oldest = [n for n in expired if ever[n] == oldest_round]
+        in_win = sum(1 for n in oldest if n in window)
+        assert in_win == min(len(oldest), expect)
+
+
 def test_group_order_never_then_expired_then_latest():
+    """Outside the quota head, tier order still holds: never-verified
+    tail before expired tail before latest-verified. The quota carves
+    exactly _EXPIRED_QUOTA expired names into the window head; every
+    OTHER expired name must still follow every never-verified name."""
     names = list(dq.queries())
     latest, ever = dq._verified_names()
     pos = {n: i for i, n in enumerate(names)}
@@ -42,8 +71,9 @@ def test_group_order_never_then_expired_then_latest():
     never = [n for n in non_gate if n not in ever]
     expired = [n for n in non_gate if n in ever and n not in latest]
     done = [n for n in non_gate if n in latest]
-    if never and expired:
-        assert max(pos[n] for n in never) < min(pos[n] for n in expired)
+    expired_tail = sorted(expired, key=lambda n: pos[n])[dq._EXPIRED_QUOTA:]
+    if never and expired_tail:
+        assert max(pos[n] for n in never) < min(pos[n] for n in expired_tail)
     if expired and done:
         assert max(pos[n] for n in expired) < min(pos[n] for n in done)
 
@@ -58,10 +88,19 @@ def test_new_registrations_auto_front(monkeypatch):
     monkeypatch.setattr(dq, "_QUERIES", fake)
     names = list(dq._ordered(fake))
     latest, ever = dq._verified_names()
-    expired_or_done = [n for n in names if n in ever]
-    assert names.index("z99_brand_new") < min(
-        names.index(n) for n in expired_or_done if n not in dq._GATE
+    pos = {n: i for i, n in enumerate(names)}
+    # ahead of every expired name OUTSIDE the reserved quota head, and of
+    # every latest-verified name (the quota itself may legitimately sit
+    # ahead of a new registration that overflows the never tier's slots)
+    expired = sorted(
+        (n for n in names if n in ever and n not in latest and n not in dq._GATE),
+        key=lambda n: pos[n],
     )
+    after_quota = expired[dq._EXPIRED_QUOTA:] + [
+        n for n in names if n in latest and n not in dq._GATE
+    ]
+    if after_quota:
+        assert pos["z99_brand_new"] < min(pos[n] for n in after_quota)
 
 
 def test_round_verified_ignores_stale_no_oracle(monkeypatch):
@@ -124,23 +163,21 @@ def test_expired_sorted_oldest_green_first(monkeypatch):
 
 
 def test_staleness_bound_live():
-    """With the real registry + recorded rounds: every non-gate query whose
-    latest green row is the OLDEST recorded stale round must sit inside the
-    50-slot window (the concrete round-5 goal: no query's latest driver row
-    older than 2 rounds once this window runs)."""
+    """With the real registry + recorded rounds: the quota guarantees the
+    OLDEST stale names drain at >= _EXPIRED_QUOTA per round regardless of
+    the never-verified backlog (the round-5 fix)."""
     latest, last_round = dq._verified_names()
     if not last_round:
         return
     stale = {n: r for n, r in last_round.items() if n not in latest}
+    stale = {n: r for n, r in stale.items() if n not in dq._GATE and n in dq._QUERIES}
     if not stale:
         return
     oldest = min(stale.values())
-    oldest_names = [n for n, r in stale.items() if r == oldest and n not in dq._GATE]
+    oldest_names = [n for n, r in stale.items() if r == oldest]
     window = set(list(dq.queries())[:WINDOW])
-    never = [n for n in dq._QUERIES if n not in last_round and n not in dq._GATE]
-    free = WINDOW - len(dq._GATE) - len(never)
-    # all oldest-stale names that can fit must be in the window
-    assert sum(1 for n in oldest_names if n in window) == min(len(oldest_names), max(free, 0))
+    expect = min(len(oldest_names), dq._EXPIRED_QUOTA)
+    assert sum(1 for n in oldest_names if n in window) >= expect
 
 
 def test_all_registered_queries_survive_reordering():
