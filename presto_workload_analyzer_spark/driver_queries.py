@@ -933,6 +933,28 @@ def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda: X_dedup.connected_components(shared_lsh_pairs(spark, sf_dir)),
     )
 
+
+def shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embedding-side twin of shared_lsh_pairs (round-5 verdict item
+    5): verified cosine>0.25 near-dup pairs from the hyperplane-band LSH
+    pipeline (4 planes x 2 bands, md5 hyperplanes, n_dims=64 schema
+    contract), built ONCE per (session, sf) and persisted. x33 and x64
+    previously each re-ran the full band→candidate→exact-cosine chain —
+    the two most expensive bench queries of round 5 (9.4 s + 6.0 s);
+    now the second consumer pays only its own downstream stages, the
+    same economics that took x14 from 3.04 s to 0.08 s. Pair grain with
+    the cosine attached, so the cache stays tiny at any scale."""
+    return _cached_adapter(
+        "embedding_pairs_md5_p4_b2_t025",
+        spark,
+        sf_dir,
+        lambda: X_dedup.blocked_embedding_near_dup_pairs(
+            read_sf_table(spark, sf_dir, "embeddings"),
+            "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2,
+            n_dims=64,
+        ),
+    )
+
 _SHINGLE_SQL = r"""
 tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -1194,13 +1216,10 @@ def _x33(spark: SparkSession, sf: str) -> DataFrame:
     all-pairs formulation on a capped subset as the oracle-simple twin);
     the oracle reproduces the same deterministic md5 hyperplanes in SQL, so
     the match is exact including the blocking."""
-    emb = read_sf_table(spark, sf, "embeddings")
-    out = X_dedup.blocked_embedding_near_dup_pairs(
-        # n_dims is the embeddings-table schema contract (TESTDATA.md):
-        # passing it keeps the operator plan-only, no metadata probe job
-        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2,
-        n_dims=64,
-    )
+    # n_dims=64 inside the shared builder is the embeddings-table schema
+    # contract (TESTDATA.md): it keeps the operator plan-only, no
+    # metadata probe job
+    out = shared_embedding_pairs(spark, sf)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -4248,10 +4267,7 @@ def _x64(spark: SparkSession, sf: str) -> DataFrame:
     query. Oracle: x33's deterministic md5-hyperplane SQL + the recursive
     CC + the same survivor anti-join."""
     emb = read_sf_table(spark, sf, "embeddings")
-    pairs = X_dedup.blocked_embedding_near_dup_pairs(
-        emb, "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2,
-        n_dims=64,
-    )
+    pairs = shared_embedding_pairs(spark, sf)
     return X_dedup.drop_near_duplicates(emb, "vec_id", pairs).select("vec_id")
 
 
