@@ -197,3 +197,71 @@ def test_golden_report(report):
     html = render_html_template_contract(report)
     for c in golden["charts"]:
         assert f'id="{c["id"]}"' in html
+
+
+def _golden():
+    import pathlib
+
+    return json.loads(
+        (pathlib.Path(__file__).parent / "golden_report.json").read_text()
+    )
+
+
+@pytest.mark.parametrize("name", [c["id"] for c in _golden()["charts"]])
+def test_filter_mode_single_chart_matches_golden(silver, name):
+    """Round-5 verdict item 8 — reference --filter parity (analyze.py:
+    1242): single-analyzer mode must render exactly ONE chart whose
+    digest is byte-identical to that chart's entry in the full-report
+    golden, under the SAME metrics header the full report carries. Any
+    analyzer whose output depends on sibling analyzers having run (shared
+    state, ordering) diverges here; so does a metrics regression in
+    filter mode. Exercises the same build_report(only=[...]) path the
+    CLI's --filter flag drives (cli.py cmd_analyze)."""
+    report = build_report(silver, only=[name])
+    golden = _golden()
+    digest = _report_digest(report)
+    assert digest["errors"] == {}
+    assert digest["metrics"] == golden["metrics"]  # metrics header intact
+    assert len(digest["charts"]) == 1
+    (expected,) = [c for c in golden["charts"] if c["id"] == name]
+    assert digest["charts"][0] == expected
+
+
+def test_filter_mode_zip_render_both_backends(silver, tmp_path):
+    """The --filter single-chart zip output through the template-contract
+    renderer: exactly one chart block (plus the structure script), stable
+    across re-renders (byte-identical zips modulo zip timestamps — we
+    compare the inner html bytes), on whichever backend is importable;
+    the fallback backend additionally carries the chart payload verbatim."""
+    from presto_workload_analyzer_spark.report.bokeh_compat import (
+        bokeh_available,
+        script_blocks,
+    )
+    from presto_workload_analyzer_spark.report.emitter import (
+        render_html_template_contract,
+    )
+
+    name = "scheduled_by_date"
+    report = build_report(silver, only=[name])
+    blocks = script_blocks(report)
+    assert len(blocks) == 2  # one chart + structure
+    html1 = render_html_template_contract(report)
+    html2 = render_html_template_contract(report)
+    assert html1 == html2  # render is deterministic at the byte level
+    assert f'id="{name}"' in html1
+
+    import zipfile as _zf
+
+    out = tmp_path / "single.zip"
+    with _zf.ZipFile(out, "w", _zf.ZIP_DEFLATED) as z:
+        z.writestr("output.html", html1)
+    with _zf.ZipFile(out) as z:
+        assert z.namelist() == ["output.html"]
+        inner = z.read("output.html").decode()
+    assert inner == html1
+    if not bokeh_available():
+        payload = json.loads(
+            inner.split(f'id="{name}">\n', 1)[1].split("\n</script>", 1)[0]
+            .replace("<\\/", "</")
+        )
+        assert payload["fallback"]["data"] == report["charts"][0]["data"]
