@@ -5404,6 +5404,22 @@ _register(
 from presto_workload_analyzer_spark.extensions import graph as X_graph  # noqa: E402
 
 
+def shared_dup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts of the shared LSH dup graph, cached at the
+    same (session, sf) grain as shared_lsh_pairs: x100 (census) and x145
+    (transitivity) run the identical degree-ordered wedge enumeration —
+    the most expensive graph kernel in the bench — so the second consumer
+    pays only its own downstream aggregate (the shared_dedup_clusters /
+    shared_embedding_pairs economics). Node grain, so the cache stays
+    tiny at any scale."""
+    return _cached_adapter(
+        "dup_triangles_md5",
+        spark,
+        sf_dir,
+        lambda: X_graph.triangle_counts(shared_lsh_pairs(spark, sf_dir)),
+    )
+
+
 def _x83(spark: SparkSession, sf: str) -> DataFrame:
     """PageRank centrality over the x02 LSH candidate-pair graph
     (graph.pagerank, 5 fixed power iterations, damping 0.85) — duplication
@@ -6647,9 +6663,7 @@ def _x100(spark: SparkSession, sf: str) -> DataFrame:
     The oracle enumerates triangles BRUTE-FORCE as an a<b<c triple join
     over the replayed pair set — fully independent of the orientation
     trick, so a wedge the pruning miscounts is a hash mismatch."""
-    docs = read_sf_table(spark, sf, "documents")
-    pairs = shared_lsh_pairs(spark, sf)
-    return X_graph.triangle_counts(pairs)
+    return shared_dup_triangles(spark, sf)
 
 
 _register(
@@ -10254,7 +10268,7 @@ def _x145(spark: SparkSession, sf: str) -> DataFrame:
     (graph.triangle_counts at node grain sums to 3x the triangle count);
     wedges are exact integer arithmetic on the degree frame."""
     pairs = shared_lsh_pairs(spark, sf)
-    tri = X_graph.triangle_counts(pairs)
+    tri = shared_dup_triangles(spark, sf)
     tri_total = tri.agg(
         (F.coalesce(F.sum("n_triangles"), F.lit(0)) / 3).cast("long").alias("__t")
     )
