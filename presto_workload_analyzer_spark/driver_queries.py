@@ -955,6 +955,24 @@ def shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
 
+
+def shared_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact prefix-filter Jaccard pair set (k=4, t=0.5) over the full
+    documents corpus, cached at (session, sf) grain: x98 returns it
+    verbatim and x122 derives its whole threshold curve from it (lossless
+    at t=0.5, so every >=0.5 pair is present with its exact score) — one
+    inverted-index self-join instead of two. Pair grain with the jaccard
+    attached, so the cache stays tiny at any scale."""
+    return _cached_adapter(
+        "prefix_jaccard_k4_t05",
+        spark,
+        sf_dir,
+        lambda: X_dedup.prefix_filter_jaccard_join(
+            read_sf_table(spark, sf_dir, "documents"),
+            "doc_id", "text", k=4, threshold=0.5,
+        ),
+    )
+
 _SHINGLE_SQL = r"""
 tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM documents),
 sh AS (SELECT DISTINCT doc_id AS id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -6097,15 +6115,18 @@ def _x93(spark: SparkSession, sf: str) -> DataFrame:
     estimator-quality eval for the dedup family's measuring stick itself:
     E[est] = J per component, so a drifting mean_abs_err beyond binomial
     noise means a broken hash or band pipeline. Cost: signatures already
-    exist at doc grain; exact Jaccard runs on CANDIDATES only."""
+    exist at doc grain; exact Jaccard runs on CANDIDATES only.
+    Candidates come from shared_lsh_pairs — the same deterministic
+    shingle->sig->band pipeline (k=3, 16 hashes, 4 bands, md5), so the
+    pair set is identical by construction and the band self-join is
+    paid once per session instead of twice."""
     docs = read_sf_table(spark, sf, "documents")
     sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
     sig = X_dedup.minhash_signatures(
         X_dedup.shingles(docs, "doc_id", "text", k=3, distinct=False),
         num_hashes=16, mode="md5",
     )
-    bands = X_dedup.lsh_bands(sig, bands=4, rows_per_band=4, mode="md5")
-    cand = X_dedup.lsh_candidate_pairs(bands)
+    cand = shared_lsh_pairs(spark, sf).select("id_a", "id_b")
     exact = X_dedup.ngram_jaccard(sh, pairs=cand)
     sa = sig.select(
         F.col("id").alias("id_a"),
@@ -6520,10 +6541,7 @@ def _x98(spark: SparkSession, sf: str) -> DataFrame:
     the oracle can be a completely independent BRUTE-FORCE all-pairs
     Jaccard (the strongest falsifiability in the suite: any pair the
     pruning drops that it shouldn't is an instant hash mismatch)."""
-    docs = read_sf_table(spark, sf, "documents")
-    return X_dedup.prefix_filter_jaccard_join(
-        docs, "doc_id", "text", k=4, threshold=0.5
-    )
+    return shared_prefix_pairs(spark, sf)
 
 
 _register(
@@ -8510,10 +8528,7 @@ def _x122(spark: SparkSession, sf: str) -> DataFrame:
     candidate threshold 0.5..0.9 — the evidence for choosing the dedup
     threshold instead of folklore-0.8. Conditional sums over the pair
     set; no re-run per threshold."""
-    docs = read_sf_table(spark, sf, "documents")
-    pairs = X_dedup.prefix_filter_jaccard_join(
-        docs, "doc_id", "text", k=4, threshold=0.5
-    )
+    pairs = shared_prefix_pairs(spark, sf)
     ts = [0.5, 0.6, 0.7, 0.8, 0.9]
     counts = pairs.agg(
         *[
