@@ -2097,6 +2097,26 @@ def test_shared_lsh_cache_is_per_sf_and_reused(spark):
     assert a1.count() != b.count() or a1.count() >= 0  # both evaluable
 
 
+def test_shared_silver_caches_reuse_and_schema(spark):
+    """Every round-6 shared silver (triangles, prefix pairs, embedding
+    pairs) follows the same contract as shared_lsh_pairs: object-reused
+    per (session, sf), distinct keys per builder, and the schema its
+    consumers depend on."""
+    from presto_workload_analyzer_spark import driver_queries as dq
+
+    sf = "/root/testdata/sf0.001"
+    for fn, cols in [
+        (dq.shared_dup_triangles, {"id", "n_triangles"}),
+        (dq.shared_prefix_pairs, {"id_a", "id_b", "jaccard"}),
+        (dq.shared_embedding_pairs, {"id_a", "id_b"}),
+    ]:
+        first = fn(spark, sf)
+        assert fn(spark, sf) is first, fn.__name__
+        assert cols <= set(first.columns), (fn.__name__, first.columns)
+    # distinct builders never collide in the cache
+    assert dq.shared_dup_triangles(spark, sf) is not dq.shared_prefix_pairs(spark, sf)
+
+
 def _mk_box(typ: bytes, payload: bytes) -> bytes:
     return (8 + len(payload)).to_bytes(4, "big") + typ + payload
 
