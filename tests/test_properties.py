@@ -237,3 +237,98 @@ def test_prefix_filter_join_equals_brute_force(spark_pp, data):
         if j >= threshold:
             expect[(a, b)] = round(j, 6)
     assert got == expect
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (pure Python, no Spark): the "real codec"
+# claim is only as strong as its behavior on ARBITRARY pixel buffers, not
+# the fixed gradients the unit tests use.
+# ---------------------------------------------------------------------------
+
+
+@given(data=st.data())
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_pixels(data):
+    """_encode_png -> _decode_png_pixels is bit-exact identity for every
+    channel count and arbitrary sample bytes (8-bit, filter-0 encode; the
+    decoder must reproduce width/height/channels and the raw buffer)."""
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        _decode_png_pixels,
+        _encode_png,
+    )
+
+    w = data.draw(st.integers(min_value=1, max_value=12))
+    h = data.draw(st.integers(min_value=1, max_value=12))
+    ch = data.draw(st.sampled_from([1, 2, 3, 4]))
+    samples = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=w * h * ch,
+                max_size=w * h * ch,
+            )
+        )
+    )
+    got = _decode_png_pixels(_encode_png(w, h, ch, samples))
+    assert got is not None
+    gw, gh, gch, buf = got
+    assert (gw, gh, gch) == (w, h, ch)
+    assert bytes(buf) == samples
+
+
+@given(data=st.data())
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_palette_pixels(data):
+    """encode_gif -> decode_gif_pixels is exact identity whenever the
+    source already sits on the encoder's 4x4x4 palette ({0,85,170,255}
+    per channel), for arbitrary sizes and both row orders (sequential
+    and 4-pass interlace)."""
+    from presto_workload_analyzer_spark.extensions.gifcodec import (
+        decode_gif_pixels,
+        encode_gif,
+    )
+
+    w = data.draw(st.integers(min_value=1, max_value=16))
+    h = data.draw(st.integers(min_value=1, max_value=16))
+    interlace = data.draw(st.booleans())
+    rgb = bytes(
+        data.draw(
+            st.lists(
+                st.sampled_from([0, 85, 170, 255]),
+                min_size=w * h * 3,
+                max_size=w * h * 3,
+            )
+        )
+    )
+    got = decode_gif_pixels(encode_gif(w, h, rgb, interlace=interlace))
+    assert got is not None
+    gw, gh, gch, buf = got
+    assert (gw, gh, gch) == (w, h, 3)
+    assert bytes(buf) == rgb
+
+
+@given(data=st.data())
+@settings(max_examples=80, deadline=None)
+def test_gif_lzw_raw_roundtrip(data):
+    """_lzw_encode -> _lzw_decode is identity for arbitrary index streams
+    at every GIF min-code-size, including streams long enough to cross
+    the encoder's clear-flush boundaries and the decoder's width bumps."""
+    from presto_workload_analyzer_spark.extensions.gifcodec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    mcs = data.draw(st.integers(min_value=2, max_value=7))
+    n = data.draw(st.integers(min_value=0, max_value=600))
+    indices = bytes(
+        data.draw(
+            st.lists(
+                st.integers(min_value=0, max_value=(1 << mcs) - 1),
+                min_size=n,
+                max_size=n,
+            )
+        )
+    )
+    out = _lzw_decode(mcs, _lzw_encode(mcs, indices), max_pixels=10_000)
+    assert out is not None
+    assert bytes(out) == indices
