@@ -291,24 +291,49 @@ def image_dims(media: DataFrame) -> DataFrame:
     return media.select("doc_id", "payload").mapInPandas(gen, DIMS_SCHEMA)
 
 
+def _batched_rows_gen(columns: list[str], row_fn, batch_size: int):
+    """mapInPandas generator factory shared by every media kernel that
+    takes a `batch_size_hint`: applies `row_fn(doc_id, payload) -> iterator
+    of output tuples` per input row and flushes the output every
+    `batch_size` rows. For 1:1 kernels this just caps the yielded frame at
+    the hint; for exploding kernels (mjpeg_frame_stats emits one row per
+    sampled video frame) it is the memory bound — no more than
+    `batch_size` output rows are ever materialized per yield, regardless
+    of how many frames one payload expands into."""
+    size = max(int(batch_size), 1)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for row in row_fn(doc_id, bytes(payload)):
+                    rows.append(row)
+                    if len(rows) >= size:
+                        yield pd.DataFrame(rows, columns=columns)
+                        rows = []
+            if rows:
+                yield pd.DataFrame(rows, columns=columns)
+
+    return gen
+
+
 def decode_media(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Arrow-batched decode stage: media frame -> decoded feature frame.
 
     mapInPandas keeps the payload bytes inside the executor (never on the
     driver) and amortizes Python transition cost per batch. Partitioning is
     inherited; repartition upstream by size if payloads are skewed.
+    `batch_size_hint` caps output rows materialized per yielded frame.
     """
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, c, m = _decode_bytes(bytes(payload))
-                rows.append((doc_id, w, h, c, m))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "width", "height", "n_channels", "mean_intensity"]
-            )
+    def one(doc_id, payload):
+        w, h, c, m = _decode_bytes(payload)
+        yield (doc_id, w, h, c, m)
 
+    gen = _batched_rows_gen(
+        ["doc_id", "width", "height", "n_channels", "mean_intensity"],
+        one, batch_size_hint,
+    )
     return media.select("doc_id", "payload").mapInPandas(gen, DECODED_SCHEMA)
 
 
@@ -432,25 +457,48 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int = 10,
                      width: int = 0, height: int = 0) -> bytes:
     """Minimal but structurally real RIFF-AVI container around a list of
     JPEG frame payloads: RIFF('AVI ') -> LIST('hdrl') with a real 56-byte
-    'avih' main header (microseconds/frame, total frames, dims) ->
-    LIST('movi') with one '00dc' chunk per frame (even-padded, per RIFF).
-    The synthesis twin of _iter_avi_mjpeg_frames, used by tests and any
+    'avih' main header (microseconds/frame, total frames, dims) AND the
+    spec-required LIST('strl') for the one declared stream — a 56-byte
+    'strh' AVISTREAMHEADER (fccType 'vids', handler 'MJPG', scale/rate =
+    1/fps, dwLength = frame count) plus a 40-byte 'strf'
+    BITMAPINFOHEADER (biCompression 'MJPG', 24bpp) — then LIST('movi')
+    with one '00dc' chunk per frame (even-padded, per RIFF). The
+    synthesis twin of _iter_avi_mjpeg_frames, used by tests and any
     driver query that needs a deterministic real video payload."""
     import struct
 
     def chunk(cid: bytes, body: bytes) -> bytes:
         return cid + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
 
+    max_frame = max((len(f) for f in frames), default=0)
     avih = struct.pack(
         "<IIIIIIIIII4I",
         1_000_000 // max(fps, 1),  # dwMicroSecPerFrame
         0, 0, 0,                   # dwMaxBytesPerSec, dwPaddingGranularity, dwFlags
         len(frames),               # dwTotalFrames
-        0, 1, 0,                   # dwInitialFrames, dwStreams, dwSuggestedBufferSize
+        0, 1, max_frame,           # dwInitialFrames, dwStreams, dwSuggestedBufferSize
         width, height,
         0, 0, 0, 0,
     )
-    hdrl = b"hdrl" + chunk(b"avih", avih)
+    strh = struct.pack(
+        "<4s4sIHH8I4h",
+        b"vids", b"MJPG",
+        0, 0, 0,                   # dwFlags, wPriority, wLanguage
+        0,                         # dwInitialFrames
+        1, max(fps, 1),            # dwScale / dwRate = frames per second
+        0, len(frames),            # dwStart, dwLength (in frames)
+        max_frame, 0, 0,           # dwSuggestedBufferSize, dwQuality, dwSampleSize
+        0, 0, width, height,       # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII",
+        40, width, height, 1, 24,  # biSize..biBitCount
+        b"MJPG",
+        width * height * 3,        # biSizeImage (uncompressed bound)
+        0, 0, 0, 0,
+    )
+    strl = b"strl" + chunk(b"strh", strh) + chunk(b"strf", strf)
+    hdrl = b"hdrl" + chunk(b"avih", avih) + chunk(b"LIST", strl)
     movi = b"movi" + b"".join(chunk(b"00dc", f) for f in frames)
     body = (
         b"AVI "
@@ -460,17 +508,23 @@ def encode_avi_mjpeg(frames: list[bytes], fps: int = 10,
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def _iter_avi_mjpeg_frames(b: bytes) -> list[bytes]:
-    """REAL RIFF/AVI chunk walk -> the JPEG payloads of every video frame
-    ('00dc'/'00db' chunks inside LIST('movi') whose bytes start with the
-    JPEG SOI marker). Tolerates odd-size padding and foreign chunks;
-    non-AVI or truncated input -> [], never an exception."""
+def _iter_avi_mjpeg_frames(b: bytes, step: int = 1) -> Iterator[tuple[int, bytes]]:
+    """REAL RIFF/AVI chunk walk -> lazily yields (frame_idx, jpeg_bytes)
+    for every `step`-th video frame ('00dc'/'00db' chunks inside
+    LIST('movi'), directly or wrapped one level in the interleaved
+    LIST('rec ') sub-lists standard AVIs use, whose bytes start with the
+    JPEG SOI marker). A GENERATOR with the stride built in: a skipped
+    frame costs a 2-byte SOI peek and a pointer bump, never a payload
+    slice — peak memory is one sampled frame, not the whole movi.
+    Tolerates odd-size padding and foreign chunks; non-AVI or truncated
+    input yields nothing, never an exception."""
     import struct
 
-    out: list[bytes] = []
+    stride = max(int(step), 1)
+    idx = 0
     try:
         if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"AVI ":
-            return out
+            return
         i = 12
         while i + 8 <= len(b):
             cid = b[i : i + 4]
@@ -478,22 +532,36 @@ def _iter_avi_mjpeg_frames(b: bytes) -> list[bytes]:
             payload = i + 8
             end = min(payload + clen, len(b))
             if cid == b"LIST" and b[payload : payload + 4] == b"movi":
-                j = payload + 4
-                while j + 8 <= end:
-                    fid = b[j : j + 4]
-                    flen = struct.unpack("<I", b[j + 4 : j + 8])[0]
-                    fp = j + 8
-                    if (
-                        fid in (b"00dc", b"00db")
-                        and fp + flen <= end
-                        and b[fp : fp + 2] == b"\xff\xd8"
-                    ):
-                        out.append(b[fp : fp + flen])
-                    j = fp + flen + (flen & 1)
+                # frame chunks sit either directly under movi or one level
+                # down inside LIST('rec ') interleave groups (AVI spec);
+                # the LIFO walk (push continuation, then the rec span)
+                # visits rec children BEFORE later siblings, preserving
+                # stream order so frame_idx / stride stay deterministic
+                spans = [(payload + 4, end)]
+                while spans:
+                    j, jend = spans.pop()
+                    while j + 8 <= jend:
+                        fid = b[j : j + 4]
+                        flen = struct.unpack("<I", b[j + 4 : j + 8])[0]
+                        fp = j + 8
+                        fend = min(fp + flen, jend)
+                        nxt = fp + flen + (flen & 1)
+                        if fid == b"LIST" and b[fp : fp + 4] == b"rec ":
+                            spans.append((nxt, jend))
+                            spans.append((fp + 4, fend))
+                            break
+                        if (
+                            fid in (b"00dc", b"00db")
+                            and fp + flen <= jend
+                            and b[fp : fp + 2] == b"\xff\xd8"
+                        ):
+                            if idx % stride == 0:
+                                yield idx, b[fp : fp + flen]
+                            idx += 1
+                        j = nxt
             i = payload + clen + (clen & 1)
     except (IndexError, ValueError, struct.error):
-        return out
-    return out
+        return
 
 
 MJPEG_FRAME_SCHEMA = T.StructType(
@@ -511,41 +579,37 @@ MJPEG_FRAME_SCHEMA = T.StructType(
 def mjpeg_frame_stats(media: DataFrame, every_n_frames: int = 1,
                       batch_size_hint: int = 1024) -> DataFrame:
     """REAL video frame pixel decode for MJPEG-in-AVI payloads: walk the
-    RIFF container (_iter_avi_mjpeg_frames), keep every Nth frame, decode
-    each through the real baseline-JPEG decoder (jpegcodec), and emit one
-    row per sampled frame with its true dimensions and mean intensity.
-    Non-AVI payloads emit NO rows (filter semantics — loud absence, like
-    video_meta's nulls). Arrow-batched mapInPandas; frame pixels never
-    leave the executors. This is the production shape for 'sample every
-    Nth frame and feature-extract' at 100 TB: the explode happens
-    executor-side, partitioning inherited from the media frame."""
+    RIFF container lazily (_iter_avi_mjpeg_frames with the stride built
+    in, so a skipped frame costs a 2-byte header peek, never a payload
+    slice or a decode), decode every Nth frame through the real
+    baseline-JPEG decoder (jpegcodec), and emit one row per sampled frame
+    with its true dimensions and mean intensity. Non-AVI payloads emit NO
+    rows (filter semantics — loud absence, like video_meta's nulls).
+    Arrow-batched mapInPandas; frame pixels never leave the executors,
+    and `batch_size_hint` flushes the output every N rows so a long video
+    never materializes its whole frame-stat explosion at once. This is
+    the production shape for 'sample every Nth frame and feature-extract'
+    at 100 TB: the explode happens executor-side, partitioning inherited
+    from the media frame."""
     from presto_workload_analyzer_spark.extensions.jpegcodec import (
         decode_jpeg_pixels,
     )
 
     step = max(int(every_n_frames), 1)
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for idx, jpg in enumerate(_iter_avi_mjpeg_frames(bytes(payload))):
-                    if idx % step:
-                        continue
-                    px = decode_jpeg_pixels(jpg)
-                    if px is None:
-                        continue
-                    w, h, ch, samples = px
-                    mean = (sum(samples) / len(samples)) / 255.0 if samples else 0.0
-                    rows.append((doc_id, idx, w, h, ch, mean))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "frame_idx", "width", "height",
-                    "channels", "mean_intensity",
-                ],
-            )
+    def one(doc_id, payload):
+        for idx, jpg in _iter_avi_mjpeg_frames(payload, step=step):
+            px = decode_jpeg_pixels(jpg)
+            if px is None:
+                continue
+            w, h, ch, samples = px
+            mean = (sum(samples) / len(samples)) / 255.0 if samples else 0.0
+            yield (doc_id, idx, w, h, ch, mean)
 
+    gen = _batched_rows_gen(
+        ["doc_id", "frame_idx", "width", "height", "channels", "mean_intensity"],
+        one, batch_size_hint,
+    )
     return media.select("doc_id", "payload").mapInPandas(gen, MJPEG_FRAME_SCHEMA)
 
 
@@ -600,17 +664,11 @@ def dhash_media(media: DataFrame, hash_size: int = 8, batch_size_hint: int = 102
     perceptual dup groups, or simhash-style band pairing for
     hamming-tolerant matching."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                got = _dhash_bytes(bytes(payload), hash_size)
-                if got is None:
-                    rows.append((doc_id, None, None))
-                else:
-                    rows.append((doc_id, got[0], got[1]))
-            yield pd.DataFrame(rows, columns=["doc_id", "container", "dhash"])
+    def one(doc_id, payload):
+        got = _dhash_bytes(payload, hash_size)
+        yield (doc_id, None, None) if got is None else (doc_id, got[0], got[1])
 
+    gen = _batched_rows_gen(["doc_id", "container", "dhash"], one, batch_size_hint)
     return media.select("doc_id", "payload").mapInPandas(gen, DHASH_SCHEMA)
 
 
@@ -699,23 +757,18 @@ def video_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     absence). Frame PIXEL decode remains the declared stub boundary —
     this parses the real container structure, not fake frames."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = _parse_mp4_meta(bytes(payload))
-                if meta is None:
-                    rows.append((doc_id, None, None, None, None, None))
-                else:
-                    d, w, h, n = meta
-                    rows.append((doc_id, "mp4", d, w, h, n))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "container", "duration_s", "width", "height", "n_tracks",
-                ],
-            )
+    def one(doc_id, payload):
+        meta = _parse_mp4_meta(payload)
+        if meta is None:
+            yield (doc_id, None, None, None, None, None)
+        else:
+            d, w, h, n = meta
+            yield (doc_id, "mp4", d, w, h, n)
 
+    gen = _batched_rows_gen(
+        ["doc_id", "container", "duration_s", "width", "height", "n_tracks"],
+        one, batch_size_hint,
+    )
     return media.select("doc_id", "payload").mapInPandas(gen, VIDEO_META_SCHEMA)
 
 
@@ -766,24 +819,19 @@ def audio_meta(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     DECODE is trivial from here (the data chunk IS the samples) but out
     of scope for the metadata stage."""
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                meta = _parse_wav_meta(bytes(payload))
-                if meta is None:
-                    rows.append((doc_id, None, None, None, None, None))
-                else:
-                    r, c, bi, d = meta
-                    rows.append((doc_id, "wav", r, c, bi, d))
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "container", "sample_rate", "n_channels",
-                    "bits_per_sample", "duration_s",
-                ],
-            )
+    def one(doc_id, payload):
+        meta = _parse_wav_meta(payload)
+        if meta is None:
+            yield (doc_id, None, None, None, None, None)
+        else:
+            r, c, bi, d = meta
+            yield (doc_id, "wav", r, c, bi, d)
 
+    gen = _batched_rows_gen(
+        ["doc_id", "container", "sample_rate", "n_channels",
+         "bits_per_sample", "duration_s"],
+        one, batch_size_hint,
+    )
     return media.select("doc_id", "payload").mapInPandas(gen, AUDIO_META_SCHEMA)
 
 
@@ -808,36 +856,30 @@ def audio_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     like the other media kernels; samples never leave the executor."""
     import numpy as np
 
-    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(payload)
-                meta = _parse_wav_meta(b)
-                if meta is None or meta[2] != 16:
-                    rows.append((doc_id, None, None, None, None))
-                    continue
-                # locate the data chunk again (the parser proved it exists)
-                i, data = 12, b""
-                while i + 8 <= len(b):
-                    cid = b[i : i + 4]
-                    clen = int.from_bytes(b[i + 4 : i + 8], "little")
-                    if cid == b"data":
-                        data = b[i + 8 : i + 8 + clen]
-                        break
-                    i += 8 + clen + (clen & 1)
-                x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(
-                    np.int64
-                )
-                if x.size == 0:
-                    rows.append((doc_id, 0, 0, 0.0, 0.0))
-                    continue
-                peak = int(np.max(np.abs(x)))
-                rms = float(np.sqrt(np.sum(x * x) / x.size))
-                clip = float(np.sum(np.abs(x) >= 32767) / x.size)
-                rows.append((doc_id, int(x.size), peak, rms, clip))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "n_samples", "peak", "rms", "clip_ratio"]
-            )
+    def one(doc_id, b):
+        meta = _parse_wav_meta(b)
+        if meta is None or meta[2] != 16:
+            yield (doc_id, None, None, None, None)
+            return
+        # locate the data chunk again (the parser proved it exists)
+        i, data = 12, b""
+        while i + 8 <= len(b):
+            cid = b[i : i + 4]
+            clen = int.from_bytes(b[i + 4 : i + 8], "little")
+            if cid == b"data":
+                data = b[i + 8 : i + 8 + clen]
+                break
+            i += 8 + clen + (clen & 1)
+        x = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2").astype(np.int64)
+        if x.size == 0:
+            yield (doc_id, 0, 0, 0.0, 0.0)
+            return
+        peak = int(np.max(np.abs(x)))
+        rms = float(np.sqrt(np.sum(x * x) / x.size))
+        clip = float(np.sum(np.abs(x) >= 32767) / x.size)
+        yield (doc_id, int(x.size), peak, rms, clip)
 
+    gen = _batched_rows_gen(
+        ["doc_id", "n_samples", "peak", "rms", "clip_ratio"], one, batch_size_hint
+    )
     return media.select("doc_id", "payload").mapInPandas(gen, AUDIO_FEATURES_SCHEMA)

@@ -2212,10 +2212,16 @@ def test_mjpeg_avi_real_frame_decode(spark):
     ]
     avi = multimodal.encode_avi_mjpeg(frames, fps=10, width=16, height=8)
     # the container is a real RIFF: the walker finds exactly the 5 frames
-    assert multimodal._iter_avi_mjpeg_frames(avi) == frames
+    assert list(multimodal._iter_avi_mjpeg_frames(avi)) == list(enumerate(frames))
     # non-AVI input -> no frames, no exception
-    assert multimodal._iter_avi_mjpeg_frames(b"not an avi") == []
-    assert multimodal._iter_avi_mjpeg_frames(avi[:20]) == []
+    assert list(multimodal._iter_avi_mjpeg_frames(b"not an avi")) == []
+    assert list(multimodal._iter_avi_mjpeg_frames(avi[:20])) == []
+    # the walker's stride yields only every-Nth frame, indices preserved
+    assert [i for i, _ in multimodal._iter_avi_mjpeg_frames(avi, step=2)] == [0, 2, 4]
+    # spec-required stream headers are present (ADVICE r6): one strl per
+    # declared stream, a vids/MJPG strh and a BITMAPINFOHEADER strf
+    assert avi.count(b"strl") == 1 and b"strh" in avi and b"strf" in avi
+    assert b"vids" in avi and avi.count(b"MJPG") == 2  # strh handler + strf biCompression
 
     media = spark.createDataFrame(
         [Row(doc_id=1, payload=bytearray(avi)),
@@ -2233,3 +2239,45 @@ def test_mjpeg_avi_real_frame_decode(spark):
     # stride: every 2nd frame
     sampled = multimodal.mjpeg_frame_stats(media, every_n_frames=2).collect()
     assert sorted(r.frame_idx for r in sampled) == [0, 2, 4]
+
+
+def test_mjpeg_avi_rec_interleave_lists(spark):
+    """ADVICE r6: standard interleaved AVIs wrap frame chunks in
+    LIST('rec ') sub-lists inside movi. Rewrap encode_avi_mjpeg's output
+    into rec groups (frames 0-1 in one rec, frame 2 direct, frames 3-4 in
+    another rec) and check the walker still yields all frames IN STREAM
+    ORDER, and that the stride samples across the rec boundaries."""
+    import struct
+
+    from presto_workload_analyzer_spark.extensions.jpegcodec import encode_jpeg
+
+    frames = [
+        encode_jpeg(16, 8, 1, bytes([40 * i] * (16 * 8))) for i in range(5)
+    ]
+
+    def chunk(cid, body):
+        return cid + struct.pack("<I", len(body)) + body + (b"\0" if len(body) & 1 else b"")
+
+    def rec(sub_frames):
+        return chunk(b"LIST", b"rec " + b"".join(chunk(b"00dc", f) for f in sub_frames))
+
+    plain = multimodal.encode_avi_mjpeg(frames, fps=10, width=16, height=8)
+    movi_body = (
+        b"movi" + rec(frames[:2]) + chunk(b"00dc", frames[2]) + rec(frames[3:])
+    )
+    # splice: everything up to the movi LIST, then the rec-grouped movi
+    movi_at = plain.find(b"LIST", plain.find(b"movi") - 12)
+    head = plain[12:movi_at]
+    body = b"AVI " + head + chunk(b"LIST", movi_body)
+    avi = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    assert list(multimodal._iter_avi_mjpeg_frames(avi)) == list(enumerate(frames))
+    assert [i for i, _ in multimodal._iter_avi_mjpeg_frames(avi, step=2)] == [0, 2, 4]
+
+    from pyspark.sql import Row
+
+    media = spark.createDataFrame([Row(doc_id=7, payload=bytearray(avi))])
+    out = multimodal.mjpeg_frame_stats(media, every_n_frames=2).collect()
+    assert sorted(r.frame_idx for r in out) == [0, 2, 4]
+    for r in out:
+        assert abs(r.mean_intensity - (40 * r.frame_idx) / 255.0) < 2 / 255.0
