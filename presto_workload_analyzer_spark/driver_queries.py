@@ -3695,15 +3695,31 @@ def _x51(spark: SparkSession, sf: str) -> DataFrame:
     Every stage is individually oracle-proven; the chain exists to catch
     contract mismatches between them (column names, null conventions,
     survivor rules) that per-operator oracles cannot. The oracle reproduces
-    the full five-stage cascade in SQL over the same chained CTEs."""
+    the full five-stage cascade in SQL over the same chained CTEs.
+
+    The near-dedup stage REUSES the corpus-level shared_lsh_pairs silver
+    instead of re-running minhash on the filtered corpus: a doc's
+    signature and band hashes depend only on its own text, so a pair
+    collides in the subset iff it collides in the full corpus — the
+    subset's candidate pairs are EXACTLY the full-corpus pairs with both
+    endpoints surviving the upstream filters (two broadcast-able
+    semi-joins against the survivor ids). Equivalence is not assumed:
+    the oracle recomputes the subset minhash from scratch in SQL, so a
+    divergence is a hash mismatch. At 100 TB this is the right pipeline
+    shape anyway — the pair silver is built once and every downstream
+    consumer restricts it, rather than each stage re-shuffling the
+    shingle corpus."""
     docs = read_sf_table(spark, sf, "documents")
     bench = docs.filter(F.col("doc_id") < 20)
     corpus = docs.filter(F.col("doc_id") >= 20)
     q = F.round(X_text.quality_logit("text") + 1e-9, 6)
     kept = corpus.filter(q >= 0.5)
     exd = X_dedup.drop_exact_duplicates(kept, ["text"], "doc_id")
-    pairs = X_dedup.minhash_lsh_pairs(
-        exd, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+    ids = exd.select("doc_id")
+    pairs = (
+        shared_lsh_pairs(spark, sf)
+        .join(ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
+        .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
     )
     nd = X_dedup.drop_near_duplicates(exd, "doc_id", pairs)
     clean = X_dedup.decontaminate(nd, bench, "doc_id", "text", k=5)
@@ -8893,14 +8909,24 @@ def _x127(spark: SparkSession, sf: str) -> DataFrame:
     truth-only rows are each method's false negatives, method-only rows
     their verification load; three proven generators full-outer-joined
     on pair keys, pair-grain throughout. Scoped to doc_id < 300 like
-    x32 (16-bit simhash collides heavily on synthetic text)."""
+    x32 (16-bit simhash collides heavily on synthetic text).
+
+    The LSH leg restricts the corpus-level shared_lsh_pairs silver
+    (identical k/hashes/bands/mode) instead of re-running minhash on the
+    scope: band collisions depend only on each doc's own text, so the
+    scope's pairs are exactly the full-corpus pairs with id_b < 300
+    (id_a < id_b makes one predicate cover both endpoints). The oracle
+    recomputes the scoped minhash from scratch, so the equivalence is
+    re-proven at every driver run."""
     docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
     truth = X_dedup.prefix_filter_jaccard_join(
         docs, "doc_id", "text", k=3, threshold=0.5
     ).select("id_a", "id_b", F.lit(1).alias("__t"))
-    lsh = X_dedup.minhash_lsh_pairs(
-        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-    ).select("id_a", "id_b", F.lit(1).alias("__a"))
+    lsh = (
+        shared_lsh_pairs(spark, sf)
+        .filter(F.col("id_b") < 300)
+        .select("id_a", "id_b", F.lit(1).alias("__a"))
+    )
     sim = X_dedup.simhash_near_dup_pairs(
         docs, "doc_id", "text", max_hamming=1, bands=4
     ).select("id_a", "id_b", F.lit(1).alias("__b"))
