@@ -332,3 +332,66 @@ def test_gif_lzw_raw_roundtrip(data):
     out = _lzw_decode(mcs, _lzw_encode(mcs, indices), max_pixels=10_000)
     assert out is not None
     assert bytes(out) == indices
+
+
+@given(data=st.data())
+@settings(max_examples=80, deadline=None)
+def test_avi_walker_roundtrip_and_rec_invariance(data):
+    """encode_avi_mjpeg -> _iter_avi_mjpeg_frames is identity (indices
+    0..n-1, payloads bit-exact) for arbitrary JPEG-SOI-prefixed frame
+    payloads, and the walk is INVARIANT under rewrapping any contiguous
+    runs of movi chunks into LIST('rec ') interleave groups — the layout
+    standard muxers emit. Stride k yields exactly every k-th frame."""
+    import struct
+
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        _iter_avi_mjpeg_frames,
+        encode_avi_mjpeg,
+    )
+
+    n = data.draw(st.integers(min_value=0, max_value=8))
+    frames = [
+        b"\xff\xd8"
+        + bytes(data.draw(st.lists(st.integers(0, 255), min_size=0, max_size=40)))
+        for _ in range(n)
+    ]
+    avi = encode_avi_mjpeg(frames, fps=data.draw(st.integers(1, 60)))
+    assert list(_iter_avi_mjpeg_frames(avi)) == list(enumerate(frames))
+
+    step = data.draw(st.integers(min_value=1, max_value=4))
+    assert list(_iter_avi_mjpeg_frames(avi, step=step)) == [
+        (i, f) for i, f in enumerate(frames) if i % step == 0
+    ]
+
+    # rewrap a random partition of the frame sequence into rec groups
+    def chunk(cid, body):
+        pad = b"\0" if len(body) & 1 else b""
+        return cid + struct.pack("<I", len(body)) + body + pad
+
+    groups = []
+    i = 0
+    while i < n:
+        size = data.draw(st.integers(min_value=1, max_value=n - i))
+        wrap = data.draw(st.booleans())
+        run = b"".join(chunk(b"00dc", f) for f in frames[i : i + size])
+        groups.append(chunk(b"LIST", b"rec " + run) if wrap else run)
+        i += size
+    movi_at = avi.find(b"LIST", avi.find(b"movi") - 12)
+    head = avi[12:movi_at]
+    body = b"AVI " + head + chunk(b"LIST", b"movi" + b"".join(groups))
+    rewrapped = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert list(_iter_avi_mjpeg_frames(rewrapped)) == list(enumerate(frames))
+
+
+@given(buf=st.binary(min_size=0, max_size=200))
+@settings(max_examples=120, deadline=None)
+def test_avi_walker_never_throws_on_garbage(buf):
+    """The RIFF walk yields nothing (and never raises) on arbitrary
+    buffers, including ones that start with valid RIFF/AVI magic."""
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        _iter_avi_mjpeg_frames,
+    )
+
+    for prefix in (b"", b"RIFF", b"RIFF\x10\x00\x00\x00AVI "):
+        out = list(_iter_avi_mjpeg_frames(prefix + buf))
+        assert all(isinstance(i, int) and isinstance(f, bytes) for i, f in out)
