@@ -903,21 +903,63 @@ from presto_workload_analyzer_spark.extensions import (  # noqa: E402
 )
 
 
+def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The doc-grain md5 MinHash signature silver (k=3 shingles, 16
+    hashes) under shared_lsh_pairs, cached separately because two
+    consumers need the SIGNATURES, not just the pairs: the pair silver's
+    banding join, and x93's estimator-calibration (sig agreement rate vs
+    exact Jaccard). Doc grain x 16 fixed-width columns — smaller than the
+    corpus it summarizes at any scale."""
+    return _cached_adapter(
+        "minhash_sigs_md5_k3_h16",
+        spark,
+        sf_dir,
+        lambda: X_dedup.minhash_signatures(
+            X_dedup.shingles(
+                read_sf_table(spark, sf_dir, "documents"),
+                "doc_id", "text", k=3, distinct=False,
+            ),
+            num_hashes=16, mode="md5",
+        ),
+    )
+
+
 def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The canonical md5-mode LSH candidate pairs over the full documents
     corpus (k=3, 16 hashes, 4 bands), built ONCE per (session, sf) and
     persisted — the dedup/graph family's shared silver, exactly as the
     workload adapters share theirs: ~14 registry queries consume this
     identical pair set, and re-running the minhash pipeline per query is
-    pure waste at bench time. The cache holds candidate PAIRS (pair
+    pure waste at bench time. Built FROM the shared_minhash_sigs silver
+    (band + bucket-join only), so the shingle->signature shuffle is paid
+    once per session across both. The cache holds candidate PAIRS (pair
     grain), not shingles, so it stays tiny at any scale."""
     return _cached_adapter(
         "lsh_pairs_md5_k3_h16_b4",
         spark,
         sf_dir,
-        lambda: X_dedup.minhash_lsh_pairs(
+        lambda: X_dedup.lsh_candidate_pairs(
+            X_dedup.lsh_bands(
+                shared_minhash_sigs(spark, sf_dir),
+                bands=4, rows_per_band=4, mode="md5",
+            )
+        ),
+    )
+
+
+def shared_truth_pairs_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EXACT Jaccard >= 0.5 pair universe at word-3-shingle grain
+    (prefix_filter_jaccard_join — lossless, property-proven against
+    brute force), cached once per (session, sf): the ground-truth side of
+    every dedup-method evaluation at this grain (x81 precision/recall,
+    x127's Venn truth leg). Pair grain with the exact score attached."""
+    return _cached_adapter(
+        "truth_jaccard_k3_t05",
+        spark,
+        sf_dir,
+        lambda: X_dedup.prefix_filter_jaccard_join(
             read_sf_table(spark, sf_dir, "documents"),
-            "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5",
+            "doc_id", "text", k=3, threshold=0.5,
         ),
     )
 
@@ -5214,15 +5256,12 @@ def _x81(spark: SparkSession, sf: str) -> DataFrame:
     universe — (tp, fp, fn, precision, recall) in one row. The eval-suite
     twin of x44 (ANN recall) for the dedup family: precision says how much
     verify work the bands waste, recall says what the dedup pass silently
-    misses at this (bands, rows) operating point. Ground truth restricted
-    to pairs sharing >= 1 shingle is COMPLETE for J >= 0.5 (a positive-
-    Jaccard pair shares a shingle by definition), so no all-pairs scan."""
-    docs = read_sf_table(spark, sf, "documents")
-    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
-    truth = (
-        X_dedup.ngram_jaccard(sh)
-        .filter(F.col("jaccard") >= 0.5)
-        .select("id_a", "id_b", F.lit(1).alias("__t"))
+    misses at this (bands, rows) operating point. Ground truth comes from
+    the shared_truth_pairs_k3 silver (prefix-filter join — lossless at
+    the threshold, property-proven against brute force, so identical to
+    the co-shingle-join formulation the oracle replays)."""
+    truth = shared_truth_pairs_k3(spark, sf).select(
+        "id_a", "id_b", F.lit(1).alias("__t")
     )
     lsh = shared_lsh_pairs(spark, sf).select("id_a", "id_b", F.lit(1).alias("__l"))
     both = truth.join(lsh, on=["id_a", "id_b"], how="full_outer")
@@ -6132,16 +6171,14 @@ def _x93(spark: SparkSession, sf: str) -> DataFrame:
     E[est] = J per component, so a drifting mean_abs_err beyond binomial
     noise means a broken hash or band pipeline. Cost: signatures already
     exist at doc grain; exact Jaccard runs on CANDIDATES only.
-    Candidates come from shared_lsh_pairs — the same deterministic
-    shingle->sig->band pipeline (k=3, 16 hashes, 4 bands, md5), so the
-    pair set is identical by construction and the band self-join is
-    paid once per session instead of twice."""
+    Candidates come from shared_lsh_pairs and signatures from
+    shared_minhash_sigs — the same deterministic shingle->sig->band
+    pipeline (k=3, 16 hashes, 4 bands, md5), so the pair set and the
+    signature table are identical by construction and both shuffles are
+    paid once per session."""
     docs = read_sf_table(spark, sf, "documents")
     sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
-    sig = X_dedup.minhash_signatures(
-        X_dedup.shingles(docs, "doc_id", "text", k=3, distinct=False),
-        num_hashes=16, mode="md5",
-    )
+    sig = shared_minhash_sigs(spark, sf)
     cand = shared_lsh_pairs(spark, sf).select("id_a", "id_b")
     exact = X_dedup.ngram_jaccard(sh, pairs=cand)
     sa = sig.select(
@@ -8934,13 +8971,18 @@ def _x127(spark: SparkSession, sf: str) -> DataFrame:
     (identical k/hashes/bands/mode) instead of re-running minhash on the
     scope: band collisions depend only on each doc's own text, so the
     scope's pairs are exactly the full-corpus pairs with id_b < 300
-    (id_a < id_b makes one predicate cover both endpoints). The oracle
-    recomputes the scoped minhash from scratch, so the equivalence is
-    re-proven at every driver run."""
+    (id_a < id_b makes one predicate cover both endpoints). The truth
+    leg restricts shared_truth_pairs_k3 the same way — a pair's exact
+    Jaccard depends only on the two texts, so the scoped truth is the
+    full-corpus truth filtered. The oracle recomputes both scoped legs
+    from scratch, so the equivalences are re-proven at every driver
+    run."""
     docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    truth = X_dedup.prefix_filter_jaccard_join(
-        docs, "doc_id", "text", k=3, threshold=0.5
-    ).select("id_a", "id_b", F.lit(1).alias("__t"))
+    truth = (
+        shared_truth_pairs_k3(spark, sf)
+        .filter(F.col("id_b") < 300)
+        .select("id_a", "id_b", F.lit(1).alias("__t"))
+    )
     lsh = (
         shared_lsh_pairs(spark, sf)
         .filter(F.col("id_b") < 300)
