@@ -8971,18 +8971,18 @@ def _x127(spark: SparkSession, sf: str) -> DataFrame:
     (identical k/hashes/bands/mode) instead of re-running minhash on the
     scope: band collisions depend only on each doc's own text, so the
     scope's pairs are exactly the full-corpus pairs with id_b < 300
-    (id_a < id_b makes one predicate cover both endpoints). The truth
-    leg restricts shared_truth_pairs_k3 the same way — a pair's exact
-    Jaccard depends only on the two texts, so the scoped truth is the
-    full-corpus truth filtered. The oracle recomputes both scoped legs
-    from scratch, so the equivalences are re-proven at every driver
-    run."""
+    (id_a < id_b makes one predicate cover both endpoints). The oracle
+    recomputes the scoped minhash from scratch, so the equivalence is
+    re-proven at every driver run. The TRUTH leg deliberately does NOT
+    reuse shared_truth_pairs_k3: the scoped prefix-filter join prunes at
+    the source (300 docs in, pairs of 300 out), while the shared silver
+    would compute the full-corpus truth first — the wrong trade for a
+    scoped question at any scale. The pair-silver reuse above is
+    different: those pairs already exist for a dozen other consumers."""
     docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
-    truth = (
-        shared_truth_pairs_k3(spark, sf)
-        .filter(F.col("id_b") < 300)
-        .select("id_a", "id_b", F.lit(1).alias("__t"))
-    )
+    truth = X_dedup.prefix_filter_jaccard_join(
+        docs, "doc_id", "text", k=3, threshold=0.5
+    ).select("id_a", "id_b", F.lit(1).alias("__t"))
     lsh = (
         shared_lsh_pairs(spark, sf)
         .filter(F.col("id_b") < 300)
