@@ -947,21 +947,12 @@ def shared_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def shared_truth_pairs_k3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The EXACT Jaccard >= 0.5 pair universe at word-3-shingle grain
-    (prefix_filter_jaccard_join — lossless, property-proven against
-    brute force), cached once per (session, sf): the ground-truth side of
-    every dedup-method evaluation at this grain (x81 precision/recall,
-    x127's Venn truth leg). Pair grain with the exact score attached."""
-    return _cached_adapter(
-        "truth_jaccard_k3_t05",
-        spark,
-        sf_dir,
-        lambda: X_dedup.prefix_filter_jaccard_join(
-            read_sf_table(spark, sf_dir, "documents"),
-            "doc_id", "text", k=3, threshold=0.5,
-        ),
-    )
+# NOTE(round 7): a shared full-corpus exact-truth silver at k=3/t=0.5 was
+# tried and measured OUT: prefix_filter_jaccard_join's pruning collapses on
+# this template-heavy corpus (9.8 s vs 2.5 s for the co-shingle join at
+# sf0.1), and its only would-be consumers want either a SCOPED truth (x127:
+# 300 docs — prune at the source) or the co-shingle formulation (x81). A
+# cache with one consumer is just indirection; see BASELINE.md round-7.
 
 
 def shared_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -5256,12 +5247,18 @@ def _x81(spark: SparkSession, sf: str) -> DataFrame:
     universe — (tp, fp, fn, precision, recall) in one row. The eval-suite
     twin of x44 (ANN recall) for the dedup family: precision says how much
     verify work the bands waste, recall says what the dedup pass silently
-    misses at this (bands, rows) operating point. Ground truth comes from
-    the shared_truth_pairs_k3 silver (prefix-filter join — lossless at
-    the threshold, property-proven against brute force, so identical to
-    the co-shingle-join formulation the oracle replays)."""
-    truth = shared_truth_pairs_k3(spark, sf).select(
-        "id_a", "id_b", F.lit(1).alias("__t")
+    misses at this (bands, rows) operating point. Ground truth restricted
+    to pairs sharing >= 1 shingle is COMPLETE for J >= 0.5 (a positive-
+    Jaccard pair shares a shingle by definition), so no all-pairs scan;
+    the co-shingle join beats the prefix-filter formulation ~4x on this
+    template-heavy corpus (measured round 7 — prefix pruning needs
+    selective prefixes to win)."""
+    docs = read_sf_table(spark, sf, "documents")
+    sh = X_dedup.shingles(docs, "doc_id", "text", k=3)
+    truth = (
+        X_dedup.ngram_jaccard(sh)
+        .filter(F.col("jaccard") >= 0.5)
+        .select("id_a", "id_b", F.lit(1).alias("__t"))
     )
     lsh = shared_lsh_pairs(spark, sf).select("id_a", "id_b", F.lit(1).alias("__l"))
     both = truth.join(lsh, on=["id_a", "id_b"], how="full_outer")
@@ -8973,11 +8970,11 @@ def _x127(spark: SparkSession, sf: str) -> DataFrame:
     scope's pairs are exactly the full-corpus pairs with id_b < 300
     (id_a < id_b makes one predicate cover both endpoints). The oracle
     recomputes the scoped minhash from scratch, so the equivalence is
-    re-proven at every driver run. The TRUTH leg deliberately does NOT
-    reuse shared_truth_pairs_k3: the scoped prefix-filter join prunes at
-    the source (300 docs in, pairs of 300 out), while the shared silver
-    would compute the full-corpus truth first — the wrong trade for a
-    scoped question at any scale. The pair-silver reuse above is
+    re-proven at every driver run. The TRUTH leg deliberately stays a
+    SCOPED computation: the prefix-filter join prunes at the source
+    (300 docs in, pairs of 300 out); deriving it from a full-corpus
+    truth silver was tried and reverted in round 7 — the wrong trade
+    for a scoped question at any scale. The pair-silver reuse above is
     different: those pairs already exist for a dozen other consumers."""
     docs = read_sf_table(spark, sf, "documents").filter(F.col("doc_id") < 300)
     truth = X_dedup.prefix_filter_jaccard_join(
