@@ -145,11 +145,31 @@ def lsh_bands(sig_df: DataFrame, bands: int, rows_per_band: int, mode: str = "md
     )
 
 
-def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
+def lsh_candidate_pairs(
+    band_df: DataFrame, max_bucket_size: int | None = None
+) -> DataFrame:
     """Bucket self-join -> distinct candidate pairs (id_a < id_b).
 
     The equi-join on (band, band_hash) is the whole trick: only same-bucket
     docs ever meet, so cost is sum of bucket^2, not corpus^2.
+
+    `max_bucket_size` is the 100 TB mega-cluster guard: sum-of-bucket^2 is
+    itself quadratic in the LARGEST bucket, and a viral template duplicated
+    n times puts all n copies in the same bucket of every band — 10M copies
+    would mean 10^14 candidate pairs from one bucket. With the guard set,
+    buckets larger than the cap emit a STAR instead of the all-pairs join:
+    every member links to the bucket's min id (n-1 edges, bucket-min via a
+    map-side-combinable aggregate + one equi-join — no per-bucket sort, no
+    single-task funnel). The star preserves exactly what downstream dedup
+    needs — CONNECTIVITY (connected_components labels are identical, see
+    tests/test_skew.py) — while capping edge output at sum(small^2) +
+    sum_oversized(n-1). It is NOT the literal LSH pair enumeration: pair
+    SCORING consumers (x93 calibration, verify-then-filter pipelines) see
+    only the star pairs for oversized buckets, which is the documented
+    production trade — a bucket that large is one near-duplicate family,
+    and scoring all n^2 internal pairs answers no question the star does
+    not. Default None keeps the exact enumeration (the oracle-checked
+    mode); production at scale sets a cap around 10_000.
     """
     a = band_df.select(
         F.col("band"), F.col("band_hash"), F.col("id").alias("id_a")
@@ -157,8 +177,34 @@ def lsh_candidate_pairs(band_df: DataFrame) -> DataFrame:
     b = band_df.select(
         F.col("band"), F.col("band_hash"), F.col("id").alias("id_b")
     )
+    if max_bucket_size is None:
+        joined = a.join(b, on=["band", "band_hash"])
+    else:
+        # `big` is the broadcast side: oversized buckets are by definition
+        # rare (each holds > cap members of a finite corpus), while the
+        # small-bucket key set is bucket-count-sized — never broadcast it.
+        big = (
+            band_df.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("__n"), F.min("id").alias("__min_id"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "band_hash", "__min_id")
+        )
+        joined = (
+            a.join(F.broadcast(big.select("band", "band_hash")),
+                   on=["band", "band_hash"], how="left_anti")
+            .join(b, on=["band", "band_hash"])
+            .unionByName(
+                # star: bucket-min -> every other member, n-1 edges
+                b.join(
+                    F.broadcast(big.withColumnRenamed("__min_id", "id_a")),
+                    on=["band", "band_hash"],
+                )
+                .filter(F.col("id_b") != F.col("id_a"))
+                .select("band", "band_hash", "id_a", "id_b")
+            )
+        )
     return (
-        a.join(b, on=["band", "band_hash"])
+        joined
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -173,17 +219,20 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     mode: str = "md5",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """shingle -> minhash -> band -> bucket-join, end to end.
 
     distinct=False on the shingle stage: the signature groupBy's min is
     idempotent over repeated shingles, so the set-dedup shuffle is pure
     overhead here (one full shuffle of the shingle corpus saved).
+    `max_bucket_size` enables the mega-cluster star guard — see
+    lsh_candidate_pairs for the exact semantics and the scale math.
     """
     sh = shingles(df, id_col, text_col, k, distinct=False)
     sig = minhash_signatures(sh, num_hashes=num_hashes, mode=mode)
     band_df = lsh_bands(sig, bands=bands, rows_per_band=num_hashes // bands, mode=mode)
-    return lsh_candidate_pairs(band_df)
+    return lsh_candidate_pairs(band_df, max_bucket_size=max_bucket_size)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:

@@ -198,3 +198,80 @@ def test_salt_spreads_hot_key(spark, lineitem):
         .agg(F.min("count")).collect()[0][0]
     )
     assert n_partials == 8
+
+
+# ---------------------------------------------------------------------------
+# Round 7: the LSH mega-bucket guard (lsh_candidate_pairs max_bucket_size).
+# Sum-of-bucket^2 is quadratic in the LARGEST bucket; a viral template
+# duplicated n times puts all n copies in one bucket of every band. The
+# guard replaces the all-pairs join with a bucket-min star for oversized
+# buckets — these tests prove the three contract points: edge output is
+# bounded, connectivity (what dedup consumes) is IDENTICAL, and
+# sub-threshold buckets keep the exact pair enumeration.
+# ---------------------------------------------------------------------------
+
+
+def _mega_corpus(spark, n_mega: int = 400, n_normal: int = 120):
+    """n_mega identical docs (one near-dup family: every band bucket holds
+    all of them) + n_normal docs in small natural near-dup pairs."""
+    rows = [
+        Row(doc_id=i, text="the viral template body repeated verbatim everywhere")
+        for i in range(n_mega)
+    ]
+    for i in range(n_normal):
+        base = 10_000 + i - (i % 2)  # consecutive ids share a text => pairs
+        rows.append(
+            Row(
+                doc_id=10_000 + i,
+                text=f"unique document number {base} with its own words "
+                     f"alpha{base} beta{base} gamma{base} delta{base}",
+            )
+        )
+    return spark.createDataFrame(rows)
+
+
+def test_lsh_bucket_guard_bounds_edges_and_preserves_components(spark):
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    docs = _mega_corpus(spark)
+    exact = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64"
+    )
+    guarded = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64",
+        max_bucket_size=50,
+    )
+    n_exact, n_guarded = exact.count(), guarded.count()
+    # the mega family alone is 400*399/2 = 79,800 exact pairs; the star
+    # emits 399 — the guard must cut the total by orders of magnitude
+    assert n_exact > 50_000
+    assert n_guarded < 1_000
+    # connectivity is the dedup contract: identical component labels
+    cc_exact = {
+        (r.id, r.cluster_id) for r in dedup.connected_components(exact).collect()
+    }
+    cc_guarded = {
+        (r.id, r.cluster_id) for r in dedup.connected_components(guarded).collect()
+    }
+    assert cc_exact == cc_guarded
+    # the mega family collapses to one component rooted at min id 0
+    mega_labels = {c for (i, c) in cc_guarded if i < 10_000}
+    assert mega_labels == {0}
+
+
+def test_lsh_bucket_guard_exact_below_threshold(spark):
+    """With the cap ABOVE every bucket size, the guarded pair set is the
+    exact enumeration — the guard is a no-op until it needs to bind."""
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    docs = _mega_corpus(spark, n_mega=30, n_normal=60)
+    exact = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64"
+    )
+    guarded = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64",
+        max_bucket_size=10_000,
+    )
+    assert {(r.id_a, r.id_b) for r in exact.collect()} == {
+        (r.id_a, r.id_b) for r in guarded.collect()
+    }
