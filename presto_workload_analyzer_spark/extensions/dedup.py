@@ -514,6 +514,7 @@ def simhash_near_dup_pairs(
     text_col: str,
     max_hamming: int = 3,
     bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: banded blocking + exact hamming verify.
 
@@ -524,6 +525,13 @@ def simhash_near_dup_pairs(
     the exact hamming distance (xor + bit_count) filters candidates.
     Output: (id_a, id_b, hamming). 64-bit/xxhash64 fingerprints scale the
     same way with 8-bit bands.
+
+    `max_bucket_size` is the mega-bucket backstop (same star construction
+    and same honest trade as blocked_embedding_near_dup_pairs: the exact
+    hamming verify still applies to every emitted pair, identical
+    fingerprints keep full connectivity through the bucket root, and a
+    borderline member that clears max_hamming only against a non-root
+    neighbor loses that pair). Default None = exact enumeration.
     """
     if max_hamming >= bands:
         raise ValueError("pigeonhole needs max_hamming < bands")
@@ -546,9 +554,32 @@ def simhash_near_dup_pairs(
     a = banded.select(F.col("band"), F.col("val"), F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
     b = banded.select(F.col("band"), F.col("val"), F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
     ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    if max_bucket_size is None:
+        joined = a.join(b, on=["band", "val"]).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        big = (
+            banded.groupBy("band", "val")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.min_by(F.struct("id", "simhash"), "id").alias("__root"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "val",
+                    F.col("__root.id").alias("id_a"),
+                    F.col("__root.simhash").alias("ha"))
+        )
+        small_a = a.join(F.broadcast(big.select("band", "val")),
+                         on=["band", "val"], how="left_anti")
+        joined = (
+            small_a.join(b, on=["band", "val"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .unionByName(
+                # star: bucket-root fingerprint vs every other member
+                b.join(F.broadcast(big), on=["band", "val"])
+                .filter(F.col("id_b") > F.col("id_a"))
+                .select("band", "val", "id_a", "ha", "id_b", "hb")
+            )
+        )
     return (
-        a.join(b, on=["band", "val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        joined
         .select("id_a", "id_b", ham.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
@@ -642,6 +673,7 @@ def blocked_embedding_near_dup_pairs(
     n_planes: int = 4,
     n_bands: int = 2,
     n_dims: int | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """embedding_near_dup_pairs with the blocking built in — the 100 TB path.
 
@@ -654,6 +686,19 @@ def blocked_embedding_near_dup_pairs(
     no false positives; recall is 1 - (1 - p^planes)^bands with
     p = 1 - theta/pi per plane (raise n_bands for recall, n_planes for
     bucket selectivity). Output: (id_a, id_b, cosine), distinct.
+
+    `max_bucket_size` is the mega-bucket backstop (the lsh_candidate_pairs
+    guard applied to vector space): a default/zero embedding stamped on
+    millions of rows puts them all in one bucket of every band. Oversized
+    buckets emit bucket-min star candidates (n-1, broadcast of the rare
+    oversized keys) instead of the n^2 self-join; the exact-cosine verify
+    still applies to every emitted pair, so precision is untouched and an
+    exact-duplicate vector family keeps full connectivity (all cosines 1).
+    The honest trade: a BORDERLINE member whose cosine clears the
+    threshold against a neighbor but not against the bucket root loses
+    that pair — the primary control for bucket size remains raising
+    n_planes with log2(n) (similarity.recommended_planes); the cap is the
+    backstop against the pathological spike. Default None = exact.
     """
     from presto_workload_analyzer_spark.extensions.similarity import (
         cosine_expr,
@@ -687,19 +732,49 @@ def blocked_embedding_near_dup_pairs(
         F.col(id_col).alias("id"), F.explode(band_structs).alias("__bb")
     ).select("id", F.col("__bb.band").alias("band"), F.col("__bb.bucket").alias("bucket"))
 
-    cand = (
-        bucketed.alias("l")
-        .join(
-            bucketed.alias("r"),
-            on=[
-                F.col("l.band") == F.col("r.band"),
-                F.col("l.bucket") == F.col("r.bucket"),
-                F.col("l.id") < F.col("r.id"),
-            ],
+    if max_bucket_size is None:
+        cand = (
+            bucketed.alias("l")
+            .join(
+                bucketed.alias("r"),
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.bucket") == F.col("r.bucket"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .distinct()
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
-    )
+    else:
+        big = (
+            bucketed.groupBy("band", "bucket")
+            .agg(F.count(F.lit(1)).alias("__n"), F.min("id").alias("__min_id"))
+            .filter(F.col("__n") > max_bucket_size)
+            .select("band", "bucket", "__min_id")
+        )
+        small_side = bucketed.join(
+            F.broadcast(big.select("band", "bucket")),
+            on=["band", "bucket"], how="left_anti",
+        )
+        cand = (
+            small_side.alias("l")
+            .join(
+                small_side.alias("r"),
+                on=[
+                    F.col("l.band") == F.col("r.band"),
+                    F.col("l.bucket") == F.col("r.bucket"),
+                    F.col("l.id") < F.col("r.id"),
+                ],
+            )
+            .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+            .unionByName(
+                bucketed.join(F.broadcast(big), on=["band", "bucket"])
+                .filter(F.col("id") > F.col("__min_id"))
+                .select(F.col("__min_id").alias("id_a"), F.col("id").alias("id_b"))
+            )
+            .distinct()
+        )
     vecs = emb.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
     return (
         cand.join(vecs.withColumnsRenamed({"__id": "id_a", "__v": "va"}), "id_a")

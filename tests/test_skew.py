@@ -275,3 +275,64 @@ def test_lsh_bucket_guard_exact_below_threshold(spark):
     assert {(r.id_a, r.id_b) for r in exact.collect()} == {
         (r.id_a, r.id_b) for r in guarded.collect()
     }
+
+
+def test_simhash_bucket_guard_on_identical_family(spark):
+    """400 identical docs: every band bucket holds all of them. The guard
+    keeps full connectivity for the identical family (hamming 0 through
+    the bucket root) with n-1 star pairs; below-cap corpora are exact."""
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    docs = _mega_corpus(spark, n_mega=400, n_normal=0)
+    guarded = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=1, bands=4, max_bucket_size=50
+    )
+    rows = guarded.collect()
+    # star: 0 paired with 1..399, hamming 0 everywhere (identical text)
+    assert {(r.id_a, r.id_b) for r in rows} == {(0, i) for i in range(1, 400)}
+    assert all(r.hamming == 0 for r in rows)
+
+    small = _mega_corpus(spark, n_mega=20, n_normal=40)
+    exact = dedup.simhash_near_dup_pairs(small, "doc_id", "text", max_hamming=1, bands=4)
+    noop = dedup.simhash_near_dup_pairs(
+        small, "doc_id", "text", max_hamming=1, bands=4, max_bucket_size=10_000
+    )
+    assert {(r.id_a, r.id_b, r.hamming) for r in exact.collect()} == {
+        (r.id_a, r.id_b, r.hamming) for r in noop.collect()
+    }
+
+
+def test_embedding_bucket_guard_on_identical_family(spark):
+    """300 identical vectors land in one hyperplane bucket per band; the
+    guard emits the root star, cosine verify keeps all (cosine == 1), and
+    a below-cap run equals the exact enumeration."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    mega = [R(vec_id=i, embedding=[1.0, 0.5, -0.25, 0.125]) for i in range(300)]
+    other = [
+        R(vec_id=1000 + i, embedding=[float((i % 7) - 3), 1.0, float(i % 5), -1.0])
+        for i in range(40)
+    ]
+    emb = spark.createDataFrame(mega + other)
+    guarded = dedup.blocked_embedding_near_dup_pairs(
+        emb, "vec_id", "embedding", threshold=0.99, n_planes=4, n_bands=2,
+        n_dims=4, max_bucket_size=50,
+    )
+    rows = guarded.collect()
+    mega_pairs = {(r.id_a, r.id_b) for r in rows if r.id_b < 1000}
+    assert mega_pairs == {(0, i) for i in range(1, 300)}
+    assert all(abs(r.cosine - 1.0) < 1e-9 for r in rows if r.id_b < 1000)
+
+    small = spark.createDataFrame(mega[:20] + other)
+    exact = dedup.blocked_embedding_near_dup_pairs(
+        small, "vec_id", "embedding", threshold=0.99, n_planes=4, n_bands=2, n_dims=4
+    )
+    noop = dedup.blocked_embedding_near_dup_pairs(
+        small, "vec_id", "embedding", threshold=0.99, n_planes=4, n_bands=2,
+        n_dims=4, max_bucket_size=10_000,
+    )
+    assert {(r.id_a, r.id_b) for r in exact.collect()} == {
+        (r.id_a, r.id_b) for r in noop.collect()
+    }
