@@ -4866,17 +4866,13 @@ def _x73(spark: SparkSession, sf: str) -> DataFrame:
     run of >= w+k-1 tokens shares a fingerprint) makes this the
     position-robust plagiarism/overlap detector at a fraction of
     full-shingle cost. Oracle replays hashing, window-min selection and
-    the pair join exactly (md5 mode)."""
+    the pair join exactly (md5 mode). Runs the exact enumeration
+    (max_df=None); production at scale sets winnowing_overlap_pairs'
+    MOSS-standard max_df boilerplate guard (tests/test_skew.py proves
+    the bound binds)."""
     docs = read_sf_table(spark, sf, "documents")
-    fp = X_text.winnowing_fingerprints(docs, "doc_id", "text", k=5, w=4, mode="md5")
-    a = fp.select(F.col("id").alias("id_a"), "fp")
-    b = fp.select(F.col("id").alias("id_b"), "fp")
-    return (
-        a.join(b, on="fp")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
+    return X_text.winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=5, w=4, mode="md5", min_shared=2
     )
 
 

@@ -982,6 +982,49 @@ def winnowing_fingerprints(
     return selected
 
 
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+    mode: str = "md5",
+    min_shared: int = 2,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Doc pairs sharing >= `min_shared` winnowing fingerprints:
+    (id_a, id_b, n_shared) via the fingerprint inverted index.
+
+    `max_df` is MOSS's own boilerplate guard (Schleimer et al. §5 drop
+    over-common fingerprints before matching): a footer/header span
+    pasted into d otherwise-unique documents yields ONE fingerprint with
+    a d-row posting list, and the self-join squares it. Fingerprints
+    with df > max_df are dropped BEFORE the join — they identify
+    boilerplate, not plagiarism, so removing them is the documented MOSS
+    semantics rather than an approximation of this function's default.
+    Default None keeps the exact enumeration (the oracle-checked mode);
+    production sets max_df to the largest plausible true-overlap family.
+    """
+    fp = winnowing_fingerprints(df, id_col, text_col, k=k, w=w, mode=mode)
+    if max_df is not None:
+        hot = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(F.broadcast(hot), on="fp", how="left_anti")
+    a = fp.select(F.col("id").alias("id_a"), "fp")
+    b = fp.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def bpe_merges(
     df: DataFrame,
     text_col: str,

@@ -336,3 +336,42 @@ def test_embedding_bucket_guard_on_identical_family(spark):
     assert {(r.id_a, r.id_b) for r in exact.collect()} == {
         (r.id_a, r.id_b) for r in noop.collect()
     }
+
+
+def test_winnowing_max_df_drops_boilerplate_fingerprints(spark):
+    """A verbatim footer pasted into 60% of otherwise-unique docs yields
+    hot fingerprints whose posting lists square in the overlap self-join.
+    With max_df set, the output equals the no-footer corpus (the bound
+    binds); genuine two-doc overlaps (below max_df) survive unchanged."""
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    footer = "this report is confidential property of the example corporation"
+    shared_run = "the quick brown fox jumps over the lazy sleeping dog today"
+    rows = []
+    for i in range(200):
+        body = f"doc {i} body " + " ".join(f"tok{i}_{j}" for j in range(10))
+        if i < 120:
+            body += " " + footer
+        if i in (150, 151):  # one genuine overlapping pair, no footer
+            body += " " + shared_run
+        rows.append(Row(doc_id=i, text=body))
+    docs = spark.createDataFrame(rows)
+
+    guarded = textstats.winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=5, w=4, mode="xxhash64", max_df=20
+    )
+    pairs = {(r.id_a, r.id_b) for r in guarded.collect()}
+    # the footer family (120 docs -> 7,140 pairs) is gone; the true pair stays
+    assert (150, 151) in pairs
+    assert all(not (a < 120 and b < 120) for a, b in pairs)
+
+    # below-threshold df: guard is a no-op vs the exact enumeration
+    exact = textstats.winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=5, w=4, mode="xxhash64"
+    )
+    noop = textstats.winnowing_overlap_pairs(
+        docs, "doc_id", "text", k=5, w=4, mode="xxhash64", max_df=10_000
+    )
+    assert {(r.id_a, r.id_b, r.n_shared) for r in exact.collect()} == {
+        (r.id_a, r.id_b, r.n_shared) for r in noop.collect()
+    }
