@@ -2281,3 +2281,31 @@ def test_mjpeg_avi_rec_interleave_lists(spark):
     assert sorted(r.frame_idx for r in out) == [0, 2, 4]
     for r in out:
         assert abs(r.mean_intensity - (40 * r.frame_idx) / 255.0) < 2 / 255.0
+
+
+def test_batched_rows_gen_flushes_at_hint():
+    """The shared media-kernel generator flushes output every
+    batch_size rows: an exploding row_fn (1 input -> 10 outputs) with
+    hint 16 must yield ceil(30*10/16) frames of <= 16 rows each, in
+    order, with nothing lost."""
+    import pandas as pd
+
+    from presto_workload_analyzer_spark.extensions.multimodal import (
+        _batched_rows_gen,
+    )
+
+    def explode10(doc_id, payload):
+        for j in range(10):
+            yield (doc_id, j)
+
+    gen = _batched_rows_gen(["doc_id", "j"], explode10, 16)
+    pdf_in = pd.DataFrame(
+        {"doc_id": list(range(30)), "payload": [b"x"] * 30}
+    )
+    frames = list(gen(iter([pdf_in])))
+    assert all(len(f) <= 16 for f in frames)
+    assert sum(len(f) for f in frames) == 300
+    assert len(frames) == -(-300 // 16)  # ceil: the flush really binds
+    flat = pd.concat(frames, ignore_index=True)
+    assert flat["doc_id"].tolist() == [i for i in range(30) for _ in range(10)]
+    assert flat["j"].tolist() == list(range(10)) * 30
