@@ -194,3 +194,24 @@ def test_every_query_has_an_oracle():
     missing = [n for n, sql in dq._ORACLES.items() if sql is None]
     assert missing == []
     assert set(dq._ORACLES) == set(dq._QUERIES)
+
+
+def test_window_fills_with_expired_once_backlog_clears(monkeypatch):
+    """When the never-verified tier empties (the round-8 state), the
+    50-slot window must fill with gate + oldest-green names — the
+    expired quota is a FLOOR, not a cap: tail order puts expired-rest
+    right after the (empty) never tier, so the drain rate becomes
+    ~(window - gate) per round."""
+    names = list(dq._QUERIES)
+    # everything verified once in round 1; only the gate is latest-green
+    last = {n: 1 for n in names}
+    latest = set(dq._GATE)
+    monkeypatch.setattr(dq, "_verified_names", lambda: (latest, last))
+    ordered = list(dq._ordered(dq._QUERIES))
+    window = ordered[:50]
+    assert window[: len(dq._GATE)] == [n for n in dq._GATE if n in dq._QUERIES]
+    expired = [n for n in names if n not in latest]
+    # every non-gate window slot is an expired name (registration order
+    # within the same staleness round)
+    assert all(n in expired for n in window[len(dq._GATE):])
+    assert len(window) == 50
