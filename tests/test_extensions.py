@@ -2309,3 +2309,17 @@ def test_batched_rows_gen_flushes_at_hint():
     flat = pd.concat(frames, ignore_index=True)
     assert flat["doc_id"].tolist() == [i for i in range(30) for _ in range(10)]
     assert flat["j"].tolist() == list(range(10)) * 30
+
+
+def test_connected_components_long_chain_converges(spark):
+    """Pointer jumping (round 7): a 200-node path (diameter 199) must
+    converge in O(log n) rounds — plain neighbor-min propagation needed
+    199 rounds and hit the max_iter=25 RuntimeError. The SNM blocking
+    shape (a run of sorted near-dups linked w apart) is exactly this
+    graph, so convergence here is a production contract, not a bonus."""
+    pairs = spark.createDataFrame(
+        [Row(id_a=i, id_b=i + 1) for i in range(199)]
+    )
+    got = dedup.connected_components(pairs).collect()
+    assert len(got) == 200
+    assert {r.cluster_id for r in got} == {0}
