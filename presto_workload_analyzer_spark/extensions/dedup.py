@@ -31,13 +31,24 @@ def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataF
 
 
 def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
-    """Keep only the min-id row of each duplicate group (distributed)."""
-    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col))
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn")
+    """Keep only the min-id row of each duplicate group (distributed).
+
+    groupBy + left-semi, NOT a window partitioned by the key (round-7
+    skew fix): a window must co-locate every row of a group in one task,
+    so a mega-duplicate family (one text copied 10M times) funnels 10M
+    full documents through a single reducer. The survivor aggregate
+    map-side combines instead — each partition forwards ONE (key, min id)
+    partial per distinct key it holds, so the hot group's reducer sees at
+    most #partitions rows — and the semi-join then shuffles by id, which
+    is uniform by construction. Exact semantics, no digests, no
+    collision caveats; same min-id survivor rule.
+    """
+    survivors = (
+        df.groupBy(*key_cols)
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(survivors, on=id_col, how="left_semi")
 
 
 def gram_array(text_col: str | Column, k: int) -> Column:

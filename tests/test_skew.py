@@ -375,3 +375,24 @@ def test_winnowing_max_df_drops_boilerplate_fingerprints(spark):
     assert {(r.id_a, r.id_b, r.n_shared) for r in exact.collect()} == {
         (r.id_a, r.id_b, r.n_shared) for r in noop.collect()
     }
+
+
+def test_drop_exact_duplicates_mega_family_no_window_funnel(spark):
+    """Round 7: the min-id survivor must come from a map-side-combinable
+    aggregate, not a window partitioned by the text — a window co-locates
+    a 10M-copy family's full documents in one task. Assert the plan has
+    NO Window operator and partial aggregation feeds the exchange, and
+    that a 2,000-copy planted family still resolves to its min id."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    rows = [R(doc_id=i, text="the same viral body") for i in range(2000)]
+    rows += [R(doc_id=10_000 + i, text=f"unique {i}") for i in range(50)]
+    docs = spark.createDataFrame(rows)
+    out = dedup.drop_exact_duplicates(docs, ["text"], "doc_id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine on the survivor agg
+    got = sorted(r.doc_id for r in out.collect())
+    assert got == [0] + [10_000 + i for i in range(50)]
