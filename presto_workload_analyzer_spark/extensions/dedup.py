@@ -1112,7 +1112,7 @@ def drop_near_duplicates_by(
     as long as `score` itself is deterministic; round it if it comes from
     float math).
 
-    Shape: connected_components on the pair graph (O(diameter) rounds),
+    Shape: connected_components on the pair graph (O(log diameter) rounds),
     one groupBy(cluster_id) struct-max to elect survivors (component
     grain), one anti-join to drop the losers. Singletons never enter the
     graph and pass through untouched.
