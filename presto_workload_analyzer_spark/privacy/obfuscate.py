@@ -344,24 +344,41 @@ def k_anonymize(
 
     A row is re-identifiable when its quasi-identifier tuple (e.g. user x
     update-type x date) is shared by fewer than k rows. Two standard
-    treatments, both fully distributed (one partitioned window, no
-    collect):
+    treatments, both fully distributed (no collect):
 
       * mode='suppress' — drop the under-k rows (output schema unchanged);
       * mode='mask'     — keep them, but replace every quasi column with
         `mask_value` (cast to string), merging all rare combinations into
         one indistinguishable group.
 
-    The window partitions on the quasi columns, so the count is computed
-    where the data already lives after one hash shuffle; no group ever
-    needs to fit anywhere special. Extends the reference's privacy surface
-    (jsonl_process.py rename/remove obfuscation) with a grouping-based
-    guarantee the rename map alone cannot give.
+    Group sizes come from a groupBy + equi-join back on the quasi columns,
+    NOT a quasi-partitioned window (round-7 skew fix): a window must
+    co-locate a group's every row in one task, so the single most common
+    QI combination — millions of rows at 100 TB — funnels through one
+    reducer with no remedy (AQE cannot split a window partition). The
+    count aggregate map-side combines, and the join back is an SMJ/SHJ
+    shape AQE's skew-join CAN split on the hot key. Same result, same
+    single logical pass over the data. Extends the reference's privacy
+    surface (jsonl_process.py rename/remove obfuscation) with a
+    grouping-based guarantee the rename map alone cannot give.
     """
     if mode not in ("suppress", "mask"):
         raise ValueError(f"k_anonymize: unknown mode {mode!r}")
-    w = Window.partitionBy(*quasi_cols)
-    sized = df.withColumn("__gsize", F.count(F.lit(1)).over(w))
+    sizes = df.groupBy(*quasi_cols).agg(F.count(F.lit(1)).alias("__gsize"))
+    # null-safe equality: groupBy puts NULL quasi values in a real group,
+    # and a plain equi-join would silently unmatch those rows (NULL != NULL
+    # in join keys) — <=> keeps it an equi-join shape (SMJ/SHJ, AQE-skew
+    # splittable) with the window formulation's NULL semantics
+    renamed = sizes.select(
+        *[F.col(c).alias(f"__q_{c}") for c in quasi_cols], "__gsize"
+    )
+    cond = None
+    for c in quasi_cols:
+        eq = df[c].eqNullSafe(F.col(f"__q_{c}"))
+        cond = eq if cond is None else (cond & eq)
+    sized = df.join(renamed, on=cond, how="left").drop(
+        *[f"__q_{c}" for c in quasi_cols]
+    )
     if mode == "suppress":
         return sized.filter(F.col("__gsize") >= k).drop("__gsize")
     masked = sized

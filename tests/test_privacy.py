@@ -226,3 +226,27 @@ def test_t_closeness_hand_computed(spark):
     df2 = spark.createDataFrame(rows2)
     got2 = {r.g: r for r in t_closeness(df2, ["g"], "s").collect()}
     assert got2["g4"].tvd == pytest.approx(0.0)
+
+
+def test_k_anonymize_null_quasi_values_group_and_plan(spark):
+    """Round-7 skew fix regressions: (1) NULL quasi values form a real
+    group (the groupBy+join rewrite must keep the window formulation's
+    NULL semantics — a plain equi-join would silently unmatch them);
+    (2) the plan has no Window and the group count map-side combines."""
+    from pyspark.sql import Row
+
+    from presto_workload_analyzer_spark.privacy.obfuscate import k_anonymize
+
+    rows = (
+        [Row(city=None, age=30, uid=i) for i in range(4)]
+        + [Row(city="ny", age=30, uid=100 + i) for i in range(3)]
+        + [Row(city="sf", age=40, uid=200)]
+    )
+    df = spark.createDataFrame(rows)
+    kept = k_anonymize(df, ["city", "age"], k=3)
+    got = sorted(r.uid for r in kept.collect())
+    # the 4-row NULL-city group and the 3-row ny group survive; sf is rare
+    assert got == [0, 1, 2, 3, 100, 101, 102]
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan
