@@ -39,16 +39,24 @@ def drop_exact_duplicates(df: DataFrame, key_cols: list[str], id_col: str) -> Da
     full documents through a single reducer. The survivor aggregate
     map-side combines instead — each partition forwards ONE (key, min id)
     partial per distinct key it holds, so the hot group's reducer sees at
-    most #partitions rows — and the semi-join then shuffles by id, which
-    is uniform by construction. Exact semantics, no digests, no
-    collision caveats; same min-id survivor rule.
+    most #partitions rows — and the semi-join then shuffles by
+    (key, id), which is uniform by construction (ids vary within the hot
+    key). Exact semantics, no digests, no collision caveats; same min-id
+    survivor rule. The join is null-safe on every column so a group
+    whose ids are all NULL still keeps its one survivor row (a plain
+    `on id` equi-join would silently drop it); if the min id is tied
+    (non-unique ids), all tied rows survive — callers wanting exactly
+    one row per group need a unique id.
     """
+    left = df.alias("__ded_l")
     survivors = (
-        df.groupBy(*key_cols)
-        .agg(F.min(id_col).alias(id_col))
-        .select(id_col)
+        df.groupBy(*key_cols).agg(F.min(id_col).alias(id_col)).alias("__ded_s")
     )
-    return df.join(survivors, on=id_col, how="left_semi")
+    cond = None
+    for c in [*key_cols, id_col]:
+        term = F.col(f"__ded_l.{c}").eqNullSafe(F.col(f"__ded_s.{c}"))
+        cond = term if cond is None else cond & term
+    return left.join(survivors, on=cond, how="left_semi")
 
 
 def gram_array(text_col: str | Column, k: int) -> Column:
@@ -200,10 +208,15 @@ def lsh_candidate_pairs(
             .filter(F.col("__n") > max_bucket_size)
             .select("band", "band_hash", "__min_id")
         )
+        # Anti-join BOTH sides: pruning only `a` would still shuffle the
+        # mega bucket's `b` rows into a single small-path join partition
+        # (sorted there to match zero rows) — the exact funnel the guard
+        # exists to remove.
+        big_keys = F.broadcast(big.select("band", "band_hash"))
         joined = (
-            a.join(F.broadcast(big.select("band", "band_hash")),
-                   on=["band", "band_hash"], how="left_anti")
-            .join(b, on=["band", "band_hash"])
+            a.join(big_keys, on=["band", "band_hash"], how="left_anti")
+            .join(b.join(big_keys, on=["band", "band_hash"], how="left_anti"),
+                  on=["band", "band_hash"])
             .unionByName(
                 # star: bucket-min -> every other member, n-1 edges
                 b.join(
@@ -306,6 +319,12 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                 .groupBy("src")
                 .agg(F.min("dst_cluster").alias("nbr_cluster"))
             )
+            # materialized: the pointer-jump below self-joins `stepped`
+            # (as `parent`), and an unmaterialized frame would inline the
+            # labels-join-nbr_min subtree into BOTH sides of that join —
+            # doubling the per-round plan and re-merging the intermediate
+            # on each side. The frame is three id-width columns; the
+            # checkpoint is cheap and keeps every round's plan flat.
             stepped = labels.join(
                 nbr_min, labels["id"] == nbr_min["src"], "left"
             ).select(
@@ -315,7 +334,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_cluster"), F.col("cluster_id")),
                 ).alias("cluster_id"),
-            )
+            ).localCheckpoint(eager=True)
             # pointer jumping: substitute each label with its label's label.
             # Labels are always node ids and only ever shrink, so the
             # grandparent lookup is total (left join is belt-and-braces) and
@@ -602,10 +621,14 @@ def simhash_near_dup_pairs(
                     F.col("__root.id").alias("id_a"),
                     F.col("__root.simhash").alias("ha"))
         )
-        small_a = a.join(F.broadcast(big.select("band", "val")),
-                         on=["band", "val"], how="left_anti")
+        # Prune BOTH sides of the small-bucket join: an unfiltered `b`
+        # would still shuffle the mega bucket's rows into one join
+        # partition (to match nothing), defeating the guard.
+        big_keys = F.broadcast(big.select("band", "val"))
+        small_a = a.join(big_keys, on=["band", "val"], how="left_anti")
+        small_b = b.join(big_keys, on=["band", "val"], how="left_anti")
         joined = (
-            small_a.join(b, on=["band", "val"])
+            small_a.join(small_b, on=["band", "val"])
             .filter(F.col("id_a") < F.col("id_b"))
             .unionByName(
                 # star: bucket-root fingerprint vs every other member

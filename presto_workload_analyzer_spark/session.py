@@ -49,9 +49,13 @@ def get_spark(
     # window in this engine runs over GROUP-grain frames that are bounded by
     # construction (pie labels <= a few hundred, top-k survivors <= k,
     # per-source ranks <= #sources; the one corpus-grain prefix sum,
-    # pack_bins, is hierarchical and never uses a global window — audited
-    # round 7). The warning is therefore always a false alarm here, and at
-    # 222 bench queries it drowns the output tail. Other WARNs stay on.
+    # pack_bins, is hierarchical and never uses a global window). This is
+    # not a point-in-time audit: tests/test_plan_lint.py walks every
+    # registered query's physical plan and FAILS on any unpartitioned
+    # window whose input subtree is not pre-aggregated — new code that
+    # would have earned the warning trips the lint instead. The warning is
+    # therefore always a false alarm here, and at 222 bench queries it
+    # drowns the output tail. Other WARNs stay on.
     try:
         jvm = spark.sparkContext._jvm
         jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(

@@ -43,6 +43,23 @@ def test_exact_dedup(docs):
     assert {r.doc_id for r in kept.collect()} == {1, 3, 4, 5}
 
 
+def test_drop_exact_duplicates_null_ids_and_keys(spark):
+    # a group whose ids are ALL NULL must still keep exactly one row (a
+    # plain `on id` equi-join would drop the whole group — NULL never
+    # equi-matches); NULL group keys form their own group like groupBy does
+    rows = [
+        Row(doc_id=None, text="all null ids"),
+        Row(doc_id=None, text="all null ids"),
+        Row(doc_id=7, text="mixed"),
+        Row(doc_id=None, text="mixed"),   # min ignores NULL -> survivor is 7
+        Row(doc_id=2, text=None),
+        Row(doc_id=5, text=None),         # NULL key group -> survivor is 2
+    ]
+    out = dedup.drop_exact_duplicates(spark.createDataFrame(rows), ["text"], "doc_id")
+    got = {(r.text, r.doc_id) for r in out.collect()}
+    assert got == {("all null ids", None), ("mixed", 7), (None, 2)}
+
+
 def test_shingles_short_doc(docs):
     sh = dedup.shingles(docs, "doc_id", "text", k=3)
     assert sh.filter(F.col("id") == 5).count() == 0  # 'tiny' has no 3-shingle

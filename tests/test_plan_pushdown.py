@@ -51,6 +51,12 @@ def test_p04_scans_only_quasi_columns(spark):
         assert {"user_id", "event_type"} <= cols <= {
             "event_id", "user_id", "event_type"
         }, line
+    # ...and the group-size side's pruning must actually happen: at least
+    # one scan reads ONLY the quasi-identifiers (a regression that drags
+    # event_id into both scans would otherwise pass the range check above)
+    assert any(
+        cols == {"user_id", "event_type"} for _, cols, _ in scans
+    ), [c for _, c, _ in scans]
 
 
 def test_x06_pushes_id_filter_to_scan(spark):
