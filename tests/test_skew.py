@@ -396,3 +396,26 @@ def test_drop_exact_duplicates_mega_family_no_window_funnel(spark):
     assert "partial_min" in plan  # map-side combine on the survivor agg
     got = sorted(r.doc_id for r in out.collect())
     assert got == [0] + [10_000 + i for i in range(50)]
+
+
+def test_bucket_guards_prune_both_join_sides(spark):
+    """The guard must anti-join the oversized bucket keys out of BOTH
+    sides of the small-bucket self-join: pruning only the a-side still
+    shuffles the mega bucket's b-rows into ONE join partition (sorted
+    there to match zero rows) — exactly the funnel the guard exists to
+    remove. Pinned structurally: two LeftAnti joins in the plan (one per
+    side), for both the minhash and simhash guards."""
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    docs = _mega_corpus(spark, n_mega=60, n_normal=30)
+
+    lsh = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="xxhash64",
+        max_bucket_size=10,
+    )
+    assert lsh._jdf.queryExecution().executedPlan().toString().count("LeftAnti") >= 2
+
+    sim = dedup.simhash_near_dup_pairs(
+        docs, "doc_id", "text", max_hamming=1, bands=4, max_bucket_size=10
+    )
+    assert sim._jdf.queryExecution().executedPlan().toString().count("LeftAnti") >= 2
