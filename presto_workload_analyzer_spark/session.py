@@ -56,12 +56,26 @@ def get_spark(
     # would have earned the warning trips the lint instead. The warning is
     # therefore always a false alarm here, and at 222 bench queries it
     # drowns the output tail. Other WARNs stay on.
+    # Likewise two purely-informational streaming WARNs that fire once per
+    # memory-sink test query (~100 lines across a full bench run):
+    # ResolveWriteToStream's "temporary checkpoint location created" — the
+    # production sinks (streaming/ingest.py) always pass an explicit
+    # checkpointLocation, only sinkless test drains get the temp dir — and
+    # MicroBatchExecution's "disabling AQE for stateful workloads", which
+    # states a Spark-wide invariant, not a property of any plan here. Both
+    # loggers drop to ERROR: real failures still surface.
     try:
         jvm = spark.sparkContext._jvm
-        jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+        for logger in (
             "org.apache.spark.sql.execution.window.WindowExec",
-            jvm.org.apache.logging.log4j.Level.ERROR,
-        )
+            # Spark 4.1 class locations (…execution.streaming.runtime);
+            # verified against the installed spark-sql jar
+            "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+            "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+        ):
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                logger, jvm.org.apache.logging.log4j.Level.ERROR
+            )
     except Exception:  # noqa: BLE001 — logging cosmetics must never fail a session
         pass
     return spark
