@@ -1,0 +1,48 @@
+#!/usr/bin/env bash
+# Round-close verification stack, in dependency order. Each step is the
+# committed evidence behind a round's claims; run from the repo root:
+#
+#   bash tools/close_round.sh [ROUND]        # e.g. bash tools/close_round.sh 7
+#
+# Steps (all must exit 0):
+#   1. pytest          — unit/property/plan-lint/skew suites
+#   2. full local gate — every queries() entry vs its DuckDB oracle at
+#                        sf0.01, ledger committed as LOCAL_GATE_r{N}.json
+#   3. bench sf0.1     — per-query wall, writes bench_detail.json
+#   4. bench sf1       — 10x data (tools/make_sf.py output in .bench_sf/sf1)
+#   5. slope gate      — per-query sf0.1->sf1 ratios vs the superlinear
+#                        allowlist (tools/slope.py)
+#   6. skew gate       — planted mega-star/clique dup-graph stress
+#
+# Wall-clock ~45 min on local[32]. Bench numbers carry +/-30% host
+# variance — re-measure warm-solo before treating a regression as real.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+ROUND="${1:-dev}"
+
+echo "== 1/6 pytest =="
+python -m pytest tests/ -q
+
+echo "== 2/6 full local gate (sf0.01) =="
+python tools/check_correctness.py --json "LOCAL_GATE_r${ROUND}.json"
+
+echo "== 3/6 bench sf0.1 =="
+python bench.py
+cp bench_detail.json /tmp/close_round_small.json
+
+if [ -d .bench_sf/sf1 ]; then
+  echo "== 4/6 bench sf1 =="
+  SPARK_GRAFT_SF_DIR=.bench_sf/sf1 python bench.py
+  cp bench_detail.json /tmp/close_round_large.json
+  echo "== 5/6 slope gate =="
+  python tools/slope.py /tmp/close_round_small.json /tmp/close_round_large.json --factor 10
+  # restore the default-scale detail file the repo keeps committed
+  cp /tmp/close_round_small.json bench_detail.json
+else
+  echo "== 4-5/6 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
+fi
+
+echo "== 6/6 skew graph gate =="
+python tools/skew_graph.py
+
+echo "close_round: all gates green"
