@@ -13,6 +13,7 @@
 #   5. slope gate      — per-query sf0.1->sf1 ratios vs the superlinear
 #                        allowlist (tools/slope.py)
 #   6. skew gate       — planted mega-star/clique dup-graph stress
+#   7. corpus skew     — guarded text-dedup chain on a 10%-one-family corpus
 #
 # Wall-clock ~45 min on local[32]. Bench numbers carry +/-30% host
 # variance — re-measure warm-solo before treating a regression as real.
