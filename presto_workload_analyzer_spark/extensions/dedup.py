@@ -1376,3 +1376,99 @@ def prefix_filter_jaccard_join(
         .filter(F.col("__j") >= threshold)
         .select("id_a", "id_b", F.round("__j", 6).alias("jaccard"))
     )
+
+
+def cluster_scoped_cosine_pairs(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.9,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Semantic-dedup candidate pairs: exact cosine WITHIN each cluster.
+
+    The SemDeDup shape (Abbas et al. 2023, public paper): embeddings are
+    first clustered (k-means cells, IVF lists, or any label column), and
+    duplicate scoring runs only inside a cluster — the quadratic
+    comparison is bounded by the largest cluster, never the corpus. The
+    production control is the clustering grain itself: k grows with n
+    (the same log/ratio law as `similarity.recommended_planes`), so
+    cluster size stays ~constant as the corpus scales.
+
+    `max_cluster_size` is the mega-cluster backstop, identical in shape
+    and trade to the lsh_candidate_pairs guard: oversized clusters emit
+    cluster-min star pairs (n-1 edges, oversized keys broadcast), exact
+    cosine still verifies every emitted pair, and an exact-duplicate
+    family keeps full connectivity through the star root. Default None =
+    exact enumeration within every cluster.
+
+    Output: (id_a, id_b, cosine), id_a < id_b, cosine >= threshold.
+    """
+    from presto_workload_analyzer_spark.extensions.similarity import cosine_expr
+
+    base = emb.select(
+        F.col(cluster_col).alias("__cl"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("__v"),
+    )
+    a = base.select("__cl", F.col("id").alias("id_a"), F.col("__v").alias("__va"))
+    b = base.select("__cl", F.col("id").alias("id_b"), F.col("__v").alias("__vb"))
+    if max_cluster_size is None:
+        joined = a.join(b, "__cl").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        big = (
+            base.groupBy("__cl")
+            .agg(F.count(F.lit(1)).alias("__n"),
+                 F.min_by(F.struct("id", "__v"), "id").alias("__root"))
+            .filter(F.col("__n") > max_cluster_size)
+            .select("__cl",
+                    F.col("__root.id").alias("id_a"),
+                    F.col("__root.__v").alias("__va"))
+        )
+        # prune BOTH sides of the small-cluster join (one-sided pruning
+        # would still funnel the mega cluster's b-rows into one partition)
+        big_keys = F.broadcast(big.select("__cl"))
+        small_a = a.join(big_keys, "__cl", "left_anti")
+        small_b = b.join(big_keys, "__cl", "left_anti")
+        joined = (
+            small_a.join(small_b, "__cl")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .unionByName(
+                b.join(F.broadcast(big), "__cl")
+                .filter(F.col("id_b") > F.col("id_a"))
+                .select("__cl", "id_a", "__va", "id_b", "__vb")
+            )
+        )
+    return (
+        joined.select(
+            "id_a", "id_b",
+            cosine_expr(F.col("__va"), F.col("__vb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .distinct()
+    )
+
+
+def semantic_dedup(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cluster_col: str,
+    threshold: float = 0.9,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup survivor materialization: one exemplar per semantic-dup
+    component (min-id canonical, this engine's survivor convention; the
+    paper keeps the lowest-centroid-similarity member — swap the keep
+    rule via drop_near_duplicates' pair input if centroids are at hand).
+
+    Composition of proven stages: cluster-scoped exact-cosine pairs ->
+    connected_components -> anti-join of non-canonical members. Rows in
+    no pair (semantically unique) pass through untouched.
+    """
+    pairs = cluster_scoped_cosine_pairs(
+        emb, id_col, vec_col, cluster_col,
+        threshold=threshold, max_cluster_size=max_cluster_size,
+    )
+    return drop_near_duplicates(emb, id_col, pairs)

@@ -228,3 +228,105 @@ def stratified_cap(
         .filter(F.col("__rn") <= cap)
         .drop("__rn")
     )
+
+
+def _dsir_features(df: DataFrame, id_col: str, text_col: str,
+                   n_features: int, mode: str) -> DataFrame:
+    """(id, feat, c): hashed-unigram feature counts per document.
+
+    md5 mode hashes into 16^3 = 4096 buckets via the first three hex
+    digits — portable to any engine (the hash_bucket recipe, one digit
+    wider); xxhash64 mode is the JVM-cheap production path. n_features
+    is fixed at 4096 for md5 (the digit width IS the modulus); xxhash64
+    accepts any modulus.
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("__w"),
+    ).filter(F.col("__w") != "")
+    if mode == "md5":
+        if n_features != 4096:
+            raise ValueError("md5 mode fixes n_features at 4096 (3 hex digits)")
+        feat = F.conv(F.substring(F.md5(F.col("__w")), 1, 3), 16, 10).cast("int")
+    elif mode == "xxhash64":
+        feat = F.pmod(F.xxhash64(F.col("__w")), F.lit(n_features)).cast("int")
+    else:
+        raise ValueError(f"unknown hash mode {mode!r}")
+    return tok.select("id", feat.alias("feat")).groupBy("id", "feat").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+def dsir_log_weights(
+    source: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_features: int = 4096,
+    alpha: float = 1.0,
+    mode: str = "md5",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al. 2023,
+    public paper): per-source-document log importance weight of a TARGET
+    distribution over a SOURCE distribution, under hashed-unigram
+    bag-of-words language models with add-alpha smoothing.
+
+        log w(doc) = sum_f c_doc[f] * [log p_target(f) - log p_source(f)]
+
+    The weight is what importance-resamples a raw crawl toward a curated
+    target corpus (the published recipe for pretraining data selection);
+    downstream, feed `weighted_sample` (Efraimidis-Spirakis) with
+    exp(log_w / n_tokens)-style normalized weights or threshold the top
+    quantile.
+
+    100 TB posture: token explode -> (id, feat) count is the only
+    corpus-grain shuffle; the feature-ratio table is n_features rows
+    (4096) and BROADCAST into the per-doc join, so the scoring pass is
+    map-side. Nothing driver-side, no UDFs.
+
+    Output: (id, log_w, n_tokens) — one row per source document with at
+    least one token (empty/whitespace docs carry no evidence; callers
+    union them back with log_w 0 if required).
+    """
+    src = _dsir_features(source, id_col, text_col, n_features, mode)
+    tgt = _dsir_features(target, id_col, text_col, n_features, mode)
+    s_tot = src.groupBy("feat").agg(F.sum("c").alias("cs"))
+    t_tot = tgt.groupBy("feat").agg(F.sum("c").alias("ct"))
+    # full outer over the feature space observed on either side; features
+    # on neither side never appear in any document, so they cannot
+    # contribute to a doc's sum — the smoothed ratio table stays exact
+    denom_s = F.lit(alpha) * n_features
+    denom_t = F.lit(alpha) * n_features
+    ratio = (
+        s_tot.join(t_tot, "feat", "full_outer")
+        .select(
+            "feat",
+            (
+                F.log(F.coalesce(F.col("ct"), F.lit(0)) + alpha)
+                - F.log(F.coalesce(F.col("cs"), F.lit(0)) + alpha)
+            ).alias("__lr_unnorm"),
+        )
+    )
+    # the normalizing constants log(T + aD) - log(S + aD) are per-corpus
+    # scalars, folded in via a 1-row cross join (computed on the cluster,
+    # never collected)
+    totals = src.agg(F.sum("c").alias("__S")).crossJoin(
+        tgt.agg(F.sum("c").alias("__T"))
+    )
+    ratio = ratio.crossJoin(F.broadcast(totals)).select(
+        "feat",
+        (
+            F.col("__lr_unnorm")
+            - F.log(F.col("__T") + denom_t)
+            + F.log(F.col("__S") + denom_s)
+        ).alias("log_ratio"),
+    )
+    return (
+        src.join(F.broadcast(ratio), "feat")
+        .groupBy("id")
+        .agg(
+            F.sum(F.col("c") * F.col("log_ratio")).alias("log_w"),
+            F.sum("c").cast("long").alias("n_tokens"),
+        )
+        .select(F.col("id").alias(id_col), F.round("log_w", 6).alias("log_w"), "n_tokens")
+    )

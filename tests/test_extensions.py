@@ -2340,3 +2340,139 @@ def test_connected_components_long_chain_converges(spark):
     got = dedup.connected_components(pairs).collect()
     assert len(got) == 200
     assert {r.cluster_id for r in got} == {0}
+
+
+# ---- staged registry candidates (round-9+: registry frozen through the
+# ---- consolidation window; library + tests land now, registration later)
+
+
+def test_cluster_scoped_cosine_pairs_and_semantic_dedup(spark):
+    """SemDeDup shape: pairs only WITHIN a cluster, exact cosine verify,
+    survivor = min id per semantic component; cross-cluster near-identical
+    vectors must never pair (the cluster scope is the contract)."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    rows = [
+        # cluster 0: 1 and 2 identical, 3 orthogonal
+        R(vec_id=1, embedding=[1.0, 0.0, 0.0], label=0),
+        R(vec_id=2, embedding=[2.0, 0.0, 0.0], label=0),
+        R(vec_id=3, embedding=[0.0, 1.0, 0.0], label=0),
+        # cluster 1: 4 identical to 1/2 in VALUE but scoped apart
+        R(vec_id=4, embedding=[1.0, 0.0, 0.0], label=1),
+        R(vec_id=5, embedding=[0.0, 0.0, 1.0], label=1),
+    ]
+    emb = spark.createDataFrame(rows)
+    pairs = dedup.cluster_scoped_cosine_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.99
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+    assert abs(pairs[0].cosine - 1.0) < 1e-9
+
+    kept = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", "label", threshold=0.99
+    )
+    assert {r.vec_id for r in kept.collect()} == {1, 3, 4, 5}
+
+
+def test_cluster_scoped_guard_matches_exact_connectivity(spark):
+    """The mega-cluster star guard: 200 identical vectors in one cluster
+    emit the root star (n-1 pairs) instead of ~n^2/2, the survivor set is
+    identical to the exact run, and a below-cap run IS the exact run."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    mega = [R(vec_id=i, embedding=[1.0, 2.0, 3.0], label=7) for i in range(200)]
+    other = [R(vec_id=1000 + i, embedding=[float(i + 1), 1.0, 0.0], label=8)
+             for i in range(20)]
+    emb = spark.createDataFrame(mega + other)
+    guarded = dedup.cluster_scoped_cosine_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.999, max_cluster_size=50
+    )
+    g = guarded.collect()
+    assert {(r.id_a, r.id_b) for r in g if r.id_b < 1000} == {
+        (0, i) for i in range(1, 200)
+    }
+    exact_kept = {
+        r.vec_id
+        for r in dedup.semantic_dedup(
+            emb, "vec_id", "embedding", "label", threshold=0.999
+        ).collect()
+    }
+    guarded_kept = {
+        r.vec_id
+        for r in dedup.semantic_dedup(
+            emb, "vec_id", "embedding", "label", threshold=0.999,
+            max_cluster_size=50,
+        ).collect()
+    }
+    assert exact_kept == guarded_kept
+
+    small = spark.createDataFrame(mega[:10] + other)
+    noop = dedup.cluster_scoped_cosine_pairs(
+        small, "vec_id", "embedding", "label", threshold=0.999,
+        max_cluster_size=10_000,
+    )
+    ex = dedup.cluster_scoped_cosine_pairs(
+        small, "vec_id", "embedding", "label", threshold=0.999
+    )
+    assert {(r.id_a, r.id_b) for r in noop.collect()} == {
+        (r.id_a, r.id_b) for r in ex.collect()
+    }
+
+
+def test_dsir_log_weights_hand_computed(spark):
+    """DSIR importance weights against a hand-computed closed form on a
+    collision-free vocabulary (xxhash64 mode with a wide modulus so each
+    word maps to its own feature with overwhelming probability)."""
+    import math
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    source = spark.createDataFrame([
+        R(doc_id=1, text="aa aa bb"),
+        R(doc_id=2, text="bb cc"),
+        R(doc_id=3, text="   "),          # tokenless: no output row
+    ])
+    target = spark.createDataFrame([R(doc_id=9, text="aa cc cc")])
+    D, a = 1 << 20, 1.0
+    out = {r.doc_id: r for r in sampling.dsir_log_weights(
+        source, target, "doc_id", "text", n_features=D, alpha=a, mode="xxhash64"
+    ).collect()}
+    S, T = 5, 3  # total source / target tokens
+    def lr(ct, cs):
+        return (math.log(ct + a) - math.log(T + a * D)) - (
+            math.log(cs + a) - math.log(S + a * D))
+    want1 = 2 * lr(1, 2) + 1 * lr(0, 2)   # aa aa bb
+    want2 = 1 * lr(0, 2) + 1 * lr(2, 1)   # bb cc
+    assert set(out) == {1, 2}
+    assert abs(out[1].log_w - want1) < 1e-4
+    assert abs(out[2].log_w - want2) < 1e-4
+    assert (out[1].n_tokens, out[2].n_tokens) == (3, 2)
+
+
+def test_dsir_md5_mode_and_plan_shape(spark):
+    """md5 mode (the engine-portable oracle twin) ranks a target-like doc
+    above a target-unlike doc, and the scoring plan stays JVM-side (no
+    Python row eval) with the ratio table broadcast."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    source = spark.createDataFrame([
+        R(doc_id=1, text="curated clean prose sentence"),
+        R(doc_id=2, text="zz9 qq8 xx7 vv6"),
+    ])
+    target = spark.createDataFrame([
+        R(doc_id=9, text="curated clean prose sentence curated clean"),
+    ])
+    df = sampling.dsir_log_weights(source, target, "doc_id", "text", mode="md5")
+    out = {r.doc_id: r.log_w for r in df.collect()}
+    assert out[1] > out[2]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
