@@ -1,0 +1,109 @@
+"""STAGED driver queries — implemented, oracle-paired, locally verified,
+NOT registered.
+
+The round-5 verdict froze the registry at 222 until the driver's 50-slot
+window clears the never-verified backlog (expected during round 8).
+These entries are the next registrations, prepared so the unfreeze is a
+one-line move into driver_queries: each is a (spark_fn, oracle_sql)
+pair in exactly the registry's contract (column names aliased
+identically on both sides, integer aggregates cast, floats rounded to 6,
+no HUGEINT/DECIMAL bindings), and tests/test_staged_queries.py runs the
+same spark-vs-DuckDB comparison the local gate applies to registered
+queries.
+
+Staged surface (both published LLM-data-pipeline methods, library code
+in extensions/, landed round 7):
+  * xs1_semantic_dedup  — SemDeDup survivors (cluster-scoped exact
+    cosine -> connected components -> min-id exemplar), clusters = the
+    embeddings table's label column.
+  * xs2_dsir_weights    — DSIR hashed-unigram log importance weights of
+    a deterministic target slice (doc_id % 10 = 0) over the full
+    documents corpus; md5 feature hashing for engine parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+SEMDEDUP_THRESHOLD = 0.9
+
+
+def xs1_semantic_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    emb = read_table(spark, f"{sf}/embeddings.parquet")
+    kept = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", "label", threshold=SEMDEDUP_THRESHOLD
+    )
+    return kept.select("vec_id")
+
+
+def xs1_sql() -> str:
+    t = SEMDEDUP_THRESHOLD
+    return (
+        "WITH RECURSIVE e AS (SELECT vec_id, label,"
+        "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id"
+        "  WHERE list_dot_product(a.v, b.v)"
+        "   / (sqrt(list_dot_product(a.v, a.v))"
+        f"   * sqrt(list_dot_product(b.v, b.v))) >= {t!r}),"
+        " edges AS (SELECT id_a AS src, id_b AS dst FROM prs"
+        "  UNION SELECT id_b, id_a FROM prs),"
+        " walk(id, lab) AS ("
+        "  SELECT src, src FROM edges"
+        "  UNION"
+        "  SELECT e2.src, w.lab FROM walk w JOIN edges e2 ON e2.dst = w.id),"
+        " cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)"
+        " SELECT vec_id FROM embeddings"
+        " WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)"
+    )
+
+
+def xs2_dsir_weights(spark: SparkSession, sf: str) -> DataFrame:
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return sampling.dsir_log_weights(docs, target, "doc_id", "text", mode="md5")
+
+
+def xs2_sql() -> str:
+    d, a = 4096, 1.0
+    tok = (
+        r"SELECT doc_id, t.w AS w FROM {src},"
+        r" UNNEST(string_split_regex(trim(text), '\s+')) AS t(w)"
+        r" WHERE t.w <> ''"
+    )
+    return (
+        "WITH stok AS (" + tok.format(src="documents") + "),"
+        " ttok AS (" + tok.format(
+            src="(SELECT * FROM documents WHERE doc_id % 10 = 0)") + "),"
+        " sfeat AS (SELECT doc_id,"
+        "   CAST(('0x' || substr(md5(w), 1, 3)) AS BIGINT) AS feat,"
+        "   CAST(count(*) AS BIGINT) AS c FROM stok GROUP BY 1, 2),"
+        " tfeat AS (SELECT CAST(('0x' || substr(md5(w), 1, 3)) AS BIGINT) AS feat,"
+        "   CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1),"
+        " stot AS (SELECT feat, CAST(sum(c) AS BIGINT) AS cs FROM sfeat GROUP BY 1),"
+        " tots AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM sfeat) AS S,"
+        "   (SELECT CAST(sum(c) AS DOUBLE) FROM tfeat) AS T),"
+        " ratio AS (SELECT coalesce(stot.feat, tfeat.feat) AS feat,"
+        f"   (ln(coalesce(tfeat.c, 0) + {a!r}) - ln(tots.T + {a!r} * {d}))"
+        f" - (ln(coalesce(stot.cs, 0) + {a!r}) - ln(tots.S + {a!r} * {d}))"
+        "    AS log_ratio"
+        "  FROM stot FULL OUTER JOIN tfeat ON stot.feat = tfeat.feat"
+        "  CROSS JOIN tots)"
+        " SELECT sfeat.doc_id,"
+        "  round(sum(sfeat.c * ratio.log_ratio), 6) AS log_w,"
+        "  CAST(sum(sfeat.c) AS BIGINT) AS n_tokens"
+        " FROM sfeat JOIN ratio ON sfeat.feat = ratio.feat"
+        " GROUP BY 1"
+    )
+
+
+STAGED: dict[str, tuple] = {
+    "xs1_semantic_dedup": (xs1_semantic_dedup, xs1_sql()),
+    "xs2_dsir_weights": (xs2_dsir_weights, xs2_sql()),
+}

@@ -1,0 +1,50 @@
+"""The staged (not-yet-registered) queries must already pass the exact
+spark-vs-DuckDB comparison the local gate applies to registered ones, so
+their future registration is a move, not a debugging session."""
+
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+from presto_workload_analyzer_spark import staged_queries
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+@pytest.fixture(scope="module")
+def con():
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} not present")
+    c = duckdb.connect()
+    for t in TABLES:
+        c.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    return c
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", sorted(staged_queries.STAGED))
+def test_staged_query_matches_oracle_exactly(spark, con, name):
+    fn, sql = staged_queries.STAGED[name]
+    sdf = _normalize(fn(spark, SF_DIR).toPandas())
+    odf = _normalize(con.sql(sql).df())
+    assert list(sdf.columns) == list(odf.columns)
+    assert len(sdf) == len(odf) and len(sdf) > 0
+    pd.testing.assert_frame_equal(sdf, odf, check_exact=True)
