@@ -107,3 +107,53 @@ STAGED: dict[str, tuple] = {
     "xs1_semantic_dedup": (xs1_semantic_dedup, xs1_sql()),
     "xs2_dsir_weights": (xs2_dsir_weights, xs2_sql()),
 }
+
+
+DSIR_MIX_K = 25
+
+
+def xs3_dsir_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source top-K most target-like documents by DSIR weight — the
+    mix-planning shape: a curated target defines the direction, and each
+    source contributes its K best-aligned docs (rank window partitioned
+    by source: group-grain, bounded partitions, never a global sort).
+    Ties rank on the ROUNDED weight with doc_id as tiebreak so the
+    ordering is engine-portable."""
+    from pyspark.sql import Window
+
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    w = sampling.dsir_log_weights(docs, target, "doc_id", "text", mode="md5")
+    ranked = (
+        docs.select("doc_id", "source")
+        .join(w, "doc_id")
+        .withColumn(
+            "__rn",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy(
+                    F.col("log_w").desc(), F.col("doc_id")
+                )
+            ),
+        )
+    )
+    return ranked.filter(F.col("__rn") <= DSIR_MIX_K).select(
+        "doc_id", "source", "log_w"
+    )
+
+
+def xs3_sql() -> str:
+    return (
+        "WITH w AS (" + xs2_sql() + ")"
+        " SELECT doc_id, source, log_w FROM ("
+        "  SELECT d.doc_id, d.source, w.log_w,"
+        "   row_number() OVER (PARTITION BY d.source"
+        "    ORDER BY w.log_w DESC, d.doc_id) AS rn"
+        "  FROM documents d JOIN w ON d.doc_id = w.doc_id)"
+        f" WHERE rn <= {DSIR_MIX_K}"
+    )
+
+
+STAGED["xs3_dsir_mix"] = (xs3_dsir_mix, xs3_sql())

@@ -2476,3 +2476,20 @@ def test_dsir_md5_mode_and_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_dsir_self_target_is_zero(spark):
+    """Invariant: when target == source, every feature's smoothed ratio
+    is exactly zero (T == S, ct == cs), so every document's log weight is
+    0 — the selection signal vanishes when there is nothing to select
+    toward."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    docs = spark.createDataFrame([
+        R(doc_id=1, text="alpha beta beta"),
+        R(doc_id=2, text="gamma alpha"),
+    ])
+    out = sampling.dsir_log_weights(docs, docs, "doc_id", "text", mode="md5")
+    assert {r.doc_id: r.log_w for r in out.collect()} == {1: 0.0, 2: 0.0}
