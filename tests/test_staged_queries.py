@@ -48,3 +48,25 @@ def test_staged_query_matches_oracle_exactly(spark, con, name):
     assert list(sdf.columns) == list(odf.columns)
     assert len(sdf) == len(odf) and len(sdf) > 0
     pd.testing.assert_frame_equal(sdf, odf, check_exact=True)
+
+
+@pytest.mark.parametrize("name", sorted(staged_queries.STAGED))
+def test_staged_query_plan_is_lintclean(spark, name):
+    """Staged queries escape the registered plan lint until registration;
+    apply its two core bans here so they arrive lint-clean: no
+    row-at-a-time Python eval, no CartesianProduct. (xs3's rank window is
+    source-grain — partitioned, so the unpartitioned-window lint's target
+    shape cannot occur; asserted by requiring every Window to carry a
+    partition spec in the plan's windowspecdefinition.)"""
+    fn, _ = staged_queries.STAGED[name]
+    plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    for line in plan.splitlines():
+        if "Window " in line:
+            assert "windowspecdefinition(" in line
+            spec = line.split("windowspecdefinition(", 1)[1]
+            # a partitioned spec lists partition cols before the ORDER key
+            # (which carries ASC/DESC); an unpartitioned one starts there
+            first = spec.split(",", 1)[0]
+            assert " ASC" not in first and " DESC" not in first, line
