@@ -32,7 +32,12 @@ def test_never_verified_fill_their_quota():
     reserved = min(len(expired), dq._EXPIRED_QUOTA)
     free_slots = WINDOW - len(dq._GATE) - reserved
     expected = min(len(never), free_slots)
-    assert sum(1 for n in window if n in never) == expected
+    # LOWER bound, not equality: these assertions read the repo's live
+    # CORRECTNESS_r*.json state, which changes whenever a driver artifact
+    # lands. The scheduler may legitimately admit MORE names than the
+    # floor (e.g. the stale drain self-raises once the never tier
+    # underfills) — pin the invariant, not a snapshot (round-7 verdict).
+    assert sum(1 for n in window if n in never) >= expected
     # when the backlog fits, every never-verified query is in the window
     if len(never) <= free_slots:
         assert all(n in window for n in never)
@@ -56,7 +61,12 @@ def test_expired_quota_reserved_in_window():
         oldest_round = min(ever[n] for n in expired)
         oldest = [n for n in expired if ever[n] == oldest_round]
         in_win = sum(1 for n in oldest if n in window)
-        assert in_win == min(len(oldest), expect)
+        # >= not ==: once the never-verified tier underfills its slots the
+        # scheduler correctly lets EXTRA oldest-green names flow into the
+        # window beyond the quota floor (round-7 verdict item 1 — the
+        # r07 artifact landing shrank the never tier to 17 and 13 extra
+        # stale names entered the window; that is the desired drain).
+        assert in_win >= min(len(oldest), expect)
 
 
 def test_group_order_never_then_expired_then_latest():
