@@ -157,3 +157,80 @@ def xs3_sql() -> str:
 
 
 STAGED["xs3_dsir_mix"] = (xs3_dsir_mix, xs3_sql())
+
+
+def xs4_mjpeg_frame_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """MJPEG-in-AVI REAL frame-pixel-decode driver gate (round-7 verdict
+    item 4 — the only real media kernel without an x133-style pipeline
+    query). Per doc: 2 + doc_id%3 flat grayscale frames at per-doc dims
+    (8*(1+doc_id%3) x 8*(1+doc_id%2)), frame i's intensity
+    (doc_id*37 + i*59) % 256, encoded by the REAL baseline-JPEG encoder
+    and wrapped in the structurally real RIFF-AVI (encode_avi_mjpeg);
+    mjpeg_frame_stats walks the container with stride 2 and decodes the
+    sampled frames through the real JPEG decoder. Flat fields quantize
+    EXACTLY through this codec pair (DC-only blocks; round-trip verified
+    for all 256 values), so width/height/channels/mean all have closed
+    forms and any RIFF-walk, stride, DCT/quant or unfilter bug is a hash
+    mismatch. Payloads are built and decoded executor-side (Arrow
+    mapInPandas both sides); only frame-stat rows move."""
+    from pyspark.sql import types as T
+
+    from presto_workload_analyzer_spark.extensions import multimodal as X_mm
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from presto_workload_analyzer_spark.extensions.jpegcodec import encode_jpeg
+        from presto_workload_analyzer_spark.extensions.multimodal import (
+            encode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+                frames = [
+                    encode_jpeg(w, h, 1, bytes([(doc_id * 37 + i * 59) % 256]) * (w * h))
+                    for i in range(2 + doc_id % 3)
+                ]
+                rows.append((doc_id, encode_avi_mjpeg(frames, fps=10, width=w, height=h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    out = X_mm.mjpeg_frame_stats(media, every_n_frames=2)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+def xs4_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(t.idx AS INT) AS frame_idx,"
+        " CAST(8 * (1 + doc_id % 3) AS INT) AS width,"
+        " CAST(8 * (1 + doc_id % 2) AS INT) AS height,"
+        " CAST(1 AS INT) AS channels,"
+        " round(CAST((doc_id * 37 + t.idx * 59) % 256 AS DOUBLE) / 255.0, 6)"
+        "  AS mean_intensity"
+        " FROM documents, UNNEST([0, 2]) AS t(idx)"
+        " WHERE t.idx < 2 + doc_id % 3"
+    )
+
+
+STAGED["xs4_mjpeg_frame_pipeline"] = (xs4_mjpeg_frame_pipeline, xs4_sql())
