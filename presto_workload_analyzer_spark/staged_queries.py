@@ -234,3 +234,59 @@ def xs4_sql() -> str:
 
 
 STAGED["xs4_mjpeg_frame_pipeline"] = (xs4_mjpeg_frame_pipeline, xs4_sql())
+
+
+XS5_MAX_BUCKET = 2
+
+
+def xs5_guarded_lsh_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Guard-ON LSH candidate pairs (round-7 verdict item 8): the
+    mega-bucket star guard (dedup.lsh_candidate_pairs max_bucket_size) is
+    default-off for x02 oracle parity, so no driver row ever exercises
+    guard-on semantics — yet the prune is deterministic, so an oracle can
+    replay it exactly: buckets with more than `max_bucket_size` members
+    emit a STAR (bucket-min id -> every other member, n-1 edges) instead
+    of the all-pairs enumeration. The cap here (2) is sized to the tiny
+    test corpora so oversized buckets actually exist at sf0.001/sf0.01
+    (max observed bucket = 4/3) and the star path is gate-covered; at
+    100 TB the same code runs with cap ~10_000. The md5/k=3/h16/b4
+    parameters match x02 exactly, so guard-on-vs-off is the ONLY
+    difference between this oracle and x02's."""
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5",
+        max_bucket_size=XS5_MAX_BUCKET,
+    )
+
+
+def xs5_sql() -> str:
+    # the x02 minhash->band pipeline fragments, then the guard replayed in
+    # SQL: per-bucket counts split small buckets (all-pairs) from oversized
+    # ones (star from the bucket-min id)
+    from presto_workload_analyzer_spark.driver_queries import (
+        _SHINGLE_SQL,
+        _X02_BANDS,
+        _X02_SIGS,
+    )
+
+    cap = XS5_MAX_BUCKET
+    return (
+        f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+        f" bands AS ({_X02_BANDS}),"
+        " bk AS (SELECT band, band_hash, count(*) AS n, min(id) AS min_id"
+        "  FROM bands GROUP BY 1, 2)"
+        " SELECT DISTINCT id_a, id_b FROM ("
+        "  SELECT a.id AS id_a, b.id AS id_b"
+        "  FROM bands a JOIN bands b USING (band, band_hash)"
+        f"  JOIN bk USING (band, band_hash) WHERE bk.n <= {cap} AND a.id < b.id"
+        "  UNION ALL"
+        "  SELECT bk.min_id AS id_a, b.id AS id_b"
+        "  FROM bands b JOIN bk USING (band, band_hash)"
+        f"  WHERE bk.n > {cap} AND b.id <> bk.min_id)"
+    )
+
+
+STAGED["xs5_guarded_lsh_pairs"] = (xs5_guarded_lsh_pairs, xs5_sql())

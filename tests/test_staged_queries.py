@@ -50,6 +50,26 @@ def test_staged_query_matches_oracle_exactly(spark, con, name):
     pd.testing.assert_frame_equal(sdf, odf, check_exact=True)
 
 
+def test_xs5_guard_actually_fires(spark, con):
+    """xs5 is only a guard-on gate if oversized buckets EXIST at test
+    scale: guard-on must emit strictly fewer pairs than the exact x02
+    enumeration (stars replace all-pairs), and every guard-on pair must
+    be a subset member plus-or-minus nothing outside the x02 universe."""
+    fn, _ = staged_queries.STAGED["xs5_guarded_lsh_pairs"]
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, SF_DIR + "/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+        ).collect()
+    }
+    guarded = {(r.id_a, r.id_b) for r in fn(spark, SF_DIR).collect()}
+    assert guarded < exact  # strict subset: the star prune fired
+
+
 @pytest.mark.parametrize("name", sorted(staged_queries.STAGED))
 def test_staged_query_plan_is_lintclean(spark, name):
     """Staged queries escape the registered plan lint until registration;
