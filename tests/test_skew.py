@@ -419,3 +419,16 @@ def test_bucket_guards_prune_both_join_sides(spark):
         docs, "doc_id", "text", max_hamming=1, bands=4, max_bucket_size=10
     )
     assert sim._jdf.queryExecution().executedPlan().toString().count("LeftAnti") >= 2
+
+
+def test_ann_hot_cell_rank1_closed_form(spark, tmp_path):
+    """Correctness half of the ANN skew gate (tools/skew_ann.py runs the
+    measured slope at round close): a corpus whose hot near-dup family
+    owns 50% of vectors lands in ONE IVF cell, and 64 exact-duplicate
+    queries must each find their duplicated member at rank 1 with cosine
+    1.0 through the persisted index (cell routing + partition pruning +
+    scoring all correct under the planted skew)."""
+    import tools.skew_ann as SA
+
+    build_wall, query_wall, hot_share = SA.run_once(spark, 2_000, str(tmp_path))
+    assert hot_share >= 0.3  # the planted mega-cell exists
