@@ -390,3 +390,81 @@ def golden_corpus() -> list[dict]:
         )
     )
     return docs
+
+
+def wide_corpus() -> list[dict]:
+    """A 1215-query / 45-user corpus that exercises the pie-collapse kernel
+    paths the small golden corpus never reaches: the top-20 rank cap (45
+    users > 20), the >0.1%-share drop (five 1-query users at 0.082%), the
+    'All the rest' merge row, and the rounding-residual push into the last
+    slice. Table names cycle over 27 values so the table-scan pies collapse
+    too. Everything is a deterministic formula of the query index.
+
+    Wall times use quadratic residues ((qi*qi) mod primes), NOT plain
+    qi-mod cycles: periodic walls summed over the 27 aligned table
+    classes produce EXACTLY equal per-table totals, and a top-K selection
+    tie at the rank boundary is unstable across engines (fp summation
+    order differs in the last ulp, so ref and Spark can legitimately keep
+    different tables). Real corpora don't have perfectly symmetric table
+    walls; the fixtures shouldn't either."""
+    docs = []
+    counts = [700] + [50] * 9 + [2] * 30 + [1] * 5  # 45 users, skewed
+    qi = 0
+    for u, cnt in enumerate(counts):
+        for _ in range(cnt):
+            qi += 1
+            day = 1 + qi % 3
+            in_rows = 1 + (qi * 13) % 1000
+            out_rows = (qi * 7) % (in_rows + 1)
+            table = hive_table(f"s{qi % 5}", f"t{qi % 27}")
+            docs.append(
+                make_queryinfo(
+                    f"2024020{day}_{qi % 24:02d}{qi % 60:02d}{(qi * 3) % 60:02d}_{qi:05d}_bbbbb",
+                    user=f"user_{u}",
+                    update=[None, "INSERT", None, "CREATE TABLE"][qi % 4],
+                    query=f"SELECT * FROM t{qi % 27}",
+                    stats_over={
+                        "elapsedTime": f"{(qi % 50) / 10}s",
+                        "totalCpuTime": f"{qi % 30}s",
+                        "totalScheduledTime": f"{qi % 40}m",
+                        "totalBlockedTime": f"{qi % 9}s",
+                        "rawInputDataSize": f"{qi % 17}GB",
+                        "outputDataSize": f"{qi % 5}MB",
+                        "peakTotalMemoryReservation": f"{1 + qi % 9}GB",
+                        "rawInputPositions": (qi * 13) % 10000,
+                        "outputPositions": qi % 97,
+                    },
+                    operators=[
+                        make_op(
+                            "2",
+                            "ScanFilterAndProjectOperator",
+                            rawInputPositions=in_rows,
+                            inputPositions=in_rows,
+                            outputPositions=out_rows,
+                            rawInputDataSize=f"{qi % 23}MB",
+                            inputDataSize=f"{qi % 23}MB",
+                            addInputWall=f"{(qi * qi) % 199}ms",
+                            getOutputWall=f"{(qi * qi * 3) % 83}ms",
+                            finishWall=f"{qi % 4}ms",
+                        ),
+                        make_op(
+                            "1",
+                            "HashAggregationOperator",
+                            rawInputPositions=out_rows,
+                            inputPositions=out_rows,
+                            outputPositions=max(out_rows // 2, 1),
+                            addInputWall=f"{qi % 11}ms",
+                        ),
+                    ],
+                    plan_root={
+                        "@type": "output",
+                        "id": "0",
+                        "source": {
+                            "@type": "aggregation",
+                            "id": "1",
+                            "source": scan_node("2", table),
+                        },
+                    },
+                )
+            )
+    return docs

@@ -143,13 +143,23 @@ def ref():
                 sys.modules[k] = v
 
 
+@pytest.fixture(scope="module", params=["golden", "wide"])
+def corpus(request):
+    """Two corpora: the golden fixture matrix (every analyzer branch), and
+    the wide 1215-query / 45-user corpus that pushes the pie kernel through
+    its collapse paths (top-20 cap, >0.1% drop, 'All the rest', residual
+    push) — shares the small corpus can never trigger."""
+    docs = QF.golden_corpus() if request.param == "golden" else QF.wide_corpus()
+    return request.param, docs
+
+
 @pytest.fixture(scope="module")
-def ref_stats(ref):
+def ref_stats(ref, corpus):
     """The reference pipeline on the fixture corpus: extract.summary per doc
     (drops varada-internal by returning None, extract.py:124-128), then the
     FAILED filter from analyze.main (analyze.py:1231-1234)."""
     stats = []
-    for doc in QF.golden_corpus():
+    for doc in corpus[1]:
         s = ref.extract.summary(doc)
         if s is None or s["state"] == "FAILED":
             continue
@@ -167,10 +177,11 @@ def ref_charts(ref, ref_stats):
 
 
 @pytest.fixture(scope="module")
-def ours(spark, tmp_path_factory):
-    d = tmp_path_factory.mktemp("diff_corpus")
-    for i, doc in enumerate(QF.golden_corpus()):
-        (d / f"q{i:03d}.json").write_text(json.dumps(doc))
+def ours(spark, tmp_path_factory, corpus):
+    name, docs = corpus
+    d = tmp_path_factory.mktemp(f"diff_corpus_{name}")
+    for i, doc in enumerate(docs):
+        (d / f"q{i:04d}.json").write_text(json.dumps(doc))
     silver = build_silver(extract_queryinfo(spark, str(d)))
     outputs = run_analyzers(silver)
     outputs["collect_metrics"] = collect_metrics(silver)
@@ -253,6 +264,16 @@ def _scatter(fig, method, *fields):
     return list(zip(*(data[f] for f in fields)))
 
 
+def _none_means_empty(ref_fig, our_df, name):
+    """A reference analyzer that bails ('not enough data', returns None)
+    must correspond to an empty frame on our side (the emitter drops the
+    chart the same way). Returns True when the None case applied."""
+    if ref_fig is None:
+        assert our_df.count() == 0, f"{name}: reference skipped, ours has rows"
+        return True
+    return False
+
+
 # --------------------------------------------------------------------------
 # The differential assertions
 # --------------------------------------------------------------------------
@@ -269,6 +290,8 @@ _VBARS = [
 
 @pytest.mark.parametrize("name,cols,_scale", _VBARS, ids=[v[0] for v in _VBARS])
 def test_time_series(ref_charts, ours, name, cols, _scale):
+    if _none_means_empty(ref_charts[name], ours[name], name):
+        return
     # reference divides scheduled_time by day/hour denominators before
     # grouping; ours after — same numbers either way
     assert_same_rows(_vbar_series(ref_charts[name]), _df_rows(ours[name], cols), name)
@@ -289,6 +312,8 @@ _PIES = [
 
 @pytest.mark.parametrize("name", [p[0] for p in _PIES])
 def test_pies(ref_charts, ours, name):
+    if _none_means_empty(ref_charts[name], ours[name], name):
+        return
     ref_rows = _pie_slices(ref_charts[name])
     assert_same_rows(ref_rows, _df_rows(ours[name], ["label", "pct"]), name)
 
@@ -298,6 +323,8 @@ _HISTS = ["wall_by_selectivity_10", "wall_by_selectivity_100_first_20"]
 
 @pytest.mark.parametrize("name", _HISTS)
 def test_selectivity_histograms(ref_charts, ours, name):
+    if _none_means_empty(ref_charts[name], ours[name], name):
+        return
     ref_rows = _hist_bars(ref_charts[name])
     assert_same_rows(ref_rows, _df_rows(ours[name], ["bin", "wall_pct"]), name)
 
@@ -335,6 +362,8 @@ _SCATTERS = [
     "name,method,fields,cols", _SCATTERS, ids=[s[0] for s in _SCATTERS]
 )
 def test_scatters(ref_charts, ours, name, method, fields, cols):
+    if _none_means_empty(ref_charts[name], ours[name], name):
+        return
     ref_rows = _scatter(ref_charts[name], method, *fields)
     assert_same_rows(ref_rows, _df_rows(ours[name], cols), name)
 
@@ -357,7 +386,7 @@ def test_collect_metrics(ref, ref_stats, ours):
         )
 
 
-def test_every_registered_reference_analyzer_is_compared(ref, ref_charts):
+def test_every_registered_reference_analyzer_is_compared(ref, ref_charts, corpus):
     """If the reference gains/loses analyzers (or the registry drifts), this
     inventory check fails before any silent coverage gap can open."""
     covered = (
@@ -368,6 +397,22 @@ def test_every_registered_reference_analyzer_is_compared(ref, ref_charts):
     )
     registered = {fn.__name__ for fn in ref.analyze._ANALYZERS}
     assert registered == covered
-    # every analyzer produced a chart on this corpus (none bailed early)
     missing = [n for n, p in ref_charts.items() if p is None]
-    assert missing == []
+    if corpus[0] == "golden":
+        # the golden corpus feeds every analyzer (none bailed early)
+        assert missing == []
+    else:
+        # the wide corpus has no joins by design; everything else produces
+        assert set(missing) <= {"joins_sides", "joins_selectivity"}
+
+
+def test_wide_corpus_exercises_pie_collapse(ref_charts, corpus):
+    """The wide corpus must actually reach the collapse paths: exactly 20
+    slices (19 kept + 'All the rest'), with sub-0.1%-share users folded in
+    and the percents summing to exactly 100 after the residual push."""
+    if corpus[0] != "wide":
+        return
+    slices = _pie_slices(ref_charts["queries_by_user"])
+    assert len(slices) == 20
+    assert slices[-1][0] == "All the rest"
+    assert abs(sum(p for _, p in slices) - 100.0) < 1e-9
