@@ -11,6 +11,13 @@ no HUGEINT/DECIMAL bindings), and tests/test_staged_queries.py runs the
 same spark-vs-DuckDB comparison the local gate applies to registered
 queries.
 
+Registration checklist (so the r9 unfreeze is mechanical): move each
+(name, fn, sql) into driver_queries._register, gate-first in the window;
+add "xs4_mjpeg_frame_pipeline" to test_plan_lint._ALLOWED_PANDAS (AVI
+synth + JPEG decode are declared Arrow mapInPandas surfaces — the same
+class as x133-x139); xs1/xs2/xs3/xs5 are pure Column/join plans and need
+no lint exemption.
+
 Staged surface (both published LLM-data-pipeline methods, library code
 in extensions/, landed round 7):
   * xs1_semantic_dedup  — SemDeDup survivors (cluster-scoped exact
