@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # The generated-class cache defaults to 100 entries — fewer than the
+        # registry's 222 distinct plans, so a full bench/gate session churns
+        # it. Measured warm-solo: 287.6 s -> 275.3 s full bench (inside host
+        # variance, kept as the principled default; it did NOT move x51's
+        # fixed overhead, which is job-scheduling constants — BASELINE.md
+        # round-8). Static conf, so it must be set before session start.
+        .config("spark.sql.codegen.cache.maxEntries", "2000")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
