@@ -64,3 +64,18 @@ def test_no_oracle_binds_to_spark_unrepresentable_dtype(con):
         "(wrap integer sums in CAST(... AS BIGINT), decimal literals in "
         f"CAST(... AS DOUBLE)): {offenders}"
     )
+
+
+def test_no_staged_oracle_binds_to_spark_unrepresentable_dtype(con):
+    """Staged (not-yet-registered) oracles get the same ban BEFORE the r9
+    unfreeze moves them into the registry — a HUGEINT/DECIMAL binding
+    found at registration time would cost a driver round to discover."""
+    from presto_workload_analyzer_spark import staged_queries
+
+    offenders = []
+    for name, (_fn, sql) in staged_queries.STAGED.items():
+        desc = con.execute(f"DESCRIBE ({sql})").fetchall()
+        for col, typ, *_ in desc:
+            if any(b in typ.upper() for b in _BANNED):
+                offenders.append((name, col, typ))
+    assert offenders == [], offenders
