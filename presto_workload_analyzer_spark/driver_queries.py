@@ -10463,3 +10463,286 @@ def _x146_sql() -> str:
 
 
 _register("x146_privacy_release_chain", _x146, _x146_sql())
+
+
+# --------------------------------------------------------------------------
+# Round-9 unfreeze: the five staged queries (staged_queries.py rounds 7-8)
+# registered per the r8 verdict. Each passed the exact staged gate
+# (tests/test_staged_queries.py) at sf0.001 AND sf0.01 plus the lint's core
+# bans before this move; the code is verbatim from the staging module.
+
+
+_XS1_SEMDEDUP_THRESHOLD = 0.9
+
+
+def _xs1(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup survivors (Abbas et al. 2023, arXiv:2303.09540): exact
+    cosine pairs scoped WITHIN each embedding cluster (the `label` column
+    plays the k-means cluster id), connected components over the >=0.9
+    edges, keep the min-id exemplar per component. Cluster scoping is the
+    published trick that makes semantic dedup tractable at scale: the
+    quadratic pair join runs per-cluster (bounded fan-out equi-join on
+    label), never corpus-wide."""
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    emb = read_table(spark, f"{sf}/embeddings.parquet")
+    kept = dedup.semantic_dedup(
+        emb, "vec_id", "embedding", "label", threshold=_XS1_SEMDEDUP_THRESHOLD
+    )
+    return kept.select("vec_id")
+
+
+def _xs1_sql() -> str:
+    t = _XS1_SEMDEDUP_THRESHOLD
+    return (
+        "WITH RECURSIVE e AS (SELECT vec_id, label,"
+        "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        " prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
+        "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id"
+        "  WHERE list_dot_product(a.v, b.v)"
+        "   / (sqrt(list_dot_product(a.v, a.v))"
+        f"   * sqrt(list_dot_product(b.v, b.v))) >= {t!r}),"
+        " edges AS (SELECT id_a AS src, id_b AS dst FROM prs"
+        "  UNION SELECT id_b, id_a FROM prs),"
+        " walk(id, lab) AS ("
+        "  SELECT src, src FROM edges"
+        "  UNION"
+        "  SELECT e2.src, w.lab FROM walk w JOIN edges e2 ON e2.dst = w.id),"
+        " cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)"
+        " SELECT vec_id FROM embeddings"
+        " WHERE vec_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)"
+    )
+
+
+_register("xs1_semantic_dedup", _xs1, _xs1_sql())
+
+
+def _xs2(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    hashed-unigram (md5 -> 4096 buckets) bag-of-words, per-doc log
+    importance = sum over tokens of log(target-prob / source-prob) with
+    add-1.0 smoothing. Target slice = doc_id % 10 == 0 (deterministic).
+    The feature->ratio table is 4096 rows -> broadcast joined; per-doc
+    cost is one groupBy over tokens."""
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    return sampling.dsir_log_weights(docs, target, "doc_id", "text", mode="md5")
+
+
+def _xs2_sql() -> str:
+    d, a = 4096, 1.0
+    tok = (
+        r"SELECT doc_id, t.w AS w FROM {src},"
+        r" UNNEST(string_split_regex(trim(text), '\s+')) AS t(w)"
+        r" WHERE t.w <> ''"
+    )
+    return (
+        "WITH stok AS (" + tok.format(src="documents") + "),"
+        " ttok AS (" + tok.format(
+            src="(SELECT * FROM documents WHERE doc_id % 10 = 0)") + "),"
+        " sfeat AS (SELECT doc_id,"
+        "   CAST(('0x' || substr(md5(w), 1, 3)) AS BIGINT) AS feat,"
+        "   CAST(count(*) AS BIGINT) AS c FROM stok GROUP BY 1, 2),"
+        " tfeat AS (SELECT CAST(('0x' || substr(md5(w), 1, 3)) AS BIGINT) AS feat,"
+        "   CAST(count(*) AS BIGINT) AS c FROM ttok GROUP BY 1),"
+        " stot AS (SELECT feat, CAST(sum(c) AS BIGINT) AS cs FROM sfeat GROUP BY 1),"
+        " tots AS (SELECT (SELECT CAST(sum(c) AS DOUBLE) FROM sfeat) AS S,"
+        "   (SELECT CAST(sum(c) AS DOUBLE) FROM tfeat) AS T),"
+        " ratio AS (SELECT coalesce(stot.feat, tfeat.feat) AS feat,"
+        f"   (ln(coalesce(tfeat.c, 0) + {a!r}) - ln(tots.T + {a!r} * {d}))"
+        f" - (ln(coalesce(stot.cs, 0) + {a!r}) - ln(tots.S + {a!r} * {d}))"
+        "    AS log_ratio"
+        "  FROM stot FULL OUTER JOIN tfeat ON stot.feat = tfeat.feat"
+        "  CROSS JOIN tots)"
+        " SELECT sfeat.doc_id,"
+        "  round(sum(sfeat.c * ratio.log_ratio), 6) AS log_w,"
+        "  CAST(sum(sfeat.c) AS BIGINT) AS n_tokens"
+        " FROM sfeat JOIN ratio ON sfeat.feat = ratio.feat"
+        " GROUP BY 1"
+    )
+
+
+_register("xs2_dsir_weights", _xs2, _xs2_sql())
+
+
+_XS3_DSIR_MIX_K = 25
+
+
+def _xs3(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source top-K most target-like documents by DSIR weight — the
+    mix-planning shape: a curated target defines the direction, and each
+    source contributes its K best-aligned docs. `source` is an enum-ish
+    key, so a plain rank window partitioned by it alone is the x39-class
+    single-task funnel at 100 TB (the registered plan lint rejects it —
+    it caught exactly this in the staged formulation); the rank runs
+    through sampling._hierarchical_row_number instead, sharded by
+    floor(-log_w*4) (monotone w.r.t. log_w DESC between shards), with
+    local_prune=K bounding the offset join to K rows per (source, shard).
+    Ties rank on the ROUNDED weight with doc_id as tiebreak so the
+    ordering is engine-portable."""
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        _hierarchical_row_number,
+    )
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    w = sampling.dsir_log_weights(docs, target, "doc_id", "text", mode="md5")
+    ranked = _hierarchical_row_number(
+        docs.select("doc_id", "source").join(w, "doc_id"),
+        ["source"],
+        [F.col("log_w").desc(), F.col("doc_id")],
+        F.floor(-F.col("log_w") * 4).cast("long"),
+        "__rn",
+        local_prune=F.lit(_XS3_DSIR_MIX_K),
+    )
+    return ranked.filter(F.col("__rn") <= _XS3_DSIR_MIX_K).select(
+        "doc_id", "source", "log_w"
+    )
+
+
+def _xs3_sql() -> str:
+    return (
+        "WITH w AS (" + _xs2_sql() + ")"
+        " SELECT doc_id, source, log_w FROM ("
+        "  SELECT d.doc_id, d.source, w.log_w,"
+        "   row_number() OVER (PARTITION BY d.source"
+        "    ORDER BY w.log_w DESC, d.doc_id) AS rn"
+        "  FROM documents d JOIN w ON d.doc_id = w.doc_id)"
+        f" WHERE rn <= {_XS3_DSIR_MIX_K}"
+    )
+
+
+_register("xs3_dsir_mix", _xs3, _xs3_sql())
+
+
+def _xs4(spark: SparkSession, sf: str) -> DataFrame:
+    """MJPEG-in-AVI REAL frame-pixel-decode driver gate (round-7 verdict
+    item 4 — the only real media kernel without an x133-style pipeline
+    query). Per doc: 2 + doc_id%3 flat grayscale frames at per-doc dims
+    (8*(1+doc_id%3) x 8*(1+doc_id%2)), frame i's intensity
+    (doc_id*37 + i*59) % 256, encoded by the REAL baseline-JPEG encoder
+    and wrapped in the structurally real RIFF-AVI (encode_avi_mjpeg);
+    mjpeg_frame_stats walks the container with stride 2 and decodes the
+    sampled frames through the real JPEG decoder. Flat fields quantize
+    EXACTLY through this codec pair (DC-only blocks; round-trip verified
+    for all 256 values), so width/height/channels/mean all have closed
+    forms and any RIFF-walk, stride, DCT/quant or unfilter bug is a hash
+    mismatch. Payloads are built and decoded executor-side (Arrow
+    mapInPandas both sides); only frame-stat rows move."""
+    from pyspark.sql import types as T
+
+    from presto_workload_analyzer_spark.extensions import multimodal as X_mm
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet").select("doc_id")
+
+    def synth(batches):
+        import pandas as pd
+
+        from presto_workload_analyzer_spark.extensions.jpegcodec import encode_jpeg
+        from presto_workload_analyzer_spark.extensions.multimodal import (
+            encode_avi_mjpeg,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                w, h = 8 * (1 + doc_id % 3), 8 * (1 + doc_id % 2)
+                frames = [
+                    encode_jpeg(w, h, 1, bytes([(doc_id * 37 + i * 59) % 256]) * (w * h))
+                    for i in range(2 + doc_id % 3)
+                ]
+                rows.append((doc_id, encode_avi_mjpeg(frames, fps=10, width=w, height=h)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = docs.mapInPandas(
+        synth,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("payload", T.BinaryType()),
+            ]
+        ),
+    )
+    out = X_mm.mjpeg_frame_stats(media, every_n_frames=2)
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "width",
+        "height",
+        "channels",
+        F.round("mean_intensity", 6).alias("mean_intensity"),
+    )
+
+
+def _xs4_sql() -> str:
+    return (
+        "SELECT doc_id, CAST(t.idx AS INT) AS frame_idx,"
+        " CAST(8 * (1 + doc_id % 3) AS INT) AS width,"
+        " CAST(8 * (1 + doc_id % 2) AS INT) AS height,"
+        " CAST(1 AS INT) AS channels,"
+        " round(CAST((doc_id * 37 + t.idx * 59) % 256 AS DOUBLE) / 255.0, 6)"
+        "  AS mean_intensity"
+        " FROM documents, UNNEST([0, 2]) AS t(idx)"
+        " WHERE t.idx < 2 + doc_id % 3"
+    )
+
+
+_register("xs4_mjpeg_frame_pipeline", _xs4, _xs4_sql())
+
+
+_XS5_MAX_BUCKET = 2
+
+
+def _xs5(spark: SparkSession, sf: str) -> DataFrame:
+    """Guard-ON LSH candidate pairs (round-7 verdict item 8): the
+    mega-bucket star guard (dedup.lsh_candidate_pairs max_bucket_size) is
+    default-off for x02 oracle parity, so no other driver row exercises
+    guard-on semantics — yet the prune is deterministic, so an oracle can
+    replay it exactly: buckets with more than `max_bucket_size` members
+    emit a STAR (bucket-min id -> every other member, n-1 edges) instead
+    of the all-pairs enumeration. The cap here (2) is sized to the tiny
+    test corpora so oversized buckets actually exist at sf0.001/sf0.01
+    (max observed bucket = 4/3) and the star path is gate-covered; at
+    100 TB the same code runs with cap ~10_000. The md5/k=3/h16/b4
+    parameters match x02 exactly, so guard-on-vs-off is the ONLY
+    difference between this oracle and x02's."""
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5",
+        max_bucket_size=_XS5_MAX_BUCKET,
+    )
+
+
+def _xs5_sql() -> str:
+    # the x02 minhash->band pipeline fragments, then the guard replayed in
+    # SQL: per-bucket counts split small buckets (all-pairs) from oversized
+    # ones (star from the bucket-min id)
+    cap = _XS5_MAX_BUCKET
+    return (
+        f"WITH {_SHINGLE_SQL}, sig AS (SELECT id, {_X02_SIGS} FROM sh GROUP BY id),"
+        f" bands AS ({_X02_BANDS}),"
+        " bk AS (SELECT band, band_hash, count(*) AS n, min(id) AS min_id"
+        "  FROM bands GROUP BY 1, 2)"
+        " SELECT DISTINCT id_a, id_b FROM ("
+        "  SELECT a.id AS id_a, b.id AS id_b"
+        "  FROM bands a JOIN bands b USING (band, band_hash)"
+        f"  JOIN bk USING (band, band_hash) WHERE bk.n <= {cap} AND a.id < b.id"
+        "  UNION ALL"
+        "  SELECT bk.min_id AS id_a, b.id AS id_b"
+        "  FROM bands b JOIN bk USING (band, band_hash)"
+        f"  WHERE bk.n > {cap} AND b.id <> bk.min_id)"
+    )
+
+
+_register("xs5_guarded_lsh_pairs", _xs5, _xs5_sql())

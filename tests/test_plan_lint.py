@@ -32,6 +32,7 @@ _ALLOWED_PANDAS = {
     "x137_dhash_pipeline",      # PNG synth + perceptual-hash kernels (declared surface)
     "x138_gif_decode_pipeline", # GIF synth + LZW-decode kernels (declared surface)
     "x139_resize_pipeline",     # PNG synth + resize + decode chain (declared surface)
+    "xs4_mjpeg_frame_pipeline", # AVI synth + MJPEG frame decode (declared surface)
 }
 
 _PANDAS_MARKERS = (

@@ -432,3 +432,52 @@ def test_ann_hot_cell_rank1_closed_form(spark, tmp_path):
 
     build_wall, query_wall, hot_share = SA.run_once(spark, 2_000, str(tmp_path))
     assert hot_share >= 0.3  # the planted mega-cell exists
+
+
+def test_registered_guard_query_actually_fires(spark):
+    """xs5_guarded_lsh_pairs (registered r9) is only a guard-on gate if
+    oversized buckets EXIST at test scale: guard-on must emit strictly
+    fewer pairs than the exact x02 enumeration (stars replace all-pairs)
+    and never invent a pair outside the exact universe. If this breaks
+    after a fixture regeneration or shingle/hash parameter change, the
+    likely cause is that no bucket exceeds the cap any more — the assert
+    message carries the observed max bucket size so that case
+    self-diagnoses (ADVICE r8 item 3)."""
+    from presto_workload_analyzer_spark import driver_queries
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = read_table(spark, sf_dir + "/documents.parquet")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
+        ).collect()
+    }
+    guarded = {
+        (r.id_a, r.id_b)
+        for r in driver_queries._QUERIES["xs5_guarded_lsh_pairs"](
+            spark, sf_dir
+        ).collect()
+    }
+    cap = driver_queries._XS5_MAX_BUCKET
+    # strict subset <=> at least one bucket exceeded the cap AND the star
+    # pairs stayed inside the exact universe
+    assert guarded <= exact, sorted(guarded - exact)[:5]
+    if not guarded < exact:
+        sh = dedup.shingles(docs, "doc_id", "text", 3, distinct=False)
+        sig = dedup.minhash_signatures(sh, num_hashes=16, mode="md5")
+        bands = dedup.lsh_bands(sig, bands=4, rows_per_band=4, mode="md5")
+        max_bucket = (
+            bands.groupBy("band", "band_hash")
+            .count()
+            .agg(F.max("count").alias("mx"))
+            .collect()[0]["mx"]
+        )
+        raise AssertionError(
+            f"guard did not fire: guarded == exact ({len(exact)} pairs); "
+            f"max observed bucket size = {max_bucket}, cap = {cap} — the "
+            "corpus or shingle/hash parameters no longer produce an "
+            "oversized bucket at this SF"
+        )

@@ -1,6 +1,10 @@
 """The staged (not-yet-registered) queries must already pass the exact
 spark-vs-DuckDB comparison the local gate applies to registered ones, so
-their future registration is a move, not a debugging session."""
+their future registration is a move, not a debugging session.
+
+(When the staging module is empty between batches, the parametrized
+tests collect as skips — the harness stays in place for the next batch.)
+"""
 
 import os
 
@@ -40,8 +44,10 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(staged_queries.STAGED))
+@pytest.mark.parametrize("name", sorted(staged_queries.STAGED) or [None])
 def test_staged_query_matches_oracle_exactly(spark, con, name):
+    if name is None:
+        pytest.skip("staging module empty between batches")
     fn, sql = staged_queries.STAGED[name]
     sdf = _normalize(fn(spark, SF_DIR).toPandas())
     odf = _normalize(con.sql(sql).df())
@@ -50,34 +56,14 @@ def test_staged_query_matches_oracle_exactly(spark, con, name):
     pd.testing.assert_frame_equal(sdf, odf, check_exact=True)
 
 
-def test_xs5_guard_actually_fires(spark, con):
-    """xs5 is only a guard-on gate if oversized buckets EXIST at test
-    scale: guard-on must emit strictly fewer pairs than the exact x02
-    enumeration (stars replace all-pairs), and every guard-on pair must
-    be a subset member plus-or-minus nothing outside the x02 universe."""
-    fn, _ = staged_queries.STAGED["xs5_guarded_lsh_pairs"]
-    from presto_workload_analyzer_spark.extensions import dedup
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, SF_DIR + "/documents.parquet")
-    exact = {
-        (r.id_a, r.id_b)
-        for r in dedup.minhash_lsh_pairs(
-            docs, "doc_id", "text", k=3, num_hashes=16, bands=4, mode="md5"
-        ).collect()
-    }
-    guarded = {(r.id_a, r.id_b) for r in fn(spark, SF_DIR).collect()}
-    assert guarded < exact  # strict subset: the star prune fired
-
-
-@pytest.mark.parametrize("name", sorted(staged_queries.STAGED))
+@pytest.mark.parametrize("name", sorted(staged_queries.STAGED) or [None])
 def test_staged_query_plan_is_lintclean(spark, name):
     """Staged queries escape the registered plan lint until registration;
     apply its two core bans here so they arrive lint-clean: no
-    row-at-a-time Python eval, no CartesianProduct. (xs3's rank window is
-    source-grain — partitioned, so the unpartitioned-window lint's target
-    shape cannot occur; asserted by requiring every Window to carry a
-    partition spec in the plan's windowspecdefinition.)"""
+    row-at-a-time Python eval, no CartesianProduct; every Window must
+    carry a partition spec (group-grain, never a global sort)."""
+    if name is None:
+        pytest.skip("staging module empty between batches")
     fn, _ = staged_queries.STAGED[name]
     plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
