@@ -206,6 +206,54 @@ def test_every_query_has_an_oracle():
     assert set(dq._ORACLES) == set(dq._QUERIES)
 
 
+def test_window_composition_bounded(monkeypatch):
+    """ADVICE r8 item 2: the >= floors alone would let a scheduler bug
+    flood the window past the tier quotas and starve the latest tier.
+    Complement them with the composition invariants that DO hold as
+    equalities for any CORRECTNESS state:
+
+      * the window is exactly WINDOW names (when the registry is bigger);
+      * gate/never/expired/done partition the registry (disjoint, total);
+      * no latest-verified (done) name occupies a window slot while ANY
+        never-verified or expired name sits outside the window — the
+        freshest tier only ever receives RESIDUAL slots.
+
+    Asserted on the live artifact state and on two synthetic extremes
+    (all-never flood, all-expired flood)."""
+
+    def check():
+        names = list(dq.queries())
+        latest, ever = dq._verified_names()
+        window = names[:WINDOW]
+        assert len(window) == min(WINDOW, len(names))
+        gate = [n for n in dq._GATE if n in dq._QUERIES]
+        non_gate = [n for n in names if n not in gate]
+        never = {n for n in non_gate if n not in ever}
+        expired = {n for n in non_gate if n in ever and n not in latest}
+        done = {n for n in non_gate if n in latest}
+        # partition: disjoint and total
+        assert never | expired | done == set(non_gate)
+        assert not (never & expired or never & done or expired & done)
+        # upper bound on freshest-tier admission: a done name in the
+        # window implies every never/expired name is also in the window
+        outside = set(names[WINDOW:])
+        if (never | expired) & outside:
+            assert not (done & set(window))
+
+    check()  # live artifact state
+    # synthetic extreme 1: huge never tier (registration burst)
+    names = list(dq._QUERIES)
+    monkeypatch.setattr(dq, "_verified_names", lambda: (set(), {}))
+    check()
+    # synthetic extreme 2: everything expired (stale flood)
+    monkeypatch.setattr(
+        dq,
+        "_verified_names",
+        lambda: (set(dq._GATE), {n: 1 for n in names}),
+    )
+    check()
+
+
 def test_window_fills_with_expired_once_backlog_clears(monkeypatch):
     """When the never-verified tier empties (the round-8 state), the
     50-slot window must fill with gate + oldest-green names — the

@@ -117,7 +117,28 @@ def _stub_modules() -> dict[str, types.ModuleType]:
     }
 
 
+# The reference tree is UNTRUSTED public content, and exec_module grants it
+# arbitrary code execution inside the test process (ADVICE r8 item 1). Pin
+# each file to the sha256 recorded when this test was written: a tampered or
+# updated copy fails loudly here instead of silently executing. If the
+# reference is ever legitimately refreshed, re-record after reviewing the
+# diff.
+_REF_SHA256 = {
+    "extract.py": "d7b9b99965244373512622d6bb4e8b8442fa2f99418e922b6d87c312a1721682",
+    "analyze.py": "38e5d7ef3fdeaa90aba108f87350fe413b83dd1671905adaecbb98975f0e79b2",
+}
+
+
 def _load(path: str, name: str):
+    import hashlib
+    import os
+
+    base = os.path.basename(path)
+    digest = hashlib.sha256(open(path, "rb").read()).hexdigest()
+    assert digest == _REF_SHA256[base], (
+        f"{path} sha256 {digest} != recorded {_REF_SHA256[base]} — refusing "
+        "to exec an unreviewed reference copy (see comment above _REF_SHA256)"
+    )
     spec = importlib.util.spec_from_file_location(name, path)
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
