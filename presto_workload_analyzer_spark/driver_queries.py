@@ -10472,7 +10472,13 @@ _register("x146_privacy_release_chain", _x146, _x146_sql())
 # bans before this move; the code is verbatim from the staging module.
 
 
-_XS1_SEMDEDUP_THRESHOLD = 0.9
+# Calibrated to the synthetic corpus: the driver embeddings are
+# near-random (max within-cluster cosine 0.45/0.51 at sf0.001/sf0.1), so
+# the paper's 0.9 never fires and the gate would be trivially green —
+# pairs, CC and survivor-drop all unexercised. At 0.4 the gate hashes a
+# real dedup (5 pairs at sf0.001/sf0.01, 86 at sf0.1) through the full
+# chain. Production on real embeddings uses the paper's high thresholds.
+_XS1_SEMDEDUP_THRESHOLD = 0.4
 
 
 def _xs1(spark: SparkSession, sf: str) -> DataFrame:
@@ -10488,7 +10494,8 @@ def _xs1(spark: SparkSession, sf: str) -> DataFrame:
 
     emb = read_table(spark, f"{sf}/embeddings.parquet")
     kept = dedup.semantic_dedup(
-        emb, "vec_id", "embedding", "label", threshold=_XS1_SEMDEDUP_THRESHOLD
+        emb, "vec_id", "embedding", "label",
+        threshold=_XS1_SEMDEDUP_THRESHOLD, impl="blas",
     )
     return kept.select("vec_id")
 

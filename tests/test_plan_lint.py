@@ -33,6 +33,8 @@ _ALLOWED_PANDAS = {
     "x138_gif_decode_pipeline", # GIF synth + LZW-decode kernels (declared surface)
     "x139_resize_pipeline",     # PNG synth + resize + decode chain (declared surface)
     "xs4_mjpeg_frame_pipeline", # AVI synth + MJPEG frame decode (declared surface)
+    "xs1_semantic_dedup",       # per-cluster Gram-matmul cosine (declared surface,
+                                # same class as x19's BLAS path; expr twin tested)
 }
 
 _PANDAS_MARKERS = (
