@@ -10484,8 +10484,10 @@ _XS1_SEMDEDUP_THRESHOLD = 0.4
 def _xs1(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup survivors (Abbas et al. 2023, arXiv:2303.09540): exact
     cosine pairs scoped WITHIN each embedding cluster (the `label` column
-    plays the k-means cluster id), connected components over the >=0.9
-    edges, keep the min-id exemplar per component. Cluster scoping is the
+    plays the k-means cluster id), connected components over the
+    >=threshold edges (threshold = _XS1_SEMDEDUP_THRESHOLD, calibrated
+    above — the paper's 0.9 never fires on this synthetic corpus), keep
+    the min-id exemplar per component. Cluster scoping is the
     published trick that makes semantic dedup tractable at scale: the
     quadratic pair join runs per-cluster (bounded fan-out equi-join on
     label), never corpus-wide."""

@@ -1415,15 +1415,19 @@ def _cluster_pairs_blas(
             keep = (cos >= threshold) & (ids != ids[0])
             return pd.DataFrame(
                 {"id_a": ids[0], "id_b": ids[keep], "cosine": cos[keep]}
-            )
+            ).drop_duplicates()
         G = V @ V.T
         d = np.sqrt(np.diag(G))
         ia, ib = np.triu_indices(n, k=1)
         cos = G[ia, ib] / (d[ia] * d[ib])
-        keep = cos >= threshold
+        # ids[ia] != ids[ib] + drop_duplicates replay the expr path's
+        # id_a < id_b filter and .distinct() when the id column holds
+        # duplicate rows within a cluster (degenerate but allowed input:
+        # triu enumerates row positions, not distinct ids).
+        keep = (cos >= threshold) & (ids[ia] != ids[ib])
         return pd.DataFrame(
             {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[keep]}
-        )
+        ).drop_duplicates()
 
     schema = T.StructType(
         [
@@ -1452,7 +1456,7 @@ def cluster_scoped_cosine_pairs(
     cluster_col: str,
     threshold: float = 0.9,
     max_cluster_size: int | None = None,
-    impl: str = "expr",
+    impl: str = "blas",
 ) -> DataFrame:
     """Semantic-dedup candidate pairs: exact cosine WITHIN each cluster.
 
@@ -1471,7 +1475,10 @@ def cluster_scoped_cosine_pairs(
     family keeps full connectivity through the star root. Default None =
     exact enumeration within every cluster.
 
-    `impl` picks the physical strategy for the SAME logical result:
+    `impl` picks the physical strategy for the SAME logical result
+    (default "blas" — logical equivalence to "expr" is pinned by
+    test_cluster_pairs_blas_matches_expr, and the measured gap makes
+    "expr" a 473 s foot-gun at realistic cluster sizes; see SCALE.md):
       * "expr" — pair equi-join on the cluster key + per-pair Column
         cosine. In-order fold, the oracle-exact baseline; per-pair cost
         is an interpreted higher-order function, so wall is quadratic in
@@ -1548,7 +1555,7 @@ def semantic_dedup(
     cluster_col: str,
     threshold: float = 0.9,
     max_cluster_size: int | None = None,
-    impl: str = "expr",
+    impl: str = "blas",
 ) -> DataFrame:
     """SemDeDup survivor materialization: one exemplar per semantic-dup
     component (min-id canonical, this engine's survivor convention; the

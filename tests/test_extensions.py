@@ -2509,7 +2509,7 @@ def test_cluster_pairs_blas_matches_expr(spark):
     expr = {
         (r.id_a, r.id_b): r.cosine
         for r in dedup.cluster_scoped_cosine_pairs(
-            emb, "vec_id", "embedding", "label", threshold=0.4
+            emb, "vec_id", "embedding", "label", threshold=0.4, impl="expr"
         ).collect()
     }
     blas = {
@@ -2545,3 +2545,42 @@ def test_cluster_pairs_blas_matches_expr(spark):
         ).collect()
     }
     assert g_expr == g_blas
+
+
+def test_xs1_threshold_margin_on_corpus():
+    """xs1 runs impl='blas' (BLAS-summed cosine) against a DuckDB oracle
+    that folds in order; the gate compare only holds because no corpus
+    pair sits within fp-reorder distance of _XS1_SEMDEDUP_THRESHOLD. Pin
+    that: if a regenerated embeddings fixture lands a within-cluster pair
+    near the threshold, fail HERE with a self-diagnosing message instead
+    of a sporadic driver hash mismatch. Pure numpy — exhaustive over all
+    within-cluster pairs at both gate SFs."""
+    import numpy as np
+    import pandas as pd
+
+    from presto_workload_analyzer_spark.driver_queries import (
+        _XS1_SEMDEDUP_THRESHOLD as thr,
+    )
+
+    for sf in ("0.001", "0.01"):
+        pdf = pd.read_parquet(
+            f"/root/testdata/sf{sf}/embeddings.parquet",
+            columns=["embedding", "label"],
+        )
+        min_gap = np.inf
+        for _, grp in pdf.groupby("label"):
+            V = np.array(grp["embedding"].tolist(), dtype=np.float64)
+            if len(V) < 2:
+                continue
+            G = V @ V.T
+            d = np.sqrt(np.diag(G))
+            ia, ib = np.triu_indices(len(V), k=1)
+            cos = G[ia, ib] / (d[ia] * d[ib])
+            min_gap = min(min_gap, float(np.abs(cos - thr).min()))
+        assert min_gap > 1e-6, (
+            f"sf{sf}: a within-cluster pair's cosine sits {min_gap:.2e} from "
+            f"_XS1_SEMDEDUP_THRESHOLD={thr} — inside fp-reorder distance, so "
+            "the xs1 blas-vs-oracle gate can flip on summation order. "
+            "Recalibrate _XS1_SEMDEDUP_THRESHOLD away from the corpus pairs "
+            "(driver_queries.py) before trusting the driver gate."
+        )
