@@ -330,3 +330,142 @@ def dsir_log_weights(
         )
         .select(F.col("id").alias(id_col), F.round("log_w", 6).alias("log_w"), "n_tokens")
     )
+
+
+def unimax_mix(
+    per_source: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget: float,
+    epoch_cap: float = 1.0,
+) -> DataFrame:
+    """UniMax language/source sampling (Chung et al. 2023, public paper,
+    arXiv:2304.09151): distribute a total token budget as uniformly as
+    possible across sources, but never draw more than `epoch_cap` epochs
+    from any source. The paper's sequential greedy — walk sources by
+    ascending size; if a source's uniform share of the REMAINING budget
+    exceeds epoch_cap * its tokens, cap it and redistribute — has a
+    closed form because capping is monotone in the size order:
+
+        L_i = E * (t_i * (n - i + 1) + cum_{i-1})      (t sorted asc)
+
+    is nondecreasing in i, and source i is capped iff L_i < B. So one
+    threshold splits the sorted list: every source below it yields its
+    full E*t_i, everyone above gets the SAME uniform share
+    (B - E * sum(capped tokens)) / (n - n_capped), which monotonicity
+    guarantees is <= E*t for every uncapped source.
+
+    Input: a SOURCE-GRAIN table (one row per source with its token
+    count) — the caller pays the one corpus-grain aggregate; this
+    operator is pure arithmetic on #sources rows. Rank and prefix sums
+    come from a broadcast nested-loop self-join on the tiny table (the
+    lint-sanctioned pattern for bounds tables — no window, no global
+    sort), and the two global reductions fold in via broadcast 1-row
+    cross joins, so the plan stays shuffle-free above the input grain.
+
+    Output: (source, tokens_available, capped, tokens_allocated, epochs),
+    one row per source; sum(tokens_allocated) = min(B, E * total).
+    """
+    e = float(epoch_cap)
+    b = float(budget)
+    per = per_source.select(
+        F.col(source_col).alias("__src"),
+        F.col(tokens_col).cast("long").alias("__t"),
+    )
+    rhs = F.broadcast(
+        per.select(F.col("__src").alias("__src2"), F.col("__t").alias("__t2"))
+    )
+    # (t2, src2) <= (t, src) lexicographically: rank + inclusive prefix sum
+    ranked = (
+        per.join(
+            rhs,
+            (F.col("__t2") < F.col("__t"))
+            | ((F.col("__t2") == F.col("__t")) & (F.col("__src2") <= F.col("__src"))),
+        )
+        .groupBy("__src", "__t")
+        .agg(
+            F.count(F.lit(1)).alias("__rank"),
+            F.sum("__t2").alias("__cum_le"),
+        )
+    )
+    totals = per.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__tot")
+    )
+    flagged = ranked.crossJoin(F.broadcast(totals)).withColumn(
+        "capped",
+        F.lit(e)
+        * (
+            F.col("__t") * (F.col("__n") - F.col("__rank") + F.lit(1))
+            + (F.col("__cum_le") - F.col("__t"))
+        )
+        < F.lit(b),
+    )
+    cap_tot = flagged.agg(
+        F.sum(F.when(F.col("capped"), F.col("__t")).otherwise(F.lit(0))).alias("__ct"),
+        F.sum(F.col("capped").cast("long")).alias("__nc"),
+    )
+    share = (F.lit(b) - F.lit(e) * F.col("__ct")) / (F.col("__n") - F.col("__nc"))
+    alloc = F.when(F.col("capped"), F.lit(e) * F.col("__t")).otherwise(share)
+    return (
+        flagged.crossJoin(F.broadcast(cap_tot))
+        .select(
+            F.col("__src").alias(source_col),
+            F.col("__t").alias("tokens_available"),
+            "capped",
+            F.round(alloc + 1e-9, 6).alias("tokens_allocated"),
+            F.round(alloc / F.col("__t") + 1e-9, 6).alias("epochs"),
+        )
+    )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    id_col: str,
+    clusters: DataFrame,
+    m: int = 2,
+    mode: str = "md5",
+) -> DataFrame:
+    """Dedup-aware sampling: keep at most `m` deterministic
+    representatives per duplicate cluster (the near-dup components from
+    the minhash-LSH graph), singletons pass through untouched. The
+    pick order inside a cluster is the md5 hash of the id — the
+    consistent-sampling trick hash_sample uses: re-runs, other engines,
+    and corpus growth that doesn't touch a cluster all keep the same
+    representatives (a rand() or row-order pick keeps none of that).
+
+    `clusters` is an (id, cluster_id) membership table covering the
+    docs that appear in ANY dup pair (connected_components output);
+    rows of `df` absent from it are their own singleton cluster.
+
+    Scale shape: one left join at id grain, then a rank window
+    PARTITIONED by cluster_id — group-grain, bounded by the largest dup
+    family (the same grain every CC consumer already shuffles on), never
+    a global sort. Output: (id, cluster_id, cluster_size, pick_rank)
+    for the kept rows only.
+    """
+    ids = df.select(F.col(id_col).alias("__id"))
+    cl = clusters.select(
+        F.col("id").alias("__id"), F.col("cluster_id").alias("__cl")
+    )
+    full = ids.join(cl, "__id", "left").select(
+        "__id", F.coalesce("__cl", "__id").alias("__cl")
+    )
+    if mode == "md5":
+        key = F.md5(F.col("__id").cast("string"))
+    elif mode == "xxhash64":
+        key = F.xxhash64(F.col("__id").cast("string"))
+    else:
+        raise ValueError(f"unknown hash mode {mode!r}")
+    w = Window.partitionBy("__cl").orderBy(key.asc(), F.col("__id").asc())
+    wsz = Window.partitionBy("__cl")
+    return (
+        full.withColumn("pick_rank", F.row_number().over(w))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+        .filter(F.col("pick_rank") <= m)
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__cl").alias("cluster_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("pick_rank").cast("long").alias("pick_rank"),
+        )
+    )

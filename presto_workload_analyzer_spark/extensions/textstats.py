@@ -842,6 +842,118 @@ def bigram_logprob(
     )
 
 
+def heldout_bigram_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    holdout: Column,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Held-out negative log-likelihood under an interpolated bigram LM
+    fit on the REST of the corpus — the perplexity-filter scoring stage
+    (a quality heuristic every published pretraining pipeline ships some
+    form of: score candidate text under a reference LM, drop the
+    high-perplexity tail). bigram_logprob fits and scores on the SAME
+    corpus; this splits — rows where `holdout` is true are scored, all
+    other rows train the model — so the score is an honest generalization
+    number, not memorization.
+
+    Because held-out text contains words and bigrams the train corpus
+    never saw, the Jelinek-Mercer unigram floor alone is not finite;
+    the unigram term is add-1 smoothed over the train vocabulary with
+    one unseen slot:
+
+        p_uni(w)        = (c1(w) + 1) / (N + V + 1)
+        p(w | w_prev)   = lam * [c2/c_prev if c_prev > 0 else 0]
+                        + (1 - lam) * p_uni(w)
+
+    (c1, c2, c_prev, N = train counts; V = train vocabulary size).
+    First token of each held-out doc scores under p_uni alone — the
+    bigram_logprob convention.
+
+    Shuffle shape at 100 TB: identical to bigram_logprob — count tables
+    at vocabulary grain, held-out instances LEFT-join them on their keys
+    (unseen keys coalesce to 0), scalars (N, V) broadcast via a 1-row
+    cross join. Output: (id, n_scored, sum_nll) doc-grain UNROUNDED sums
+    so callers can aggregate to any grain before rounding.
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+
+    lower = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col).alias("id"), lower.alias("__toks"), holdout.alias("__ho")
+    )
+    train = base.filter(~F.col("__ho"))
+    held = base.filter(F.col("__ho"))
+
+    uni = (
+        train.select(F.explode("__toks").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    scal = uni.agg(
+        F.sum("c1").cast("double").alias("__n"),
+        F.count(F.lit(1)).cast("double").alias("__v"),
+    )
+    bi = (
+        train.select(
+            F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg")
+        )
+        .select(
+            F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+            F.split(F.col("bg"), " ", 2)[1].alias("w"),
+        )
+        .groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+
+    p_uni = (F.coalesce(F.col("c1"), F.lit(0)) + 1.0) / (
+        F.col("__n") + F.col("__v") + 1.0
+    )
+    bi_term = F.when(
+        F.coalesce(F.col("c_prev"), F.lit(0)) > 0,
+        F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("c_prev"),
+    ).otherwise(F.lit(0.0))
+
+    held_bi = held.select(
+        "id",
+        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+    ).select(
+        "id",
+        F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+        F.split(F.col("bg"), " ", 2)[1].alias("w"),
+    )
+    scored_bi = (
+        held_bi.join(bi, on=["w_prev", "w"], how="left")
+        .join(
+            uni.select(F.col("w").alias("w_prev"), F.col("c1").alias("c_prev")),
+            on="w_prev",
+            how="left",
+        )
+        .join(uni, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id", (-F.log(lam * bi_term + (1.0 - lam) * p_uni)).alias("nll")
+        )
+    )
+    first = (
+        held.select("id", F.col("__toks").getItem(0).alias("w"))
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .join(uni, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select("id", (-F.log(p_uni)).alias("nll"))
+    )
+    return (
+        scored_bi.unionByName(first)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("nll").alias("sum_nll"),
+        )
+    )
+
+
 def distinctive_terms(
     df: DataFrame, group_col: str, text_col: str, top: int = 5,
     round_to: int = 6,

@@ -11,13 +11,26 @@ driver_queries._register — a move, not a debugging session.
 
 Rounds 7-8 staged xs1-xs5 (SemDeDup, DSIR weights, DSIR mix, MJPEG frame
 pipeline, guard-ON LSH); round 9 registered them (driver_queries.py, the
-"Round-9 unfreeze" section). This module now stages the xs6+ batch.
+"Round-9 unfreeze" section). This module stages the xs6+ batch (round-9
+verdict item 2) — the remaining published data-mixing / quality-filter
+methods:
+
+  * xs6_unimax_mix          — UniMax epoch-capped uniform source mixing
+                              (Chung et al. 2023) as an exact closed-form
+                              planner op beside x95's rate planner.
+  * xs7_heldout_perplexity  — per-source held-out perplexity under an
+                              interpolated bigram LM fit on the Rest of
+                              the corpus (the perplexity-filter scoring
+                              stage; extends x63's Jelinek-Mercer).
+  * xs8_cluster_balanced_sample — dedup-aware sampling: at most m
+                              deterministic (md5-pick) representatives
+                              per x14 duplicate cluster, singletons pass.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
   * if the plan uses a declared Arrow surface (mapInPandas etc.), add the
-    name to tests/test_plan_lint._ALLOWED_PANDAS — pure Column/join plans
-    need no exemption;
+    name to tests/test_plan_lint._ALLOWED_PANDAS — all three queries here
+    are pure Column/join/window plans and need no exemption;
   * column names aliased identically on both sides, integer aggregates
     cast to BIGINT, floats rounded to 6 after scaling, no
     HUGEINT/DECIMAL/UHUGEINT anywhere in the oracle's DESCRIBE.
@@ -25,6 +38,203 @@ Registration checklist for each entry:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: F401
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
-STAGED: dict[str, tuple] = {}
+# Calibrated to the synthetic corpus: per-source token totals sit at
+# 1.1-1.7k per source at the gate SFs (20 sources, ~27k total tokens), so
+# with epoch cap 1.0 a 26k budget splits the sorted source list mid-range
+# — 7 capped / 13 uniform at sf0.001, 9/11 at sf0.01 — exercising BOTH
+# branches of the closed form (min |L_i - B| >= 18 tokens, and every L_i
+# is an exact integer in double, so the strict < threshold can't flip).
+# At sf0.1 sources are ~10x bigger and nothing caps: pure uniform split.
+_XS6_BUDGET = 26_000.0
+_XS6_EPOCH_CAP = 1.0
+
+
+def xs6_unimax_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """UniMax source mixing (Chung et al. 2023, arXiv:2304.09151): spread
+    a total token budget as uniformly as possible over sources, capped at
+    `epoch_cap` epochs per source — the fairness-motivated alternative to
+    temperature sampling, and the allocation step beside x95's rate
+    planner. The greedy walk has a closed form (capping is monotone in
+    the source-size order — sampling.unimax_mix docstring derives it), so
+    the whole op is ONE corpus-grain token aggregate followed by
+    arithmetic on #sources rows (broadcast self-join for rank/prefix sum,
+    1-row broadcast cross joins for the scalars — no window, no global
+    sort)."""
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    per = docs.groupBy("source").agg(
+        F.sum(textstats.token_count("text").cast("long")).alias("__tok")
+    )
+    return sampling.unimax_mix(
+        per, "source", "__tok", budget=_XS6_BUDGET, epoch_cap=_XS6_EPOCH_CAP
+    )
+
+
+def xs6_sql() -> str:
+    b, e = _XS6_BUDGET, _XS6_EPOCH_CAP
+    return (
+        "WITH per AS (SELECT source,"
+        "   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t"
+        "  FROM documents GROUP BY 1),"
+        " r AS (SELECT source, t,"
+        "   CAST(count(*) OVER (ORDER BY t, source) AS BIGINT) AS rnk,"
+        "   CAST(sum(t) OVER (ORDER BY t, source) AS BIGINT) AS cum_le,"
+        "   CAST(count(*) OVER () AS BIGINT) AS n"
+        "  FROM per),"
+        f" c AS (SELECT *, {e!r} * (t * (n - rnk + 1) + (cum_le - t)) < {b!r}"
+        "    AS capped FROM r),"
+        " g AS (SELECT CAST(sum(CASE WHEN capped THEN t ELSE 0 END) AS BIGINT)"
+        "    AS ct,"
+        "   CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS nc"
+        "  FROM c)"
+        " SELECT source, t AS tokens_available, capped,"
+        f"  round(CASE WHEN capped THEN {e!r} * t"
+        f"   ELSE ({b!r} - {e!r} * ct) / (n - nc) END + 1e-9, 6)"
+        "   AS tokens_allocated,"
+        f"  round((CASE WHEN capped THEN {e!r} * t"
+        f"   ELSE ({b!r} - {e!r} * ct) / (n - nc) END) / t + 1e-9, 6) AS epochs"
+        " FROM c, g"
+    )
+
+
+# 20% deterministic held-out slice; lam mirrors x63's Jelinek-Mercer mix.
+_XS7_LAM = 0.7
+
+
+def xs7_heldout_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source held-out perplexity under an interpolated bigram LM fit
+    on the TRAIN slice only (textstats.heldout_bigram_nll) — the scoring
+    stage of a perplexity quality filter: fit a reference LM, score
+    candidate text, drop the high-perplexity tail. Extends x63 (which
+    fits and scores on the same corpus) with an honest train/held-out
+    split (doc_id % 5 = 0 held out) and add-1 OOV flooring, then rolls
+    the doc-grain sums up to source grain — the grain a mixing decision
+    reads. Count tables at vocabulary grain, unseen keys LEFT-join to 0,
+    scalars broadcast: x63's exact shuffle shape."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    nll = textstats.heldout_bigram_nll(
+        docs, "doc_id", "text", holdout=F.col("doc_id") % 5 == 0, lam=_XS7_LAM
+    )
+    src = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    return (
+        nll.join(src, "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_scored").cast("long").alias("n_tokens"),
+            (F.sum("sum_nll") / F.sum("n_scored")).alias("__avg"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("__avg") + 1e-9, 6).alias("avg_nll"),
+            F.round(F.exp(F.col("__avg")) + 1e-9, 6).alias("ppl"),
+        )
+    )
+
+
+def xs7_sql() -> str:
+    lam = _XS7_LAM
+    return (
+        "WITH base AS (SELECT doc_id AS id, source, (doc_id % 5 = 0) AS ho,"
+        "   list_transform(string_split_regex(trim(text), '\\s+'),"
+        "    t -> lower(t)) AS toks"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " tr AS (SELECT * FROM base WHERE NOT ho),"
+        " hd AS (SELECT * FROM base WHERE ho),"
+        " uni AS (SELECT w, count(*) AS c1 FROM ("
+        "   SELECT unnest(toks) AS w FROM tr) u WHERE w <> '' GROUP BY 1),"
+        " scal AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,"
+        "   CAST(count(*) AS DOUBLE) AS v FROM uni),"
+        " bi AS (SELECT w_prev, w, count(*) AS c2 FROM ("
+        "   SELECT toks[i] AS w_prev, toks[i+1] AS w"
+        "   FROM tr, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
+        "   WHERE len(toks) >= 2) b GROUP BY 1, 2),"
+        " bh AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
+        "  FROM hd, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
+        "  WHERE len(toks) >= 2),"
+        f" sb AS (SELECT id, -ln({lam!r} * (CASE WHEN coalesce(cp.c1, 0) > 0"
+        "     THEN CAST(coalesce(b.c2, 0) AS DOUBLE) / cp.c1 ELSE 0.0 END)"
+        f"   + {1.0 - lam!r} * (coalesce(u.c1, 0) + 1.0) / (n + v + 1.0)) AS nll"
+        "  FROM bh LEFT JOIN bi b USING (w_prev, w)"
+        "   LEFT JOIN uni cp ON cp.w = bh.w_prev"
+        "   LEFT JOIN uni u ON u.w = bh.w, scal),"
+        " fst AS (SELECT id, -ln((coalesce(c1, 0) + 1.0) / (n + v + 1.0)) AS nll"
+        "  FROM (SELECT id, toks[1] AS w FROM hd"
+        "    WHERE len(toks) >= 1 AND toks[1] <> '') f"
+        "   LEFT JOIN uni USING (w), scal),"
+        " perdoc AS (SELECT id, count(*) AS ns, sum(nll) AS snll"
+        "  FROM (SELECT * FROM sb UNION ALL SELECT * FROM fst) a GROUP BY 1)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(ns) AS BIGINT) AS n_tokens,"
+        "  round(sum(snll) / sum(ns) + 1e-9, 6) AS avg_nll,"
+        "  round(exp(sum(snll) / sum(ns)) + 1e-9, 6) AS ppl"
+        " FROM perdoc JOIN (SELECT id, source FROM hd) s USING (id)"
+        " GROUP BY 1"
+    )
+
+
+_XS8_M = 2
+
+
+def xs8_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Dedup-aware (cluster-balanced) sampling over x14's duplicate
+    clusters: keep at most m=2 md5-deterministic representatives per
+    connected component of the minhash-LSH dup graph, singletons pass
+    through — the mixing step that stops a viral template family from
+    dominating a sampled corpus while still representing it
+    (sampling.cluster_balanced_sample). Consumes the shared dedup-CC
+    silver, so the pair pipeline is paid once per session across all
+    clustering consumers; the pick window is PARTITIONED by cluster —
+    group grain, bounded by the largest dup family."""
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.driver_queries import (
+        shared_dedup_clusters,
+    )
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    cc = shared_dedup_clusters(spark, sf)
+    return sampling.cluster_balanced_sample(docs, "doc_id", cc, m=_XS8_M).select(
+        "doc_id", "cluster_id", "cluster_size", "pick_rank"
+    )
+
+
+def xs8_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import (
+        _X02_BANDS,
+        _X14_CC_SQL,
+    )
+
+    return (
+        _X14_CC_SQL.format(bands=_X02_BANDS)
+        + ", funi AS (SELECT doc_id AS fid,"
+        "   coalesce(cc.cluster_id, doc_id) AS cluster_id"
+        "  FROM documents LEFT JOIN cc ON cc.id = documents.doc_id),"
+        " rr AS (SELECT fid, cluster_id,"
+        "   CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)"
+        "    AS cluster_size,"
+        "   CAST(row_number() OVER (PARTITION BY cluster_id"
+        "    ORDER BY md5(CAST(fid AS VARCHAR)), fid) AS BIGINT) AS pick_rank"
+        "  FROM funi)"
+        " SELECT fid AS doc_id, cluster_id, cluster_size, pick_rank"
+        f" FROM rr WHERE pick_rank <= {_XS8_M}"
+    )
+
+
+STAGED: dict[str, tuple] = {
+    "xs6_unimax_mix": (xs6_unimax_mix, xs6_sql()),
+    "xs7_heldout_perplexity": (xs7_heldout_perplexity, xs7_sql()),
+    "xs8_cluster_balanced_sample": (xs8_cluster_balanced_sample, xs8_sql()),
+}

@@ -2584,3 +2584,115 @@ def test_xs1_threshold_margin_on_corpus():
             "Recalibrate _XS1_SEMDEDUP_THRESHOLD away from the corpus pairs "
             "(driver_queries.py) before trusting the driver gate."
         )
+
+
+def test_unimax_mix_hand_computed(spark):
+    """Closed form vs a hand-walked greedy: sizes (10, 100, 1000), B=330,
+    E=2 — the small source caps at 2 epochs (20 tokens), the remaining
+    310 splits evenly (155 each, feasible under both caps)."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    per = spark.createDataFrame(
+        [R(source="s", t=10), R(source="m", t=100), R(source="l", t=1000)]
+    )
+    out = {
+        r.source: r
+        for r in sampling.unimax_mix(
+            per, "source", "t", budget=330.0, epoch_cap=2.0
+        ).collect()
+    }
+    assert out["s"].capped and not out["m"].capped and not out["l"].capped
+    assert abs(out["s"].tokens_allocated - 20.0) < 1e-6
+    assert abs(out["m"].tokens_allocated - 155.0) < 1e-6
+    assert abs(out["l"].tokens_allocated - 155.0) < 1e-6
+    assert abs(out["s"].epochs - 2.0) < 1e-6
+    assert abs(out["m"].epochs - 1.55) < 1e-6
+    assert abs(out["l"].epochs - 0.155) < 1e-6
+
+
+def test_unimax_mix_matches_sequential_greedy(spark):
+    """The closed form IS the paper's sequential greedy: walk sources by
+    ascending size, cap any source whose uniform share of the remaining
+    budget exceeds E*t, redistribute — property-checked on an adversarial
+    size vector (ties, a giant, several cappable smalls)."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    sizes = {"a": 5, "b": 5, "c": 7, "d": 50, "e": 300, "f": 300, "g": 4000}
+    B, E = 900.0, 1.5
+
+    # reference greedy (driver-side, test-only)
+    order = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    remaining, left, alloc = B, len(order), {}
+    for src, t in order:
+        share = remaining / left
+        if E * t < share:
+            alloc[src] = E * t
+        else:
+            alloc[src] = share
+        remaining -= alloc[src]
+        left -= 1
+
+    per = spark.createDataFrame([R(source=k, t=v) for k, v in sizes.items()])
+    out = {
+        r.source: r
+        for r in sampling.unimax_mix(
+            per, "source", "t", budget=B, epoch_cap=E
+        ).collect()
+    }
+    assert set(out) == set(alloc)
+    for src, want in alloc.items():
+        assert abs(out[src].tokens_allocated - want) < 1e-6, (src, want, out[src])
+    assert abs(sum(r.tokens_allocated for r in out.values()) - B) < 1e-6
+
+
+def test_heldout_bigram_nll_hand_computed(spark):
+    """Train 'a b a', held-out 'a b c': N=3, V=2 —
+    first 'a': p = 3/6; (a,b): 0.7*(1/2) + 0.3*(2/6) = 0.45;
+    (b,c) unseen bigram, OOV 'c': 0.7*0 + 0.3*(1/6) = 0.05."""
+    import math
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    df = spark.createDataFrame(
+        [R(doc_id=1, text="a b a"), R(doc_id=2, text="a b c")]
+    )
+    rows = textstats.heldout_bigram_nll(
+        df, "doc_id", "text", holdout=F.col("doc_id") == 2, lam=0.7
+    ).collect()
+    assert len(rows) == 1 and rows[0].id == 2
+    want = -(math.log(0.5) + math.log(0.45) + math.log(0.05))
+    assert rows[0].n_scored == 3
+    assert abs(rows[0].sum_nll - want) < 1e-9
+
+
+def test_cluster_balanced_sample_hand_computed(spark):
+    """A 3-member cluster keeps its 2 lowest-md5 members at ranks 1-2
+    with size 3; singletons keep themselves at rank 1 size 1."""
+    import hashlib
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    docs = spark.createDataFrame([R(doc_id=i) for i in (1, 2, 3, 10)])
+    cc = spark.createDataFrame(
+        [R(id=1, cluster_id=1), R(id=2, cluster_id=1), R(id=3, cluster_id=1)]
+    )
+    out = sampling.cluster_balanced_sample(docs, "doc_id", cc, m=2).collect()
+    by_cl = {}
+    for r in out:
+        by_cl.setdefault(r.cluster_id, []).append(r)
+    assert {r.doc_id for r in by_cl[10]} == {10}
+    assert by_cl[10][0].cluster_size == 1 and by_cl[10][0].pick_rank == 1
+    kept = sorted(by_cl[1], key=lambda r: r.pick_rank)
+    assert len(kept) == 2 and all(r.cluster_size == 3 for r in kept)
+    want = sorted(
+        (1, 2, 3), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
+    )[:2]
+    assert [r.doc_id for r in kept] == want
