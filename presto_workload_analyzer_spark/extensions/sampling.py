@@ -469,3 +469,42 @@ def cluster_balanced_sample(
             F.col("pick_rank").cast("long").alias("pick_rank"),
         )
     )
+
+
+def temperature_mix(
+    per_source: DataFrame,
+    source_col: str,
+    tokens_col: str,
+    budget: float,
+    temperature: float = 3.0,
+) -> DataFrame:
+    """Temperature-based source sampling — the standard pre-UniMax mixing
+    strategy (multilingual pretraining recipes sample language l with
+    p_l ∝ n_l^(1/T)): T=1 is proportional-to-size, larger T flattens
+    toward uniform, boosting low-resource sources at the cost of
+    repeating them (no epoch cap — that failure mode is exactly what
+    `unimax_mix` fixes; ship both and let the mixing decision compare).
+
+    Input/output grain matches unimax_mix: a source-grain token table in,
+    (source, tokens_available, weight, tokens_allocated, epochs) out.
+    The normalizer sum(t^(1/T)) folds in via a 1-row broadcast cross
+    join; everything is arithmetic on #sources rows.
+    """
+    b = float(budget)
+    inv_t = 1.0 / float(temperature)
+    per = per_source.select(
+        F.col(source_col).alias("__src"),
+        F.col(tokens_col).cast("long").alias("__t"),
+    ).withColumn("__pw", F.pow(F.col("__t"), F.lit(inv_t)))
+    z = per.agg(F.sum("__pw").alias("__z"))
+    w = F.col("__pw") / F.col("__z")
+    return (
+        per.crossJoin(F.broadcast(z))
+        .select(
+            F.col("__src").alias(source_col),
+            F.col("__t").alias("tokens_available"),
+            F.round(w + 1e-9, 6).alias("weight"),
+            F.round(F.lit(b) * w + 1e-9, 6).alias("tokens_allocated"),
+            F.round(F.lit(b) * w / F.col("__t") + 1e-9, 6).alias("epochs"),
+        )
+    )

@@ -25,6 +25,10 @@ methods:
   * xs8_cluster_balanced_sample — dedup-aware sampling: at most m
                               deterministic (md5-pick) representatives
                               per x14 duplicate cluster, singletons pass.
+  * xs9_temperature_mix     — temperature-based source sampling
+                              (w_s ∝ tokens^(1/T)), the strategy UniMax
+                              was published against; completes the
+                              mixing trio beside x95 and xs6.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -185,6 +189,54 @@ def xs7_sql() -> str:
     )
 
 
+# T=3 sits in the published multilingual-mixing range (T in [1, 5]);
+# 1/T = 1/3 keeps the exponent exactly representable-by-division on both
+# engines (the round-6 armor absorbs libm pow ulp either way).
+_XS9_TEMPERATURE = 3.0
+_XS9_BUDGET = 26_000.0
+
+
+def xs9_temperature_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source sampling — the standard alternative UniMax
+    (xs6) was published against: sampling weight w_s ∝ tokens_s^(1/T),
+    T>1 flattens the source distribution toward uniform without UniMax's
+    hard epoch cap (T=1 is proportional, T→∞ is uniform). The third
+    mixing strategy beside x95's rate planner and xs6 — together they
+    cover the source-mixing design space every published pretraining
+    recipe picks from. One corpus-grain token aggregate; the power-law
+    normalization folds in via a 1-row broadcast cross join (source-grain
+    arithmetic, no window, no sort)."""
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    per = docs.groupBy("source").agg(
+        F.sum(textstats.token_count("text").cast("long")).alias("__tok")
+    )
+    return sampling.temperature_mix(
+        per, "source", "__tok",
+        budget=_XS9_BUDGET, temperature=_XS9_TEMPERATURE,
+    )
+
+
+def xs9_sql() -> str:
+    b, t = _XS9_BUDGET, _XS9_TEMPERATURE
+    return (
+        "WITH per AS (SELECT source,"
+        "   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+        "    AS tok"
+        "  FROM documents GROUP BY 1),"
+        f" p AS (SELECT source, tok, power(tok, 1.0 / {t!r}) AS pw FROM per),"
+        " z AS (SELECT sum(pw) AS zt FROM p)"
+        " SELECT source, tok AS tokens_available,"
+        "  round(pw / zt + 1e-9, 6) AS weight,"
+        f"  round({b!r} * pw / zt + 1e-9, 6) AS tokens_allocated,"
+        f"  round({b!r} * pw / zt / tok + 1e-9, 6) AS epochs"
+        " FROM p, z"
+    )
+
+
 _XS8_M = 2
 
 
@@ -237,4 +289,5 @@ STAGED: dict[str, tuple] = {
     "xs6_unimax_mix": (xs6_unimax_mix, xs6_sql()),
     "xs7_heldout_perplexity": (xs7_heldout_perplexity, xs7_sql()),
     "xs8_cluster_balanced_sample": (xs8_cluster_balanced_sample, xs8_sql()),
+    "xs9_temperature_mix": (xs9_temperature_mix, xs9_sql()),
 }

@@ -2696,3 +2696,29 @@ def test_cluster_balanced_sample_hand_computed(spark):
         (1, 2, 3), key=lambda i: hashlib.md5(str(i).encode()).hexdigest()
     )[:2]
     assert [r.doc_id for r in kept] == want
+
+
+def test_temperature_mix_hand_computed(spark):
+    """Cube sizes (1, 8, 27) at T=3: cube roots 1/2/3, Z=6 — weights
+    1/6, 1/3, 1/2; budget 600 allocates 100/200/300."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    per = spark.createDataFrame(
+        [R(source="a", t=1), R(source="b", t=8), R(source="c", t=27)]
+    )
+    out = {
+        r.source: r
+        for r in sampling.temperature_mix(
+            per, "source", "t", budget=600.0, temperature=3.0
+        ).collect()
+    }
+    for src, w, alloc, ep in (
+        ("a", 1 / 6, 100.0, 100.0),
+        ("b", 1 / 3, 200.0, 25.0),
+        ("c", 1 / 2, 300.0, 300.0 / 27),
+    ):
+        assert abs(out[src].weight - round(w, 6)) < 2e-6, src
+        assert abs(out[src].tokens_allocated - alloc) < 2e-6, src
+        assert abs(out[src].epochs - ep) < 2e-6, src
