@@ -7,6 +7,8 @@ deterministic and has an exact ANSI-SQL twin for the DuckDB oracle.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # tiny per-language marker lists for the n-gram/stopword heuristic
@@ -612,6 +614,119 @@ def quality_logit(text: Column | str) -> Column:
         + F.lit(w["mean_tok_len"]) * mean_token_length(col)
     )
     return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+# The Gopher rule set's eight required stopwords (Rae et al. 2021,
+# Table A1: "contains at least two of the following English words").
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+# Bullet glyphs for the line-start rule; the paper says "bullet point",
+# implementations conventionally include the ASCII list markers.
+GOPHER_BULLETS = ("•", "‣", "▶", "-", "*")
+
+
+def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The Gopher document-quality RULE SET (Rae et al. 2021, public
+    paper, Table A1) — the published hard-filter battery beside this
+    engine's weighted score (quality_score) and logistic head
+    (quality_logit). One row per document with every rule's measured
+    value, its boolean flag, and the conjunction:
+
+      * 50 <= word count <= 100,000
+      * 3 <= mean word length <= 10
+      * symbol-to-word ratio ('#' and '...' occurrences / words) <= 0.1
+      * <= 90% of lines start with a bullet glyph
+      * <= 30% of lines end with an ellipsis
+      * >= 80% of words contain at least one alphabetic character
+      * contains >= 2 distinct words from the paper's 8-stopword list
+
+    Rule flags compare the ROUNDED measured value (the x43 convention)
+    so a boundary document cannot flip across engines on last-ulp
+    division drift — though every ratio here is a ratio of small exact
+    integers, identical in IEEE double on any engine.
+
+    Pure Column expressions over the token/line arrays (no explode, no
+    join, no UDF): runs inside whole-stage codegen at scan speed,
+    trivially parallel at any corpus size.
+    """
+    txt = F.col(text_col)
+    toks = tokens(text_col)
+    n_words = F.size(toks)
+    mean_len = (
+        F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t)).cast(
+            "double"
+        )
+        / n_words
+    )
+    n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
+    n_ellipsis = F.size(F.split(txt, r"\.\.\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    lines = F.split(txt, "\n", -1)
+    n_lines = F.size(lines)
+    bullet_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: functools.reduce(
+                    lambda a, b: a | b,
+                    [F.trim(ln).startswith(g) for g in GOPHER_BULLETS],
+                ),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    ellipsis_frac = (
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.trim(ln).endswith("...")
+                | F.trim(ln).endswith("…"),
+            )
+        ).cast("double")
+        / n_lines
+    )
+    alpha_frac = (
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))).cast("double")
+        / n_words
+    )
+    n_stop = functools.reduce(
+        lambda a, b: a + b,
+        [
+            F.array_contains(
+                F.transform(toks, lambda t: F.lower(t)), w
+            ).cast("int")
+            for w in GOPHER_STOPWORDS
+        ],
+    )
+
+    r6 = lambda c: F.round(c + 1e-9, 6)  # noqa: E731
+    mean_len_r = r6(mean_len)
+    symbol_r = r6(symbol_ratio)
+    bullet_r = r6(bullet_frac)
+    ellipsis_r = r6(ellipsis_frac)
+    alpha_r = r6(alpha_frac)
+    flags = {
+        "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
+        "ok_mean_word_len": (mean_len_r >= 3.0) & (mean_len_r <= 10.0),
+        "ok_symbol_ratio": symbol_r <= 0.1,
+        "ok_bullets": bullet_r <= 0.9,
+        "ok_ellipsis": ellipsis_r <= 0.3,
+        "ok_alpha_words": alpha_r >= 0.8,
+        "ok_stopwords": n_stop >= 2,
+    }
+    keep = functools.reduce(lambda a, b: a & b, flags.values())
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        mean_len_r.alias("mean_word_len"),
+        symbol_r.alias("symbol_ratio"),
+        bullet_r.alias("bullet_frac"),
+        ellipsis_r.alias("ellipsis_frac"),
+        alpha_r.alias("alpha_word_frac"),
+        n_stop.cast("long").alias("n_stopwords"),
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
 
 
 def pmi_collocations(

@@ -29,6 +29,10 @@ methods:
                               (w_s ∝ tokens^(1/T)), the strategy UniMax
                               was published against; completes the
                               mixing trio beside x95 and xs6.
+  * xs10_gopher_rules       — the Gopher hard-filter rule battery
+                              (Rae et al. 2021 Table A1): per-doc rule
+                              values + flags + keep conjunction; the
+                              third quality-filter shape beside x08/x43.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -285,9 +289,80 @@ def xs8_sql() -> str:
     )
 
 
+def xs10_gopher_rules(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher hard-filter rule battery (Rae et al. 2021, Table A1)
+    over the documents corpus — the third published quality-filter SHAPE
+    beside x08's weighted score and x43's logistic head: per document,
+    every rule's measured value, its boolean flag, and the conjunction.
+    On this synthetic corpus the discriminating rules are word count
+    (docs span 10-99 tokens across the 50 boundary) and the 8-stopword
+    requirement; the symbol/bullet/ellipsis/alpha rules hold uniformly
+    (single-line, punctuation-free text) but are computed faithfully.
+    Pure Column expressions — whole-stage codegen, no explode/join."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    return textstats.gopher_rules(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def xs10_sql() -> str:
+    bullets = " OR ".join(
+        f"starts_with(trim(l), '{g}')" for g in ("•", "‣", "▶", "-", "*")
+    )
+    stops = " + ".join(
+        f"CAST(list_contains(lt, '{w}') AS INT)"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    return (
+        "WITH base AS (SELECT doc_id, text,"
+        "   string_split_regex(trim(text), '\\s+') AS toks,"
+        "   string_split(text, chr(10)) AS lines,"
+        "   list_transform(string_split_regex(trim(text), '\\s+'),"
+        "    t -> lower(t)) AS lt"
+        "  FROM documents),"
+        " m AS (SELECT doc_id,"
+        "   CAST(len(toks) AS BIGINT) AS n_words,"
+        "   round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)"
+        "    / len(toks) + 1e-9, 6) AS mean_word_len,"
+        "   round(CAST((len(text) - len(replace(text, '#', '')))"
+        "    + (len(string_split(text, '...')) - 1) AS DOUBLE)"
+        "    / len(toks) + 1e-9, 6) AS symbol_ratio,"
+        f"   round(CAST(len(list_filter(lines, l -> {bullets})) AS DOUBLE)"
+        "    / len(lines) + 1e-9, 6) AS bullet_frac,"
+        "   round(CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')"
+        "    OR ends_with(trim(l), '…'))) AS DOUBLE)"
+        "    / len(lines) + 1e-9, 6) AS ellipsis_frac,"
+        "   round(CAST(len(list_filter(toks,"
+        "    t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE)"
+        "    / len(toks) + 1e-9, 6) AS alpha_word_frac,"
+        f"   CAST({stops} AS BIGINT) AS n_stopwords"
+        "  FROM base)"
+        " SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,"
+        "  ellipsis_frac, alpha_word_frac, n_stopwords,"
+        "  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,"
+        "  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)"
+        "   AS ok_mean_word_len,"
+        "  (symbol_ratio <= 0.1) AS ok_symbol_ratio,"
+        "  (bullet_frac <= 0.9) AS ok_bullets,"
+        "  (ellipsis_frac <= 0.3) AS ok_ellipsis,"
+        "  (alpha_word_frac >= 0.8) AS ok_alpha_words,"
+        "  (n_stopwords >= 2) AS ok_stopwords,"
+        "  (n_words >= 50 AND n_words <= 100000"
+        "   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0"
+        "   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9"
+        "   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8"
+        "   AND n_stopwords >= 2) AS keep"
+        " FROM m"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs6_unimax_mix": (xs6_unimax_mix, xs6_sql()),
     "xs7_heldout_perplexity": (xs7_heldout_perplexity, xs7_sql()),
     "xs8_cluster_balanced_sample": (xs8_cluster_balanced_sample, xs8_sql()),
     "xs9_temperature_mix": (xs9_temperature_mix, xs9_sql()),
+    "xs10_gopher_rules": (xs10_gopher_rules, xs10_sql()),
 }

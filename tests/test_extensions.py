@@ -2722,3 +2722,42 @@ def test_temperature_mix_hand_computed(spark):
         assert abs(out[src].weight - round(w, 6)) < 2e-6, src
         assert abs(out[src].tokens_allocated - alloc) < 2e-6, src
         assert abs(out[src].epochs - ep) < 2e-6, src
+
+
+def test_gopher_rules_hand_computed(spark):
+    """Each Gopher rule exercised by a purpose-built document — the
+    synthetic corpus only discriminates on word count and stopwords, so
+    the bullet/ellipsis/symbol/alpha rules are pinned here."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    good = "the cat sat with all of them " * 8  # 56 words, 2+ stopwords
+    bullets = "\n".join(["- item one here", "* item two here", "• third"])
+    ellipsis = "first line...\nsecond line...\nthird stays"
+    symbols = "# " * 30 + "word " * 30
+    digits = "12 34 56 78 90 " * 12  # 60 words, zero alphabetic
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text=good.strip()),
+            R(doc_id=2, text=bullets),
+            R(doc_id=3, text=ellipsis),
+            R(doc_id=4, text=symbols.strip()),
+            R(doc_id=5, text=digits.strip()),
+            R(doc_id=6, text="too short"),
+        ]
+    )
+    out = {
+        r.id: r for r in textstats.gopher_rules(docs, "doc_id", "text").collect()
+    }
+    assert out[1].keep and out[1].n_words == 56 and out[1].n_stopwords >= 2
+    assert abs(out[1].mean_word_len - (len(good.strip().replace(" ", "")) / 56)) < 1e-6
+    # all three lines start with a bullet glyph -> 1.0 > 0.9
+    assert out[2].bullet_frac == 1.0 and not out[2].ok_bullets
+    # 2 of 3 lines end with '...' -> 0.666667 > 0.3
+    assert abs(out[3].ellipsis_frac - 0.666667) < 1e-6 and not out[3].ok_ellipsis
+    # 30 '#' chars / 60 words = 0.5 > 0.1
+    assert abs(out[4].symbol_ratio - 0.5) < 1e-6 and not out[4].ok_symbol_ratio
+    # zero alphabetic words -> alpha fraction 0 < 0.8
+    assert out[5].alpha_word_frac == 0.0 and not out[5].ok_alpha_words
+    assert not out[6].ok_word_count and not out[6].keep
