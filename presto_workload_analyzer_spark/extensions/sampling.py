@@ -508,3 +508,36 @@ def temperature_mix(
             F.round(F.lit(b) * w / F.col("__t") + 1e-9, 6).alias("epochs"),
         )
     )
+
+
+def unimax_allocations_py(
+    sizes: dict[str, int], budget: float, epoch_cap: float = 1.0
+) -> dict[str, float]:
+    """Driver-side twin of `unimax_mix`'s closed form (the pyunits
+    pattern: a pure-Python re-derivation so property tests can pit the
+    FORMULA against the paper's sequential greedy over thousands of
+    random inputs without spinning Spark; also handy for planning a mix
+    over a handful of already-known source totals).
+
+    Same contract: source i (ascending (tokens, name) order) is capped
+    iff E * (t_i * (n - i + 1) + cum_{i-1}) < B; capped sources yield
+    E * t_i, the rest split the remaining budget evenly.
+    """
+    e, b = float(epoch_cap), float(budget)
+    order = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(order)
+    out: dict[str, float] = {}
+    cum = 0
+    capped_tokens, n_capped = 0, 0
+    for i, (src, t) in enumerate(order, start=1):
+        if e * (t * (n - i + 1) + cum) < b:
+            out[src] = e * t
+            capped_tokens += t
+            n_capped += 1
+        cum += t
+    if n_capped < n:
+        share = (b - e * capped_tokens) / (n - n_capped)
+        for src, t in order:
+            if src not in out:
+                out[src] = share
+    return out

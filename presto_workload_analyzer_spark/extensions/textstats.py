@@ -729,6 +729,130 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def gopher_repetition(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 10),
+) -> DataFrame:
+    """The Gopher REPETITION battery (Rae et al. 2021, Table A1) — the
+    within-document companion of gopher_rules: excessive phrase
+    repetition marks boilerplate/spam. Two rule families, both defined
+    as character fractions so long repeated phrases weigh more than
+    short ones:
+
+      * top-n-gram fraction (paper: n = 2, 3, 4; thresholds 0.20 /
+        0.18 / 0.16): chars of the single most frequent word n-gram,
+        times its count, over the doc's total token chars. Ties break
+        to the lexicographically smallest gram (engine-portable).
+      * duplicate-n-gram fraction (paper: n = 5..10; thresholds
+        0.15..0.10): chars of token POSITIONS covered by any occurrence
+        of an n-gram appearing >= 2 times, over total token chars —
+        positional coverage, so overlapping duplicates never double
+        count. Implemented for the family's endpoints (5 and 10) by
+        default; every other n is the same kernel with a different
+        window width.
+
+    Character accounting excludes whitespace on both sides of the
+    compare (token chars, and gram chars = len(gram) - (n-1) joining
+    spaces). Docs shorter than n tokens score 0 for that rule.
+
+    Scale shape: per-n gram instances come from the shared zip_with
+    gram builder (no per-position slice); counts live at (doc, gram)
+    grain, coverage at (doc, position) grain — group-by + equi-joins
+    partitioned by doc id, no window, no UDF, cost linear in corpus
+    tokens times len(top_ns) + len(dup_ns).
+    """
+    lower = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(F.col(id_col).alias("id"), lower.alias("__toks"))
+    totals = base.select(
+        "id",
+        F.aggregate(
+            F.col("__toks"), F.lit(0), lambda acc, t: acc + F.length(t)
+        ).alias("__chars"),
+    )
+
+    def gram_col(n: int):
+        # docs shorter than n tokens have zero n-grams (negative slice
+        # lengths throw under ANSI)
+        m = F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(0))
+        g = F.slice(F.col("__toks"), 1, m)
+        for j in range(1, n):
+            g = F.zip_with(
+                g,
+                F.slice(F.col("__toks"), 1 + j, m),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        return g
+
+    out = totals
+    for n in top_ns:
+        counts = (
+            base.select("id", F.explode(gram_col(n)).alias("g"))
+            .groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+        )
+        # max count, tie -> lexicographically smallest gram:
+        # min over (-count, gram) picks exactly that pair
+        top = (
+            counts.groupBy("id")
+            .agg(F.min(F.struct((-F.col("__c")).alias("nc"), F.col("g"))).alias("__t"))
+            .select(
+                "id",
+                (-F.col("__t.nc")).alias("__cnt"),
+                (F.length(F.col("__t.g")) - (n - 1)).alias("__glen"),
+            )
+        )
+        out = out.join(top, "id", "left").withColumn(
+            f"top{n}_frac",
+            F.round(
+                F.coalesce(
+                    F.col("__cnt") * F.col("__glen") / F.col("__chars"),
+                    F.lit(0.0),
+                )
+                + 1e-9,
+                6,
+            ),
+        ).drop("__cnt", "__glen")
+    for n in dup_ns:
+        inst = base.select(
+            "id", F.posexplode(gram_col(n)).alias("__p", "g")
+        )
+        dup_grams = (
+            inst.groupBy("id", "g")
+            .agg(F.count(F.lit(1)).alias("__c"))
+            .filter(F.col("__c") >= 2)
+            .select("id", "g")
+        )
+        covered = (
+            inst.join(dup_grams, ["id", "g"])
+            .select(
+                "id",
+                F.explode(
+                    F.sequence(F.col("__p"), F.col("__p") + (n - 1))
+                ).alias("__tp"),
+            )
+            .distinct()
+        )
+        tokchars = base.select(
+            "id", F.posexplode(F.col("__toks")).alias("__tp", "__tok")
+        ).select("id", "__tp", F.length("__tok").alias("__tl"))
+        cov_chars = (
+            covered.join(tokchars, ["id", "__tp"])
+            .groupBy("id")
+            .agg(F.sum("__tl").alias("__cc"))
+        )
+        out = out.join(cov_chars, "id", "left").withColumn(
+            f"dup{n}_frac",
+            F.round(
+                F.coalesce(F.col("__cc") / F.col("__chars"), F.lit(0.0)) + 1e-9,
+                6,
+            ),
+        ).drop("__cc")
+    return out.drop("__chars")
+
+
 def pmi_collocations(
     df: DataFrame, id_col: str, text_col: str, min_count: int = 5, top: int = 20,
     round_to: int | None = None,

@@ -33,6 +33,10 @@ methods:
                               (Rae et al. 2021 Table A1): per-doc rule
                               values + flags + keep conjunction; the
                               third quality-filter shape beside x08/x43.
+  * xs11_gopher_repetition  — the Gopher repetition battery: top-n-gram
+                              char fraction (n=2,3,4) + positional
+                              duplicate-n-gram coverage (n=5,10), paper
+                              thresholds; completes the Gopher filter.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -359,10 +363,112 @@ def xs10_sql() -> str:
     )
 
 
+# Gopher Table A1 repetition thresholds for the implemented rules.
+_XS11_THRESHOLDS = {
+    "top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15, "dup10": 0.10,
+}
+
+
+def xs11_gopher_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher REPETITION battery (Rae et al. 2021, Table A1) — the
+    within-document companion of xs10's rule battery: top-n-gram
+    character fraction (n = 2, 3, 4) and positional duplicate-n-gram
+    character coverage (family endpoints n = 5, 10), each with the
+    paper's threshold flag and the keep conjunction. On this corpus the
+    top-n rules discriminate (top2 spans 0.005-0.36 across the 0.20
+    threshold); no doc repeats a 5-gram, so the dup rules hold uniformly
+    but run the full positional-coverage kernel. Group-bys and
+    equi-joins at (doc, gram) / (doc, position) grain — no window, no
+    UDF (textstats.gopher_repetition)."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    out = textstats.gopher_repetition(docs, "doc_id", "text")
+    flags = {
+        f"ok_{k}": F.col(f"{k}_frac") <= t for k, t in _XS11_THRESHOLDS.items()
+    }
+    keep = None
+    for c in flags.values():
+        keep = c if keep is None else (keep & c)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        "top2_frac", "top3_frac", "top4_frac", "dup5_frac", "dup10_frac",
+        *[c.alias(n) for n, c in flags.items()],
+        keep.alias("keep"),
+    )
+
+
+def xs11_sql() -> str:
+    th = _XS11_THRESHOLDS
+
+    def top_cte(n: int) -> str:
+        return (
+            f" g{n} AS (SELECT id, array_to_string(toks[i:i+{n - 1}], ' ') AS g"
+            f"  FROM base, UNNEST(range(1, greatest(len(toks)-{n - 1}, 0)+1))"
+            "   AS t(i)),"
+            f" c{n} AS (SELECT id, g, count(*) AS c FROM g{n} GROUP BY 1, 2),"
+            f" t{n} AS (SELECT id, c, len(g) - {n - 1} AS glen FROM"
+            f"  (SELECT *, row_number() OVER (PARTITION BY id"
+            f"    ORDER BY c DESC, g) AS rn FROM c{n}) r WHERE rn = 1),"
+        )
+
+    def dup_cte(n: int) -> str:
+        return (
+            f" gi{n} AS (SELECT id, i, array_to_string(toks[i:i+{n - 1}], ' ')"
+            "   AS g"
+            f"  FROM base, UNNEST(range(1, greatest(len(toks)-{n - 1}, 0)+1))"
+            "   AS t(i)),"
+            f" d{n} AS (SELECT id, g FROM gi{n} GROUP BY 1, 2"
+            "   HAVING count(*) >= 2),"
+            f" cov{n} AS (SELECT DISTINCT id, i + o AS tp"
+            f"  FROM gi{n} JOIN d{n} USING (id, g),"
+            f"   UNNEST(range(0, {n})) AS u(o)),"
+            f" cc{n} AS (SELECT id, sum(tl) AS cc"
+            f"  FROM cov{n} JOIN tk USING (id, tp) GROUP BY 1),"
+        )
+
+    frac = "round(coalesce(1.0 * {num} / chars, 0.0) + 1e-9, 6)"
+    tops = {n: frac.format(num=f"t{n}.c * t{n}.glen") for n in (2, 3, 4)}
+    dups = {n: frac.format(num=f"cc{n}.cc") for n in (5, 10)}
+    flags = (
+        f"(top2_frac <= {th['top2']!r}) AS ok_top2,"
+        f" (top3_frac <= {th['top3']!r}) AS ok_top3,"
+        f" (top4_frac <= {th['top4']!r}) AS ok_top4,"
+        f" (dup5_frac <= {th['dup5']!r}) AS ok_dup5,"
+        f" (dup10_frac <= {th['dup10']!r}) AS ok_dup10,"
+        f" (top2_frac <= {th['top2']!r} AND top3_frac <= {th['top3']!r}"
+        f"  AND top4_frac <= {th['top4']!r} AND dup5_frac <= {th['dup5']!r}"
+        f"  AND dup10_frac <= {th['dup10']!r}) AS keep"
+    )
+    return (
+        "WITH base AS (SELECT doc_id AS id,"
+        "   list_transform(string_split_regex(trim(text), '\\s+'),"
+        "    t -> lower(t)) AS toks"
+        "  FROM documents),"
+        " tot AS (SELECT id, CAST(list_sum(list_transform(toks, t -> len(t)))"
+        "   AS BIGINT) AS chars FROM base),"
+        " tk AS (SELECT id, i AS tp, len(toks[i]) AS tl"
+        "  FROM base, UNNEST(range(1, len(toks)+1)) AS t(i)),"
+        + top_cte(2) + top_cte(3) + top_cte(4) + dup_cte(5) + dup_cte(10)
+        + " m AS (SELECT tot.id AS doc_id,"
+        f"  {tops[2]} AS top2_frac, {tops[3]} AS top3_frac,"
+        f"  {tops[4]} AS top4_frac,"
+        f"  {dups[5]} AS dup5_frac, {dups[10]} AS dup10_frac"
+        "  FROM tot"
+        "  LEFT JOIN t2 ON t2.id = tot.id LEFT JOIN t3 ON t3.id = tot.id"
+        "  LEFT JOIN t4 ON t4.id = tot.id LEFT JOIN cc5 ON cc5.id = tot.id"
+        "  LEFT JOIN cc10 ON cc10.id = tot.id)"
+        f" SELECT doc_id, top2_frac, top3_frac, top4_frac, dup5_frac,"
+        f"  dup10_frac, {flags} FROM m"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs6_unimax_mix": (xs6_unimax_mix, xs6_sql()),
     "xs7_heldout_perplexity": (xs7_heldout_perplexity, xs7_sql()),
     "xs8_cluster_balanced_sample": (xs8_cluster_balanced_sample, xs8_sql()),
     "xs9_temperature_mix": (xs9_temperature_mix, xs9_sql()),
     "xs10_gopher_rules": (xs10_gopher_rules, xs10_sql()),
+    "xs11_gopher_repetition": (xs11_gopher_repetition, xs11_sql()),
 }

@@ -2761,3 +2761,36 @@ def test_gopher_rules_hand_computed(spark):
     # zero alphabetic words -> alpha fraction 0 < 0.8
     assert out[5].alpha_word_frac == 0.0 and not out[5].ok_alpha_words
     assert not out[6].ok_word_count and not out[6].keep
+
+
+def test_gopher_repetition_hand_computed(spark):
+    """Positional dup coverage and top-gram tie-break pinned by
+    constructed docs (the synthetic corpus has no repeated 5-grams):
+    - doc 1 'a b a b a b c d e f g h i j': top 2-gram 'a b' x3,
+      2 chars -> 6/14;
+    - doc 2 repeats a 5-gram: occurrences cover positions 0-9 of 11
+      one-char tokens -> dup5 10/11;
+    - doc 3 ties 'a b' and 'b c' at 2 -> lexicographic min 'a b'."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text="a b a b a b c d e f g h i j"),
+            R(doc_id=2, text="v w x y z v w x y z q"),
+            R(doc_id=3, text="a b c a b c"),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in textstats.gopher_repetition(docs, "doc_id", "text").collect()
+    }
+    assert abs(out[1].top2_frac - round(6 / 14 + 1e-9, 6)) < 1e-9
+    assert abs(out[2].dup5_frac - round(10 / 11 + 1e-9, 6)) < 1e-9
+    assert out[1].dup5_frac == 0.0 and out[1].dup10_frac == 0.0
+    # tie at count 2: both 'a b' and 'b c'; min gram 'a b' -> 2*2/6
+    assert abs(out[3].top2_frac - round(4 / 6 + 1e-9, 6)) < 1e-9
+    # doc 2's top 2-gram: 'v w' 'w x' 'x y' 'y z' each x2, 'z v' 'z q' x1
+    # -> tie at 2, min 'v w', frac 2*2/11
+    assert abs(out[2].top2_frac - round(4 / 11 + 1e-9, 6)) < 1e-9

@@ -395,3 +395,61 @@ def test_avi_walker_never_throws_on_garbage(buf):
     for prefix in (b"", b"RIFF", b"RIFF\x10\x00\x00\x00AVI "):
         out = list(_iter_avi_mjpeg_frames(prefix + buf))
         assert all(isinstance(i, int) and isinstance(f, bytes) for i, f in out)
+
+
+# --- UniMax closed form vs the paper's sequential greedy -------------------
+
+source_sets = st.dictionaries(
+    keys=st.text(alphabet="abcdefghij", min_size=1, max_size=4),
+    values=st.integers(min_value=1, max_value=1_000_000),
+    min_size=1,
+    max_size=30,
+)
+
+
+@given(
+    sizes=source_sets,
+    budget_frac=st.floats(min_value=0.01, max_value=2.0),
+    epoch_cap=st.floats(min_value=0.1, max_value=8.0),
+)
+@settings(max_examples=300, deadline=None)
+def test_unimax_closed_form_is_the_sequential_greedy(
+    sizes, budget_frac, epoch_cap
+):
+    """sampling.unimax_mix's closed form must equal the published
+    sequential greedy on ANY input: walk sources by ascending size, cap
+    any source whose uniform share of the remaining budget exceeds
+    E * tokens, redistribute the remainder evenly. The Spark operator
+    implements the same formula as unimax_allocations_py (pinned by the
+    hand-computed + adversarial Spark tests); this pits the formula
+    itself against the greedy."""
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        unimax_allocations_py,
+    )
+
+    total = sum(sizes.values())
+    budget = budget_frac * epoch_cap * total
+
+    order = sorted(sizes.items(), key=lambda kv: (kv[1], kv[0]))
+    remaining, left = budget, len(order)
+    greedy = {}
+    for src, t in order:
+        share = remaining / left
+        greedy[src] = epoch_cap * t if epoch_cap * t < share else share
+        remaining -= greedy[src]
+        left -= 1
+
+    closed = unimax_allocations_py(sizes, budget, epoch_cap)
+    assert set(closed) == set(greedy)
+    scale = max(budget, 1.0)
+    for src in greedy:
+        assert math.isclose(
+            closed[src], greedy[src], rel_tol=1e-9, abs_tol=1e-9 * scale
+        ), (src, sizes, budget, epoch_cap)
+    # budget conservation: total allocation = min(B, E * total tokens)
+    assert math.isclose(
+        sum(closed.values()),
+        min(budget, epoch_cap * total),
+        rel_tol=1e-9,
+        abs_tol=1e-6 * scale,
+    )
