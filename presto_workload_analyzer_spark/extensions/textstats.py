@@ -758,11 +758,16 @@ def gopher_repetition(
     compare (token chars, and gram chars = len(gram) - (n-1) joining
     spaces). Docs shorter than n tokens score 0 for that rule.
 
-    Scale shape: per-n gram instances come from the shared zip_with
-    gram builder (no per-position slice); counts live at (doc, gram)
-    grain, coverage at (doc, position) grain — group-by + equi-joins
-    partitioned by doc id, no window, no UDF, cost linear in corpus
-    tokens times len(top_ns) + len(dup_ns).
+    Scale shape: ONE tagged gram stream per rule family — the per-n
+    gram arrays are concatenated with an n tag before the explode, so
+    all top-n counts ride one (doc, n, gram) shuffle and all dup
+    coverage one (doc, n, position) distinct, with per-n conditional
+    aggregates instead of per-n joins (2 corpus-grain shuffles instead
+    of the loop formulation's 5 — same sf0.1 wall, fewer wide stages at
+    cluster scale). The measured sf0.1 cost (~3.5 s for 5k docs) is the
+    gram-string group-bys themselves — ~60-char 10-gram keys — the
+    honest price of the dup-coverage semantics; no window, no UDF, cost
+    linear in corpus tokens times len(top_ns) + len(dup_ns).
     """
     lower = F.transform(tokens(text_col), lambda t: F.lower(t))
     base = df.select(F.col(id_col).alias("id"), lower.alias("__toks"))
@@ -774,82 +779,124 @@ def gopher_repetition(
     )
 
     def gram_col(n: int):
-        # docs shorter than n tokens have zero n-grams (negative slice
-        # lengths throw under ANSI)
-        m = F.greatest(F.size(F.col("__toks")) - (n - 1), F.lit(0))
-        g = F.slice(F.col("__toks"), 1, m)
-        for j in range(1, n):
-            g = F.zip_with(
-                g,
-                F.slice(F.col("__toks"), 1 + j, m),
-                lambda a, b: F.concat(a, F.lit(" "), b),
-            )
-        return g
+        # slice-in-transform, NOT dedup.gram_array's zip-shift: the zip
+        # chain's expression tree grows O(n^2) in n and at n=10 a fresh
+        # plan pays ~2 s extra first-run codegen/JIT vs milliseconds for
+        # this shallow form (measured at sf0.1: zip 2.98 s vs slice
+        # 1.11 s first run, both ~0.6 s warm). The O(n*len) slice
+        # execution is noise at any doc length a quality filter sees;
+        # gram_array keeps zip-shift for its k<=3 callers where the tree
+        # stays small and execution dominates. when-guard: docs shorter
+        # than n have zero grams (and sequence(1, 0) would count DOWN,
+        # not empty).
+        toks = F.col("__toks")
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.array_join(F.slice(toks, i, n), " "),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
 
-    out = totals
-    for n in top_ns:
-        counts = (
-            base.select("id", F.explode(gram_col(n)).alias("g"))
-            .groupBy("id", "g")
-            .agg(F.count(F.lit(1)).alias("__c"))
-        )
-        # max count, tie -> lexicographically smallest gram:
-        # min over (-count, gram) picks exactly that pair
-        top = (
-            counts.groupBy("id")
-            .agg(F.min(F.struct((-F.col("__c")).alias("nc"), F.col("g"))).alias("__t"))
-            .select(
-                "id",
-                (-F.col("__t.nc")).alias("__cnt"),
-                (F.length(F.col("__t.g")) - (n - 1)).alias("__glen"),
+    def tagged(ns: tuple[int, ...], with_pos: bool):
+        # PySpark infers the higher-order-function arity from the Python
+        # lambda's parameter count, so the n tag must be captured via a
+        # closure factory, never a default argument
+        def tag_fn(n: int):
+            return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+        def tag_pos_fn(n: int):
+            # (n, start position, gram): transform's index form gives
+            # the gram's 0-based start offset in the token array
+            return lambda g, i: F.struct(
+                F.lit(n).alias("n"), i.alias("p"), g.alias("g")
             )
+
+        arrs = [
+            F.transform(gram_col(n), tag_pos_fn(n) if with_pos else tag_fn(n))
+            for n in ns
+        ]
+        return F.explode(F.concat(*arrs))
+
+    # --- top rules: one (id, n, gram) count shuffle, one (id) reduce ---
+    counts = (
+        base.select("id", tagged(top_ns, with_pos=False).alias("t"))
+        .select("id", F.col("t.n").alias("__n"), F.col("t.g").alias("g"))
+        .groupBy("id", "__n", "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # max count, tie -> lexicographically smallest gram: min over
+    # (-count, gram) picks exactly that pair
+    tops = counts.groupBy("id").agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__n") == n,
+                    F.struct((-F.col("__c")).alias("nc"), F.col("g")),
+                )
+            ).alias(f"__t{n}")
+            for n in top_ns
+        ]
+    )
+    # --- dup rules: one (id, n, gram) count, one (id, n, pos) distinct ---
+    inst = base.select("id", tagged(dup_ns, with_pos=True).alias("t")).select(
+        "id",
+        F.col("t.n").alias("__n"),
+        F.col("t.p").alias("__p"),
+        F.col("t.g").alias("g"),
+    )
+    dup_grams = (
+        inst.groupBy("id", "__n", "g")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= 2)
+        .select("id", "__n", "g")
+    )
+    covered = (
+        inst.join(dup_grams, ["id", "__n", "g"])
+        .select(
+            "id",
+            "__n",
+            F.explode(
+                F.sequence(F.col("__p"), F.col("__p") + F.col("__n") - 1)
+            ).alias("__tp"),
         )
-        out = out.join(top, "id", "left").withColumn(
+        .distinct()
+    )
+    tokchars = base.select(
+        "id", F.posexplode(F.col("__toks")).alias("__tp", "__tok")
+    ).select("id", "__tp", F.length("__tok").alias("__tl"))
+    cov_chars = covered.join(tokchars, ["id", "__tp"]).groupBy("id").agg(
+        *[
+            F.sum(F.when(F.col("__n") == n, F.col("__tl"))).alias(f"__cc{n}")
+            for n in dup_ns
+        ]
+    )
+
+    out = totals.join(tops, "id", "left").join(cov_chars, "id", "left")
+    for n in top_ns:
+        t = F.col(f"__t{n}")
+        out = out.withColumn(
             f"top{n}_frac",
             F.round(
                 F.coalesce(
-                    F.col("__cnt") * F.col("__glen") / F.col("__chars"),
+                    (-t.getField("nc"))
+                    * (F.length(t.getField("g")) - (n - 1))
+                    / F.col("__chars"),
                     F.lit(0.0),
                 )
                 + 1e-9,
                 6,
             ),
-        ).drop("__cnt", "__glen")
+        ).drop(f"__t{n}")
     for n in dup_ns:
-        inst = base.select(
-            "id", F.posexplode(gram_col(n)).alias("__p", "g")
-        )
-        dup_grams = (
-            inst.groupBy("id", "g")
-            .agg(F.count(F.lit(1)).alias("__c"))
-            .filter(F.col("__c") >= 2)
-            .select("id", "g")
-        )
-        covered = (
-            inst.join(dup_grams, ["id", "g"])
-            .select(
-                "id",
-                F.explode(
-                    F.sequence(F.col("__p"), F.col("__p") + (n - 1))
-                ).alias("__tp"),
-            )
-            .distinct()
-        )
-        tokchars = base.select(
-            "id", F.posexplode(F.col("__toks")).alias("__tp", "__tok")
-        ).select("id", "__tp", F.length("__tok").alias("__tl"))
-        cov_chars = (
-            covered.join(tokchars, ["id", "__tp"])
-            .groupBy("id")
-            .agg(F.sum("__tl").alias("__cc"))
-        )
-        out = out.join(cov_chars, "id", "left").withColumn(
+        out = out.withColumn(
             f"dup{n}_frac",
             F.round(
-                F.coalesce(F.col("__cc") / F.col("__chars"), F.lit(0.0)) + 1e-9,
+                F.coalesce(F.col(f"__cc{n}") / F.col("__chars"), F.lit(0.0))
+                + 1e-9,
                 6,
             ),
-        ).drop("__cc")
+        ).drop(f"__cc{n}")
     return out.drop("__chars")
 
 
