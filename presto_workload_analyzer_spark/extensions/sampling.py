@@ -355,9 +355,12 @@ def unimax_mix(
     (B - E * sum(capped tokens)) / (n - n_capped), which monotonicity
     guarantees is <= E*t for every uncapped source.
 
-    Input: a SOURCE-GRAIN table (one row per source with its token
-    count) — the caller pays the one corpus-grain aggregate; this
-    operator is pure arithmetic on #sources rows. Rank and prefix sums
+    Input: a SOURCE-GRAIN table — exactly ONE row per source, token
+    count >= 1 (the natural output of a groupBy(source) token
+    aggregate; duplicate source rows would collide in the rank
+    self-join and zero-token sources have no epochs to cap). The
+    caller pays the one corpus-grain aggregate; this operator is pure
+    arithmetic on #sources rows. Rank and prefix sums
     come from a broadcast nested-loop self-join on the tiny table (the
     lint-sanctioned pattern for bounds tables — no window, no global
     sort), and the two global reductions fold in via broadcast 1-row
@@ -434,8 +437,11 @@ def cluster_balanced_sample(
     representatives (a rand() or row-order pick keeps none of that).
 
     `clusters` is an (id, cluster_id) membership table covering the
-    docs that appear in ANY dup pair (connected_components output);
-    rows of `df` absent from it are their own singleton cluster.
+    docs that appear in ANY dup pair — at most ONE row per id, exactly
+    connected_components' output grain (a duplicate membership row
+    would duplicate that doc through the left join and inflate its
+    cluster's size); rows of `df` absent from it are their own
+    singleton cluster.
 
     Scale shape: one left join at id grain, then a rank window
     PARTITIONED by cluster_id — group-grain, bounded by the largest dup
@@ -485,10 +491,12 @@ def temperature_mix(
     repeating them (no epoch cap — that failure mode is exactly what
     `unimax_mix` fixes; ship both and let the mixing decision compare).
 
-    Input/output grain matches unimax_mix: a source-grain token table in,
-    (source, tokens_available, weight, tokens_allocated, epochs) out.
-    The normalizer sum(t^(1/T)) folds in via a 1-row broadcast cross
-    join; everything is arithmetic on #sources rows.
+    Input/output grain matches unimax_mix: a source-grain token table
+    (one row per source, tokens >= 1 — a zero-token source has no
+    defined epochs) in, (source, tokens_available, weight,
+    tokens_allocated, epochs) out. The normalizer sum(t^(1/T)) folds in
+    via a 1-row broadcast cross join; everything is arithmetic on
+    #sources rows.
     """
     b = float(budget)
     inv_t = 1.0 / float(temperature)

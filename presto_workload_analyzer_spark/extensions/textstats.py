@@ -643,7 +643,9 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     Rule flags compare the ROUNDED measured value (the x43 convention)
     so a boundary document cannot flip across engines on last-ulp
     division drift — though every ratio here is a ratio of small exact
-    integers, identical in IEEE double on any engine.
+    integers, identical in IEEE double on any engine. NULL text yields
+    NULL metrics/flags (keep NULL, falsy to a filter); a whitespace-only
+    doc has one empty token, so the ratios stay defined.
 
     Pure Column expressions over the token/line arrays (no explode, no
     join, no UDF): runs inside whole-stage codegen at scan speed,
@@ -1155,7 +1157,9 @@ def heldout_bigram_nll(
 
     (c1, c2, c_prev, N = train counts; V = train vocabulary size).
     First token of each held-out doc scores under p_uni alone — the
-    bigram_logprob convention.
+    bigram_logprob convention. `holdout` must evaluate true/false on
+    every row (a NULL drops the row from BOTH slices — ~NULL is not
+    true); token-less docs score nothing and emit no row.
 
     Shuffle shape at 100 TB: identical to bigram_logprob — count tables
     at vocabulary grain, held-out instances LEFT-join them on their keys
