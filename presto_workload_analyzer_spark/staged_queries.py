@@ -37,11 +37,15 @@ methods:
                               char fraction (n=2,3,4) + positional
                               duplicate-n-gram coverage (n=5,10), paper
                               thresholds; completes the Gopher filter.
+  * xs12_perplexity_filter  — the doc-grain KEEP decision of the
+                              perplexity filter xs7 diagnoses at source
+                              grain (CCNet-style loop), margin-pinned
+                              threshold.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
   * if the plan uses a declared Arrow surface (mapInPandas etc.), add the
-    name to tests/test_plan_lint._ALLOWED_PANDAS — all three queries here
+    name to tests/test_plan_lint._ALLOWED_PANDAS — all seven queries here
     are pure Column/join/window plans and need no exemption;
   * column names aliased identically on both sides, integer aggregates
     cast to BIGINT, floats rounded to 6 after scaling, no
@@ -363,6 +367,53 @@ def xs10_sql() -> str:
     )
 
 
+# Calibrated to the synthetic corpus: held-out per-doc perplexities sit
+# in [28.9, 34.4] at the gate SFs; 30.21 bifurcates (26% kept at
+# sf0.001, 29% at sf0.01) and the closest doc ppl is 0.0178 away — seven
+# orders of magnitude above cross-engine exp/ln drift, and pinned by
+# test_xs12_threshold_margin_on_corpus so a regenerated fixture fails
+# loudly instead of flipping the keep flag sporadically.
+_XS12_PPL_THRESHOLD = 30.21
+
+
+def xs12_perplexity_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """The perplexity filter's KEEP decision at document grain — the
+    filter xs7 diagnoses at source grain: fit the bigram LM on the
+    reference slice (doc_id % 5 != 0), score every candidate doc
+    (doc_id % 5 = 0), keep those under the ppl threshold. This is the
+    published quality-filter loop (CCNet-style: reference LM ->
+    candidate perplexity -> threshold) with this engine's exact-oracle
+    discipline: the keep flag compares the ROUNDED perplexity so the
+    boundary cannot flip across engines, and the threshold's distance
+    to the corpus is margin-pinned by test."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    nll = textstats.heldout_bigram_nll(
+        docs, "doc_id", "text", holdout=F.col("doc_id") % 5 == 0, lam=_XS7_LAM
+    )
+    ppl = F.round(F.exp(F.col("sum_nll") / F.col("n_scored")) + 1e-9, 6)
+    return nll.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_scored").alias("n_tokens"),
+        ppl.alias("ppl"),
+        (ppl < _XS12_PPL_THRESHOLD).alias("keep"),
+    )
+
+
+def xs12_sql() -> str:
+    t = _XS12_PPL_THRESHOLD
+    perdoc = xs7_sql().split(" SELECT source,")[0]
+    return (
+        perdoc
+        + " SELECT id AS doc_id, CAST(ns AS BIGINT) AS n_tokens,"
+        "  round(exp(snll / ns) + 1e-9, 6) AS ppl,"
+        f"  (round(exp(snll / ns) + 1e-9, 6) < {t!r}) AS keep"
+        " FROM perdoc"
+    )
+
+
 # Gopher Table A1 repetition thresholds for the implemented rules.
 _XS11_THRESHOLDS = {
     "top2": 0.20, "top3": 0.18, "top4": 0.16, "dup5": 0.15, "dup10": 0.10,
@@ -471,4 +522,5 @@ STAGED: dict[str, tuple] = {
     "xs9_temperature_mix": (xs9_temperature_mix, xs9_sql()),
     "xs10_gopher_rules": (xs10_gopher_rules, xs10_sql()),
     "xs11_gopher_repetition": (xs11_gopher_repetition, xs11_sql()),
+    "xs12_perplexity_filter": (xs12_perplexity_filter, xs12_sql()),
 }

@@ -2794,3 +2794,45 @@ def test_gopher_repetition_hand_computed(spark):
     # doc 2's top 2-gram: 'v w' 'w x' 'x y' 'y z' each x2, 'z v' 'z q' x1
     # -> tie at 2, min 'v w', frac 2*2/11
     assert abs(out[2].top2_frac - round(4 / 11 + 1e-9, 6)) < 1e-9
+
+
+def test_xs12_threshold_margin_on_corpus():
+    """xs12's keep flag compares round(ppl, 6) < _XS12_PPL_THRESHOLD on
+    both engines; the compare is safe only while no doc's perplexity
+    sits near the threshold. Pin the margin (currently 0.0178 at both
+    gate SFs — seven orders above exp/ln cross-engine drift) so a
+    regenerated documents fixture fails HERE with a self-diagnosing
+    message instead of a sporadic driver hash mismatch. DuckDB replays
+    the exact oracle arithmetic; also asserts the threshold still
+    BIFURCATES (some kept, some dropped) so the gate keeps hashing a
+    real decision."""
+    import duckdb
+
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS12_PPL_THRESHOLD as thr,
+        xs12_sql,
+    )
+
+    sql = xs12_sql().split(" SELECT id AS doc_id,")[0] + (
+        " SELECT exp(snll / ns) AS ppl FROM perdoc"
+    )
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        )
+        vals = [v for (v,) in con.sql(sql).fetchall()]
+        gap = min(abs(v - thr) for v in vals)
+        kept = sum(v < thr for v in vals)
+        assert gap > 1e-4, (
+            f"sf{sf}: a held-out doc's perplexity sits {gap:.2e} from "
+            f"_XS12_PPL_THRESHOLD={thr} — within fp-drift distance, so the "
+            "keep flag can flip across engines. Recalibrate the threshold "
+            "into a wider corpus gap (staged_queries.py) before trusting "
+            "the gate."
+        )
+        assert 0 < kept < len(vals), (
+            f"sf{sf}: threshold no longer bifurcates ({kept}/{len(vals)} "
+            "kept) — the gate would hash a constant flag; recalibrate."
+        )
