@@ -41,12 +41,17 @@ methods:
                               perplexity filter xs7 diagnoses at source
                               grain (CCNet-style loop), margin-pinned
                               threshold.
+  * s18_stream_quality_gate — xs10's rule battery running unchanged on
+                              the ingestion stream (stateless Column
+                              map, availableNow drain); same oracle.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
   * if the plan uses a declared Arrow surface (mapInPandas etc.), add the
-    name to tests/test_plan_lint._ALLOWED_PANDAS — all seven queries here
-    are pure Column/join/window plans and need no exemption;
+    name to tests/test_plan_lint._ALLOWED_PANDAS — the xs6-xs12 batch is
+    pure Column/join/window plans and needs no exemption; s18 is a
+    streaming query (s-prefix: exempt from batch-lint construction like
+    every other s-query, stateless so it has no state-store surface);
   * column names aliased identically on both sides, integer aggregates
     cast to BIGINT, floats rounded to 6 after scaling, no
     HUGEINT/DECIMAL/UHUGEINT anywhere in the oracle's DESCRIBE.
@@ -515,6 +520,36 @@ def xs11_sql() -> str:
     )
 
 
+def s18_stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
+    """The Gopher rule battery running UNCHANGED on the ingestion
+    stream — the production shape of a quality filter (documents arrive
+    continuously; gating them at ingest avoids a second corpus pass).
+    gopher_rules is pure stateless Column expressions, so the streaming
+    plan is a map over micro-batches: no state store, no watermark,
+    exactly-once trivially (same row in = same flags out, any batching).
+    Drained via the availableNow memory sink like every s-query's test
+    harness; the production sink is the foreachBatch parquet path
+    (streaming/ingest.py). Oracle: identical to xs10's — a stateless
+    stream drain IS the batch result."""
+    import uuid
+
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        stream_sf_table,
+    )
+
+    docs = stream_sf_table(spark, sf, "documents")
+    gated = textstats.gopher_rules(docs, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+    name = f"s18_mem_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(gated, name, output_mode="append")
+    q.awaitTermination(300)
+    tbl = spark.table(name)
+    return spark.createDataFrame(tbl.collect(), tbl.schema)
+
+
 STAGED: dict[str, tuple] = {
     "xs6_unimax_mix": (xs6_unimax_mix, xs6_sql()),
     "xs7_heldout_perplexity": (xs7_heldout_perplexity, xs7_sql()),
@@ -523,4 +558,5 @@ STAGED: dict[str, tuple] = {
     "xs10_gopher_rules": (xs10_gopher_rules, xs10_sql()),
     "xs11_gopher_repetition": (xs11_gopher_repetition, xs11_sql()),
     "xs12_perplexity_filter": (xs12_perplexity_filter, xs12_sql()),
+    "s18_stream_quality_gate": (s18_stream_quality_gate, xs10_sql()),
 }
