@@ -443,11 +443,16 @@ def cluster_balanced_sample(
     cluster's size); rows of `df` absent from it are their own
     singleton cluster.
 
-    Scale shape: one left join at id grain, then a rank window
-    PARTITIONED by cluster_id — group-grain, bounded by the largest dup
-    family (the same grain every CC consumer already shuffles on), never
-    a global sort. Output: (id, cluster_id, cluster_size, pick_rank)
-    for the kept rows only.
+    Scale shape: one left join at id grain, then the pick rank runs
+    HIERARCHICALLY (_hierarchical_row_number: shard = the integer value
+    of the hash key's leading byte, which is monotone w.r.t. the hash
+    ordering between shards, local_prune = m) — so a viral mega-family
+    never funnels through one sorting task: the largest per-task sort is
+    family/256, and pruned local ranks bound the offset join to m rows
+    per (cluster, shard). Cluster sizes come from a cluster-grain count
+    joined back to the <= m kept rows. Output: (id, cluster_id,
+    cluster_size, pick_rank) for the kept rows only — identical rows to
+    the single-window formulation (the precondition holds exactly).
     """
     ids = df.select(F.col(id_col).alias("__id"))
     cl = clusters.select(
@@ -458,20 +463,32 @@ def cluster_balanced_sample(
     )
     if mode == "md5":
         key = F.md5(F.col("__id").cast("string"))
+        shard = F.conv(F.substring(key, 1, 2), 16, 10).cast("int")
     elif mode == "xxhash64":
         key = F.xxhash64(F.col("__id").cast("string"))
+        # sign-bit flip makes unsigned top-byte order match the signed
+        # long ordering the rank sorts by
+        shard = F.shiftrightunsigned(
+            key.bitwiseXOR(F.lit(-(2**63))), 56
+        ).cast("int")
     else:
         raise ValueError(f"unknown hash mode {mode!r}")
-    w = Window.partitionBy("__cl").orderBy(key.asc(), F.col("__id").asc())
-    wsz = Window.partitionBy("__cl")
+    full = full.withColumn("__k", key)
+    ranked = _hierarchical_row_number(
+        full,
+        ["__cl"],
+        [F.col("__k").asc(), F.col("__id").asc()],
+        shard_col=shard,
+        rank_alias="pick_rank",
+        local_prune=F.lit(m),
+    ).filter(F.col("pick_rank") <= m)
+    sizes = full.groupBy("__cl").agg(F.count(F.lit(1)).alias("__sz"))
     return (
-        full.withColumn("pick_rank", F.row_number().over(w))
-        .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
-        .filter(F.col("pick_rank") <= m)
+        ranked.join(sizes, "__cl")
         .select(
             F.col("__id").alias(id_col),
             F.col("__cl").alias("cluster_id"),
-            F.col("cluster_size").cast("long").alias("cluster_size"),
+            F.col("__sz").cast("long").alias("cluster_size"),
             F.col("pick_rank").cast("long").alias("pick_rank"),
         )
     )

@@ -2836,3 +2836,46 @@ def test_xs12_threshold_margin_on_corpus():
             f"sf{sf}: threshold no longer bifurcates ({kept}/{len(vals)} "
             "kept) — the gate would hash a constant flag; recalibrate."
         )
+
+
+def test_cluster_balanced_sample_hierarchical_matches_single_window(spark):
+    """The two-level pick rank must equal the single-window formulation
+    in BOTH hash modes — pinned on a 400-member cluster whose members
+    spread across many hash-prefix shards (the monotone-shard
+    precondition is what makes the ranks identical), plus singletons."""
+    from pyspark.sql import Row as R, Window
+    from pyspark.sql import functions as F
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    docs = spark.createDataFrame([R(doc_id=i) for i in range(450)])
+    cc = spark.createDataFrame(
+        [R(id=i, cluster_id=0) for i in range(400)]
+    )
+    for mode in ("md5", "xxhash64"):
+        got = {
+            (r.doc_id, r.cluster_id, r.cluster_size, r.pick_rank)
+            for r in sampling.cluster_balanced_sample(
+                docs, "doc_id", cc, m=3, mode=mode
+            ).collect()
+        }
+        key = (
+            F.md5(F.col("doc_id").cast("string"))
+            if mode == "md5"
+            else F.xxhash64(F.col("doc_id").cast("string"))
+        )
+        full = docs.join(
+            cc.withColumnRenamed("id", "doc_id"), "doc_id", "left"
+        ).select(
+            "doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id")
+        )
+        w = Window.partitionBy("cluster_id").orderBy(key.asc(), F.col("doc_id").asc())
+        wsz = Window.partitionBy("cluster_id")
+        want = {
+            (r.doc_id, r.cluster_id, r.cluster_size, r.pick_rank)
+            for r in full.withColumn("pick_rank", F.row_number().over(w))
+            .withColumn("cluster_size", F.count(F.lit(1)).over(wsz))
+            .filter(F.col("pick_rank") <= 3)
+            .collect()
+        }
+        assert got == want, mode
