@@ -265,8 +265,9 @@ def xs8_cluster_balanced_sample(spark: SparkSession, sf: str) -> DataFrame:
     dominating a sampled corpus while still representing it
     (sampling.cluster_balanced_sample). Consumes the shared dedup-CC
     silver, so the pair pipeline is paid once per session across all
-    clustering consumers; the pick window is PARTITIONED by cluster —
-    group grain, bounded by the largest dup family."""
+    clustering consumers; the pick rank runs hierarchically
+    (hash-prefix shards, local_prune=m) so even a viral mega-family
+    never funnels through one sorting task."""
     from presto_workload_analyzer_spark.extensions import sampling
     from presto_workload_analyzer_spark.driver_queries import (
         shared_dedup_clusters,
