@@ -44,6 +44,10 @@ methods:
   * s18_stream_quality_gate — xs10's rule battery running unchanged on
                               the ingestion stream (stateless Column
                               map, availableNow drain); same oracle.
+  * xs13_dsir_resample      — DSIR's importance-RESAMPLING step
+                              end-to-end: xs2's weights -> A-ES keys
+                              (x99's hash-replaces-RNG) -> per-source
+                              top-K; completes the DSIR chain.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -551,6 +555,101 @@ def s18_stream_quality_gate(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(tbl.collect(), tbl.schema)
 
 
+_XS13_K = 5
+
+
+def xs13_dsir_resample(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR's RESAMPLING step, end-to-end: the importance weights xs2
+    computes are only useful once they select a corpus, and the
+    published recipe is importance resampling — draw documents with
+    probability tied to their target-likeness. Deterministic
+    formulation: Efraimidis-Spirakis A-ES keys ln(u) / w with
+    w = exp(log_w / n_tokens) (the per-token-normalized importance the
+    dsir_log_weights docstring prescribes) and a 24-bit md5-derived u
+    (x99's hash-replaces-RNG trick, salt 'dsir|'), top K=5 per source —
+    source-balanced importance resampling, the mixing-aware variant of
+    a global draw. The per-source top-K runs hierarchically (x99's
+    range-sharded rank, local_prune=K); everything upstream is xs2's
+    broadcast-ratio scoring pass."""
+    from presto_workload_analyzer_spark.extensions import sampling
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    target = docs.filter(F.col("doc_id") % 10 == 0)
+    dw = sampling.dsir_log_weights(docs, target, "doc_id", "text", mode="md5")
+    keyed = dw.join(docs.select("doc_id", "source"), "doc_id").select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "log_w",
+        (
+            F.log(
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("dsir|"),
+                                    F.col("doc_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            6,
+                        ),
+                        16,
+                        10,
+                    ).cast("double")
+                    + 0.5
+                )
+                / F.lit(16777216.0)
+            )
+            / F.exp(F.col("log_w") / F.col("n_tokens"))
+        ).alias("__key"),
+    )
+    ranked = sampling._hierarchical_row_number(
+        keyed,
+        ["source"],
+        [F.col("__key").desc(), F.col("doc_id")],
+        F.floor(-F.col("__key") * 1024).cast("long"),
+        "__rk",
+        local_prune=F.lit(_XS13_K),
+    )
+    return ranked.filter(F.col("__rk") <= _XS13_K).select(
+        "source",
+        "doc_id",
+        "n_tokens",
+        "log_w",
+        F.col("__rk").cast("long").alias("sample_rank"),
+    )
+
+
+def xs13_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import _xs2_sql
+
+    u24 = (
+        "(((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576"
+        " + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536"
+        " + (strpos('0123456789abcdef', substr(h, 3, 1)) - 1) * 4096"
+        " + (strpos('0123456789abcdef', substr(h, 4, 1)) - 1) * 256"
+        " + (strpos('0123456789abcdef', substr(h, 5, 1)) - 1) * 16"
+        " + (strpos('0123456789abcdef', substr(h, 6, 1)) - 1) * 1) + 0.5)"
+    )
+    return (
+        "WITH dw AS (" + _xs2_sql() + "),"
+        " b AS (SELECT d.source, dw.doc_id, dw.n_tokens, dw.log_w,"
+        "   md5('dsir|' || CAST(dw.doc_id AS VARCHAR)) AS h"
+        "  FROM dw JOIN documents d USING (doc_id)),"
+        f" k AS (SELECT source, doc_id, n_tokens, log_w, ln({u24}"
+        "    / 16777216.0) / exp(log_w / n_tokens) AS key FROM b),"
+        " r AS (SELECT source, doc_id, n_tokens, log_w,"
+        "   row_number() OVER (PARTITION BY source"
+        "    ORDER BY key DESC, doc_id) AS rk FROM k)"
+        " SELECT source, doc_id, n_tokens, log_w,"
+        "  CAST(rk AS BIGINT) AS sample_rank"
+        f" FROM r WHERE rk <= {_XS13_K}"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs6_unimax_mix": (xs6_unimax_mix, xs6_sql()),
     "xs7_heldout_perplexity": (xs7_heldout_perplexity, xs7_sql()),
@@ -560,4 +659,5 @@ STAGED: dict[str, tuple] = {
     "xs11_gopher_repetition": (xs11_gopher_repetition, xs11_sql()),
     "xs12_perplexity_filter": (xs12_perplexity_filter, xs12_sql()),
     "s18_stream_quality_gate": (s18_stream_quality_gate, xs10_sql()),
+    "xs13_dsir_resample": (xs13_dsir_resample, xs13_sql()),
 }
