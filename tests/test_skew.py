@@ -481,3 +481,37 @@ def test_registered_guard_query_actually_fires(spark):
             "corpus or shingle/hash parameters no longer produce an "
             "oversized bucket at this SF"
         )
+
+
+def test_cluster_balanced_sample_pick_is_sharded(spark):
+    """Structural pin for the mega-family pick: cluster_balanced_sample's
+    rank window must partition by (cluster, shard) — never by the
+    cluster alone, which would funnel a viral dup family through one
+    sorting task. Asserted on the physical plan: every ordered Window's
+    partition spec lists two keys (the second being the shard)."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import sampling
+
+    docs = spark.createDataFrame([R(doc_id=i) for i in range(300)])
+    cc = spark.createDataFrame([R(id=i, cluster_id=0) for i in range(250)])
+    df = sampling.cluster_balanced_sample(docs, "doc_id", cc, m=2)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    saw_ranked_window = False
+    for line in plan.splitlines():
+        if "Window " not in line or "row_number()" not in line:
+            continue
+        saw_ranked_window = True
+        spec = line.split("windowspecdefinition(", 1)[1]
+        parts = spec.split(",")
+        # partition keys precede the first ordered key (ASC/DESC marker)
+        n_part = 0
+        for p in parts:
+            if " ASC" in p or " DESC" in p:
+                break
+            n_part += 1
+        assert n_part >= 2, f"pick window not sharded: {line}"
+    assert saw_ranked_window
+    # and the result still keeps exactly m=2 of the 250-member family
+    fam = [r for r in df.collect() if r.cluster_id == 0]
+    assert len(fam) == 2 and {r.pick_rank for r in fam} == {1, 2}
