@@ -52,7 +52,7 @@ methods:
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
   * if the plan uses a declared Arrow surface (mapInPandas etc.), add the
-    name to tests/test_plan_lint._ALLOWED_PANDAS — the xs6-xs12 batch is
+    name to tests/test_plan_lint._ALLOWED_PANDAS — the xs6-xs13 batch is
     pure Column/join/window plans and needs no exemption; s18 is a
     streaming query (s-prefix: exempt from batch-lint construction like
     every other s-query, stateless so it has no state-store surface);
