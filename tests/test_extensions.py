@@ -2879,3 +2879,183 @@ def test_cluster_balanced_sample_hierarchical_matches_single_window(spark):
             .collect()
         }
         assert got == want, mode
+
+
+def test_gopher_repetition_random_vs_python_reference(spark):
+    """gopher_repetition vs an independent brute-force Python reference
+    on 120 seeded random docs (repeats planted, lengths spanning the
+    shorter-than-n edge): top-gram count/tie-break and positional dup
+    coverage must agree within rounding distance on every doc."""
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rng = random.Random(41012)
+    vocab = ["ab", "cde", "f", "ghij", "k", "lmn"]
+    docs = []
+    for i in range(120):
+        n = rng.randint(1, 15)
+        toks = [rng.choice(vocab) for _ in range(n)]
+        if rng.random() < 0.5 and n >= 6:
+            # plant a repeated span to exercise the dup rules
+            span = toks[: rng.randint(2, min(6, n // 2))]
+            toks = toks + span + toks[:3] + span
+        docs.append((i, " ".join(toks)))
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    got = {
+        r.id: r
+        for r in textstats.gopher_repetition(sdf, "doc_id", "text").collect()
+    }
+
+    def ref(text):
+        toks = text.strip().lower().split()
+        total = sum(len(t) for t in toks)
+        out = {}
+        for n in (2, 3, 4):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            if not grams:
+                out[f"top{n}"] = 0.0
+                continue
+            counts = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+            out[f"top{n}"] = best[1] * (len(best[0]) - (n - 1)) / total
+        for n in (5, 10):
+            grams = [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+            counts = {}
+            for g in grams:
+                counts[g] = counts.get(g, 0) + 1
+            covered = set()
+            for i, g in enumerate(grams):
+                if counts[g] >= 2:
+                    covered.update(range(i, i + n))
+            out[f"dup{n}"] = (
+                sum(len(toks[j]) for j in covered) / total if covered else 0.0
+            )
+        return out
+
+    for i, t in docs:
+        want = ref(t)
+        for k in ("top2", "top3", "top4", "dup5", "dup10"):
+            gotv = getattr(got[i], f"{k}_frac")
+            assert abs(gotv - want[k]) < 6e-7, (i, k, gotv, want[k], t)
+
+
+def test_heldout_bigram_nll_random_vs_python_reference(spark):
+    """heldout_bigram_nll vs an independent Python reference on a seeded
+    random corpus: train counts, add-1 OOV floor, zeroed bigram term for
+    unseen history, and the first-token convention must all agree to
+    1e-9 on every held-out doc."""
+    import math
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rng = random.Random(77310)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "g"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(80)
+    ]
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    lam = 0.7
+    got = {
+        r.id: r
+        for r in textstats.heldout_bigram_nll(
+            sdf, "doc_id", "text", holdout=F.col("doc_id") % 3 == 0, lam=lam
+        ).collect()
+    }
+
+    train = [t.lower().split() for i, t in docs if i % 3 != 0]
+    uni, bi = {}, {}
+    for toks in train:
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+    N, V = sum(uni.values()), len(uni)
+
+    def p_uni(w):
+        return (uni.get(w, 0) + 1.0) / (N + V + 1.0)
+
+    for i, t in docs:
+        if i % 3 != 0:
+            assert i not in got
+            continue
+        toks = t.lower().split()
+        nll = [-math.log(p_uni(toks[0]))]
+        for a, b in zip(toks, toks[1:]):
+            bt = bi.get((a, b), 0) / uni[a] if uni.get(a, 0) > 0 else 0.0
+            nll.append(-math.log(lam * bt + (1 - lam) * p_uni(b)))
+        assert got[i].n_scored == len(nll), i
+        assert abs(got[i].sum_nll - sum(nll)) < 1e-9, i
+
+
+def test_gopher_rules_random_vs_python_reference(spark):
+    """gopher_rules vs an independent Python reference on seeded random
+    docs mixing clean words, stopwords, digits, '#' runs and bullet /
+    ellipsis lines — every measured value and every flag must agree."""
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rng = random.Random(90125)
+    words = ["alpha", "be", "the", "x1", "42", "###", "of", "zz"]
+    docs = []
+    for i in range(100):
+        n = rng.randint(1, 80)
+        toks = [rng.choice(words) for _ in range(n)]
+        lines = [" ".join(toks)]
+        if rng.random() < 0.4:
+            lines.append("- a bullet line")
+        if rng.random() < 0.4:
+            lines.append("trailing thought...")
+        docs.append((i, "\n".join(lines)))
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    got = {
+        r.id: r for r in textstats.gopher_rules(sdf, "doc_id", "text").collect()
+    }
+    stopset = ("the", "be", "to", "of", "and", "that", "have", "with")
+    bullets = ("•", "‣", "▶", "-", "*")
+    for i, t in docs:
+        toks = t.strip().split()
+        n_words = len(toks)
+        mean_len = sum(len(w) for w in toks) / n_words
+        n_hash = t.count("#")
+        n_ell = len(t.split("...")) - 1
+        lines = t.split("\n")
+        bf = sum(
+            1 for ln in lines if any(ln.strip().startswith(b) for b in bullets)
+        ) / len(lines)
+        ef = sum(
+            1
+            for ln in lines
+            if ln.strip().endswith("...") or ln.strip().endswith("…")
+        ) / len(lines)
+        af = sum(1 for w in toks if any(c.isalpha() and c.isascii() for c in w)) / n_words
+        ns = sum(1 for w in stopset if w in [x.lower() for x in toks])
+        r = got[i]
+        assert r.n_words == n_words, i
+        assert abs(r.mean_word_len - mean_len) < 6e-7, i
+        assert abs(r.symbol_ratio - (n_hash + n_ell) / n_words) < 6e-7, i
+        assert abs(r.bullet_frac - bf) < 6e-7, i
+        assert abs(r.ellipsis_frac - ef) < 6e-7, i
+        assert abs(r.alpha_word_frac - af) < 6e-7, i
+        assert r.n_stopwords == ns, i
+        want_keep = (
+            50 <= n_words <= 100_000
+            and 3.0 <= round(mean_len + 1e-9, 6) <= 10.0
+            and round((n_hash + n_ell) / n_words + 1e-9, 6) <= 0.1
+            and round(bf + 1e-9, 6) <= 0.9
+            and round(ef + 1e-9, 6) <= 0.3
+            and round(af + 1e-9, 6) >= 0.8
+            and ns >= 2
+        )
+        assert r.keep == want_keep, (i, t[:60])
