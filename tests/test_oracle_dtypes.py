@@ -79,3 +79,37 @@ def test_no_staged_oracle_binds_to_spark_unrepresentable_dtype(con):
             if any(b in typ.upper() for b in _BANNED):
                 offenders.append((name, col, typ))
     assert offenders == [], offenders
+
+
+def test_staged_spark_and_oracle_dtypes_pair_exactly(spark, con):
+    """The driver's value-hash serializes dtypes on BOTH sides, so a
+    staged query must pair its Spark schema with the oracle's bound
+    types column-for-column — not merely avoid the banned types. The
+    allowed pairings are the registry's audited ones (bigint↔BIGINT,
+    double↔DOUBLE, boolean↔BOOLEAN, string↔VARCHAR, int↔INTEGER);
+    anything else (an int32 Spark column against BIGINT, a missing or
+    reordered column) is caught HERE instead of costing a driver round
+    at registration."""
+    from presto_workload_analyzer_spark import staged_queries
+
+    allowed = {
+        ("bigint", "BIGINT"),
+        ("double", "DOUBLE"),
+        ("boolean", "BOOLEAN"),
+        ("string", "VARCHAR"),
+        ("int", "INTEGER"),
+    }
+    offenders = []
+    for name, (fn, sql) in staged_queries.STAGED.items():
+        sdt = {
+            f.name: f.dataType.simpleString()
+            for f in fn(spark, SF_DIR).schema.fields
+        }
+        odt = {r[0]: r[1] for r in con.execute(f"DESCRIBE ({sql})").fetchall()}
+        if set(sdt) != set(odt):
+            offenders.append((name, "column-set", sorted(sdt), sorted(odt)))
+            continue
+        for c, t in sdt.items():
+            if (t, odt[c]) not in allowed:
+                offenders.append((name, c, t, odt[c]))
+    assert offenders == [], offenders
