@@ -76,3 +76,28 @@ def test_staged_query_plan_is_lintclean(spark, name):
             # (which carries ASC/DESC); an unpartitioned one starts there
             first = spec.split(",", 1)[0]
             assert " ASC" not in first and " DESC" not in first, line
+
+
+def test_registration_rehearsal_window_and_names():
+    """Dry-run of the next-round registration: add the staged entries to
+    a COPY of the live registry and assert (a) no staged name collides
+    with a registered one, (b) the rotation scheduler still produces a
+    well-formed full ordering, and (c) every staged entry lands in the
+    driver's 50-slot verification window (never-verified tier priority)
+    — so the actual move is verified-by-construction, not a gamble on
+    window composition."""
+    from presto_workload_analyzer_spark import driver_queries as dq
+
+    assert not set(staged_queries.STAGED) & set(dq._QUERIES), (
+        "staged name collides with a registered query"
+    )
+    augmented = dict(dq._QUERIES)
+    for name, (fn, _sql) in staged_queries.STAGED.items():
+        augmented[name] = fn
+    ordered = dq._ordered(augmented)
+    assert list(ordered) and set(ordered) == set(augmented)
+    window = list(ordered)[:50]
+    missing = [n for n in staged_queries.STAGED if n not in window]
+    assert missing == [], (
+        f"staged entries outside the 50-slot window at registration: {missing}"
+    )
