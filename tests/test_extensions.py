@@ -2808,12 +2808,12 @@ def test_xs12_threshold_margin_on_corpus():
     real decision."""
     import duckdb
 
-    from presto_workload_analyzer_spark.staged_queries import (
+    from presto_workload_analyzer_spark.driver_queries import (
         _XS12_PPL_THRESHOLD as thr,
-        xs12_sql,
+        _xs12_sql,
     )
 
-    sql = xs12_sql().split(" SELECT id AS doc_id,")[0] + (
+    sql = _xs12_sql().split(" SELECT id AS doc_id,")[0] + (
         " SELECT exp(snll / ns) AS ppl FROM perdoc"
     )
     for sf in ("0.001", "0.01"):
@@ -2829,7 +2829,7 @@ def test_xs12_threshold_margin_on_corpus():
             f"sf{sf}: a held-out doc's perplexity sits {gap:.2e} from "
             f"_XS12_PPL_THRESHOLD={thr} — within fp-drift distance, so the "
             "keep flag can flip across engines. Recalibrate the threshold "
-            "into a wider corpus gap (staged_queries.py) before trusting "
+            "into a wider corpus gap (driver_queries.py) before trusting "
             "the gate."
         )
         assert 0 < kept < len(vals), (
