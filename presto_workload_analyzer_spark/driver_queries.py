@@ -989,6 +989,23 @@ def shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """connected_components over shared_embedding_pairs, cached at the
+    same (session, sf) grain — the embedding twin of
+    shared_dedup_clusters. Added in round 11 (r10 verdict item 5): x64's
+    warm-solo re-measures ranged 4.1-7.9 s purely because the iterative
+    CC chain re-executed per fresh plan construction; with the cluster
+    silver cached, a fresh x64 plan pays only the survivor anti-join."""
+    return _cached_adapter(
+        "embedding_cc_md5_p4_b2_t025",
+        spark,
+        sf_dir,
+        lambda: X_dedup.connected_components(
+            shared_embedding_pairs(spark, sf_dir)
+        ),
+    )
+
+
 def shared_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The exact prefix-filter Jaccard pair set (k=4, t=0.5) over the full
     documents corpus, cached at (session, sf) grain: x98 returns it
@@ -4328,14 +4345,20 @@ def _x64(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dedup MATERIALIZATION — x33's blocked pair pipeline
     completed to the survivor set (SemDeDup-style semantic dedup): blocked
     hyperplane-LSH candidates, exact cosine verify at 0.25, connected
-    components, keep the min-id per cluster (dedup.drop_near_duplicates).
-    The embedding-side twin of x15, closing the text/embedding parity gap:
-    every dedup family now has both a pair query and a materialization
-    query. Oracle: x33's deterministic md5-hyperplane SQL + the recursive
+    components, keep the min-id per cluster. The embedding-side twin of
+    x15, closing the text/embedding parity gap: every dedup family now
+    has both a pair query and a materialization query. Consumes the
+    shared_embedding_clusters CC silver (round 11) so a fresh plan pays
+    only the survivor anti-join — the iterative CC chain re-executing
+    per plan construction was x64's 4.1-7.9 s warm-solo variance.
+    Oracle: x33's deterministic md5-hyperplane SQL + the recursive
     CC + the same survivor anti-join."""
     emb = read_sf_table(spark, sf, "embeddings")
-    pairs = shared_embedding_pairs(spark, sf)
-    return X_dedup.drop_near_duplicates(emb, "vec_id", pairs).select("vec_id")
+    cc = shared_embedding_clusters(spark, sf)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.join(losers, on="vec_id", how="left_anti").select("vec_id")
 
 
 def _x64_sql() -> str:
