@@ -11056,7 +11056,9 @@ def _xs10(spark: SparkSession, sf: str) -> DataFrame:
     (docs span 10-99 tokens across the 50 boundary) and the 8-stopword
     requirement; the symbol/bullet/ellipsis/alpha rules hold uniformly
     (single-line, punctuation-free text) but are computed faithfully.
-    Pure Column expressions — whole-stage codegen, no explode/join."""
+    The '#' and '...' symbol ratios are tested SEPARATELY against 0.1
+    each, per the paper's "either" wording (r10 ADVICE fix). Pure
+    Column expressions — whole-stage codegen, no explode/join."""
     from presto_workload_analyzer_spark.extensions import textstats
     from presto_workload_analyzer_spark.sources import read_table
 
@@ -11085,9 +11087,10 @@ def _xs10_sql() -> str:
         "   CAST(len(toks) AS BIGINT) AS n_words,"
         "   round(CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)"
         "    / len(toks) + 1e-9, 6) AS mean_word_len,"
-        "   round(CAST((len(text) - len(replace(text, '#', '')))"
-        "    + (len(string_split(text, '...')) - 1) AS DOUBLE)"
-        "    / len(toks) + 1e-9, 6) AS symbol_ratio,"
+        "   round(CAST(len(text) - len(replace(text, '#', '')) AS DOUBLE)"
+        "    / len(toks) + 1e-9, 6) AS hash_ratio,"
+        "   round(CAST(len(string_split(text, '...')) - 1 AS DOUBLE)"
+        "    / len(toks) + 1e-9, 6) AS ellipsis_ratio,"
         f"   round(CAST(len(list_filter(lines, l -> {bullets})) AS DOUBLE)"
         "    / len(lines) + 1e-9, 6) AS bullet_frac,"
         "   round(CAST(len(list_filter(lines, l -> ends_with(trim(l), '...')"
@@ -11098,19 +11101,21 @@ def _xs10_sql() -> str:
         "    / len(toks) + 1e-9, 6) AS alpha_word_frac,"
         f"   CAST({stops} AS BIGINT) AS n_stopwords"
         "  FROM base)"
-        " SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,"
-        "  ellipsis_frac, alpha_word_frac, n_stopwords,"
+        " SELECT doc_id, n_words, mean_word_len, hash_ratio, ellipsis_ratio,"
+        "  bullet_frac, ellipsis_frac, alpha_word_frac, n_stopwords,"
         "  (n_words >= 50 AND n_words <= 100000) AS ok_word_count,"
         "  (mean_word_len >= 3.0 AND mean_word_len <= 10.0)"
         "   AS ok_mean_word_len,"
-        "  (symbol_ratio <= 0.1) AS ok_symbol_ratio,"
+        "  (hash_ratio <= 0.1) AS ok_hash_ratio,"
+        "  (ellipsis_ratio <= 0.1) AS ok_ellipsis_ratio,"
         "  (bullet_frac <= 0.9) AS ok_bullets,"
         "  (ellipsis_frac <= 0.3) AS ok_ellipsis,"
         "  (alpha_word_frac >= 0.8) AS ok_alpha_words,"
         "  (n_stopwords >= 2) AS ok_stopwords,"
         "  (n_words >= 50 AND n_words <= 100000"
         "   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0"
-        "   AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9"
+        "   AND hash_ratio <= 0.1 AND ellipsis_ratio <= 0.1"
+        "   AND bullet_frac <= 0.9"
         "   AND ellipsis_frac <= 0.3 AND alpha_word_frac >= 0.8"
         "   AND n_stopwords >= 2) AS keep"
         " FROM m"

@@ -1378,6 +1378,13 @@ def prefix_filter_jaccard_join(
     )
 
 
+# Single-matmul fast-path bound for _cluster_pairs_blas: clusters up to
+# this many rows compute one n x n Gram matrix (8192^2 doubles = 512 MiB,
+# comfortably inside an executor task); larger clusters stream row-block
+# panels so peak memory is O(block * n), never O(n^2).
+_BLAS_ROW_BLOCK = 8192
+
+
 def _cluster_pairs_blas(
     emb: DataFrame,
     id_col: str,
@@ -1385,16 +1392,33 @@ def _cluster_pairs_blas(
     cluster_col: str,
     threshold: float,
     max_cluster_size: int | None,
+    row_block: int | None = None,
 ) -> DataFrame:
     """BLAS physical strategy for cluster_scoped_cosine_pairs — see its
     docstring for the contract. One applyInPandas group per cluster; the
     guard (oversized clusters emit min-id star pairs, cosine-verified)
     is replayed inside the kernel, byte-identical semantics to the join
-    formulation."""
+    formulation.
+
+    Memory posture (r10 ADVICE item 2): an unguarded cluster of n
+    vectors must NOT materialize the full n x n Gram matrix in one task
+    — that is an O(n^2) executor-memory cliff the old expr default
+    degraded around by spilling its shuffle join. Clusters up to
+    `row_block` rows (default _BLAS_ROW_BLOCK) take the single-matmul
+    fast path (one
+    G = V @ V.T — every gate corpus lands here, byte-identical to the
+    pre-chunking kernel); larger ones stream the SAME dot products in
+    row blocks (block x n panels, peak memory O(block * n) instead of
+    O(n^2)), so the kernel's memory is bounded even when the caller
+    passes max_cluster_size=None. The emitted >=threshold pairs are
+    still quadratic for a genuinely duplicative mega cluster — that
+    output-size trade is the guard's to make, not the kernel's."""
     import pandas as pd
     from pyspark.sql import types as T
 
     cap = max_cluster_size
+    # captured by value so the executor-side kernel sees the test override
+    blk = int(row_block) if row_block is not None else _BLAS_ROW_BLOCK
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
@@ -1416,17 +1440,38 @@ def _cluster_pairs_blas(
             return pd.DataFrame(
                 {"id_a": ids[0], "id_b": ids[keep], "cosine": cos[keep]}
             ).drop_duplicates()
-        G = V @ V.T
-        d = np.sqrt(np.diag(G))
-        ia, ib = np.triu_indices(n, k=1)
-        cos = G[ia, ib] / (d[ia] * d[ib])
-        # ids[ia] != ids[ib] + drop_duplicates replay the expr path's
-        # id_a < id_b filter and .distinct() when the id column holds
-        # duplicate rows within a cluster (degenerate but allowed input:
-        # triu enumerates row positions, not distinct ids).
-        keep = (cos >= threshold) & (ids[ia] != ids[ib])
+        if n <= blk:
+            G = V @ V.T
+            d = np.sqrt(np.diag(G))
+            ia, ib = np.triu_indices(n, k=1)
+            cos = G[ia, ib] / (d[ia] * d[ib])
+            # ids[ia] != ids[ib] + drop_duplicates replay the expr path's
+            # id_a < id_b filter and .distinct() when the id column holds
+            # duplicate rows within a cluster (degenerate but allowed
+            # input: triu enumerates row positions, not distinct ids).
+            keep = (cos >= threshold) & (ids[ia] != ids[ib])
+            return pd.DataFrame(
+                {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[keep]}
+            ).drop_duplicates()
+        # row-block streaming: same dot products, O(block * n) peak memory
+        d = np.sqrt((V * V).sum(axis=1))
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, n, blk):
+            hi = min(lo + blk, n)
+            Gb = V[lo:hi] @ V.T                       # (hi-lo) x n panel
+            cos = Gb / np.outer(d[lo:hi], d)
+            ia, ib = np.nonzero(cos >= threshold)
+            ia_g = ia + lo
+            keep = (ia_g < ib) & (ids[ia_g] != ids[ib])
+            out_a.append(ids[ia_g[keep]])
+            out_b.append(ids[ib[keep]])
+            out_c.append(cos[ia[keep], ib[keep]])
         return pd.DataFrame(
-            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[keep]}
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
         ).drop_duplicates()
 
     schema = T.StructType(

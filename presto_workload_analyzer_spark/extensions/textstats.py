@@ -634,11 +634,20 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
       * 50 <= word count <= 100,000
       * 3 <= mean word length <= 10
-      * symbol-to-word ratio ('#' and '...' occurrences / words) <= 0.1
+      * symbol-to-word ratio <= 0.1 for EACH of '#' and '...' — the
+        paper (and common implementations, e.g. DataTrove) tests the
+        two symbols' ratios separately ("either"), not their sum, so a
+        doc with 0.06 of each passes both (a summed 0.12 would have
+        wrongly failed it — r10 ADVICE fix)
       * <= 90% of lines start with a bullet glyph
       * <= 30% of lines end with an ellipsis
       * >= 80% of words contain at least one alphabetic character
-      * contains >= 2 distinct words from the paper's 8-stopword list
+      * contains >= 2 DISTINCT words from the paper's 8-stopword list
+        (the paper's "contains at least two of the following" read as
+        set membership; some reference implementations instead count
+        token OCCURRENCES, under which a doc repeating one stopword
+        twice passes — a deliberate, documented divergence, so a
+        differential test against such a filter should expect it)
 
     Rule flags compare the ROUNDED measured value (the x43 convention)
     so a boundary document cannot flip across engines on last-ulp
@@ -662,7 +671,8 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     n_hash = F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))
     n_ellipsis = F.size(F.split(txt, r"\.\.\.", -1)) - 1
-    symbol_ratio = (n_hash + n_ellipsis).cast("double") / n_words
+    hash_ratio = n_hash.cast("double") / n_words
+    ellipsis_ratio = n_ellipsis.cast("double") / n_words
     lines = F.split(txt, "\n", -1)
     n_lines = F.size(lines)
     bullet_frac = (
@@ -703,14 +713,16 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
     r6 = lambda c: F.round(c + 1e-9, 6)  # noqa: E731
     mean_len_r = r6(mean_len)
-    symbol_r = r6(symbol_ratio)
+    hash_r = r6(hash_ratio)
+    ellipsis_sym_r = r6(ellipsis_ratio)
     bullet_r = r6(bullet_frac)
     ellipsis_r = r6(ellipsis_frac)
     alpha_r = r6(alpha_frac)
     flags = {
         "ok_word_count": (n_words >= 50) & (n_words <= 100_000),
         "ok_mean_word_len": (mean_len_r >= 3.0) & (mean_len_r <= 10.0),
-        "ok_symbol_ratio": symbol_r <= 0.1,
+        "ok_hash_ratio": hash_r <= 0.1,
+        "ok_ellipsis_ratio": ellipsis_sym_r <= 0.1,
         "ok_bullets": bullet_r <= 0.9,
         "ok_ellipsis": ellipsis_r <= 0.3,
         "ok_alpha_words": alpha_r >= 0.8,
@@ -721,7 +733,8 @@ def gopher_rules(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"),
         n_words.cast("long").alias("n_words"),
         mean_len_r.alias("mean_word_len"),
-        symbol_r.alias("symbol_ratio"),
+        hash_r.alias("hash_ratio"),
+        ellipsis_sym_r.alias("ellipsis_ratio"),
         bullet_r.alias("bullet_frac"),
         ellipsis_r.alias("ellipsis_frac"),
         alpha_r.alias("alpha_word_frac"),

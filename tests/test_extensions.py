@@ -2547,6 +2547,49 @@ def test_cluster_pairs_blas_matches_expr(spark):
     assert g_expr == g_blas
 
 
+def test_cluster_pairs_blas_row_block_streaming_matches_single_matmul(spark):
+    """The row-block streaming path (_cluster_pairs_blas kernels for
+    clusters larger than `row_block` — the O(block*n) memory posture
+    that removes the unguarded n x n Gram cliff, r10 ADVICE item 2)
+    must emit the SAME pair set and cosines as the single-matmul fast
+    path: same dot products, just computed panel-by-panel. Forced onto
+    the streaming path with row_block=7 against a 40-vector cluster
+    (6 panels, one ragged), plus a second cluster and a singleton so
+    the group boundary behavior is covered."""
+    import numpy as np
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    rng = np.random.default_rng(8128)
+    rows = [
+        R(vec_id=i, embedding=[float(x) for x in rng.normal(size=8)], label=int(i >= 40))
+        for i in range(70)
+    ] + [R(vec_id=999, embedding=[1.0] * 8, label=5)]
+    emb = spark.createDataFrame(rows)
+    single = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup._cluster_pairs_blas(
+            emb, "vec_id", "embedding", "label", 0.2, None
+        ).collect()
+    }
+    blocked = {
+        (r.id_a, r.id_b): r.cosine
+        for r in dedup._cluster_pairs_blas(
+            emb, "vec_id", "embedding", "label", 0.2, None, row_block=7
+        ).collect()
+    }
+    assert single and set(single) == set(blocked)
+    for k, v in single.items():
+        assert abs(v - blocked[k]) < 1e-12, k
+    # the guard still outranks the block path on an oversized cluster
+    star = dedup._cluster_pairs_blas(
+        emb, "vec_id", "embedding", "label", -1.0, 10, row_block=7
+    ).collect()
+    roots = {r.id_a for r in star if r.id_a < 40 or 40 <= r.id_a < 70}
+    assert roots <= {0, 40}  # min-id star roots only
+
+
 def test_xs1_threshold_margin_on_corpus():
     """xs1 runs impl='blas' (BLAS-summed cosine) against a DuckDB oracle
     that folds in order; the gate compare only holds because no corpus
@@ -2756,8 +2799,9 @@ def test_gopher_rules_hand_computed(spark):
     assert out[2].bullet_frac == 1.0 and not out[2].ok_bullets
     # 2 of 3 lines end with '...' -> 0.666667 > 0.3
     assert abs(out[3].ellipsis_frac - 0.666667) < 1e-6 and not out[3].ok_ellipsis
-    # 30 '#' chars / 60 words = 0.5 > 0.1
-    assert abs(out[4].symbol_ratio - 0.5) < 1e-6 and not out[4].ok_symbol_ratio
+    # 30 '#' chars / 60 words = 0.5 > 0.1; zero '...' -> ellipsis side ok
+    assert abs(out[4].hash_ratio - 0.5) < 1e-6 and not out[4].ok_hash_ratio
+    assert out[4].ellipsis_ratio == 0.0 and out[4].ok_ellipsis_ratio
     # zero alphabetic words -> alpha fraction 0 < 0.8
     assert out[5].alpha_word_frac == 0.0 and not out[5].ok_alpha_words
     assert not out[6].ok_word_count and not out[6].keep
@@ -3044,7 +3088,8 @@ def test_gopher_rules_random_vs_python_reference(spark):
         r = got[i]
         assert r.n_words == n_words, i
         assert abs(r.mean_word_len - mean_len) < 6e-7, i
-        assert abs(r.symbol_ratio - (n_hash + n_ell) / n_words) < 6e-7, i
+        assert abs(r.hash_ratio - n_hash / n_words) < 6e-7, i
+        assert abs(r.ellipsis_ratio - n_ell / n_words) < 6e-7, i
         assert abs(r.bullet_frac - bf) < 6e-7, i
         assert abs(r.ellipsis_frac - ef) < 6e-7, i
         assert abs(r.alpha_word_frac - af) < 6e-7, i
@@ -3052,7 +3097,8 @@ def test_gopher_rules_random_vs_python_reference(spark):
         want_keep = (
             50 <= n_words <= 100_000
             and 3.0 <= round(mean_len + 1e-9, 6) <= 10.0
-            and round((n_hash + n_ell) / n_words + 1e-9, 6) <= 0.1
+            and round(n_hash / n_words + 1e-9, 6) <= 0.1
+            and round(n_ell / n_words + 1e-9, 6) <= 0.1
             and round(bf + 1e-9, 6) <= 0.9
             and round(ef + 1e-9, 6) <= 0.3
             and round(af + 1e-9, 6) >= 0.8
