@@ -1616,3 +1616,77 @@ def semantic_dedup(
         threshold=threshold, max_cluster_size=max_cluster_size, impl=impl,
     )
     return drop_near_duplicates(emb, id_col, pairs)
+
+
+def duplicated_line_removal(
+    df: DataFrame, id_col: str, text_col: str, delimiter: str = "\n"
+) -> DataFrame:
+    """CCNet-style cross-document duplicated-LINE removal (Wenzek et al.
+    2020, "CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data", public paper §3.1 — hash every paragraph/line, drop
+    duplicated ones corpus-wide) — the line-grain twin of the k-gram
+    span dedup (x47): boilerplate headers, navigation strings and
+    license blocks repeat across pages VERBATIM at line grain long
+    before whole documents near-duplicate.
+
+    Semantics: a line occurring once in the corpus passes through; a
+    line occurring more than once keeps exactly ONE occurrence — the
+    globally first by (doc id, line index) — and every other occurrence
+    is dropped. Output at document grain:
+
+      (id, n_lines, n_dropped, kept_frac, cleaned_digest)
+
+    where cleaned_digest = md5 of the surviving lines joined by
+    `delimiter` in original order (md5('') when every line drops) — a
+    byte-exact cross-engine witness of the cleaned document, so any
+    divergence in keep semantics, ordering or joining is a hash
+    mismatch, not a silent drift.
+
+    Shuffle shape at 100 TB: lines shuffle ONCE on their md5 digest (the
+    CCNet shape — fixed-width keys, line-digest grain), the canonical
+    (first-occurrence) table is digest-grain (one row per DISTINCT line,
+    vocabulary-sized), and the keep decision is an equi-join back on the
+    digest. No window, no driver-side state; the per-doc rollup is a
+    doc-grain groupBy with an in-group sort of that doc's own kept lines
+    (bounded by document size, never corpus size).
+    """
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(txt, delimiter, -1)).alias("idx", "line"),
+    ).withColumn("__dig", F.md5(F.col("line")))
+    canon = lines.groupBy("__dig").agg(
+        F.count(F.lit(1)).alias("__df"),
+        F.min(F.struct("id", "idx")).alias("__first"),
+    )
+    tagged = lines.join(canon, "__dig").select(
+        "id",
+        "idx",
+        "line",
+        (
+            (F.col("__df") == 1)
+            | (
+                (F.col("id") == F.col("__first.id"))
+                & (F.col("idx") == F.col("__first.idx"))
+            )
+        ).alias("__keep"),
+    )
+    kept_join = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("__keep"), F.struct("idx", "line"))
+                )
+            ),
+            lambda s: s["line"],
+        ),
+        delimiter,
+    )
+    return tagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum((~F.col("__keep")).cast("long")).cast("long").alias("n_dropped"),
+        F.round(
+            F.sum(F.col("__keep").cast("double")) / F.count(F.lit(1)) + 1e-9, 6
+        ).alias("kept_frac"),
+        F.md5(kept_join).alias("cleaned_digest"),
+    )

@@ -1587,3 +1587,127 @@ def bpe_apply(
     return cur.withColumn(
         "n_subwords", F.size(F.split(F.col("__syms"), " ")).cast("long")
     ).drop("__syms")
+
+
+# C4's line-keep terminal punctuation set (Raffel et al. 2020, §2.2:
+# "a period, exclamation mark, question mark, or end quotation mark").
+C4_TERMINAL_PUNCT = (".", "!", "?", '"')
+
+
+def c4_line_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """C4-style LINE-level cleaning rules (Raffel et al. 2020, "Exploring
+    the Limits of Transfer Learning...", public paper, §2.2) — the
+    line-grain companion of the doc-grain Gopher battery (gopher_rules):
+    C4 cleans INSIDE a page before judging the page, where Gopher only
+    judges whole documents. Per document:
+
+      line grain — a line is KEPT iff ALL of:
+        * it ends in a terminal punctuation mark (C4_TERMINAL_PUNCT);
+        * it has >= 3 words;
+        * it does not contain the word 'javascript' (case-insensitive —
+          the paper's boilerplate-warning filter).
+      page grain — the document is kept iff:
+        * >= 5 lines survive the line filter (the paper's "at least five
+          sentences" retention rule, applied to kept lines);
+        * the page contains no 'lorem ipsum' (case-insensitive);
+        * the page contains no curly brace '{' (the paper's code filter).
+
+    Output: (id, n_lines, n_kept_lines, kept_frac, has_lorem_ipsum,
+    has_curly_brace, ok_min_lines, keep). The paper's dirty-word-list
+    page filter is out of scope for a synthetic corpus (no list shipped);
+    the deduplication step it pairs with is duplicated_line_removal
+    (extensions/dedup.py).
+
+    Pure Column expressions over the line array (split + filter lambdas,
+    no explode, no join, no UDF): whole-stage codegen at scan speed,
+    trivially parallel at any corpus size.
+    """
+    txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    lines = F.split(txt, "\n", -1)
+
+    def _line_ok(ln: Column) -> Column:
+        t = F.trim(ln)
+        term = functools.reduce(
+            lambda a, b: a | b, [t.endswith(p) for p in C4_TERMINAL_PUNCT]
+        )
+        n_w = F.size(F.split(t, r"\s+"))
+        return term & (n_w >= 3) & ~F.lower(ln).contains("javascript")
+
+    kept = F.filter(lines, _line_ok)
+    n_lines = F.size(lines)
+    n_kept = F.size(kept)
+    has_lorem = F.lower(txt).contains("lorem ipsum")
+    has_curly = txt.contains("{")
+    ok_min = n_kept >= 5
+    keep = ok_min & ~has_lorem & ~has_curly
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_lines.cast("long").alias("n_lines"),
+        n_kept.cast("long").alias("n_kept_lines"),
+        F.round(n_kept.cast("double") / n_lines + 1e-9, 6).alias("kept_frac"),
+        has_lorem.alias("has_lorem_ipsum"),
+        has_curly.alias("has_curly_brace"),
+        ok_min.alias("ok_min_lines"),
+        keep.alias("keep"),
+    )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: tuple[str, ...],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 document scores for a fixed query (Robertson & Walker,
+    public method) — retrieval-based data selection: score every document
+    against a target query and keep/weight the top of the ranking (the
+    lexical twin of the embedding-similarity selectors in
+    extensions/similarity.py, and the retrieval scorer beside the
+    tfidf_* statistics).
+
+        idf(t)  = ln(1 + (N - df_t + 0.5) / (df_t + 0.5))
+        score_d = sum_t idf(t) * tf_td * (k1+1)
+                         / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
+
+    Only documents matching >= 1 query term appear (every emitted score
+    is > 0; BM25 of a non-matching doc is 0 by definition).
+
+    Shuffle shape at 100 TB: the exploded token stream is filtered to the
+    QUERY vocabulary before the (id, term) groupBy — the corpus-sized
+    shuffle carries only matching tokens (|query_terms| ~ a handful, so
+    this is a tiny fraction of the stream); df lives at query-term grain
+    (broadcast), dl at doc grain (equi-join on id), N/avgdl are one
+    broadcast row. Output: (id, bm25) rounded to 6.
+    """
+    toks_lc = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(F.col(id_col).alias("id"), toks_lc.alias("__toks"))
+    dl = base.select("id", F.size("__toks").cast("long").alias("__dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("__n"),
+        F.avg("__dl").alias("__avgdl"),
+    )
+    tf = (
+        base.select("id", F.explode("__toks").alias("term"))
+        .filter(F.col("term").isin(*query_terms))
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("__tf"))
+    )
+    dfq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("__df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("__df") + 0.5) / (F.col("__df") + 0.5)
+    )
+    denom = F.col("__tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("__dl") / F.col("__avgdl")
+    )
+    per_term = idf * F.col("__tf") * F.lit(k1 + 1.0) / denom
+    return (
+        tf.join(F.broadcast(dfq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(scal))
+        .select("id", per_term.alias("__s"))
+        .groupBy("id")
+        .agg(F.round(F.sum("__s") + 1e-9, 6).alias("bm25"))
+    )

@@ -9,30 +9,262 @@ plus the plan lint's core bans and the oracle dtype ban), then register
 next round by moving the (name, fn, sql) triple into
 driver_queries._register — a move, not a debugging session.
 
-Rounds 7-8 staged xs1-xs5 (SemDeDup, DSIR weights, DSIR mix, MJPEG frame
-pipeline, guard-ON LSH); round 9 registered them. Round 10 staged
-xs6-xs13 + s18 (UniMax mixing, held-out bigram perplexity,
-cluster-balanced sampling, temperature mixing, the Gopher rule +
-repetition batteries, the perplexity-filter keep decision, a streaming
-quality gate, DSIR importance resampling); round 11 registered them
-(driver_queries.py, the "Round-11 registration" section; registry
-227 -> 236).
+Rounds 7-8 staged xs1-xs5 (registered round 9, registry 222 -> 227);
+round 10 staged xs6-xs13 + s18 (registered round 11, registry
+227 -> 236). This module stages the xs14+ batch (round-10 verdict item
+4) — the remaining published corpus-cleaning shapes plus a retrieval
+scorer:
+
+  * xs14_c4_line_filters  — the C4 line-level cleaning battery (Raffel
+                            et al. 2020 §2.2: terminal-punctuation line
+                            keep, >= 3-word line, 'javascript' line
+                            drop; page-grain lorem-ipsum / curly-brace
+                            / >= 5-kept-lines rules) — the line-grain
+                            companion of xs10's doc-grain Gopher set.
+  * xs15_ccnet_line_dedup — CCNet-style cross-document duplicated-LINE
+                            removal (Wenzek et al. 2020 §3.1): hash
+                            every line corpus-wide, keep the globally
+                            first occurrence of each duplicated line —
+                            the line-grain twin of x47's k-gram spans,
+                            with a byte-exact cleaned-doc md5 witness.
+  * xs16_bm25_scores      — Okapi BM25 scores against a fixed query
+                            (retrieval-based data selection; the
+                            lexical twin of the embedding selectors).
+
+Line grain on this corpus: the synthetic documents are single-line, so
+xs14/xs15 first RECONSTRUCT a deterministic multi-line document from
+each doc's own tokens (8-token lines; xs14 additionally injects the
+paper's trigger markers and terminal punctuation on doc_id/line-index
+arithmetic) — the xs4 precedent (synthesized AVI payloads), replayed
+identically in the oracle, so the rules genuinely discriminate instead
+of holding uniformly: at sf0.01 the C4 page filter keeps 245/500 docs
+(n_kept_lines spans 1-9 across the >= 5 boundary, 14 lorem docs, 22
+curly docs), and the line dedup drops 328 occurrences of 153
+corpus-duplicated lines that exist in the RAW corpus (template
+families align at 8-token boundaries) — no injection needed there.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
   * if the plan uses a declared Arrow surface (mapInPandas etc.), add the
-    name to tests/test_plan_lint._ALLOWED_PANDAS;
+    name to tests/test_plan_lint._ALLOWED_PANDAS — this batch is pure
+    Column/join plans and needs no exemption;
   * column names aliased identically on both sides, integer aggregates
     cast to BIGINT, floats rounded to 6 after scaling, no
     HUGEINT/DECIMAL/UHUGEINT anywhere in the oracle's DESCRIBE.
-
-(While this dict is empty between batches, test_staged_queries'
-parametrized tests collect as skips — the harness stays in place for the
-next batch.)
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F  # noqa: F401
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
-STAGED: dict[str, tuple] = {}
+# Shared 8-token line grain for the xs14/xs15 reconstruction.
+_LINE_WIDTH = 8
+
+
+def _chunk_lines(markers: bool) -> Column:
+    """doc text -> array of 8-token lines, optionally with the C4 trigger
+    markers ('lorem ipsum ' prefix on line 0 of doc_id%37==0 docs, ' {'
+    on line 1 of %23 docs, ' javascript' on line 2 of %29 docs) and the
+    deterministic terminal '.' on lines with (doc_id + i) % 3 != 0 —
+    arithmetic on (doc_id, line index) only, replayed verbatim in SQL."""
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    toks = textstats.tokens("text")
+    n_lines = F.ceil(F.size(toks) / F.lit(float(_LINE_WIDTH)))
+    did = F.col("doc_id")
+
+    def line(i: Column) -> Column:
+        core = F.array_join(F.slice(toks, i * _LINE_WIDTH + 1, _LINE_WIDTH), " ")
+        if markers:
+            core = F.when(
+                (did % 37 == 0) & (i == 0), F.concat(F.lit("lorem ipsum "), core)
+            ).otherwise(core)
+            core = F.when(
+                (did % 23 == 0) & (i == 1), F.concat(core, F.lit(" {"))
+            ).otherwise(core)
+            core = F.when(
+                (did % 29 == 0) & (i == 2), F.concat(core, F.lit(" javascript"))
+            ).otherwise(core)
+            core = F.when(
+                ((did + i) % 3) != 0, F.concat(core, F.lit("."))
+            ).otherwise(core)
+        return core
+
+    return F.transform(F.sequence(F.lit(0), (n_lines - 1).cast("long")), line)
+
+
+def _chunk_lines_sql(markers: bool) -> str:
+    inj = (
+        "(CASE WHEN doc_id % 37 = 0 AND i = 0 THEN 'lorem ipsum ' ELSE '' END)"
+        " || {core}"
+        " || (CASE WHEN doc_id % 23 = 0 AND i = 1 THEN ' {{' ELSE '' END)"
+        " || (CASE WHEN doc_id % 29 = 0 AND i = 2 THEN ' javascript' ELSE '' END)"
+        " || (CASE WHEN (doc_id + i) % 3 <> 0 THEN '.' ELSE '' END)"
+        if markers
+        else "{core}"
+    )
+    w = _LINE_WIDTH
+    expr = inj.format(core=f"array_to_string(toks[{w}*i+1:{w}*i+{w}], ' ')")
+    return (
+        "WITH t AS (SELECT doc_id,"
+        "   string_split_regex(trim(text), '\\s+') AS toks FROM documents),"
+        " ln AS (SELECT doc_id,"
+        f"   list_transform(range(0, CAST(ceil(len(toks)/{float(w)!r})"
+        f"    AS BIGINT)), i -> {expr}) AS lines"
+        "  FROM t)"
+    )
+
+
+def xs14_c4_line_filters(spark: SparkSession, sf: str) -> DataFrame:
+    """The C4 line-level cleaning battery (Raffel et al. 2020, §2.2) over
+    the reconstructed multi-line corpus — the line-grain companion of
+    xs10's doc-grain Gopher battery: C4 cleans INSIDE a page (terminal-
+    punctuation line keep, >= 3-word line, 'javascript' line drop)
+    before judging the page (>= 5 kept lines, no 'lorem ipsum', no curly
+    brace). Line reconstruction + marker injection are deterministic
+    doc_id/line-index arithmetic (_chunk_lines docstring), replayed
+    verbatim in the oracle; the battery itself is
+    textstats.c4_line_stats — pure Column expressions, no explode, no
+    join, whole-stage codegen at scan speed."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    synth = docs.select(
+        "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
+    )
+    return textstats.c4_line_stats(synth, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def xs14_sql() -> str:
+    term = " OR ".join(
+        f"ends_with(trim(l), '{p}')" for p in (".", "!", "?")
+    ) + " OR ends_with(trim(l), '\"')"
+    return (
+        _chunk_lines_sql(markers=True)
+        + ", d2 AS (SELECT doc_id, array_to_string(lines, chr(10)) AS text2"
+        "   FROM ln),"
+        " m AS (SELECT doc_id, string_split(text2, chr(10)) AS ls, text2"
+        "   FROM d2),"
+        " k AS (SELECT doc_id, CAST(len(ls) AS BIGINT) AS n_lines,"
+        f"   CAST(len(list_filter(ls, l -> ({term})"
+        "     AND len(string_split_regex(trim(l), '\\s+')) >= 3"
+        "     AND NOT contains(lower(l), 'javascript'))) AS BIGINT)"
+        "    AS n_kept_lines,"
+        "   contains(lower(text2), 'lorem ipsum') AS has_lorem_ipsum,"
+        "   contains(text2, '{') AS has_curly_brace"
+        "  FROM m)"
+        " SELECT doc_id, n_lines, n_kept_lines,"
+        "  round(CAST(n_kept_lines AS DOUBLE) / n_lines + 1e-9, 6)"
+        "   AS kept_frac,"
+        "  has_lorem_ipsum, has_curly_brace,"
+        "  (n_kept_lines >= 5) AS ok_min_lines,"
+        "  (n_kept_lines >= 5 AND NOT has_lorem_ipsum AND NOT has_curly_brace)"
+        "   AS keep"
+        " FROM k"
+    )
+
+
+def xs15_ccnet_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style cross-document duplicated-LINE removal (Wenzek et al.
+    2020, §3.1) over the reconstructed 8-token-line corpus — NO marker
+    injection here: the raw corpus's template families align at 8-token
+    boundaries, so 153 genuinely duplicated lines (328 occurrences at
+    sf0.01) exist without any synthesis beyond the chunking. Keeps the
+    globally first occurrence of each duplicated line, passes unique
+    lines through, and emits a byte-exact md5 witness of each cleaned
+    document (dedup.duplicated_line_removal docstring has the 100 TB
+    shuffle-shape audit: one line-digest-grain shuffle + a digest-grain
+    canonical table, no window)."""
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    synth = docs.select(
+        "doc_id", F.array_join(_chunk_lines(markers=False), "\n").alias("text")
+    )
+    return dedup.duplicated_line_removal(synth, "doc_id", "text").withColumnRenamed(
+        "id", "doc_id"
+    )
+
+
+def xs15_sql() -> str:
+    return (
+        _chunk_lines_sql(markers=False)
+        + ", l AS (SELECT doc_id, i, lines[i+1] AS line"
+        "   FROM ln, UNNEST(range(0, len(lines))) AS u(i)),"
+        " h AS (SELECT doc_id, i, line, md5(line) AS dig FROM l),"
+        " g1 AS (SELECT dig, count(*) AS df, min(doc_id) AS m_doc FROM h"
+        "   GROUP BY 1),"
+        " g2 AS (SELECT dig, min(i) AS m_idx FROM h JOIN g1 USING (dig)"
+        "   WHERE h.doc_id = g1.m_doc GROUP BY 1),"
+        " k AS (SELECT doc_id, i, line,"
+        "   (df = 1 OR (doc_id = m_doc AND i = m_idx)) AS keep"
+        "  FROM h JOIN g1 USING (dig) JOIN g2 USING (dig))"
+        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,"
+        "  CAST(sum(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,"
+        "  round(sum(CASE WHEN keep THEN 1.0 ELSE 0.0 END) / count(*)"
+        "   + 1e-9, 6) AS kept_frac,"
+        "  md5(coalesce(string_agg(CASE WHEN keep THEN line END, chr(10)"
+        "   ORDER BY i), '')) AS cleaned_digest"
+        " FROM k GROUP BY 1"
+    )
+
+
+# Query-term set for the BM25 gate: three high-frequency corpus words
+# with very different document frequencies, so idf and tf both move the
+# ranking; k1/b are the textbook Okapi defaults.
+_XS16_TERMS = ("spark", "join", "filter")
+_XS16_K1 = 1.2
+_XS16_B = 0.75
+
+
+def xs16_bm25_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Okapi BM25 document scores for a fixed query — retrieval-based
+    data selection (score the corpus against a target description, keep
+    the top of the ranking): the lexical twin of the embedding-cosine
+    selectors (x06 etc.) and the retrieval-grade upgrade of the tf-idf
+    statistics (x110). textstats.bm25_scores: the exploded token stream
+    is filtered to the query vocabulary BEFORE the (id, term) groupBy,
+    df is query-term-grain broadcast, N/avgdl one broadcast row."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    return textstats.bm25_scores(
+        docs, "doc_id", "text", _XS16_TERMS, k1=_XS16_K1, b=_XS16_B
+    ).withColumnRenamed("id", "doc_id")
+
+
+def xs16_sql() -> str:
+    k1, b = _XS16_K1, _XS16_B
+    terms = ", ".join(f"'{t}'" for t in _XS16_TERMS)
+    return (
+        "WITH t AS (SELECT doc_id,"
+        "   list_transform(string_split_regex(trim(text), '\\s+'),"
+        "    w -> lower(w)) AS toks FROM documents),"
+        " dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t),"
+        " s AS (SELECT CAST(count(*) AS DOUBLE) AS n,"
+        "   avg(dl) AS avgdl FROM dl),"
+        " tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf"
+        "  FROM (SELECT doc_id, unnest(toks) AS w FROM t) u"
+        f"  WHERE w IN ({terms}) GROUP BY 1, 2),"
+        " dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf"
+        "   GROUP BY 1),"
+        " sc AS (SELECT doc_id,"
+        "   ln(1.0 + (n - df + 0.5) / (df + 0.5))"
+        f"   * tf * {k1 + 1.0!r}"
+        f"   / (tf + {k1!r} * ({1.0 - b!r} + {b!r} * dl / avgdl)) AS sco"
+        "  FROM tf JOIN dfq USING (term) JOIN dl USING (doc_id), s)"
+        " SELECT doc_id, round(sum(sco) + 1e-9, 6) AS bm25"
+        " FROM sc GROUP BY 1"
+    )
+
+
+STAGED: dict[str, tuple] = {
+    "xs14_c4_line_filters": (xs14_c4_line_filters, xs14_sql()),
+    "xs15_ccnet_line_dedup": (xs15_ccnet_line_dedup, xs15_sql()),
+    "xs16_bm25_scores": (xs16_bm25_scores, xs16_sql()),
+}

@@ -3105,3 +3105,222 @@ def test_gopher_rules_random_vs_python_reference(spark):
             and ns >= 2
         )
         assert r.keep == want_keep, (i, t[:60])
+
+
+def test_c4_line_stats_hand_computed(spark):
+    """Each C4 rule exercised by a purpose-built document: terminal
+    punctuation (period / bang / end-quote kept, bare line dropped),
+    the < 3-word line drop, the 'javascript' line drop, and the three
+    page-grain rules (>= 5 kept lines, lorem ipsum, curly brace)."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text='good line one here.\nshort.\nno punct line here'
+                             '\nanother fine line!\nquoted line "'
+                             '\nmore good text here.\nlast one ok.'),
+            R(doc_id=2, text="lorem ipsum dolor sit.\nfine line here."
+                             "\nok line two here.\nok line three here."
+                             "\nok line four here.\nok line five here."),
+            R(doc_id=3, text="var x = {\na good line here."
+                             "\nthis uses JavaScript here.\nok two here."
+                             "\nok three here.\nok four here.\nok five here."),
+            R(doc_id=4, text="only four lines kept one.\nkept two here."
+                             "\nkept three here.\nkept four here.\nnope"),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in textstats.c4_line_stats(docs, "doc_id", "text").collect()
+    }
+    # doc 1: 7 lines; 'short.' (<3 words) and 'no punct line here' drop
+    assert out[1].n_lines == 7 and out[1].n_kept_lines == 5
+    assert out[1].keep and not out[1].has_lorem_ipsum
+    assert abs(out[1].kept_frac - round(5 / 7 + 1e-9, 6)) < 1e-9
+    # doc 2: every line keeps, but the page has lorem ipsum
+    assert out[2].n_kept_lines == 6 and out[2].ok_min_lines
+    assert out[2].has_lorem_ipsum and not out[2].keep
+    # doc 3: curly page + case-insensitive javascript line drop
+    assert out[3].has_curly_brace and not out[3].keep
+    assert out[3].n_kept_lines == 5  # js line dropped at line grain
+    # doc 4: clean page but only 4 kept lines -> min-lines rule fails
+    assert out[4].n_kept_lines == 4
+    assert not out[4].ok_min_lines and not out[4].keep
+
+
+def test_c4_line_stats_random_vs_python_reference(spark):
+    """c4_line_stats vs an independent Python reference on seeded random
+    multi-line docs mixing punctuation endings, short lines, javascript
+    mentions and page-grain triggers — every value and flag must agree."""
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rng = random.Random(6502)
+    docs = []
+    for i in range(80):
+        lines = []
+        for _ in range(rng.randint(1, 9)):
+            ws = [rng.choice(["aa", "bb", "cc", "javascript"])
+                  for _ in range(rng.randint(1, 5))]
+            end = rng.choice([".", "!", "?", '"', "", " "])
+            lines.append(" ".join(ws) + end)
+        if rng.random() < 0.15:
+            lines.append("lorem ipsum block")
+        if rng.random() < 0.15:
+            lines.append("code { here }.")
+        docs.append((i, "\n".join(lines)))
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    got = {
+        r.id: r
+        for r in textstats.c4_line_stats(sdf, "doc_id", "text").collect()
+    }
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [
+            ln
+            for ln in lines
+            if ln.strip().endswith((".", "!", "?", '"'))
+            and len(ln.strip().split()) >= 3
+            and "javascript" not in ln.lower()
+        ]
+        lorem = "lorem ipsum" in t.lower()
+        curly = "{" in t
+        r = got[i]
+        assert r.n_lines == len(lines), i
+        assert r.n_kept_lines == len(kept), i
+        assert abs(r.kept_frac - round(len(kept) / len(lines) + 1e-9, 6)) < 1e-9, i
+        assert r.has_lorem_ipsum == lorem and r.has_curly_brace == curly, i
+        assert r.keep == (len(kept) >= 5 and not lorem and not curly), i
+
+
+def test_duplicated_line_removal_hand_computed(spark):
+    """First-occurrence-wins semantics and the byte-exact cleaned md5
+    witness, pinned on planted duplicates: 'bbb' appears in docs 1, 2
+    and 3 (doc 1 line 1 is the global first), 'aaa' in docs 1 and 3."""
+    import hashlib
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text="aaa\nbbb\nccc"),
+            R(doc_id=2, text="bbb\nddd"),
+            R(doc_id=3, text="bbb\naaa\neee"),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in dedup.duplicated_line_removal(docs, "doc_id", "text").collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    assert out[1].n_dropped == 0 and out[1].cleaned_digest == md5("aaa\nbbb\nccc")
+    assert out[2].n_dropped == 1 and out[2].cleaned_digest == md5("ddd")
+    assert out[3].n_dropped == 2 and out[3].cleaned_digest == md5("eee")
+    assert abs(out[3].kept_frac - round(1 / 3 + 1e-9, 6)) < 1e-9
+    # a doc whose every line duplicates earlier content hashes md5('')
+    allgone = spark.createDataFrame(
+        [R(doc_id=1, text="xx\nyy"), R(doc_id=2, text="yy\nxx")]
+    )
+    out2 = {
+        r.id: r
+        for r in dedup.duplicated_line_removal(allgone, "doc_id", "text").collect()
+    }
+    assert out2[2].n_dropped == 2 and out2[2].cleaned_digest == md5("")
+
+
+def test_duplicated_line_removal_random_vs_python_reference(spark):
+    """duplicated_line_removal vs an independent Python replay on seeded
+    random docs over a tiny line vocabulary (heavy cross-doc duplication
+    by construction) — counts, fractions and cleaned digests must all
+    agree."""
+    import hashlib
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    rng = random.Random(1729)
+    vocab = [f"line {i} text" for i in range(12)]
+    docs = [
+        (i, "\n".join(rng.choice(vocab) for _ in range(rng.randint(1, 6))))
+        for i in range(60)
+    ]
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    got = {
+        r.id: r
+        for r in dedup.duplicated_line_removal(sdf, "doc_id", "text").collect()
+    }
+    first: dict[str, tuple] = {}
+    counts: dict[str, int] = {}
+    for i, t in docs:
+        for j, ln in enumerate(t.split("\n")):
+            counts[ln] = counts.get(ln, 0) + 1
+            if ln not in first or (i, j) < first[ln]:
+                first[ln] = (i, j)
+    for i, t in docs:
+        lines = t.split("\n")
+        kept = [
+            ln
+            for j, ln in enumerate(lines)
+            if counts[ln] == 1 or first[ln] == (i, j)
+        ]
+        r = got[i]
+        assert r.n_lines == len(lines), i
+        assert r.n_dropped == len(lines) - len(kept), i
+        assert r.cleaned_digest == hashlib.md5(
+            "\n".join(kept).encode()
+        ).hexdigest(), i
+
+
+def test_bm25_scores_random_vs_python_reference(spark):
+    """bm25_scores vs a from-scratch Python Okapi implementation on
+    seeded random docs — scores equal to fp tolerance, non-matching
+    docs absent, k1/b actually exercised (non-default values)."""
+    import math
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rng = random.Random(31337)
+    words = ["spark", "join", "filter", "other", "words", "here"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))))
+        for i in range(120)
+    ]
+    terms, k1, b = ("spark", "filter"), 1.5, 0.6
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    got = {
+        r.id: r.bm25
+        for r in textstats.bm25_scores(
+            sdf, "doc_id", "text", terms, k1=k1, b=b
+        ).collect()
+    }
+    n = len(docs)
+    dls = {i: len(t.split()) for i, t in docs}
+    avgdl = sum(dls.values()) / n
+    dfs = {t: sum(1 for _, txt in docs if t in txt.split()) for t in terms}
+    for i, t in docs:
+        toks = t.split()
+        score = 0.0
+        for q in terms:
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1.0 + (n - dfs[q] + 0.5) / (dfs[q] + 0.5))
+            score += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * dls[i] / avgdl)
+            )
+        if score == 0.0:
+            assert i not in got, i
+        else:
+            assert i in got and abs(got[i] - round(score + 1e-9, 6)) < 1e-9, i
