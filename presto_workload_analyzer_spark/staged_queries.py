@@ -30,6 +30,15 @@ scorer:
   * xs16_bm25_scores      — Okapi BM25 scores against a fixed query
                             (retrieval-based data selection; the
                             lexical twin of the embedding selectors).
+  * xs17_bfd_packing      — Best-Fit-Decreasing sequence packing (Ding
+                            et al. 2024), the packing-quality upgrade
+                            of x39's running-total bins; the sequential
+                            walk is shard-bounded and its exact DuckDB
+                            twin replays every decision with a
+                            recursive CTE. Registration note: the plan
+                            is a declared Arrow surface
+                            (FlatMapGroupsInPandas) — add the name to
+                            tests/test_plan_lint._ALLOWED_PANDAS.
 
 Line grain on this corpus: the synthetic documents are single-line, so
 xs14/xs15 first RECONSTRUCT a deterministic multi-line document from
@@ -262,9 +271,93 @@ def xs16_sql() -> str:
         " FROM sc GROUP BY 1"
     )
 
+# Calibrated to the synthetic corpus: budget 200 over 8-token docs of
+# 10-99 tokens makes best-fit genuinely diverge from first-fit (8 of 40
+# (source, shard) groups at sf0.001, 4 of 40 at sf0.01 assign at least
+# one doc differently), so the gate hashes the BEST-fit decision rule,
+# not just any greedy packing; max 5 bins per group keeps the oracle's
+# recursive walk shallow.
+_XS17_BUDGET = 200
+_XS17_SHARD = 256
+
+
+def xs17_bfd_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Best-Fit-Decreasing sequence packing over the documents corpus
+    (Ding et al. 2024, "Fewer Truncations Improve Language Modeling"):
+    items in (size DESC, id ASC) order, each into the open bin with the
+    smallest remaining capacity that fits, ties to the lowest bin index
+    — the packing-QUALITY upgrade of x39's greedy running-total bins
+    (fewer bins, less padding, no truncation). Sequential by nature, so
+    the kernel packs within (source, doc_id-range shard) groups — the
+    published group-bounded practice and x39's exact shard split — via
+    one Arrow applyInPandas with a bisect-sorted open-bin list
+    (textstats.best_fit_decreasing_pack docstring has the 100 TB
+    posture). The oracle replays every decision with a recursive CTE."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    sized = docs.select(
+        "source", "doc_id", textstats.token_count("text").cast("long").alias("sz")
+    )
+    out = textstats.best_fit_decreasing_pack(
+        sized, "source", "doc_id", "sz",
+        budget=_XS17_BUDGET, shard_size=_XS17_SHARD,
+    )
+    return out.select(
+        F.col("part").alias("source"),
+        "shard",
+        F.col("id").alias("doc_id"),
+        F.col("size").alias("n_tokens"),
+        "bin",
+    )
+
+
+def xs17_sql() -> str:
+    b, sh = _XS17_BUDGET, _XS17_SHARD
+    return (
+        "WITH RECURSIVE sized AS ("
+        f"  SELECT source, doc_id, CAST(doc_id // {sh} AS BIGINT) AS shard,"
+        "    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS sz"
+        "  FROM documents),"
+        " items AS ("
+        "  SELECT source, shard, doc_id, sz,"
+        "    row_number() OVER (PARTITION BY source, shard"
+        "     ORDER BY sz DESC, doc_id) AS rk"
+        "  FROM sized),"
+        " grp AS (SELECT source, shard, CAST(max(rk) AS BIGINT) AS m"
+        "   FROM items GROUP BY 1, 2),"
+        " walk AS ("
+        "  SELECT source, shard, CAST(0 AS BIGINT) AS step,"
+        "    CAST([] AS BIGINT[]) AS bins, CAST([] AS BIGINT[]) AS asg"
+        "  FROM grp"
+        "  UNION ALL"
+        "  SELECT w.source, w.shard, w.step + 1,"
+        f"    CASE WHEN fitrem IS NULL THEN list_append(w.bins, {b} - i.sz)"
+        "      ELSE list_transform(range(1, len(w.bins) + 1),"
+        "        j -> CASE WHEN j = list_position(w.bins, fitrem)"
+        "             THEN w.bins[j] - i.sz ELSE w.bins[j] END) END,"
+        "    list_append(w.asg, CASE WHEN fitrem IS NULL"
+        "      THEN CAST(len(w.bins) AS BIGINT)"
+        "      ELSE CAST(list_position(w.bins, fitrem) - 1 AS BIGINT) END)"
+        "  FROM walk w"
+        "  JOIN items i ON i.source = w.source AND i.shard = w.shard"
+        "   AND i.rk = w.step + 1"
+        "  CROSS JOIN LATERAL (SELECT list_min(list_filter(w.bins,"
+        "    r -> r >= i.sz)) AS fitrem) f"
+        " ),"
+        " fin AS (SELECT w.source, w.shard, w.asg FROM walk w JOIN grp g"
+        "   ON g.source = w.source AND g.shard = w.shard AND w.step = g.m)"
+        " SELECT i.source, i.shard, i.doc_id, i.sz AS n_tokens,"
+        "  CAST(f.asg[i.rk] AS BIGINT) AS bin"
+        " FROM items i JOIN fin f"
+        "  ON f.source = i.source AND f.shard = i.shard"
+    )
+
 
 STAGED: dict[str, tuple] = {
     "xs14_c4_line_filters": (xs14_c4_line_filters, xs14_sql()),
     "xs15_ccnet_line_dedup": (xs15_ccnet_line_dedup, xs15_sql()),
     "xs16_bm25_scores": (xs16_bm25_scores, xs16_sql()),
+    "xs17_bfd_packing": (xs17_bfd_packing, xs17_sql()),
 }

@@ -3324,3 +3324,140 @@ def test_bm25_scores_random_vs_python_reference(spark):
             assert i not in got, i
         else:
             assert i in got and abs(got[i] - round(score + 1e-9, 6)) < 1e-9, i
+
+
+def test_bfd_packing_hand_computed(spark):
+    """Best-fit semantics pinned on a constructed group where BFD and
+    first-fit diverge: sizes [6,5,4,3,2] budget 8 ->
+      6 -> bin0 (rem 2); 5 -> bin1 (rem 3); 4 -> bin2 (rem 4);
+      3 -> bin1 (best fit rem 3; FIRST fit would pick bin2's rem 4);
+      2 -> bin0 (rem 2 exactly).
+    Plus an oversized item getting its own never-reused bin."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rows = [R(src="a", doc_id=i, sz=s) for i, s in enumerate([6, 5, 4, 3, 2])]
+    rows.append(R(src="b", doc_id=0, sz=99))  # oversized vs budget 8
+    rows.append(R(src="b", doc_id=1, sz=5))
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.part, r.id): r.bin
+        for r in textstats.best_fit_decreasing_pack(
+            df, "src", "doc_id", "sz", budget=8, shard_size=1000
+        ).collect()
+    }
+    assert out[("a", 0)] == 0 and out[("a", 1)] == 1 and out[("a", 2)] == 2
+    assert out[("a", 3)] == 1  # BEST fit (first fit would say bin 2)
+    assert out[("a", 4)] == 0
+    # oversized doc 0 packs first (largest), owns bin 0 with negative
+    # remainder; doc 1 cannot reuse it and opens bin 1
+    assert out[("b", 0)] == 0 and out[("b", 1)] == 1
+
+
+def test_bfd_packing_random_vs_python_reference(spark):
+    """best_fit_decreasing_pack vs an independent Python BFD replay on
+    seeded random sizes across several parts and shards — every
+    assignment must agree (ties and new-bin indices included)."""
+    import bisect
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rng = random.Random(4004)
+    rows = [
+        R(src=f"s{rng.randint(0, 2)}", doc_id=i, sz=rng.randint(1, 40))
+        for i in range(300)
+    ]
+    budget, shard_size = 100, 64
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.part, r.shard, r.id): r.bin
+        for r in textstats.best_fit_decreasing_pack(
+            df, "src", "doc_id", "sz", budget=budget, shard_size=shard_size
+        ).collect()
+    }
+    groups: dict[tuple, list] = {}
+    for r in rows:
+        groups.setdefault((r.src, r.doc_id // shard_size), []).append(
+            (r.sz, r.doc_id)
+        )
+    for (src, sh), items in groups.items():
+        bins: list[tuple[int, int]] = []
+        n_bins = 0
+        for sz, did in sorted(items, key=lambda t: (-t[0], t[1])):
+            pos = bisect.bisect_left(bins, (sz, -1))
+            if pos < len(bins):
+                rem, idx = bins.pop(pos)
+                bisect.insort(bins, (rem - sz, idx))
+            else:
+                idx = n_bins
+                n_bins += 1
+                bisect.insort(bins, (budget - sz, idx))
+            assert got[(src, sh, did)] == idx, (src, sh, did)
+
+
+def test_xs17_best_fit_discriminates_on_corpus():
+    """xs17's calibration pin (the xs12-margin-test pattern): at budget
+    _XS17_BUDGET the corpus must make best-fit diverge from FIRST-fit in
+    at least one (source, shard) group at both gate SFs — otherwise the
+    gate would hash a packing any greedy rule produces and a regenerated
+    fixture could silently stop exercising the best-fit choice. Pure
+    DuckDB + python, no Spark session."""
+    import bisect
+
+    import duckdb
+
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS17_BUDGET as B,
+        _XS17_SHARD as SH,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        )
+        g = con.sql(
+            "SELECT source, doc_id, CAST(len(string_split_regex(trim(text),"
+            " '\\s+')) AS BIGINT) AS sz FROM documents"
+        ).fetchall()
+        groups: dict[tuple, list] = {}
+        for src, did, sz in g:
+            groups.setdefault((src, did // SH), []).append((int(sz), int(did)))
+        diverged = 0
+        for items in groups.values():
+            order = sorted(items, key=lambda t: (-t[0], t[1]))
+            bins: list[tuple[int, int]] = []
+            nb = 0
+            bfd = []
+            for sz, _ in order:
+                pos = bisect.bisect_left(bins, (sz, -1))
+                if pos < len(bins):
+                    rem, idx = bins.pop(pos)
+                    bisect.insort(bins, (rem - sz, idx))
+                else:
+                    idx = nb
+                    nb += 1
+                    bisect.insort(bins, (B - sz, idx))
+                bfd.append(idx)
+            rem2: list[int] = []
+            ffd = []
+            for sz, _ in order:
+                for i, r in enumerate(rem2):
+                    if r >= sz:
+                        rem2[i] -= sz
+                        ffd.append(i)
+                        break
+                else:
+                    rem2.append(B - sz)
+                    ffd.append(len(rem2) - 1)
+            if bfd != ffd:
+                diverged += 1
+        assert diverged > 0, (
+            f"sf{sf}: best-fit never diverges from first-fit at budget {B} "
+            "— recalibrate _XS17_BUDGET so the gate hashes the best-fit rule."
+        )
