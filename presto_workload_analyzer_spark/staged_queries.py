@@ -39,6 +39,19 @@ scorer:
                             is a declared Arrow surface
                             (FlatMapGroupsInPandas) — add the name to
                             tests/test_plan_lint._ALLOWED_PANDAS.
+  * xs18_curation_mix_chain — composition capstone for the round-11
+                            operators (the x51/x146 pattern): dedup
+                            survivors (x14 CC keep-min) ∧ C4 page keep
+                            (xs14's battery + synthesis) -> per-source
+                            token totals -> UniMax allocations (xs6's
+                            closed form), ONE plan, so contract drift
+                            between the new operators is hash-caught.
+  * xs19_dup_weighted_sampling — removal-free ("soft") dedup: sampling
+                            weight 1/|dup cluster| over the x14
+                            components, so each duplicate FAMILY
+                            contributes one unit of expected mass —
+                            the reweight alternative beside keep-one
+                            (x15) and keep-best (x59).
 
 Line grain on this corpus: the synthetic documents are single-line, so
 xs14/xs15 first RECONSTRUCT a deterministic multi-line document from
@@ -355,9 +368,158 @@ def xs17_sql() -> str:
     )
 
 
+
+
+# Calibrated to the synthetic corpus: after the dedup + C4 gates the
+# surviving per-source token totals sit at ~500-1400 (gate SFs); with
+# epoch cap 1.0 a 14k budget caps 4 of 20 sources at BOTH gate SFs
+# (min |L_i - B| = 71 tokens at sf0.001, 693 at sf0.01 — exact-integer
+# L_i in double, so the strict < threshold cannot flip); at sf0.1
+# nothing caps (sources ~10x bigger): pure uniform split.
+_XS18_BUDGET = 14_000.0
+_XS18_EPOCH_CAP = 1.0
+
+
+def xs18_curation_mix_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end CURATION -> MIXING chain over the round-11 operators —
+    the composition-capstone pattern (x51 curation, x126 serving, x146
+    privacy): minhash-CC dedup survivors (keep the min-id exemplar per
+    x14 duplicate cluster, via the shared CC silver) intersected with
+    the C4 page keep (xs14's line battery over the reconstructed
+    multi-line corpus), rolled up to per-source token totals of the
+    ORIGINAL text, then UniMax epoch-capped allocations (xs6's closed
+    form) over the surviving corpus — the actual decision sequence a
+    pretraining data pipeline runs, chained as ONE plan so contract
+    drift between the dedup, quality and mixing operators (id/keep
+    column shapes, survivor semantics, allocation arithmetic) is a hash
+    mismatch, not a silent skew. Oracle replays every stage."""
+    from presto_workload_analyzer_spark.driver_queries import (
+        shared_dedup_clusters,
+    )
+    from presto_workload_analyzer_spark.extensions import sampling, textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    cc = shared_dedup_clusters(spark, sf)
+    losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias("doc_id")
+    )
+    synth = docs.select(
+        "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
+    )
+    quality = (
+        textstats.c4_line_stats(synth, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    surv = (
+        docs.join(losers, "doc_id", "left_anti")
+        .join(quality, "doc_id")
+        .groupBy("source")
+        .agg(F.sum(textstats.token_count("text").cast("long")).alias("__tok"))
+    )
+    return sampling.unimax_mix(
+        surv, "source", "__tok", budget=_XS18_BUDGET, epoch_cap=_XS18_EPOCH_CAP
+    )
+
+
+def xs18_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import (
+        _X02_BANDS,
+        _X14_CC_SQL,
+    )
+
+    b, e = _XS18_BUDGET, _XS18_EPOCH_CAP
+    return (
+        _X14_CC_SQL.format(bands=_X02_BANDS)
+        + ", c4 AS (" + xs14_sql() + "),"
+        " per AS (SELECT d.source,"
+        "   CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)"
+        "    AS t"
+        "  FROM documents d JOIN c4 ON c4.doc_id = d.doc_id AND c4.keep"
+        "  WHERE d.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)"
+        "  GROUP BY 1),"
+        " r AS (SELECT source, t,"
+        "   CAST(count(*) OVER (ORDER BY t, source) AS BIGINT) AS rnk,"
+        "   CAST(sum(t) OVER (ORDER BY t, source) AS BIGINT) AS cum_le,"
+        "   CAST(count(*) OVER () AS BIGINT) AS n"
+        "  FROM per),"
+        f" cx AS (SELECT *, {e!r} * (t * (n - rnk + 1) + (cum_le - t)) < {b!r}"
+        "    AS capped FROM r),"
+        " g AS (SELECT CAST(sum(CASE WHEN capped THEN t ELSE 0 END) AS BIGINT)"
+        "    AS ct,"
+        "   CAST(sum(CASE WHEN capped THEN 1 ELSE 0 END) AS BIGINT) AS nc"
+        "  FROM cx)"
+        " SELECT source, t AS tokens_available, capped,"
+        f"  round(CASE WHEN capped THEN {e!r} * t"
+        f"   ELSE ({b!r} - {e!r} * ct) / (n - nc) END + 1e-9, 6)"
+        "   AS tokens_allocated,"
+        f"  round((CASE WHEN capped THEN {e!r} * t"
+        f"   ELSE ({b!r} - {e!r} * ct) / (n - nc) END) / t + 1e-9, 6) AS epochs"
+        " FROM cx, g"
+    )
+
+
+def xs19_dup_weighted_sampling(spark: SparkSession, sf: str) -> DataFrame:
+    """Removal-free ("soft") deduplication: instead of DROPPING a
+    duplicate family's non-canonical members (x15) or keeping the best
+    one (x59), give every member sampling weight 1 / |cluster| so each
+    duplicate FAMILY contributes exactly one unit of expected training
+    mass — the down-weight-don't-delete trade published for pretraining
+    corpora (soft dedup: reweighting preserves coverage of duplicated
+    content while removing its frequency advantage). Singletons weigh
+    1.0; weights within a family are uniform over the x14 minhash-CC
+    clusters (the shared CC silver — the same component definition every
+    other dedup consumer uses, so the three strategies compose). Output:
+    (doc_id, cluster_id, cluster_size, weight)."""
+    from presto_workload_analyzer_spark.driver_queries import (
+        shared_dedup_clusters,
+    )
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    cc = shared_dedup_clusters(spark, sf)
+    mem = docs.select("doc_id").join(
+        cc.select(F.col("id").alias("doc_id"), "cluster_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id"),
+    )
+    size = mem.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return mem.join(size, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        F.round(F.lit(1.0) / F.col("cluster_size") + 1e-9, 6).alias("weight"),
+    )
+
+
+def xs19_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import (
+        _X02_BANDS,
+        _X14_CC_SQL,
+    )
+
+    return (
+        _X14_CC_SQL.format(bands=_X02_BANDS)
+        + ", mem AS (SELECT doc_id,"
+        "   coalesce(cc.cluster_id, doc_id) AS cluster_id"
+        "  FROM documents LEFT JOIN cc ON cc.id = documents.doc_id),"
+        " sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size"
+        "  FROM mem GROUP BY 1)"
+        " SELECT doc_id, cluster_id, cluster_size,"
+        "  round(1.0 / cluster_size + 1e-9, 6) AS weight"
+        " FROM mem JOIN sz USING (cluster_id)"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs14_c4_line_filters": (xs14_c4_line_filters, xs14_sql()),
     "xs15_ccnet_line_dedup": (xs15_ccnet_line_dedup, xs15_sql()),
     "xs16_bm25_scores": (xs16_bm25_scores, xs16_sql()),
     "xs17_bfd_packing": (xs17_bfd_packing, xs17_sql()),
+    "xs18_curation_mix_chain": (xs18_curation_mix_chain, xs18_sql()),
+    "xs19_dup_weighted_sampling": (xs19_dup_weighted_sampling, xs19_sql()),
 }

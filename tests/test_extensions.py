@@ -3461,3 +3461,50 @@ def test_xs17_best_fit_discriminates_on_corpus():
             f"sf{sf}: best-fit never diverges from first-fit at budget {B} "
             "— recalibrate _XS17_BUDGET so the gate hashes the best-fit rule."
         )
+
+
+def test_xs18_unimax_threshold_margin_on_corpus():
+    """xs18's capped/uncapped split compares exact-integer L_i against
+    _XS18_BUDGET on both engines; pin (a) that the threshold still
+    BIFURCATES the surviving sources (some capped, some not — otherwise
+    the gate hashes a constant branch) and (b) that no L_i sits within
+    fp distance of the budget (min margin currently 71 tokens at
+    sf0.001, 693 at sf0.01), so a regenerated documents fixture fails
+    HERE instead of flipping a strict < across engines. Pure DuckDB,
+    replaying the oracle's own survivor CTEs."""
+    import duckdb
+
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS18_BUDGET as B,
+        _XS18_EPOCH_CAP as E,
+        xs18_sql,
+    )
+
+    head = xs18_sql().split(" r AS (SELECT source, t,")[0].rstrip().rstrip(",")
+    for sf in ("0.001", "0.01"):
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+        )
+        rows = sorted(
+            con.sql(head + " SELECT t, source FROM per").fetchall()
+        )
+        n = len(rows)
+        cum = 0
+        capped = 0
+        margins = []
+        for i, (t, _src) in enumerate(rows, start=1):
+            load = E * (t * (n - i + 1) + cum)
+            margins.append(abs(load - B))
+            if load < B:
+                capped += 1
+            cum += t
+        assert 0 < capped < n, (
+            f"sf{sf}: budget {B} no longer bifurcates ({capped}/{n} capped) "
+            "— recalibrate _XS18_BUDGET."
+        )
+        assert min(margins) > 1.0, (
+            f"sf{sf}: a source load sits {min(margins):.2e} tokens from the "
+            "budget — within fp-flip distance; recalibrate _XS18_BUDGET."
+        )
