@@ -14,6 +14,20 @@ rather than collect bandwidth. Per-query time is a single run; the total is
 the headline metric the driver records against BASELINE. A query that
 raises is recorded in `errors` (with its exception head) and costs its
 elapsed time, but never aborts the run.
+
+Contamination self-diagnosis (round 11 — BENCH_r10 was adjudicated as
+co-tenant host load, an argument that needed three ad-hoc warm-solo
+sessions to make): the artifact now carries its own evidence. A fixed
+CALIBRATION probe — a corpus-independent constant Spark job — is timed
+before and after the query sweep, and os.getloadavg() is sampled at
+both ends; bench_detail.json additionally records each query's
+end-offset so an inflation window can be localized to a contiguous
+alphabetical run (the co-tenant signature) post-hoc. Interpretation: on a
+clean host the end/start median ratio sits at or BELOW ~1 (measured
+~0.4 — JIT leaves the end probe faster than the cold-ish start one); a
+ratio well above 1, an inflated absolute end probe, or a load average
+far above the run's own footprint says the TOTAL is suspect without
+re-running anything.
 """
 
 from __future__ import annotations
@@ -38,8 +52,23 @@ def main() -> None:
     sf = float(m.group(1).rstrip(".")) if m else None
 
     spark = get_spark(app_name="pwa-bench")
+
+    def calibration(n_runs: int = 3) -> list[float]:
+        """Constant-work probe (corpus-independent): median ~0.2-0.4 s on an
+        idle local[32]; inflation vs the start reading flags co-tenant load."""
+        out = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            spark.range(200_000_000).selectExpr(
+                "sum(id % 97) AS s"
+            ).collect()
+            out.append(round(time.time() - t0, 3))
+        return out
+
     # warm up the JVM + parquet footers once
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    calib_start = calibration()
+    load_start = list(os.getloadavg())
     # warm the streaming machinery (state store, stateful python workers) at
     # tiny scale so timed s-queries measure steady state, not first-stream
     # init (worth ~7 s of one-time cost otherwise booked to s01/s02)
@@ -52,7 +81,9 @@ def main() -> None:
             pass
 
     timings: dict[str, float] = {}
+    ended_at: dict[str, float] = {}
     errors: dict[str, str] = {}
+    sweep_t0 = time.time()
     for name, fn in sorted(driver_queries.queries().items()):
         t0 = time.time()
         try:
@@ -62,8 +93,18 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             traceback.print_exc(file=sys.stderr)
         timings[name] = round(time.time() - t0, 3)
+        ended_at[name] = round(time.time() - sweep_t0, 3)
 
+    calib_end = calibration()
+    load_end = list(os.getloadavg())
     total = round(sum(timings.values()), 3)
+    calib = {
+        "start": calib_start,
+        "end": calib_end,
+        "ratio": round(
+            sorted(calib_end)[1] / max(sorted(calib_start)[1], 1e-9), 3
+        ),
+    }
     detail = {
         "metric": "all_queries_wall_sec",
         "value": total,
@@ -72,6 +113,9 @@ def main() -> None:
         "n_queries": len(timings),
         "errors": errors,
         "queries": timings,
+        "ended_at": ended_at,
+        "calibration": calib,
+        "loadavg": {"start": load_start, "end": load_end},
     }
     with open(os.path.join(REPO, "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -90,6 +134,7 @@ def main() -> None:
         "sf": sf,
         "n_queries": len(timings),
         "errors": len(errors),
+        "calibration": calib,
         "detail": "bench_detail.json",
     }
     print(json.dumps(headline))
