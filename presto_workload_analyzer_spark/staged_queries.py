@@ -52,6 +52,13 @@ scorer:
                             contributes one unit of expected mass —
                             the reweight alternative beside keep-one
                             (x15) and keep-best (x59).
+  * s19_stream_line_dedup — xs15's production INGEST shape: incoming
+                            documents' lines left-join the STATIC
+                            corpus line-digest table (stateless
+                            stream-static join, no state store /
+                            watermark — s10's shape at line grain),
+                            flagging boilerplate lines already known
+                            to the corpus at arrival time.
 
 Line grain on this corpus: the synthetic documents are single-line, so
 xs14/xs15 first RECONSTRUCT a deterministic multi-line document from
@@ -515,6 +522,74 @@ def xs19_sql() -> str:
     )
 
 
+def s19_stream_line_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-line removal at INGEST time — the streaming production
+    shape of xs15 (CCNet dedups new shards against the existing corpus):
+    each arriving document's lines (the deterministic 8-token chunking)
+    left-join the STATIC corpus line-digest table, and a line whose
+    digest the corpus already holds is flagged dropped on arrival. A
+    stream-static join is stateless (no state store, no watermark; the
+    static side re-plans per micro-batch, picking up corpus updates for
+    free — s10's shape, here at line grain with the digest as the join
+    key). Split: even doc_ids play the existing corpus, odd doc_ids play
+    the arriving stream (83 of 1,859 arriving lines hit the corpus at
+    sf0.01 — the decision genuinely bifurcates). Oracle: the identical
+    batch join."""
+    import uuid
+
+    from presto_workload_analyzer_spark.sources import read_table
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        stream_sf_table,
+    )
+
+    corpus = (
+        read_table(spark, f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(_chunk_lines(markers=False)).alias("__line"))
+        .select(F.md5("__line").alias("dig"))
+        .distinct()
+        .withColumn("__hit", F.lit(True))
+    )
+    incoming = (
+        stream_sf_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "doc_id",
+            F.posexplode(_chunk_lines(markers=False)).alias("idx", "__line"),
+        )
+        .select(
+            "doc_id",
+            F.col("idx").cast("long").alias("line_idx"),
+            F.md5("__line").alias("dig"),
+        )
+    )
+    flagged = incoming.join(corpus, "dig", "left").select(
+        "doc_id",
+        "line_idx",
+        "dig",
+        F.coalesce(F.col("__hit"), F.lit(False)).alias("dropped"),
+    )
+    name = f"s19_mem_{uuid.uuid4().hex[:8]}"
+    q = run_to_memory(flagged, name, output_mode="append")
+    q.awaitTermination(300)
+    tbl = spark.table(name)
+    return spark.createDataFrame(tbl.collect(), tbl.schema)
+
+
+def s19_sql() -> str:
+    return (
+        _chunk_lines_sql(markers=False)
+        + ", l AS (SELECT doc_id, CAST(i AS BIGINT) AS line_idx,"
+        "   md5(lines[i+1]) AS dig"
+        "  FROM ln, UNNEST(range(0, len(lines))) AS u(i)),"
+        " corpus AS (SELECT DISTINCT dig FROM l WHERE doc_id % 2 = 0)"
+        " SELECT doc_id, line_idx, dig,"
+        "  (dig IN (SELECT dig FROM corpus)) AS dropped"
+        " FROM l WHERE doc_id % 2 = 1"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs14_c4_line_filters": (xs14_c4_line_filters, xs14_sql()),
     "xs15_ccnet_line_dedup": (xs15_ccnet_line_dedup, xs15_sql()),
@@ -522,4 +597,5 @@ STAGED: dict[str, tuple] = {
     "xs17_bfd_packing": (xs17_bfd_packing, xs17_sql()),
     "xs18_curation_mix_chain": (xs18_curation_mix_chain, xs18_sql()),
     "xs19_dup_weighted_sampling": (xs19_dup_weighted_sampling, xs19_sql()),
+    "s19_stream_line_dedup": (s19_stream_line_dedup, s19_sql()),
 }
