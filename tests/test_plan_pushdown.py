@@ -131,3 +131,28 @@ def test_x46_referential_audit_scans_only_key_columns(spark):
     for table, cols, line in _scans(spark, "x46_referential_audit"):
         assert not (cols & wide), line
         assert len(cols) <= 2, line
+
+
+@pytest.mark.parametrize(
+    "name,allowed",
+    [
+        ("xs6_unimax_mix", {"source", "text"}),
+        ("xs7_heldout_perplexity", {"doc_id", "source", "text"}),
+        ("xs10_gopher_rules", {"doc_id", "text"}),
+        ("xs11_gopher_repetition", {"doc_id", "text"}),
+        ("xs12_perplexity_filter", {"doc_id", "text"}),
+        ("xs13_dsir_resample", {"doc_id", "source", "text"}),
+    ],
+)
+def test_round11_registrations_prune_document_scans(spark, name, allowed):
+    """The round-11 batch must never drag `lang` or `n_chars` through a
+    documents scan — at 100 TB an unpruned column on the corpus-sized
+    table is terabytes of wasted IO. Audited at registration (every scan
+    read exactly its needed subset); pinned here so a refactor that
+    widens a projection fails structurally."""
+    scans = _scans(spark, name)
+    assert scans, f"{name}: expected parquet scans in the plan"
+    for table, cols, line in scans:
+        if table != "documents":
+            continue
+        assert cols <= allowed, (name, sorted(cols), line)
