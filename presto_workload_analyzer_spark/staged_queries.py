@@ -59,6 +59,14 @@ scorer:
                             watermark — s10's shape at line grain),
                             flagging boilerplate lines already known
                             to the corpus at arrival time.
+  * s20_stream_curated_source_stats — stream-static join FOLLOWED BY a
+                            stateful aggregation in one streaming plan
+                            (a state-machine composition no other
+                            s-query covers: s19 is join-only, s10
+                            aggregates the raw stream): novel-line
+                            counts and token mass per source, the
+                            running mixing-denominator a continuous
+                            curation pipeline feeds to its planner.
 
 Line grain on this corpus: the synthetic documents are single-line, so
 xs14/xs15 first RECONSTRUCT a deterministic multi-line document from
@@ -590,6 +598,81 @@ def s19_sql() -> str:
     )
 
 
+def s20_stream_curated_source_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CURATION STATS — the composition s19 feeds: arriving
+    documents' lines anti-join the static corpus digests (novel lines
+    only), then a STATEFUL per-source aggregation keeps the running
+    novel-line count and token mass — the mixing denominator (xs6/xs9
+    read exactly this per-source token total) maintained continuously
+    at ingest. Structurally this is the one streaming state machine no
+    other s-query exercises: a stream-static join FEEDING a stateful
+    aggregation (s19 stops at the stateless join; s10 aggregates the
+    raw stream) — the join's micro-batch output becomes the agg's
+    input, so update correctness across that seam is what the oracle
+    hashes. Complete-mode memory drain in the gate (10 source rows);
+    the production sink is foreachBatch upsert. Oracle: the identical
+    batch join + group-by."""
+    import uuid
+
+    from presto_workload_analyzer_spark.sources import read_table
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    corpus = (
+        read_table(spark, f"{sf}/documents.parquet")
+        .filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(_chunk_lines(markers=False)).alias("__line"))
+        .select(F.md5("__line").alias("dig"))
+        .distinct()
+    )
+    novel = (
+        stream_sf_table(spark, sf, "documents")
+        .filter(F.col("doc_id") % 2 == 1)
+        .select(
+            "source",
+            F.explode(_chunk_lines(markers=False)).alias("__line"),
+        )
+        .withColumn("dig", F.md5("__line"))
+        .join(corpus, "dig", "left_anti")
+    )
+    agg = novel.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept_lines"),
+        F.sum(F.size(F.split(F.col("__line"), " ")).cast("long"))
+        .cast("long")
+        .alias("kept_tokens"),
+    )
+    name = f"s20_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    tbl = spark.table(name)
+    return spark.createDataFrame(tbl.collect(), tbl.schema)
+
+
+def s20_sql() -> str:
+    return (
+        _chunk_lines_sql(markers=False).replace(
+            "WITH t AS (SELECT doc_id,",
+            "WITH t AS (SELECT doc_id, source,",
+        ).replace(
+            " ln AS (SELECT doc_id,",
+            " ln AS (SELECT doc_id, source,",
+        )
+        + ", l AS (SELECT doc_id, source, lines[i+1] AS line"
+        "   FROM ln, UNNEST(range(0, len(lines))) AS u(i)),"
+        " corpus AS (SELECT DISTINCT md5(line) AS dig FROM l"
+        "   WHERE doc_id % 2 = 0)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_kept_lines,"
+        "  CAST(sum(len(string_split(line, ' '))) AS BIGINT) AS kept_tokens"
+        " FROM l WHERE doc_id % 2 = 1"
+        "  AND md5(line) NOT IN (SELECT dig FROM corpus)"
+        " GROUP BY 1"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs14_c4_line_filters": (xs14_c4_line_filters, xs14_sql()),
     "xs15_ccnet_line_dedup": (xs15_ccnet_line_dedup, xs15_sql()),
@@ -598,4 +681,5 @@ STAGED: dict[str, tuple] = {
     "xs18_curation_mix_chain": (xs18_curation_mix_chain, xs18_sql()),
     "xs19_dup_weighted_sampling": (xs19_dup_weighted_sampling, xs19_sql()),
     "s19_stream_line_dedup": (s19_stream_line_dedup, s19_sql()),
+    "s20_stream_curated_source_stats": (s20_stream_curated_source_stats, s20_sql()),
 }
