@@ -3278,6 +3278,12 @@ def test_duplicated_line_removal_random_vs_python_reference(spark):
         assert r.cleaned_digest == hashlib.md5(
             "\n".join(kept).encode()
         ).hexdigest(), i
+    # conservation invariant: first-occurrence-wins keeps EXACTLY one
+    # occurrence per distinct line value, so the corpus-wide kept total
+    # must equal the number of distinct line strings — any over- or
+    # under-dropping breaks this regardless of which occurrence survives
+    total_kept = sum(r.n_lines - r.n_dropped for r in got.values())
+    assert total_kept == len(counts)
 
 
 def test_bm25_scores_random_vs_python_reference(spark):
