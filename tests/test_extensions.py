@@ -3416,7 +3416,7 @@ def test_xs17_best_fit_discriminates_on_corpus():
 
     import duckdb
 
-    from presto_workload_analyzer_spark.staged_queries import (
+    from presto_workload_analyzer_spark.driver_queries import (
         _XS17_BUDGET as B,
         _XS17_SHARD as SH,
     )
@@ -3480,13 +3480,13 @@ def test_xs18_unimax_threshold_margin_on_corpus():
     replaying the oracle's own survivor CTEs."""
     import duckdb
 
-    from presto_workload_analyzer_spark.staged_queries import (
+    from presto_workload_analyzer_spark.driver_queries import (
         _XS18_BUDGET as B,
         _XS18_EPOCH_CAP as E,
-        xs18_sql,
+        _xs18_sql,
     )
 
-    head = xs18_sql().split(" r AS (SELECT source, t,")[0].rstrip().rstrip(",")
+    head = _xs18_sql().split(" r AS (SELECT source, t,")[0].rstrip().rstrip(",")
     for sf in ("0.001", "0.01"):
         con = duckdb.connect()
         con.execute(

@@ -35,6 +35,10 @@ _ALLOWED_PANDAS = {
     "xs4_mjpeg_frame_pipeline", # AVI synth + MJPEG frame decode (declared surface)
     "xs1_semantic_dedup",       # per-cluster Gram-matmul cosine (declared surface,
                                 # same class as x19's BLAS path; expr twin tested)
+    "xs17_bfd_packing",         # best-fit-decreasing shard walk: sequential by
+                                # nature, one FlatMapGroupsInPandas per
+                                # (source, shard) group (declared surface;
+                                # python-twin equivalence tested)
 }
 
 _PANDAS_MARKERS = (
