@@ -11601,7 +11601,9 @@ def _xs16(spark: SparkSession, sf: str) -> DataFrame:
 
 def _xs16_sql() -> str:
     k1, b = _XS16_K1, _XS16_B
-    terms = ", ".join(f"'{t}'" for t in _XS16_TERMS)
+    # mirror bm25_scores' case normalization (terms here are already
+    # lowercase, so this is byte-neutral for the registered oracle)
+    terms = ", ".join(f"'{t.lower()}'" for t in dict.fromkeys(_XS16_TERMS))
     return (
         "WITH t AS (SELECT doc_id,"
         "   list_transform(string_split_regex(trim(text), '\\s+'),"

@@ -1381,7 +1381,9 @@ def prefix_filter_jaccard_join(
 # Single-matmul fast-path bound for _cluster_pairs_blas: clusters up to
 # this many rows compute one n x n Gram matrix (8192^2 doubles = 512 MiB,
 # comfortably inside an executor task); larger clusters stream row-block
-# panels so peak memory is O(block * n), never O(n^2).
+# panels whose block SHRINKS as n grows (block = _BLAS_ROW_BLOCK^2 // n),
+# so a panel never exceeds _BLAS_ROW_BLOCK^2 cells — peak kernel memory
+# is O(_BLAS_ROW_BLOCK^2) regardless of cluster size, never O(n^2).
 _BLAS_ROW_BLOCK = 8192
 
 
@@ -1408,9 +1410,14 @@ def _cluster_pairs_blas(
     fast path (one
     G = V @ V.T — every gate corpus lands here, byte-identical to the
     pre-chunking kernel); larger ones stream the SAME dot products in
-    row blocks (block x n panels, peak memory O(block * n) instead of
-    O(n^2)), so the kernel's memory is bounded even when the caller
-    passes max_cluster_size=None. The emitted >=threshold pairs are
+    row blocks whose height shrinks as the cluster grows
+    (block = row_block^2 // n, so a block x n panel never exceeds
+    row_block^2 cells): the panel working set stays O(row_block^2) —
+    a constant — even when the caller passes max_cluster_size=None
+    (r11 ADVICE item 2; before this the panel was O(n) per fixed-height
+    block, ~65 GiB x2 for a 1M-row cluster). The V matrix itself is
+    still the group's rows (O(n * dim) — that is applyInPandas's
+    contract, the guard caps it). The emitted >=threshold pairs are
     still quadratic for a genuinely duplicative mega cluster — that
     output-size trade is the guard's to make, not the kernel's."""
     import pandas as pd
@@ -1453,11 +1460,14 @@ def _cluster_pairs_blas(
             return pd.DataFrame(
                 {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "cosine": cos[keep]}
             ).drop_duplicates()
-        # row-block streaming: same dot products, O(block * n) peak memory
+        # row-block streaming: same dot products; the block height shrinks
+        # as n grows so a panel (and its cos quotient) never exceeds
+        # blk^2 cells — peak panel memory is O(blk^2), not O(n)
         d = np.sqrt((V * V).sum(axis=1))
+        step = max(1, (blk * blk) // n)
         out_a, out_b, out_c = [], [], []
-        for lo in range(0, n, blk):
-            hi = min(lo + blk, n)
+        for lo in range(0, n, step):
+            hi = min(lo + step, n)
             Gb = V[lo:hi] @ V.T                       # (hi-lo) x n panel
             cos = Gb / np.outer(d[lo:hi], d)
             ia, ib = np.nonzero(cos >= threshold)
@@ -1642,6 +1652,12 @@ def duplicated_line_removal(
     divergence in keep semantics, ordering or joining is a hash
     mismatch, not a silent drift.
 
+    `delimiter` is a LITERAL string on both sides: the split quotes it
+    \\Q..\\E-style before handing it to the regex engine (r11 ADVICE
+    item 1 — a regex-special delimiter like '.' or '|' previously
+    mis-split while the join used it literally), and the rejoin uses
+    the same literal.
+
     Shuffle shape at 100 TB: lines shuffle ONCE on their md5 digest (the
     CCNet shape — fixed-width keys, line-digest grain), the canonical
     (first-occurrence) table is digest-grain (one row per DISTINCT line,
@@ -1651,9 +1667,13 @@ def duplicated_line_removal(
     (bounded by document size, never corpus size).
     """
     txt = F.col(text_col) if isinstance(text_col, str) else text_col
+    # java.util.regex.Pattern.quote: \Q..\E literal quoting, with any
+    # embedded \E closed, escaped and reopened — F.split takes a Java
+    # regex while F.array_join below takes the raw literal
+    delim_rx = "\\Q" + delimiter.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     lines = df.select(
         F.col(id_col).alias("id"),
-        F.posexplode(F.split(txt, delimiter, -1)).alias("idx", "line"),
+        F.posexplode(F.split(txt, delim_rx, -1)).alias("idx", "line"),
     ).withColumn("__dig", F.md5(F.col("line")))
     canon = lines.groupBy("__dig").agg(
         F.count(F.lit(1)).alias("__df"),

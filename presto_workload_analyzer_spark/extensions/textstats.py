@@ -1672,7 +1672,10 @@ def bm25_scores(
                          / (tf_td + k1 * (1 - b + b * dl_d / avgdl))
 
     Only documents matching >= 1 query term appear (every emitted score
-    is > 0; BM25 of a non-matching doc is 0 by definition).
+    is > 0; BM25 of a non-matching doc is 0 by definition). Matching is
+    case-insensitive on BOTH sides: corpus tokens are lowercased and so
+    are `query_terms` (so 'Spark' and 'spark' are the same query — a
+    mixed-case term cannot silently match nothing).
 
     Shuffle shape at 100 TB: the exploded token stream is filtered to the
     QUERY vocabulary before the (id, term) groupBy — the corpus-sized
@@ -1681,6 +1684,7 @@ def bm25_scores(
     (broadcast), dl at doc grain (equi-join on id), N/avgdl are one
     broadcast row. Output: (id, bm25) rounded to 6.
     """
+    query_terms = tuple(dict.fromkeys(t.lower() for t in query_terms))
     toks_lc = F.transform(tokens(text_col), lambda t: F.lower(t))
     base = df.select(F.col(id_col).alias("id"), toks_lc.alias("__toks"))
     dl = base.select("id", F.size("__toks").cast("long").alias("__dl"))

@@ -3332,6 +3332,68 @@ def test_bm25_scores_random_vs_python_reference(spark):
             assert i in got and abs(got[i] - round(score + 1e-9, 6)) < 1e-9, i
 
 
+def test_duplicated_line_removal_regex_special_delimiter(spark):
+    """r11 ADVICE item 1: a regex-special delimiter ('.', '|') must split
+    LITERALLY — before the \\Q..\\E quoting, F.split treated it as a
+    Java regex ('.' split on every character) while the cleaned_digest
+    rejoin used the literal, silently producing wrong hashes."""
+    import hashlib
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    for delim in (".", "|", "||", "a\\Eb"):
+        docs = spark.createDataFrame(
+            [
+                R(doc_id=1, text=delim.join(["aaa", "bbb", "ccc"])),
+                R(doc_id=2, text=delim.join(["bbb", "ddd"])),
+            ]
+        )
+        out = {
+            r.id: r
+            for r in dedup.duplicated_line_removal(
+                docs, "doc_id", "text", delimiter=delim
+            ).collect()
+        }
+        assert out[1].n_lines == 3 and out[1].n_dropped == 0, delim
+        assert out[1].cleaned_digest == md5(delim.join(["aaa", "bbb", "ccc"])), delim
+        assert out[2].n_lines == 2 and out[2].n_dropped == 1, delim
+        assert out[2].cleaned_digest == md5("ddd"), delim
+
+
+def test_bm25_scores_mixed_case_query_terms(spark):
+    """r11 ADVICE item 3: corpus tokens are lowercased, so mixed-case
+    query terms must be lowercased too (previously 'Spark' silently
+    matched nothing); duplicate terms after folding collapse to one."""
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    sdf = spark.createDataFrame(
+        [
+            R(doc_id=1, text="Spark joins the filter stream"),
+            R(doc_id=2, text="no query words at all"),
+            R(doc_id=3, text="spark spark filter"),
+        ]
+    )
+    lower = {
+        r.id: r.bm25
+        for r in textstats.bm25_scores(
+            sdf, "doc_id", "text", ("spark", "filter")
+        ).collect()
+    }
+    mixed = {
+        r.id: r.bm25
+        for r in textstats.bm25_scores(
+            sdf, "doc_id", "text", ("Spark", "FILTER", "spark")
+        ).collect()
+    }
+    assert lower and mixed == lower
+    assert 2 not in lower
+
+
 def test_bfd_packing_hand_computed(spark):
     """Best-fit semantics pinned on a constructed group where BFD and
     first-fit diverge: sizes [6,5,4,3,2] budget 8 ->

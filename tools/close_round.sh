@@ -44,7 +44,7 @@ if [ -d .bench_sf/sf1 ]; then
   # restore the default-scale detail file the repo keeps committed
   cp /tmp/close_round_small.json bench_detail.json
 else
-  echo "== 4-5/10 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
+  echo "== 4-5/11 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
 fi
 
 echo "== 6/11 skew graph gate =="
