@@ -1844,7 +1844,11 @@ def _s02(spark: SparkSession, sf: str) -> DataFrame:
     ).withWatermark("query_ts", "1 minute")
     sessions = query_sessions(stream, gap_seconds=86400.0)
     name = f"s02_mem_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
+    # 16 state partitions measured fastest for this drain on local[32]
+    # (r12 sweep: 4 -> 4.29s, 8 -> 3.53s, 16 -> 3.09s, 32 -> 4.54s —
+    # the single availableNow data batch wants more parallel Python
+    # state workers; 32 over-partitions the no-data flush batch)
+    with state_partitions(spark, 16):
         q = run_to_memory(sessions, name, output_mode="append")
         q.awaitTermination(300)
     out = spark.table(name).select(
