@@ -1710,3 +1710,161 @@ def duplicated_line_removal(
         ).alias("kept_frac"),
         F.md5(kept_join).alias("cleaned_digest"),
     )
+
+
+def _dup_span_intervals(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """Shared stage for maximal_duplicate_spans / exactsubstr_removal:
+    maximal per-document token intervals covered by corpus-duplicated
+    word k-grams. Returns (base, spans) where base = (id, __text) and
+    spans = (id, span_start, span_end) in 0-based token positions,
+    end inclusive.
+
+    Two positioned dup-gram instances p < q in one doc cover
+    overlapping-or-adjacent token ranges iff q <= p + k, so maximal
+    covered runs are exactly the segments produced by breaking the
+    per-doc position sequence wherever the gap exceeds k — the classic
+    gaps-and-islands merge, here as a doc-partitioned lag + running-sum
+    window (group grain: a window partition is one document's dup
+    positions, bounded by doc length, never corpus-sized).
+
+    Shuffle shape at 100 TB: one gram-grain shuffle for the instance
+    counts (map-side combinable — the same shape every shingle pipeline
+    pays, cf. strip_duplicate_spans stage 2), then doc-grain windows and
+    aggregates. No cross join, no Python, no global sort.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("__text"))
+    inst = base.select(
+        "id", F.posexplode(gram_array("__text", k)).alias("pos", "gram")
+    )
+    dup = inst.join(
+        inst.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") >= 2)
+        .select("gram"),
+        "gram",
+    ).select("id", "pos")
+    w = Window.partitionBy("id").orderBy("pos")
+    seg = dup.withColumn(
+        "__brk",
+        F.when(F.col("pos") - F.lag("pos").over(w) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    ).withColumn("__seg", F.sum("__brk").over(w))
+    spans = seg.groupBy("id", "__seg").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+    )
+    return base, spans
+
+
+def maximal_duplicate_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_len: int = 10,
+) -> DataFrame:
+    """Maximal corpus-duplicated token spans of length >= min_len — the
+    span-grain inventory behind ExactSubstr dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", public
+    paper: remove duplicated substrings above a length threshold rather
+    than whole near-duplicate documents). The published tool finds true
+    maximal repeats with a global suffix array; a global suffix sort is
+    exactly the single-machine construction that does not distribute, so
+    this is the shuffle-honest k-gram-anchored formulation used at
+    corpus scale: a span is a MAXIMAL run of tokens covered by
+    corpus-duplicated k-grams (k << min_len). Every true >= min_len
+    duplicated substring is covered (all its k-grams are duplicated);
+    runs chained through overlapping grams duplicated against DIFFERENT
+    partners may also qualify — the standard, documented over-approach
+    of gram-anchor methods (the same trade x47's fixed-k stripping
+    makes, upgraded here with interval merging and a length threshold).
+
+    Output: (id, span_start, span_end, span_len, span_digest) with
+    0-based inclusive token positions and span_digest = md5 of the
+    span's tokens joined by single spaces — a byte-exact cross-engine
+    witness of each reported span.
+    """
+    base, spans = _dup_span_intervals(df, id_col, text_col, k)
+    toks = F.split(F.trim(F.col("__text")), r"\s+")
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    return (
+        spans.filter(span_len >= min_len)
+        .join(base, "id")
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            span_len.alias("span_len"),
+            F.md5(
+                F.array_join(
+                    F.slice(
+                        toks,
+                        (F.col("span_start") + 1).cast("int"),
+                        span_len.cast("int"),
+                    ),
+                    " ",
+                )
+            ).alias("span_digest"),
+        )
+    )
+
+
+def exactsubstr_removal(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    min_len: int = 10,
+) -> DataFrame:
+    """ExactSubstr span REMOVAL (Lee et al. 2022): drop every token
+    covered by a maximal duplicated span of length >= min_len (see
+    maximal_duplicate_spans for the span definition), keep everything
+    else — the sequence-grain dedup transform between x47's
+    strip-everything-k-covered (no length threshold: any duplicated
+    trigram goes) and xs15's line-grain first-occurrence keep. Every
+    occurrence of a qualifying span is removed, the aggressive variant
+    the released deduplicate-text-datasets tool applies to self-similar
+    ranges; the keep-one-occurrence policy lives at line grain
+    (duplicated_line_removal) where occurrences are byte-identical and
+    a global first exists.
+
+    Output at document grain: (id, n_tokens, n_removed, cleaned_digest)
+    with cleaned_digest = md5 of the kept tokens joined by single spaces
+    in original order (md5('') when everything is removed) — the same
+    byte-exact witness contract as duplicated_line_removal.
+
+    Shuffle shape at 100 TB: _dup_span_intervals' gram-grain shuffle +
+    doc-grain windows, then covered positions expand to <= span_len rows
+    per span (bounded by corpus token count), collapse to a per-doc
+    position set (bounded by doc length), and one LEFT join back to the
+    corpus — docs with no qualifying span pass through untouched.
+    """
+    base, spans = _dup_span_intervals(df, id_col, text_col, k)
+    span_len = F.col("span_end") - F.col("span_start") + 1
+    covered = (
+        spans.filter(span_len >= min_len)
+        .select(
+            "id",
+            F.explode(F.sequence("span_start", "span_end")).alias("tp"),
+        )
+        .groupBy("id")
+        .agg(F.collect_set("tp").alias("__covered"))
+    )
+    joined = base.join(covered, "id", "left").withColumn(
+        "__covered",
+        F.coalesce(F.col("__covered"), F.array().cast("array<bigint>")),
+    )
+    toks = F.split(F.trim(F.col("__text")), r"\s+")
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.array_contains(F.col("__covered"), i.cast("bigint")),
+    )
+    return joined.select(
+        "id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.md5(F.array_join(kept, " ")).alias("cleaned_digest"),
+    )

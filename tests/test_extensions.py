@@ -3576,3 +3576,164 @@ def test_xs18_unimax_threshold_margin_on_corpus():
             f"sf{sf}: a source load sits {min(margins):.2e} tokens from the "
             "budget — within fp-flip distance; recalibrate _XS18_BUDGET."
         )
+
+
+def _py_dup_spans(docs, k, min_len):
+    """Independent Python replay of the gram-anchored maximal-span
+    definition: corpus-duplicated k-grams -> per-doc position runs with
+    gap <= k merged -> [start, end] intervals, filtered to >= min_len."""
+    from collections import Counter
+
+    grams = Counter()
+    per_doc = {}
+    for i, t in docs:
+        toks = t.split()
+        per_doc[i] = toks
+        for p in range(max(len(toks) - k + 1, 0)):
+            grams[" ".join(toks[p : p + k])] += 1
+    spans = {}
+    for i, toks in per_doc.items():
+        dup_pos = [
+            p
+            for p in range(max(len(toks) - k + 1, 0))
+            if grams[" ".join(toks[p : p + k])] >= 2
+        ]
+        runs = []
+        for p in dup_pos:
+            if runs and p - runs[-1][1] <= k:
+                runs[-1][1] = p
+            else:
+                runs.append([p, p])
+        ivals = [
+            (st, en + k - 1)
+            for st, en in runs
+            if (en + k - 1) - st + 1 >= min_len
+        ]
+        spans[i] = ivals
+    return per_doc, spans
+
+
+def test_maximal_duplicate_spans_hand_computed(spark):
+    """A 12-token boilerplate block pasted into two otherwise-unique docs
+    must come back as ONE maximal >= 10-token span per doc (not a pile
+    of trigram fragments), with matching span digests across the two
+    occurrences; a doc sharing only a single trigram reports nothing at
+    min_len=10."""
+    import hashlib
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    block = " ".join(f"b{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text=f"u1 u2 {block} u3"),
+            R(doc_id=2, text=f"v1 {block} v2 v3 v4"),
+            R(doc_id=3, text="w1 b0 b1 b2 w2 w3"),  # lone shared trigram
+        ]
+    )
+    out = dedup.maximal_duplicate_spans(docs, "doc_id", "text", k=3, min_len=10)
+    rows = {r.id: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    dig = hashlib.md5(block.encode()).hexdigest()
+    assert rows[1].span_start == 2 and rows[1].span_end == 13
+    assert rows[2].span_start == 1 and rows[2].span_end == 12
+    assert rows[1].span_len == 12 == rows[2].span_len
+    assert rows[1].span_digest == dig == rows[2].span_digest
+
+
+def test_exactsubstr_removal_hand_computed(spark):
+    """Removal strips exactly the >= min_len spans (every occurrence),
+    keeps sub-threshold duplication, and the cleaned digest is the
+    byte-exact md5 of the surviving tokens."""
+    import hashlib
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    block = " ".join(f"b{j}" for j in range(12))
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=1, text=f"u1 u2 {block} u3"),
+            R(doc_id=2, text=f"v1 {block} v2 v3 v4"),
+            R(doc_id=3, text="w1 b0 b1 b2 w2 w3"),
+        ]
+    )
+    out = {
+        r.id: r
+        for r in dedup.exactsubstr_removal(
+            docs, "doc_id", "text", k=3, min_len=10
+        ).collect()
+    }
+    assert out[1].n_tokens == 15 and out[1].n_removed == 12
+    assert out[1].cleaned_digest == md5("u1 u2 u3")
+    assert out[2].n_tokens == 16 and out[2].n_removed == 12
+    assert out[2].cleaned_digest == md5("v1 v2 v3 v4")
+    assert out[3].n_tokens == 6 and out[3].n_removed == 0
+    assert out[3].cleaned_digest == md5("w1 b0 b1 b2 w2 w3")
+
+
+def test_dup_spans_random_vs_python_reference(spark):
+    """maximal_duplicate_spans + exactsubstr_removal vs the independent
+    Python replay on seeded random docs built from a tiny vocabulary
+    with planted shared blocks (heavy gram duplication by construction):
+    span sets, removal counts and cleaned digests must all agree."""
+    import hashlib
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    rng = random.Random(4242)
+    vocab = [f"w{i}" for i in range(40)]
+    blocks = [
+        " ".join(rng.choice(vocab) for _ in range(rng.randint(6, 14)))
+        for _ in range(4)
+    ]
+    docs = []
+    for i in range(50):
+        parts = [rng.choice(vocab) for _ in range(rng.randint(3, 10))]
+        if rng.random() < 0.6:
+            parts.insert(rng.randrange(len(parts) + 1), rng.choice(blocks))
+        docs.append((i, " ".join(" ".join(parts).split())))
+    k, L = 3, 8
+    per_doc, ref_spans = _py_dup_spans(docs, k, L)
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    got_spans = {}
+    for r in dedup.maximal_duplicate_spans(
+        sdf, "doc_id", "text", k=k, min_len=L
+    ).collect():
+        got_spans.setdefault(r.id, []).append(
+            (r.span_start, r.span_end, r.span_len, r.span_digest)
+        )
+    for i in range(50):
+        want = [
+            (
+                st,
+                en,
+                en - st + 1,
+                hashlib.md5(" ".join(per_doc[i][st : en + 1]).encode()).hexdigest(),
+            )
+            for st, en in ref_spans[i]
+        ]
+        assert sorted(got_spans.get(i, [])) == sorted(want), i
+    got_rm = {
+        r.id: r
+        for r in dedup.exactsubstr_removal(
+            sdf, "doc_id", "text", k=k, min_len=L
+        ).collect()
+    }
+    for i, toks in per_doc.items():
+        covered = set()
+        for st, en in ref_spans[i]:
+            covered.update(range(st, en + 1))
+        kept = [t for j, t in enumerate(toks) if j not in covered]
+        r = got_rm[i]
+        assert r.n_tokens == len(toks) and r.n_removed == len(covered), i
+        assert r.cleaned_digest == hashlib.md5(
+            " ".join(kept).encode()
+        ).hexdigest(), i
