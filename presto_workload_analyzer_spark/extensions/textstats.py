@@ -1149,6 +1149,7 @@ def heldout_bigram_nll(
     text_col: str,
     holdout: Column,
     lam: float = 0.7,
+    train: Column | None = None,
 ) -> DataFrame:
     """Held-out negative log-likelihood under an interpolated bigram LM
     fit on the REST of the corpus — the perplexity-filter scoring stage
@@ -1174,6 +1175,13 @@ def heldout_bigram_nll(
     every row (a NULL drops the row from BOTH slices — ~NULL is not
     true); token-less docs score nothing and emit no row.
 
+    `train` (optional) decouples the fit slice from the score slice:
+    by default the model trains on ~holdout, but reference-delta
+    scoring (RHO-style selection: the same candidates scored under a
+    TARGET-slice LM and a general-corpus LM) needs train and score
+    predicates chosen independently. The caller owns disjointness —
+    overlapping slices mean scoring memorized text.
+
     Shuffle shape at 100 TB: identical to bigram_logprob — count tables
     at vocabulary grain, held-out instances LEFT-join them on their keys
     (unseen keys coalesce to 0), scalars (N, V) broadcast via a 1-row
@@ -1184,9 +1192,12 @@ def heldout_bigram_nll(
 
     lower = F.transform(tokens(text_col), lambda t: F.lower(t))
     base = df.select(
-        F.col(id_col).alias("id"), lower.alias("__toks"), holdout.alias("__ho")
+        F.col(id_col).alias("id"),
+        lower.alias("__toks"),
+        holdout.alias("__ho"),
+        (train if train is not None else ~holdout).alias("__tr"),
     )
-    train = base.filter(~F.col("__ho"))
+    train = base.filter(F.col("__tr"))
     held = base.filter(F.col("__ho"))
 
     uni = (
@@ -1795,3 +1806,59 @@ def best_fit_decreasing_pack(
         ]
     )
     return rows.groupBy("part", "shard").applyInPandas(pack, schema)
+
+
+def reference_delta_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    candidates: Column,
+    target_train: Column,
+    base_train: Column,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Reference-model delta scoring for data selection (the RHO-style
+    selection signal, published as reference-model excess loss: score a
+    candidate under a TARGET-domain reference model and under a general
+    BASE model, and prefer candidates the target model likes more than
+    the base model does — selective language modeling's document-grain
+    analog, and the LM-likelihood counterpart of DSIR's hashed-ngram
+    importance ratio, cf. sampling.dsir_log_weights).
+
+    Both models are the same interpolated bigram LM family
+    (heldout_bigram_nll); `candidates` marks the scored slice,
+    `target_train` and `base_train` the two fit slices. The caller owns
+    slice hygiene: candidates should be disjoint from BOTH train slices
+    (scoring memorized text flatters the model that saw it).
+
+    Output per scored doc: (id, n_scored, sum_nll_base, sum_nll_target,
+    delta) with delta = (sum_nll_base - sum_nll_target) / n_scored —
+    positive means the target LM finds the doc less surprising than the
+    base LM (more target-like), UNROUNDED so callers round at their
+    output grain.
+
+    Shuffle shape at 100 TB: two vocabulary-grain count tables + the
+    candidate token stream LEFT-joining each (heldout_bigram_nll's
+    shape, twice), then one doc-grain equi-join between the two score
+    sets. Everything is Column expressions — no UDF, no collect.
+    """
+    base_nll = heldout_bigram_nll(
+        df, id_col, text_col, holdout=candidates, lam=lam, train=base_train
+    ).select(
+        "id",
+        "n_scored",
+        F.col("sum_nll").alias("sum_nll_base"),
+    )
+    tgt_nll = heldout_bigram_nll(
+        df, id_col, text_col, holdout=candidates, lam=lam, train=target_train
+    ).select("id", F.col("sum_nll").alias("sum_nll_target"))
+    return base_nll.join(tgt_nll, "id").select(
+        "id",
+        "n_scored",
+        "sum_nll_base",
+        "sum_nll_target",
+        (
+            (F.col("sum_nll_base") - F.col("sum_nll_target"))
+            / F.col("n_scored")
+        ).alias("delta"),
+    )

@@ -3737,3 +3737,74 @@ def test_dup_spans_random_vs_python_reference(spark):
         assert r.cleaned_digest == hashlib.md5(
             " ".join(kept).encode()
         ).hexdigest(), i
+
+
+def test_reference_delta_scores_random_vs_python_reference(spark):
+    """reference_delta_scores vs an independent Python replay: two JM
+    bigram LMs fit on DISJOINT slices (target %10==0, base %5!=0),
+    candidates (%5==0 and %10!=0) scored under both, delta = per-token
+    NLL difference — sums and deltas agree to 1e-9 on every candidate,
+    and no non-candidate row appears."""
+    import math
+    import random
+
+    from pyspark.sql import Row as R
+
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    rng = random.Random(60901)
+    vocab = ["aa", "b", "ccc", "dd", "e", "ffff", "g", "hh"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 12))))
+        for i in range(120)
+    ]
+    sdf = spark.createDataFrame([R(doc_id=i, text=t) for i, t in docs])
+    lam = 0.7
+    cand = (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 10 != 0)
+    got = {
+        r.id: r
+        for r in textstats.reference_delta_scores(
+            sdf,
+            "doc_id",
+            "text",
+            candidates=cand,
+            target_train=F.col("doc_id") % 10 == 0,
+            base_train=F.col("doc_id") % 5 != 0,
+            lam=lam,
+        ).collect()
+    }
+
+    def fit(pred):
+        uni, bi = {}, {}
+        for i, t in docs:
+            if not pred(i):
+                continue
+            toks = t.lower().split()
+            for w in toks:
+                uni[w] = uni.get(w, 0) + 1
+            for a, b in zip(toks, toks[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+        return uni, bi, sum(uni.values()), len(uni)
+
+    def score(toks, uni, bi, N, V):
+        p_uni = lambda w: (uni.get(w, 0) + 1.0) / (N + V + 1.0)  # noqa: E731
+        nll = [-math.log(p_uni(toks[0]))]
+        for a, b in zip(toks, toks[1:]):
+            bt = bi.get((a, b), 0) / uni[a] if uni.get(a, 0) > 0 else 0.0
+            nll.append(-math.log(lam * bt + (1 - lam) * p_uni(b)))
+        return sum(nll), len(nll)
+
+    base_lm = fit(lambda i: i % 5 != 0)
+    tgt_lm = fit(lambda i: i % 10 == 0)
+    for i, t in docs:
+        if not (i % 5 == 0 and i % 10 != 0):
+            assert i not in got
+            continue
+        toks = t.lower().split()
+        sb, ns = score(toks, *base_lm)
+        st, _ = score(toks, *tgt_lm)
+        r = got[i]
+        assert r.n_scored == ns, i
+        assert abs(r.sum_nll_base - sb) < 1e-9, i
+        assert abs(r.sum_nll_target - st) < 1e-9, i
+        assert abs(r.delta - (sb - st) / ns) < 1e-9, i
