@@ -3808,3 +3808,108 @@ def test_reference_delta_scores_random_vs_python_reference(spark):
         assert abs(r.sum_nll_base - sb) < 1e-9, i
         assert abs(r.sum_nll_target - st) < 1e-9, i
         assert abs(r.delta - (sb - st) / ns) < 1e-9, i
+
+
+def _staged_con(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('/root/testdata/sf{sf}/documents.parquet')"
+    )
+    return con
+
+
+def test_xs20_span_threshold_bifurcates_on_corpus():
+    """xs20/xs23's calibration pin: at k=3 the corpus must hold maximal
+    dup spans BOTH below and at/above the 10-token threshold at both
+    gate SFs (otherwise the gate hashes a vacuous filter), and the
+    removal must leave some docs untouched while touching others."""
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS20_MIN_LEN as L,
+        _span_sql_head,
+        xs23_sql,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        lens = [
+            r[0]
+            for r in con.sql(
+                _span_sql_head() + " SELECT en - st + 1 FROM sp"
+            ).fetchall()
+        ]
+        assert any(x < L for x in lens) and any(x >= L for x in lens), (
+            f"sf{sf}: span lengths {sorted(set(lens))[:5]}.. do not straddle "
+            f"min_len={L} — recalibrate _XS20_MIN_LEN."
+        )
+        touched, untouched = con.sql(
+            "SELECT sum(CASE WHEN n_removed > 0 THEN 1 ELSE 0 END),"
+            " sum(CASE WHEN n_removed = 0 THEN 1 ELSE 0 END) FROM ("
+            + xs23_sql()
+            + ")"
+        ).fetchall()[0]
+        assert touched > 0 and untouched > 0, f"sf{sf}: removal is vacuous"
+
+
+def test_xs21_votes_bifurcate_on_corpus():
+    """xs21's calibration pin: the three ensemble signals must disagree
+    enough that votes land on BOTH sides of the majority threshold at
+    both gate SFs — otherwise the gate hashes a constant keep column."""
+    from presto_workload_analyzer_spark.staged_queries import xs21_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        votes = dict(
+            con.sql(
+                "SELECT votes, count(*) FROM (" + xs21_sql() + ") GROUP BY 1"
+            ).fetchall()
+        )
+        low = sum(v for k, v in votes.items() if k < 2)
+        high = sum(v for k, v in votes.items() if k >= 2)
+        assert low > 0 and high > 0, f"sf{sf}: majority vote is constant ({votes})"
+        assert len(votes) >= 3, f"sf{sf}: votes collapsed to {votes}"
+
+
+def test_xs22_funnel_strictly_shrinks_on_corpus():
+    """xs22's calibration pin: every funnel stage must drop at least one
+    document corpus-wide at both gate SFs — a non-shrinking stage means
+    its gate stopped discriminating (e.g. a regenerated fixture without
+    the lang mix) and the funnel hash would no longer witness it."""
+    from presto_workload_analyzer_spark.staged_queries import xs22_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = dict(
+            con.sql(
+                "SELECT stage_idx, sum(n_docs) FROM ("
+                + xs22_sql()
+                + ") GROUP BY 1"
+            ).fetchall()
+        )
+        seq = [rows[i] for i in range(5)]
+        assert all(a > b for a, b in zip(seq, seq[1:])), (
+            f"sf{sf}: funnel does not strictly shrink: {seq}"
+        )
+
+
+def test_xs24_delta_margin_on_corpus():
+    """xs24's selection boundary compares the ROUNDED per-token delta
+    against 0 on both engines; pin (a) that selection bifurcates and
+    (b) that no candidate's delta sits within fp-flip distance of 0 at
+    both gate SFs."""
+    from presto_workload_analyzer_spark.staged_queries import xs24_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT delta, selected FROM (" + xs24_sql() + ")"
+        ).fetchall()
+        sel = sum(1 for _, s in rows if s)
+        assert 0 < sel < len(rows), f"sf{sf}: selection is constant ({sel}/{len(rows)})"
+        margin = min(abs(d) for d, _ in rows)
+        assert margin > 1e-3, (
+            f"sf{sf}: a delta sits {margin:.2e} from the selection boundary "
+            "— within fp-flip distance; recalibrate the xs24 slices."
+        )
