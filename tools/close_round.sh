@@ -18,6 +18,7 @@
 #   9. ANN skew        — hot-cell (50%-one-family) persisted-IVF serving
 #  10. semdedup skew   — mega-cluster (50%-one-cluster) SemDeDup blas path
 #  11. line-dedup skew  — hot-digest (viral boilerplate line on 50% of docs)
+#  12. span skew       — hot-gram (viral 12-token block on 50% of docs)
 #
 # Wall-clock ~45 min on local[32]. Bench numbers carry +/-30% host
 # variance — re-measure warm-solo before treating a regression as real.
@@ -25,44 +26,47 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${1:-dev}"
 
-echo "== 1/11 pytest =="
+echo "== 1/12 pytest =="
 python -m pytest tests/ -q
 
-echo "== 2/11 full local gate (sf0.01) =="
+echo "== 2/12 full local gate (sf0.01) =="
 python tools/check_correctness.py --json "LOCAL_GATE_r${ROUND}.json"
 
-echo "== 3/11 bench sf0.1 =="
+echo "== 3/12 bench sf0.1 =="
 python bench.py
 cp bench_detail.json /tmp/close_round_small.json
 
 if [ -d .bench_sf/sf1 ]; then
-  echo "== 4/11 bench sf1 =="
+  echo "== 4/12 bench sf1 =="
   SPARK_GRAFT_SF_DIR=.bench_sf/sf1 python bench.py
   cp bench_detail.json /tmp/close_round_large.json
-  echo "== 5/11 slope gate =="
+  echo "== 5/12 slope gate =="
   python tools/slope.py /tmp/close_round_small.json /tmp/close_round_large.json --factor 10
   # restore the default-scale detail file the repo keeps committed
   cp /tmp/close_round_small.json bench_detail.json
 else
-  echo "== 4-5/11 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
+  echo "== 4-5/12 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
 fi
 
-echo "== 6/11 skew graph gate =="
+echo "== 6/12 skew graph gate =="
 python tools/skew_graph.py
 
-echo "== 7/11 corpus skew gate =="
+echo "== 7/12 corpus skew gate =="
 python tools/skew_corpus.py
 
-echo "== 8/11 stream skew gate =="
+echo "== 8/12 stream skew gate =="
 python tools/skew_stream.py
 
-echo "== 9/11 ANN skew gate =="
+echo "== 9/12 ANN skew gate =="
 python tools/skew_ann.py
 
-echo "== 10/11 semdedup skew gate =="
+echo "== 10/12 semdedup skew gate =="
 python tools/skew_semdedup.py
 
-echo "== 11/11 line-dedup skew gate =="
+echo "== 11/12 line-dedup skew gate =="
 python tools/skew_linededup.py
+
+echo "== 12/12 span skew gate =="
+python tools/skew_spans.py
 
 echo "close_round: all gates green"
