@@ -156,3 +156,52 @@ def test_round11_registrations_prune_document_scans(spark, name, allowed):
         if table != "documents":
             continue
         assert cols <= allowed, (name, sorted(cols), line)
+
+
+@pytest.mark.parametrize(
+    "name,allowed",
+    [
+        ("xs14_c4_line_filters", {"doc_id", "text"}),
+        ("xs15_ccnet_line_dedup", {"doc_id", "text"}),
+        ("xs16_bm25_scores", {"doc_id", "text"}),
+        ("xs17_bfd_packing", {"source", "doc_id", "text"}),
+        ("xs18_curation_mix_chain", {"doc_id", "source", "text"}),
+        ("xs19_dup_weighted_sampling", {"doc_id", "text"}),
+    ],
+)
+def test_round12_registrations_prune_document_scans(spark, name, allowed):
+    """The round-12 batch (registered this round) must never drag `lang`
+    or `n_chars` through a documents scan — same contract as the
+    round-11 pin. (s19/s20 are streaming drains; their batch twins xs15
+    and xs18 cover the scan shapes.)"""
+    scans = _scans(spark, name)
+    assert scans, f"{name}: expected parquet scans in the plan"
+    for table, cols, line in scans:
+        if table != "documents":
+            continue
+        assert cols <= allowed, (name, sorted(cols), line)
+
+
+def test_staged_xs20_batch_prunes_document_scans(spark):
+    """The staged xs20-xs24 batch arrives with pruned scans: only xs22
+    (the language-gated funnel) may read `lang`; nothing reads
+    `n_chars`; the span/ensemble/delta queries read only what their
+    math needs."""
+    from presto_workload_analyzer_spark import staged_queries
+
+    allowed = {
+        "xs20_dup_spans": {"doc_id", "text"},
+        "xs21_quality_ensemble": {"doc_id", "text"},
+        "xs22_fineweb_funnel": {"doc_id", "source", "lang", "text"},
+        "xs23_exactsubstr_removal": {"doc_id", "text"},
+        "xs24_rho_delta_select": {"doc_id", "source", "text"},
+    }
+    for name, (fn, _sql) in staged_queries.STAGED.items():
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for line in plan.splitlines():
+            m = _SCAN_RE.search(line)
+            if not m or m.group(2) != "documents":
+                continue
+            cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
+            assert cols <= allowed[name], (name, sorted(cols), line)
