@@ -50,6 +50,11 @@ plus the span REMOVAL transform and a reference-model delta selector):
                               per-token NLL delta = target-like ->
                               selected (RHO-style excess-loss selection,
                               the LM-likelihood sibling of DSIR xs2).
+  * xs25_decontaminate      — benchmark decontamination by 8-gram
+                              overlap against the target slice (the
+                              GPT-3 appendix-C shape); broadcast
+                              semi-join, no corpus-sized shuffle — the
+                              complement of x101's leakage-free split.
 
 Calibration on the synthetic corpus (pinned by tests):
   * xs20/xs23 at k=3, min_len=10: span lengths span 3..20+ so the
@@ -471,10 +476,91 @@ def xs24_sql() -> str:
     )
 
 
+# xs25: 8-gram overlap against the doc_id%10==0 "benchmark" slice (the
+# xs2 target-slice convention). k=8 aligns with the corpus's 8-token
+# template chunking and stays under the shortest doc (13-grams, the
+# GPT-3 constant, exceed many synthetic docs); contamination bifurcates
+# at every SF (7/450 at sf0.001, 6/450 at sf0.01, 46/4500 at sf0.1) and
+# k=8 differs from k=5 at sf0.001 (7 vs 8 hits), so the gram size is
+# genuinely exercised.
+_XS25_K = 8
+
+
+def xs25_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark DECONTAMINATION by n-gram overlap (the GPT-3 appendix-C
+    shape, shipped by every published pretraining pipeline since: drop
+    training documents sharing any length-k token gram with the
+    evaluation set). The eval slice here is doc_id % 10 == 0 (the
+    engine's target-slice convention, cf. xs2/xs24); every other doc is
+    the training pool and reports its overlap-gram count and the
+    contaminated flag — the complement of x101's leakage-free SPLIT
+    (which prevents near-dup straddle; this removes exact eval text).
+
+    100 TB shape: the eval gram set is benchmark-sized (tiny vs the
+    corpus), so the overlap test is a BROADCAST semi-join against the
+    corpus's gram stream — one scan-speed pass over the pool, no
+    corpus-sized shuffle at all (the count rollup shuffles only the
+    matching instances, a benchmark-bounded set). Grams use the
+    slice-in-transform form (O(len) expression tree; the zip-shift
+    chain is O(k*len) codegen and measured 2x-slower first runs at
+    k >= 10 — BASELINE round-10)."""
+    from presto_workload_analyzer_spark.sources import read_table
+
+    k = _XS25_K
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    m = F.size(toks) - (k - 1)
+    grams = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ev = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    pool = docs.filter(F.col("doc_id") % 10 != 0)
+    hits = (
+        pool.select("doc_id", F.explode(grams).alias("gram"))
+        .join(F.broadcast(ev), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
+    )
+    return pool.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap_grams"),
+        (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def xs25_sql() -> str:
+    k = _XS25_K
+    return (
+        "WITH t AS (SELECT doc_id,"
+        "   string_split_regex(trim(text), '\\s+') AS toks FROM documents),"
+        " g AS (SELECT doc_id,"
+        f"   array_to_string(toks[i+1:i+{k}], ' ') AS gram"
+        f"  FROM t, UNNEST(range(0, greatest(len(toks)-{k - 1}, 0))) AS u(i)),"
+        " ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),"
+        " hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g"
+        "   WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM ev)"
+        "   GROUP BY 1)"
+        " SELECT d.doc_id,"
+        "  CAST(coalesce(hit.n, 0) AS BIGINT) AS n_overlap_grams,"
+        "  (coalesce(hit.n, 0) > 0) AS contaminated"
+        " FROM documents d LEFT JOIN hit ON hit.doc_id = d.doc_id"
+        " WHERE d.doc_id % 10 <> 0"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs20_dup_spans": (xs20_dup_spans, xs20_sql()),
     "xs21_quality_ensemble": (xs21_quality_ensemble, xs21_sql()),
     "xs22_fineweb_funnel": (xs22_fineweb_funnel, xs22_sql()),
     "xs23_exactsubstr_removal": (xs23_exactsubstr_removal, xs23_sql()),
     "xs24_rho_delta_select": (xs24_rho_delta_select, xs24_sql()),
+    "xs25_decontaminate": (xs25_decontaminate, xs25_sql()),
 }

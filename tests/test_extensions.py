@@ -3913,3 +3913,20 @@ def test_xs24_delta_margin_on_corpus():
             f"sf{sf}: a delta sits {margin:.2e} from the selection boundary "
             "— within fp-flip distance; recalibrate the xs24 slices."
         )
+
+
+def test_xs25_contamination_bifurcates_on_corpus():
+    """xs25's calibration pin: the 8-gram overlap against the %10==0
+    eval slice must flag SOME but not ALL pool docs at both gate SFs
+    (7/450 and 6/450 as staged) — a regenerated fixture where templates
+    stop aligning would zero it out and the gate would hash a constant
+    flag column."""
+    from presto_workload_analyzer_spark.staged_queries import xs25_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        hit, pool = con.sql(
+            "SELECT sum(CASE WHEN contaminated THEN 1 ELSE 0 END),"
+            " count(*) FROM (" + xs25_sql() + ")"
+        ).fetchall()[0]
+        assert 0 < hit < pool, f"sf{sf}: contamination constant ({hit}/{pool})"
