@@ -55,6 +55,12 @@ plus the span REMOVAL transform and a reference-model delta selector):
                               GPT-3 appendix-C shape); broadcast
                               semi-join, no corpus-sized shuffle — the
                               complement of x101's leakage-free split.
+  * xs26_delta_source_weights — quality-guided DOMAIN weighting
+                              (DoReMi/RegMix-shaped): per-source mean
+                              reference-delta softmaxed at T=0.05 into
+                              sampling weights — sources weighted by
+                              measured target-fit, beside the
+                              size-driven mixers (xs6/xs9/x95).
 
 Calibration on the synthetic corpus (pinned by tests):
   * xs20/xs23 at k=3, min_len=10: span lengths span 3..20+ so the
@@ -556,6 +562,92 @@ def xs25_sql() -> str:
     )
 
 
+# xs26: delta-guided DOMAIN weights. The candidate slice must hit many
+# sources, and source = f(doc_id % 20) on this corpus, so the xs24
+# slices (%5/%10) alias into just src5/src15 — xs26 uses %7 (coprime
+# with 20: 16 sources get 3-4 candidates each at both gate SFs),
+# excluding both fit slices (target %10==0; base %5!=0 AND %7!=0).
+# T=0.05 spreads the shares 0.018-0.18 (9.5-21x max/min) — neither
+# uniform nor winner-take-all.
+_XS26_T = 0.05
+
+
+def xs26_delta_source_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality-guided DOMAIN weighting (the DoReMi/RegMix-shaped step:
+    set per-source sampling weights from a quality/target-fit signal
+    rather than from token counts): each source's candidates are scored
+    with the reference-model delta (xs24's signal — positive =
+    target-like), averaged per source, and softmaxed at temperature T
+    into sampling weights. Completes the mixing surface: xs6/xs9/x95
+    weight by SIZE, xs3/xs13 rank DOCS by importance — this weights
+    SOURCES by measured target-fit. Output: (source, n_candidates,
+    avg_delta, weight), weights summing to 1 over the sources holding
+    candidates. The softmax denominator is one broadcast scalar row
+    (the engine's broadcast-NL convention); everything upstream is
+    reference_delta_scores' audited two-LM shape."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    did = F.col("doc_id")
+    scored = textstats.reference_delta_scores(
+        docs,
+        "doc_id",
+        "text",
+        candidates=(did % 7 == 0) & (did % 5 != 0),
+        target_train=did % 10 == 0,
+        base_train=(did % 5 != 0) & (did % 7 != 0),
+        lam=_XS24_LAM,
+    )
+    per = (
+        scored.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.avg("delta").alias("__avg"),
+        )
+    )
+    z = per.agg(F.sum(F.exp(F.col("__avg") / _XS26_T)).alias("__z"))
+    return per.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_candidates",
+        F.round(F.col("__avg") + 1e-9, 6).alias("avg_delta"),
+        F.round(
+            F.exp(F.col("__avg") / _XS26_T) / F.col("__z") + 1e-9, 6
+        ).alias("weight"),
+    )
+
+
+def xs26_sql() -> str:
+    t = _XS26_T
+    return (
+        "WITH nbase AS (SELECT doc_id AS id, source,"
+        "   list_transform(string_split_regex(trim(text), '\\s+'),"
+        "    t -> lower(t)) AS toks"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " hd AS (SELECT * FROM nbase WHERE id % 7 = 0 AND id % 5 <> 0),"
+        " bh AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
+        "  FROM hd, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
+        "  WHERE len(toks) >= 2),"
+        " fh AS (SELECT id, toks[1] AS w FROM hd"
+        "   WHERE len(toks) >= 1 AND toks[1] <> ''),"
+        + _xs24_nll_chain_sql("b_", "id % 5 <> 0 AND id % 7 <> 0")
+        + ","
+        + _xs24_nll_chain_sql("t_", "id % 10 = 0")
+        + ", per AS (SELECT nb.source,"
+        "   CAST(count(*) AS BIGINT) AS n_candidates,"
+        "   avg((b_perdoc.snll - t_perdoc.snll) / b_perdoc.ns) AS ad"
+        "  FROM b_perdoc JOIN t_perdoc ON t_perdoc.id = b_perdoc.id"
+        "   JOIN (SELECT DISTINCT id, source FROM nbase) nb"
+        "    ON nb.id = b_perdoc.id"
+        "  GROUP BY 1),"
+        f" z AS (SELECT sum(exp(ad / {t!r})) AS z FROM per)"
+        " SELECT source, n_candidates, round(ad + 1e-9, 6) AS avg_delta,"
+        f"  round(exp(ad / {t!r}) / z + 1e-9, 6) AS weight"
+        " FROM per, z"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs20_dup_spans": (xs20_dup_spans, xs20_sql()),
     "xs21_quality_ensemble": (xs21_quality_ensemble, xs21_sql()),
@@ -563,4 +655,5 @@ STAGED: dict[str, tuple] = {
     "xs23_exactsubstr_removal": (xs23_exactsubstr_removal, xs23_sql()),
     "xs24_rho_delta_select": (xs24_rho_delta_select, xs24_sql()),
     "xs25_decontaminate": (xs25_decontaminate, xs25_sql()),
+    "xs26_delta_source_weights": (xs26_delta_source_weights, xs26_sql()),
 }

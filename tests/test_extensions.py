@@ -3930,3 +3930,26 @@ def test_xs25_contamination_bifurcates_on_corpus():
             " count(*) FROM (" + xs25_sql() + ")"
         ).fetchall()[0]
         assert 0 < hit < pool, f"sf{sf}: contamination constant ({hit}/{pool})"
+
+
+def test_xs26_weights_spread_on_corpus():
+    """xs26's calibration pin: the delta-softmax must produce genuinely
+    non-uniform weights over many sources at both gate SFs — (a) >= 10
+    sources hold candidates (the %7 slice is coprime with the source
+    cycle), (b) weights sum to 1, (c) max/min weight ratio >= 2 (neither
+    uniform nor a degenerate 2-source split like the %5 slice would
+    give)."""
+    from presto_workload_analyzer_spark.staged_queries import xs26_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT source, weight FROM (" + xs26_sql() + ")"
+        ).fetchall()
+        ws = [w for _, w in rows]
+        assert len(ws) >= 10, f"sf{sf}: only {len(ws)} sources hold candidates"
+        assert abs(sum(ws) - 1.0) < 1e-4, f"sf{sf}: weights sum to {sum(ws)}"
+        assert max(ws) / min(ws) >= 2.0, (
+            f"sf{sf}: weights nearly uniform ({min(ws)}..{max(ws)}) — "
+            "recalibrate _XS26_T."
+        )

@@ -195,6 +195,8 @@ def test_staged_xs20_batch_prunes_document_scans(spark):
         "xs22_fineweb_funnel": {"doc_id", "source", "lang", "text"},
         "xs23_exactsubstr_removal": {"doc_id", "text"},
         "xs24_rho_delta_select": {"doc_id", "source", "text"},
+        "xs25_decontaminate": {"doc_id", "text"},
+        "xs26_delta_source_weights": {"doc_id", "source", "text"},
     }
     for name, (fn, _sql) in staged_queries.STAGED.items():
         df = fn(spark, SF_DIR)
