@@ -61,6 +61,12 @@ plus the span REMOVAL transform and a reference-model delta selector):
                               sampling weights — sources weighted by
                               measured target-fit, beside the
                               size-driven mixers (xs6/xs9/x95).
+  * xs27_curation_v2_chain  — composition capstone for THIS batch
+                              (xs18's pattern): decontaminated ∧
+                              quality-gated pool -> per-source totals
+                              -> temperature mix, ONE plan, so contract
+                              drift between the new operators is a
+                              hash mismatch.
 
 Calibration on the synthetic corpus (pinned by tests):
   * xs20/xs23 at k=3, min_len=10: span lengths span 3..20+ so the
@@ -648,6 +654,91 @@ def xs26_sql() -> str:
     )
 
 
+# xs27: the batch's composition capstone (xs18's pattern for the NEW
+# operators): budget/temperature chosen only for readable output —
+# temperature_mix has no thresholds, so no calibration cliff exists.
+_XS27_BUDGET = 20_000.0
+_XS27_T = 2.0
+
+
+def xs27_curation_v2_chain(spark: SparkSession, sf: str) -> DataFrame:
+    """Composition capstone for THIS batch (the xs18/x51 pattern): the
+    decontaminated (xs25's flag), quality-gated (Gopher word-count +
+    C4 page keep) training pool rolled up to per-source token totals
+    and temperature-mixed (xs9's published strategy) — the curation ->
+    mixing decision sequence a benchmark-safe pretraining pipeline
+    runs, chained as ONE plan so contract drift between the
+    decontamination flag, the quality batteries and the mixer (id/flag
+    column shapes, pool semantics, allocation arithmetic) is a hash
+    mismatch, not a silent skew. 18 of 20 sources survive with token
+    totals spread ~2.5x at both gate SFs, so the power-law weights
+    genuinely vary."""
+    from presto_workload_analyzer_spark.driver_queries import _chunk_lines
+    from presto_workload_analyzer_spark.extensions import sampling, textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    clean = xs25_decontaminate(spark, sf).filter(~F.col("contaminated")).select(
+        "doc_id"
+    )
+    wc = (
+        textstats.gopher_rules(docs, "doc_id", "text")
+        .filter(F.col("ok_word_count"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    synth = docs.select(
+        "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
+    )
+    c4 = (
+        textstats.c4_line_stats(synth, "doc_id", "text")
+        .filter(F.col("keep"))
+        .select(F.col("id").alias("doc_id"))
+    )
+    per = (
+        docs.join(clean, "doc_id")
+        .join(wc, "doc_id")
+        .join(c4, "doc_id")
+        .groupBy("source")
+        .agg(F.sum(textstats.token_count("text").cast("long")).alias("__tok"))
+    )
+    return sampling.temperature_mix(
+        per, "source", "__tok", budget=_XS27_BUDGET, temperature=_XS27_T
+    )
+
+
+def xs27_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import (
+        _xs10_sql,
+        _xs14_sql,
+    )
+
+    b, t = _XS27_BUDGET, _XS27_T
+    return (
+        "WITH decon AS ("
+        + xs25_sql()
+        + "), gop AS ("
+        + _xs10_sql()
+        + "), c4 AS ("
+        + _xs14_sql()
+        + "),"
+        " per AS (SELECT d.source,"
+        "   CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)"
+        "    AS tok"
+        "  FROM documents d"
+        "   JOIN decon ON decon.doc_id = d.doc_id AND NOT decon.contaminated"
+        "   JOIN gop ON gop.doc_id = d.doc_id AND gop.ok_word_count"
+        "   JOIN c4 ON c4.doc_id = d.doc_id AND c4.keep"
+        "  GROUP BY 1),"
+        f" p AS (SELECT source, tok, power(tok, 1.0 / {t!r}) AS pw FROM per),"
+        " z AS (SELECT sum(pw) AS zt FROM p)"
+        " SELECT source, tok AS tokens_available,"
+        "  round(pw / zt + 1e-9, 6) AS weight,"
+        f"  round({b!r} * pw / zt + 1e-9, 6) AS tokens_allocated,"
+        f"  round({b!r} * pw / zt / tok + 1e-9, 6) AS epochs"
+        " FROM p, z"
+    )
+
+
 STAGED: dict[str, tuple] = {
     "xs20_dup_spans": (xs20_dup_spans, xs20_sql()),
     "xs21_quality_ensemble": (xs21_quality_ensemble, xs21_sql()),
@@ -656,4 +747,5 @@ STAGED: dict[str, tuple] = {
     "xs24_rho_delta_select": (xs24_rho_delta_select, xs24_sql()),
     "xs25_decontaminate": (xs25_decontaminate, xs25_sql()),
     "xs26_delta_source_weights": (xs26_delta_source_weights, xs26_sql()),
+    "xs27_curation_v2_chain": (xs27_curation_v2_chain, xs27_sql()),
 }

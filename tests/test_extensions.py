@@ -3953,3 +3953,23 @@ def test_xs26_weights_spread_on_corpus():
             f"sf{sf}: weights nearly uniform ({min(ws)}..{max(ws)}) — "
             "recalibrate _XS26_T."
         )
+
+
+def test_xs27_chain_discriminates_on_corpus():
+    """xs27's calibration pin: the chained gates must genuinely prune —
+    (a) some but not all sources survive to the mix (18/20 as staged),
+    (b) surviving token totals vary >= 1.5x (so the power-law weights
+    are not uniform) at both gate SFs."""
+    from presto_workload_analyzer_spark.staged_queries import xs27_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT source, tokens_available FROM (" + xs27_sql() + ")"
+        ).fetchall()
+        n_src = con.sql("SELECT count(DISTINCT source) FROM documents").fetchall()[0][0]
+        toks = [t for _, t in rows]
+        assert 0 < len(rows) < n_src, f"sf{sf}: chain prunes nothing ({len(rows)}/{n_src})"
+        assert max(toks) / min(toks) >= 1.5, (
+            f"sf{sf}: survivor totals nearly uniform ({min(toks)}..{max(toks)})"
+        )

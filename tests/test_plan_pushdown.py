@@ -197,6 +197,7 @@ def test_staged_xs20_batch_prunes_document_scans(spark):
         "xs24_rho_delta_select": {"doc_id", "source", "text"},
         "xs25_decontaminate": {"doc_id", "text"},
         "xs26_delta_source_weights": {"doc_id", "source", "text"},
+        "xs27_curation_v2_chain": {"doc_id", "source", "text"},
     }
     for name, (fn, _sql) in staged_queries.STAGED.items():
         df = fn(spark, SF_DIR)
