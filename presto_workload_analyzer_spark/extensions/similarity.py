@@ -658,3 +658,114 @@ def recommended_planes(n_rows: int, target_bucket_rows: int = 64) -> int:
             f"target_bucket_rows must be positive, got {target_bucket_rows}"
         )
     return max(4, math.ceil(math.log2(max(1.0, n_rows / target_bucket_rows))))
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 8,
+) -> list:
+    """Greedy k-center coreset selection (Sener & Savarese 2018, public
+    paper: "Active Learning for Convolutional Neural Networks: A
+    Core-Set Approach") — the classic 2-approximation: seed with the
+    min-id point, then repeatedly add the point FARTHEST (max-min
+    distance) from the selected set. Published use in training-data
+    curation: a diversity-preserving subset whose covering radius is the
+    reported `dist` column (monotonically non-increasing by round).
+
+    Distance is cosine distance, rounded per pair BEFORE the min —
+    d(p, s) = round(1 - cos(p, s) + 1e-9, 6) — so the running
+    least() over selected centers is order-free and the whole greedy
+    trajectory replays exactly in sequential SQL (the x119 BPE-replay
+    falsifiability pattern); argmax ties break by smaller id.
+
+    Distributed shape: the selected set is k driver-held rows; each
+    round is ONE scan-speed pass over the corpus — the distance to each
+    selected center is an in-order fold (cosine_expr) against a literal
+    vector, folded through least(), and the argmax is a TakeOrdered
+    top-1 reduction (map-side partial max; no global sort, no window,
+    no shuffle beyond the k-row reduce). k passes total; at 100 TB each
+    pass is an embarrassingly parallel map + tree-reduced top-1.
+
+    Returns [(round, id, dist_to_selected)]; the seed reports 0.0.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    df = emb.select(
+        F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
+    )
+    seed = df.orderBy("id").limit(1).collect()[0]
+    picked = [(1, seed["id"], 0.0)]
+    vecs = [list(seed["v"])]
+    for r in range(2, k + 1):
+        terms = [
+            F.round(
+                F.lit(1.0)
+                - cosine_expr(F.col("v"), F.array([F.lit(float(x)) for x in w]))
+                + F.lit(1e-9),
+                6,
+            )
+            for w in vecs
+        ]
+        d = terms[0] if len(terms) == 1 else F.least(*terms)
+        top = (
+            df.select("id", "v", d.alias("d"))
+            .orderBy(F.desc("d"), F.asc("id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((r, top["id"], float(top["d"])))
+        vecs.append(list(top["v"]))
+    return picked
+
+
+def mmr_rerank(
+    rel: dict,
+    pair_sims: dict,
+    k: int = 8,
+    lam: float = 0.7,
+) -> list:
+    """Maximal Marginal Relevance greedy re-ranking (Carbonell &
+    Goldstein 1998, public paper) — the standard diversity-aware rerank:
+    each round selects argmax over remaining candidates of
+
+        mmr(d) = lam * rel(d) - (1 - lam) * max_{s in S} sim(d, s)
+
+    with ties broken by smaller id. The candidate pool and BOTH score
+    tables arrive ALREADY engine-computed and engine-rounded (rel from
+    an exact top-k retrieval, pair_sims from an in-engine pairwise
+    cosine over the pool), so this driver-side greedy touches only
+    pool-sized state (k_pool rows — MMR's own sequential data
+    dependency; the distributed work is producing the pool) and its
+    arithmetic — IEEE-double multiply/subtract on identical operands —
+    replays exactly in sequential SQL. Note (1 - lam) is evaluated HERE
+    in IEEE doubles; an oracle must embed repr(1 - lam), not the
+    decimal literal, or 0.7 -> 0.30000000000000004 drifts the scores.
+
+    rel: {id: relevance}; pair_sims: {(a, b): sim}, either orientation.
+    max_sim accumulates over rounded sims via max (order-free).
+    Returns [(pick_rank, id, relevance, mmr_score)].
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"lam must be in [0, 1], got {lam}")
+    one_minus = 1.0 - lam
+
+    def sim(a, b):
+        return pair_sims.get((a, b), pair_sims.get((b, a), 0.0))
+
+    maxsim = {i: 0.0 for i in rel}
+    remaining = set(rel)
+    out = []
+    for r in range(1, min(k, len(rel)) + 1):
+        best = min(
+            remaining,
+            key=lambda i: (-(lam * rel[i] - one_minus * maxsim[i]), i),
+        )
+        out.append((r, best, rel[best], lam * rel[best] - one_minus * maxsim[best]))
+        remaining.discard(best)
+        for i in remaining:
+            s = sim(best, i)
+            if s > maxsim[i]:
+                maxsim[i] = s
+    return out

@@ -3973,3 +3973,272 @@ def test_xs27_chain_discriminates_on_corpus():
         assert max(toks) / min(toks) >= 1.5, (
             f"sf{sf}: survivor totals nearly uniform ({min(toks)}..{max(toks)})"
         )
+
+
+def test_xs28_tertiles_cover_all_languages_on_corpus():
+    """xs28's calibration pin: every language must fill all three
+    perplexity tertiles at both gate SFs (5 langs x 3 buckets = 15
+    rows), and the corpus ppl range must be genuinely non-degenerate —
+    a collapsed range would make the tertile boundaries hash-fragile."""
+    from presto_workload_analyzer_spark.staged_queries import xs28_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        n, langs, lo, hi = con.sql(
+            "SELECT count(*), count(DISTINCT lang), min(ppl_min),"
+            " max(ppl_max) FROM (" + xs28_sql() + ")"
+        ).fetchall()[0]
+        assert n == 3 * langs, f"sf{sf}: {n} rows for {langs} langs"
+        assert langs == 5, f"sf{sf}: {langs} languages"
+        assert hi - lo > 0.5, f"sf{sf}: ppl range degenerate ({lo}..{hi})"
+
+
+def _staged_emb_con(sf):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf{sf}/{t}.parquet')"
+        )
+    return con
+
+
+def test_xs29_prototype_ranks_discriminate_on_corpus():
+    """xs29's calibration pin: at least one embedding near-dup cluster
+    must hold a genuine cos-to-centroid SPREAD at both gate SFs (>= 0.01
+    between its most and least prototypical member; measured ~0.66) —
+    all-equal cosines would make proto_rank a pure id-order artifact."""
+    from presto_workload_analyzer_spark.staged_queries import xs29_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_emb_con(sf)
+        spread = con.sql(
+            "SELECT max(cos_centroid) - min(cos_centroid) FROM ("
+            + xs29_sql()
+            + ") GROUP BY cluster_id ORDER BY 1 DESC LIMIT 1"
+        ).fetchall()[0][0]
+        assert spread > 0.01, f"sf{sf}: max within-cluster spread {spread}"
+
+
+def test_xs30_deciles_carry_nll_signal_on_corpus():
+    """xs30's calibration pin: the logit deciles must (a) actually
+    split the held-out slice (>= 8 distinct deciles — quantile ties can
+    merge at most a couple) and (b) carry non-constant LM signal
+    (avg_nll spread > 0.005 nats; measured ~0.03) at both gate SFs —
+    a flat profile would hash a vacuous calibration table."""
+    from presto_workload_analyzer_spark.staged_queries import xs30_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        spread, n = con.sql(
+            "SELECT max(avg_nll) - min(avg_nll), count(DISTINCT decile)"
+            " FROM (" + xs30_sql() + ")"
+        ).fetchall()[0]
+        assert n >= 8, f"sf{sf}: only {n} deciles"
+        assert spread > 0.005, f"sf{sf}: avg_nll spread {spread}"
+
+
+def test_xs31_purity_discriminates_on_corpus():
+    """xs31's calibration pin: the label-purity diagnostic must have
+    something to say at both gate SFs — every near-dup cluster on this
+    corpus mixes >= 2 labels (the synthetic labels are independent of
+    the near-dup structure, so a PURE cluster would be suspicious), and
+    majority shares must genuinely vary (not all minimal, not all 1)."""
+    from presto_workload_analyzer_spark.staged_queries import xs31_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_emb_con(sf)
+        lo_l, lo_s, hi_s = con.sql(
+            "SELECT min(n_labels), min(majority_share), max(majority_share)"
+            " FROM (" + xs31_sql() + ")"
+        ).fetchall()[0]
+        assert lo_l >= 2, f"sf{sf}: a pure near-dup cluster appeared ({lo_l})"
+        assert hi_s < 1.0, f"sf{sf}: majority share hit 1.0"
+        assert hi_s - lo_s > 0.1, f"sf{sf}: shares flat ({lo_s}..{hi_s})"
+
+
+def test_xs32_greedy_radius_invariants_on_corpus():
+    """xs32's calibration pin + the k-center INVARIANT: the covering
+    radius (each pick's max-min distance) is non-increasing by round —
+    true for ANY corpus, so a violation is an implementation bug, not a
+    fixture change — and on this corpus all 8 picks are distinct with
+    strictly positive radii (measured 1.37 -> 0.97)."""
+    from presto_workload_analyzer_spark.staged_queries import xs32_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_emb_con(sf)
+        rows = con.sql(
+            "SELECT pick_round, vec_id, dist FROM (" + xs32_sql() + ")"
+            " ORDER BY pick_round"
+        ).fetchall()
+        assert [r[0] for r in rows] == list(range(1, 9))
+        assert len({r[1] for r in rows}) == 8, f"sf{sf}: duplicate pick"
+        d = [r[2] for r in rows[1:]]
+        assert all(x > 0.5 for x in d), f"sf{sf}: degenerate radii {d}"
+        assert all(a >= b for a, b in zip(d, d[1:])), (
+            f"sf{sf}: covering radius increased: {d}"
+        )
+
+
+def test_xs33_kl_spreads_on_corpus():
+    """xs33's calibration pin: per-source KL must be strictly positive
+    everywhere (add-1 smoothing vs corpus MLE cannot coincide) and
+    genuinely spread (max/min >= 1.5; measured ~2.4-3.7x) at both gate
+    SFs — a flat KL table would hash no drift signal."""
+    from presto_workload_analyzer_spark.staged_queries import xs33_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        lo, hi, n = con.sql(
+            "SELECT min(kl_nats), max(kl_nats), count(*) FROM ("
+            + xs33_sql() + ")"
+        ).fetchall()[0]
+        assert n == 20, f"sf{sf}: {n} sources"
+        assert lo > 0, f"sf{sf}: non-positive KL {lo}"
+        assert hi / lo >= 1.5, f"sf{sf}: KL flat ({lo}..{hi})"
+
+
+def test_xs34_mmr_margins_and_diversification_on_corpus():
+    """xs34's margin pin (the xs24 pattern for an ITERATIVE selection):
+    rebuild the rounded rel/pairwise-sim tables the oracle uses, replay
+    the greedy with similarity.mmr_rerank, and assert (a) every round's
+    winner beats the runner-up by > 1e-9 (so IEEE vs engine rounding
+    cannot flip a pick), (b) the MMR order differs from the pure
+    relevance order at both gate SFs (diversification actually fired),
+    (c) the replay's pick sequence equals the oracle's."""
+    from presto_workload_analyzer_spark.extensions.similarity import mmr_rerank
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS34_K,
+        _XS34_LAM,
+        _XS34_POOL,
+        _XS34_QUERY,
+        xs34_sql,
+    )
+
+    cos = (
+        "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+        " * sqrt(list_dot_product({b}, {b})))"
+    )
+    for sf in ("0.001", "0.01"):
+        con = _staged_emb_con(sf)
+        cand = con.sql(
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            " FROM embeddings),"
+            f" qv AS (SELECT v FROM e WHERE vec_id = {_XS34_QUERY}),"
+            f" sc AS (SELECT e.vec_id, {cos.format(a='e.v', b='qv.v')} AS c"
+            f"  FROM e, qv WHERE e.vec_id <> {_XS34_QUERY}),"
+            " rk AS (SELECT vec_id, c, row_number()"
+            "  OVER (ORDER BY c DESC, vec_id) AS r FROM sc)"
+            " SELECT vec_id, round(c + 1e-9, 6) AS rel FROM rk"
+            f" WHERE r <= {_XS34_POOL}"
+        ).fetchall()
+        rel = dict(cand)
+        ids = ", ".join(str(i) for i in rel)
+        ps = con.sql(
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+            f" FROM embeddings WHERE vec_id IN ({ids}))"
+            f" SELECT a.vec_id, b.vec_id,"
+            f"  round({cos.format(a='a.v', b='b.v')} + 1e-9, 6)"
+            " FROM e a JOIN e b ON a.vec_id < b.vec_id"
+        ).fetchall()
+        psim = {(a, b): s for a, b, s in ps}
+        picks = mmr_rerank(rel, psim, k=_XS34_K, lam=_XS34_LAM)
+        oracle = [r[0] for r in con.sql(
+            "SELECT vec_id FROM (" + xs34_sql() + ") ORDER BY pick_rank"
+        ).fetchall()]
+        assert [p[1] for p in picks] == oracle, f"sf{sf}: replay != oracle"
+        by_rel = [i for i, _ in sorted(rel.items(), key=lambda kv: (-kv[1], kv[0]))]
+        assert [p[1] for p in picks] != by_rel[:_XS34_K], (
+            f"sf{sf}: MMR never diverged from pure relevance"
+        )
+        # margin audit: replay each round tracking the runner-up gap
+        maxsim = {i: 0.0 for i in rel}
+        remaining = set(rel)
+        one_minus = 1.0 - _XS34_LAM
+        for _rank, best, _r, _s in picks:
+            scores = sorted(
+                (_XS34_LAM * rel[i] - one_minus * maxsim[i], -i)
+                for i in remaining
+            )
+            if len(scores) >= 2:
+                gap = scores[-1][0] - scores[-2][0]
+                assert gap > 1e-9, f"sf{sf}: pick margin {gap:.2e}"
+            remaining.discard(best)
+            for i in remaining:
+                s = psim.get((best, i), psim.get((i, best), 0.0))
+                if s > maxsim[i]:
+                    maxsim[i] = s
+
+
+def test_s21_contamination_nonvacuous_on_corpus():
+    """s21's calibration pin: the streaming decontamination drain must
+    flag SOME pool docs at both gate SFs (7 and 6 as staged) — zero
+    rows would turn the stream-vs-batch oracle compare vacuous."""
+    from presto_workload_analyzer_spark.staged_queries import s21_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        n = con.sql("SELECT count(*) FROM (" + s21_sql() + ")").fetchall()[0][0]
+        assert n >= 2, f"sf{sf}: only {n} contaminated docs"
+
+
+def test_kcenter_matches_python_reference(spark):
+    """similarity.kcenter_coreset vs a pure-python greedy replay with
+    the identical rounding contract (round(1-cos+1e-9, 6) per pair,
+    running min, argmax ties to smaller id) on a seeded random frame —
+    one divergence at any round (seed, argmax, tie, radius) fails."""
+    import math
+    import random
+
+    from presto_workload_analyzer_spark.extensions.similarity import (
+        kcenter_coreset,
+    )
+
+    rng = random.Random(443)
+    vecs = {i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(40)}
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id LONG, embedding ARRAY<DOUBLE>"
+    )
+    got = kcenter_coreset(df, "vec_id", "embedding", k=6)
+
+    def dist(a, b):
+        num = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        den = math.sqrt(sum(x * x for x in vecs[a])) * math.sqrt(
+            sum(x * x for x in vecs[b])
+        )
+        return round(1.0 - num / den + 1e-9, 6)
+
+    sel = [min(vecs)]
+    want = [(1, sel[0], 0.0)]
+    mind = {i: dist(i, sel[0]) for i in vecs}
+    for r in range(2, 7):
+        nxt = min(vecs, key=lambda i: (-mind[i], i))
+        want.append((r, nxt, mind[nxt]))
+        for i in vecs:
+            d = dist(i, nxt)
+            if d < mind[i]:
+                mind[i] = d
+    assert [(r, i) for r, i, _ in got] == [(r, i) for r, i, _ in want]
+    for (_, _, dg), (_, _, dw) in zip(got, want):
+        assert abs(dg - dw) < 1e-12, (dg, dw)
+
+
+def test_mmr_rerank_properties():
+    """mmr_rerank unit contract: (a) lam=1 is pure relevance order with
+    id tie-break, (b) a near-duplicate of the top pick is deferred when
+    lam<1 while an orthogonal lower-relevance item jumps it, (c) scores
+    reported are lam*rel-(1-lam)*maxsim at selection time."""
+    from presto_workload_analyzer_spark.extensions.similarity import mmr_rerank
+
+    rel = {1: 0.9, 2: 0.89, 3: 0.5}
+    sims = {(1, 2): 0.99, (1, 3): 0.0, (2, 3): 0.0}
+    pure = mmr_rerank(rel, sims, k=3, lam=1.0)
+    assert [p[1] for p in pure] == [1, 2, 3]
+    div = mmr_rerank(rel, sims, k=3, lam=0.7)
+    assert [p[1] for p in div] == [1, 3, 2], div
+    r2 = div[2]
+    assert abs(r2[3] - (0.7 * 0.89 - (1.0 - 0.7) * 0.99)) < 1e-15
+    ties = mmr_rerank({7: 0.5, 4: 0.5}, {}, k=2, lam=1.0)
+    assert [p[1] for p in ties] == [4, 7]

@@ -14,6 +14,10 @@ import pytest
 
 from presto_workload_analyzer_spark import staged_queries
 
+# Both staging tiers gate identically; STAGED registers next round,
+# STAGED_NEXT the round after (each round's registration stays <= 8).
+ALL_STAGED = {**staged_queries.STAGED, **staged_queries.STAGED_NEXT}
+
 SF_DIR = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
 
 TABLES = [
@@ -44,11 +48,11 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 
-@pytest.mark.parametrize("name", sorted(staged_queries.STAGED) or [None])
+@pytest.mark.parametrize("name", sorted(ALL_STAGED) or [None])
 def test_staged_query_matches_oracle_exactly(spark, con, name):
     if name is None:
         pytest.skip("staging module empty between batches")
-    fn, sql = staged_queries.STAGED[name]
+    fn, sql = ALL_STAGED[name]
     sdf = _normalize(fn(spark, SF_DIR).toPandas())
     odf = _normalize(con.sql(sql).df())
     assert list(sdf.columns) == list(odf.columns)
@@ -56,7 +60,7 @@ def test_staged_query_matches_oracle_exactly(spark, con, name):
     pd.testing.assert_frame_equal(sdf, odf, check_exact=True)
 
 
-@pytest.mark.parametrize("name", sorted(staged_queries.STAGED) or [None])
+@pytest.mark.parametrize("name", sorted(ALL_STAGED) or [None])
 def test_staged_query_plan_is_lintclean(spark, name):
     """Staged queries escape the registered plan lint until registration;
     apply its two core bans here so they arrive lint-clean: no
@@ -64,7 +68,7 @@ def test_staged_query_plan_is_lintclean(spark, name):
     carry a partition spec (group-grain, never a global sort)."""
     if name is None:
         pytest.skip("staging module empty between batches")
-    fn, _ = staged_queries.STAGED[name]
+    fn, _ = ALL_STAGED[name]
     plan = fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
@@ -88,16 +92,19 @@ def test_registration_rehearsal_window_and_names():
     window composition."""
     from presto_workload_analyzer_spark import driver_queries as dq
 
-    assert not set(staged_queries.STAGED) & set(dq._QUERIES), (
+    assert not set(ALL_STAGED) & set(dq._QUERIES), (
         "staged name collides with a registered query"
     )
+    assert not set(staged_queries.STAGED) & set(staged_queries.STAGED_NEXT), (
+        "the two staging tiers share a name"
+    )
     augmented = dict(dq._QUERIES)
-    for name, (fn, _sql) in staged_queries.STAGED.items():
+    for name, (fn, _sql) in ALL_STAGED.items():
         augmented[name] = fn
     ordered = dq._ordered(augmented)
     assert list(ordered) and set(ordered) == set(augmented)
     window = list(ordered)[:50]
-    missing = [n for n in staged_queries.STAGED if n not in window]
+    missing = [n for n in ALL_STAGED if n not in window]
     assert missing == [], (
         f"staged entries outside the 50-slot window at registration: {missing}"
     )
