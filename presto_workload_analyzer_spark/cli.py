@@ -151,6 +151,36 @@ def _str_to_bool(v: str) -> bool:
     return str(v).lower() in ("yes", "true", "t", "y", "1")
 
 
+def cmd_curation_report(args: "argparse.Namespace") -> int:
+    """Beyond-reference: one HTML/zip/json document summarizing the
+    training-data-pipeline surface (dedup structure, quality/perplexity
+    profiles, mixing allocations, retrieval health, sketch audits) over
+    a corpus directory — every chart an oracle-gated driver query."""
+    from presto_workload_analyzer_spark.report.curation import (
+        CURATION_CHARTS,
+        build_curation_report,
+        write_curation_report,
+    )
+
+    spark = get_spark(app_name="pwa-curation-report")
+    only = None
+    if args.filter:
+        if args.filter not in CURATION_CHARTS:
+            print(
+                f"unknown chart {args.filter!r}; available: "
+                + ", ".join(sorted(CURATION_CHARTS)),
+                file=sys.stderr,
+            )
+            return 2
+        only = [args.filter]
+    report = build_curation_report(
+        spark, args.data_dir, only=only, fail_on_error=args.fail_on_error
+    )
+    write_curation_report(report, args.output)
+    print(f"wrote {args.output} ({len(report['charts'])} charts)")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="presto_workload_analyzer_spark")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -209,6 +239,18 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--rename-partitions", action="store_true")
     pp.add_argument("--single-file", action="store_true")
     pp.set_defaults(fn=cmd_process)
+
+    pr = sub.add_parser(
+        "curation-report",
+        help="corpus parquet dir -> training-data curation report (beyond-reference)",
+    )
+    pr.add_argument("-d", "--data-dir", required=True,
+                    help="directory holding documents.parquet / embeddings.parquet")
+    pr.add_argument("-o", "--output", required=True,
+                    help=".html, .zip or .json by extension")
+    pr.add_argument("--filter", default=None, help="emit a single chart")
+    pr.add_argument("--fail-on-error", action="store_true")
+    pr.set_defaults(fn=cmd_curation_report)
 
     args = p.parse_args(argv)
     return args.fn(args)

@@ -680,13 +680,17 @@ def kcenter_coreset(
     trajectory replays exactly in sequential SQL (the x119 BPE-replay
     falsifiability pattern); argmax ties break by smaller id.
 
-    Distributed shape: the selected set is k driver-held rows; each
-    round is ONE scan-speed pass over the corpus — the distance to each
-    selected center is an in-order fold (cosine_expr) against a literal
-    vector, folded through least(), and the argmax is a TakeOrdered
-    top-1 reduction (map-side partial max; no global sort, no window,
-    no shuffle beyond the k-row reduce). k passes total; at 100 TB each
-    pass is an embarrassingly parallel map + tree-reduced top-1.
+    Distributed shape: the iterative-algorithm standard (MLlib KMeans'
+    own discipline) — the (id, vec, running_min) state materializes per
+    round via localCheckpoint (flat plans, no lineage growth), and each
+    round is one scan-speed pass that folds in the distance to the
+    SINGLE new center (one in-order cosine fold per row per round,
+    constant-size expression — no re-scoring against the whole selected
+    set) followed by a TakeOrdered top-1 reduction (map-side partial
+    max; no global sort, no window, no shuffle beyond the k-row reduce).
+    Superseded checkpoint blocks free on GC; at 100 TB the state is
+    (id, vec, double) — the input's own width — with disk spill as the
+    fallback, exactly like any k-means iteration.
 
     Returns [(round, id, dist_to_selected)]; the seed reports 0.0.
     """
@@ -697,26 +701,42 @@ def kcenter_coreset(
     )
     seed = df.orderBy("id").limit(1).collect()[0]
     picked = [(1, seed["id"], 0.0)]
-    vecs = [list(seed["v"])]
-    for r in range(2, k + 1):
-        terms = [
-            F.round(
-                F.lit(1.0)
-                - cosine_expr(F.col("v"), F.array([F.lit(float(x)) for x in w]))
-                + F.lit(1e-9),
-                6,
-            )
-            for w in vecs
-        ]
-        d = terms[0] if len(terms) == 1 else F.least(*terms)
-        top = (
-            df.select("id", "v", d.alias("d"))
-            .orderBy(F.desc("d"), F.asc("id"))
-            .limit(1)
-            .collect()[0]
+
+    def dist_to(w: list) -> Column:
+        # the center is a literal vector: one row-side fold per row, no
+        # extra broadcast job per round (measured: a broadcast one-row
+        # center frame costs ~2x the round wall at toy scale for zero
+        # scan saving at any scale)
+        return F.round(
+            F.lit(1.0)
+            - cosine_expr(F.col("v"), F.array([F.lit(float(x)) for x in w]))
+            + F.lit(1e-9),
+            6,
         )
+
+    # localCheckpoint per round (the connected_components convention):
+    # truncates lineage so round r plans a FLAT 3-column frame, not an
+    # r-deep chain — planning stays O(1) per round and the running-min
+    # state never recomputes
+    cur = df.select("id", "v", dist_to(list(seed["v"])).alias("d")).localCheckpoint(
+        eager=True
+    )
+    for r in range(2, k + 1):
+        top = cur.orderBy(F.desc("d"), F.asc("id")).limit(1).collect()[0]
+        if float(top["d"]) <= 0.0:
+            # covering radius 0: every remaining point duplicates a
+            # selected direction, so the argmax would re-pick a selected
+            # id — refuse loudly rather than emit duplicate picks
+            raise ValueError(
+                f"k-center exhausted at round {r}: covering radius 0 "
+                f"(k={k} exceeds the corpus's distinct directions)"
+            )
         picked.append((r, top["id"], float(top["d"])))
-        vecs.append(list(top["v"]))
+        if r == k:
+            break
+        cur = cur.select(
+            "id", "v", F.least("d", dist_to(list(top["v"]))).alias("d")
+        ).localCheckpoint(eager=True)
     return picked
 
 

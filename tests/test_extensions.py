@@ -4242,3 +4242,23 @@ def test_mmr_rerank_properties():
     assert abs(r2[3] - (0.7 * 0.89 - (1.0 - 0.7) * 0.99)) < 1e-15
     ties = mmr_rerank({7: 0.5, 4: 0.5}, {}, k=2, lam=1.0)
     assert [p[1] for p in ties] == [4, 7]
+
+
+def test_kcenter_refuses_zero_radius(spark):
+    """kcenter_coreset with k beyond the corpus's distinct directions
+    must raise (covering radius 0 would re-pick a selected id and emit
+    duplicate rows the SQL oracle could never reproduce), not silently
+    degrade."""
+    import pytest as _pytest
+
+    from presto_workload_analyzer_spark.extensions.similarity import (
+        kcenter_coreset,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    # three points, two distinct directions: round 3 hits radius 0
+    with _pytest.raises(ValueError, match="covering radius 0"):
+        kcenter_coreset(df, "vec_id", "embedding", k=3)
