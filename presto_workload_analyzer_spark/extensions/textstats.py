@@ -1862,3 +1862,120 @@ def reference_delta_scores(
             / F.col("n_scored")
         ).alias("delta"),
     )
+
+
+def kneser_ney_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    holdout: Column,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Held-out NLL under an interpolated KNESER-NEY bigram LM fit on
+    the rest of the corpus — the smoothing family production perplexity
+    filters actually use (CCNet's KenLM models are modified-KN; this is
+    the classic single-discount interpolated form, Kneser & Ney 1995 /
+    Chen & Goodman 1999, public papers) beside the Jelinek-Mercer mix
+    of heldout_bigram_nll. The lower-order distribution is the
+    CONTINUATION distribution (how many distinct left-contexts a word
+    follows), not raw frequency — the property that makes KN the
+    published default:
+
+        p_cont(w)    = (N1+(.w) + 1) / (T + V + 1)
+        p(w | w')    = max(c2(w',w) - D, 0) / cL(w')
+                       + (D * N1+(w'.) / cL(w')) * p_cont(w)   [cL>0]
+        p(w | w')    = p_cont(w)                               [w' unseen]
+
+    with c2 train bigram counts, cL(w') their left totals, N1+(w'.) the
+    distinct-right-type count, N1+(.w) the distinct-left-type count,
+    T the total distinct bigram types and V the train vocabulary — the
+    (+1, +V+1) add-one floor mirrors heldout_bigram_nll's unseen-slot
+    convention so held-out OOV words score finitely. First token of a
+    doc scores under p_cont; D = 0.75 (exactly representable in binary,
+    so the discount subtraction is cross-engine exact).
+
+    Shuffle shape at 100 TB: identical to heldout_bigram_nll — every
+    count table lives at vocabulary grain (c2/cL/N1L at bigram-left
+    grain, N1R at word grain), held-out instances LEFT-join them, the
+    two scalars (T, V) broadcast via a 1-row cross join. Output:
+    (id, n_scored, sum_nll) doc-grain UNROUNDED sums.
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    lower = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        lower.alias("__toks"),
+        holdout.alias("__ho"),
+    )
+    train = base.filter(~F.col("__ho"))
+    held = base.filter(F.col("__ho"))
+
+    vocab = (
+        train.select(F.explode("__toks").alias("w"))
+        .where(F.col("w") != "")
+        .agg(F.countDistinct("w").cast("double").alias("__vv"))
+    )
+    bi = (
+        train.select(
+            F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg")
+        )
+        .select(
+            F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+            F.split(F.col("bg"), " ", 2)[1].alias("w"),
+        )
+        .groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    left = bi.groupBy("w_prev").agg(
+        F.sum("c2").cast("double").alias("cl"),
+        F.count(F.lit(1)).cast("double").alias("n1l"),
+    )
+    right = bi.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("n1r"))
+    scal = right.agg(F.sum("n1r").cast("double").alias("__t")).crossJoin(
+        F.broadcast(vocab)
+    )
+
+    p_cont = (F.coalesce(F.col("n1r"), F.lit(0.0)) + 1.0) / (
+        F.col("__t") + F.col("__vv") + 1.0
+    )
+    p_bi = F.when(
+        F.coalesce(F.col("cl"), F.lit(0.0)) > 0,
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d, F.lit(0.0))
+        / F.col("cl")
+        + (d * F.col("n1l") / F.col("cl")) * p_cont,
+    ).otherwise(p_cont)
+
+    held_bi = held.select(
+        "id",
+        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+    ).select(
+        "id",
+        F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+        F.split(F.col("bg"), " ", 2)[1].alias("w"),
+    )
+    scored_bi = (
+        held_bi.join(bi, on=["w_prev", "w"], how="left")
+        .join(left, on="w_prev", how="left")
+        .join(right, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select("id", (-F.log(p_bi)).alias("nll"))
+    )
+    first = (
+        held.select("id", F.col("__toks").getItem(0).alias("w"))
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .join(right, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select("id", (-F.log(p_cont)).alias("nll"))
+    )
+    return (
+        scored_bi.unionByName(first)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("nll").alias("sum_nll"),
+        )
+    )

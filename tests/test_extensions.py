@@ -4262,3 +4262,108 @@ def test_kcenter_refuses_zero_radius(spark):
     # three points, two distinct directions: round 3 hits radius 0
     with _pytest.raises(ValueError, match="covering radius 0"):
         kcenter_coreset(df, "vec_id", "embedding", k=3)
+
+
+def test_kneser_ney_matches_python_reference(spark):
+    """textstats.kneser_ney_nll vs a pure-python interpolated-KN replay
+    (discount 0.75, continuation distribution with the add-1 unseen
+    slot, unseen-prev backoff to p_cont, first token under p_cont) on a
+    seeded random corpus — any divergence in a count table, the
+    discount arithmetic, or the slice convention fails."""
+    import math
+    import random
+
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        kneser_ney_nll,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(991)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 30))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {
+        r["id"]: (r["n_scored"], r["sum_nll"])
+        for r in kneser_ney_nll(
+            df, "doc_id", "text", holdout=F.col("doc_id") % 5 == 0
+        ).collect()
+    }
+
+    d = 0.75
+    train = [t.split() for i, t in docs if i % 5 != 0]
+    held = [(i, t.split()) for i, t in docs if i % 5 == 0]
+    c2: dict = {}
+    for toks in train:
+        for a, b in zip(toks, toks[1:]):
+            c2[(a, b)] = c2.get((a, b), 0) + 1
+    cl: dict = {}
+    n1l: dict = {}
+    n1r: dict = {}
+    for (a, b), c in c2.items():
+        cl[a] = cl.get(a, 0) + c
+        n1l[a] = n1l.get(a, 0) + 1
+        n1r[b] = n1r.get(b, 0) + 1
+    t_types = sum(n1r.values())
+    v = len({w for toks in train for w in toks})
+
+    def p_cont(w):
+        return (n1r.get(w, 0) + 1.0) / (t_types + v + 1.0)
+
+    for i, toks in held:
+        nll = -math.log(p_cont(toks[0]))
+        ns = 1
+        for a, b in zip(toks, toks[1:]):
+            if cl.get(a, 0) > 0:
+                p = max(c2.get((a, b), 0) - d, 0.0) / cl[a] + (
+                    d * n1l[a] / cl[a]
+                ) * p_cont(b)
+            else:
+                p = p_cont(b)
+            nll += -math.log(p)
+            ns += 1
+        assert got[i][0] == ns, i
+        assert abs(got[i][1] - nll) < 1e-9, (i, got[i][1], nll)
+
+
+def test_xs35_ring_property_on_corpus():
+    """xs35's calibration pin + the ring INVARIANT: no anchor pairs with
+    itself (CC clusters are >= 2 by construction), every member appears
+    exactly once as anchor and exactly once as positive (a permutation
+    within each cluster), at both gate SFs."""
+    from presto_workload_analyzer_spark.staged_queries import xs35_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT anchor_id, positive_id, cluster_size FROM ("
+            + xs35_sql() + ")"
+        ).fetchall()
+        assert rows, f"sf{sf}: no dup clusters"
+        assert all(a != p for a, p, _ in rows), f"sf{sf}: self-pair"
+        assert all(s >= 2 for _, _, s in rows), f"sf{sf}: singleton cluster"
+        anchors = [a for a, _, _ in rows]
+        positives = [p for _, p, _ in rows]
+        assert sorted(anchors) == sorted(set(anchors)), f"sf{sf}: anchor dup"
+        assert sorted(positives) == sorted(anchors), (
+            f"sf{sf}: ring is not a permutation"
+        )
+
+
+def test_xs36_smoothings_disagree_on_corpus():
+    """xs36's calibration pin: the KN and JM scores must genuinely
+    disagree — per-doc deltas on BOTH sides of zero at both gate SFs
+    (54/100 and 58/100 positive as staged) — otherwise the comparison
+    column hashes a constant sign and the gate stops witnessing the
+    smoothing difference."""
+    from presto_workload_analyzer_spark.staged_queries import xs36_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        pos, n = con.sql(
+            "SELECT sum(CAST(jm_minus_kn_nll > 0 AS INT)), count(*)"
+            " FROM (" + xs36_sql() + ")"
+        ).fetchall()[0]
+        assert 0 < pos < n, f"sf{sf}: delta sign constant ({pos}/{n})"

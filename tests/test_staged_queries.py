@@ -14,9 +14,14 @@ import pytest
 
 from presto_workload_analyzer_spark import staged_queries
 
-# Both staging tiers gate identically; STAGED registers next round,
-# STAGED_NEXT the round after (each round's registration stays <= 8).
-ALL_STAGED = {**staged_queries.STAGED, **staged_queries.STAGED_NEXT}
+# All staging tiers gate identically; STAGED registers next round,
+# STAGED_NEXT the round after, STAGED_TIER3 after that (each round's
+# registration stays <= 8).
+ALL_STAGED = {
+    **staged_queries.STAGED,
+    **staged_queries.STAGED_NEXT,
+    **staged_queries.STAGED_TIER3,
+}
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
 
@@ -95,9 +100,14 @@ def test_registration_rehearsal_window_and_names():
     assert not set(ALL_STAGED) & set(dq._QUERIES), (
         "staged name collides with a registered query"
     )
-    assert not set(staged_queries.STAGED) & set(staged_queries.STAGED_NEXT), (
-        "the two staging tiers share a name"
-    )
+    tiers = [
+        set(staged_queries.STAGED),
+        set(staged_queries.STAGED_NEXT),
+        set(staged_queries.STAGED_TIER3),
+    ]
+    for i, a in enumerate(tiers):
+        for b in tiers[i + 1:]:
+            assert not a & b, "two staging tiers share a name"
     augmented = dict(dq._QUERIES)
     for name, (fn, _sql) in ALL_STAGED.items():
         augmented[name] = fn
