@@ -1979,3 +1979,133 @@ def kneser_ney_nll(
             F.sum("nll").alias("sum_nll"),
         )
     )
+
+
+def heldout_jm_kn_nll(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    holdout: Column,
+    lam: float = 0.7,
+    discount: float = 0.75,
+) -> DataFrame:
+    """Fused single-pass scorer: BOTH heldout_bigram_nll's Jelinek-Mercer
+    mix and kneser_ney_nll's interpolated KN over ONE held-out bigram
+    stream and one join tree — the fast path for consumers that want the
+    smoothing comparison (xs36's shape), where running the two standalone
+    scorers costs two full explode+join chains for the same token
+    stream. Per-row probability expressions are verbatim the standalone
+    functions' (equality pinned by test), so the fusion can never drift
+    from the canonical single-smoothing entry points.
+
+    Output: (id, n_scored, sum_nll_jm, sum_nll_kn) doc-grain UNROUNDED.
+    """
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+
+    d = float(discount)
+    if not 0.0 < d < 1.0:
+        raise ValueError(f"discount must be in (0, 1), got {discount}")
+    lower = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        lower.alias("__toks"),
+        holdout.alias("__ho"),
+    )
+    train = base.filter(~F.col("__ho"))
+    held = base.filter(F.col("__ho"))
+
+    uni = (
+        train.select(F.explode("__toks").alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = (
+        train.select(
+            F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg")
+        )
+        .select(
+            F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+            F.split(F.col("bg"), " ", 2)[1].alias("w"),
+        )
+        .groupBy("w_prev", "w")
+        .agg(F.count(F.lit(1)).alias("c2"))
+    )
+    left = bi.groupBy("w_prev").agg(
+        F.sum("c2").cast("double").alias("cl"),
+        F.count(F.lit(1)).cast("double").alias("n1l"),
+    )
+    right = bi.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("n1r"))
+    scal = (
+        uni.agg(
+            F.sum("c1").cast("double").alias("__n"),
+            F.count(F.lit(1)).cast("double").alias("__v"),
+        )
+        .crossJoin(
+            F.broadcast(right.agg(F.sum("n1r").cast("double").alias("__t")))
+        )
+    )
+
+    p_uni = (F.coalesce(F.col("c1"), F.lit(0)) + 1.0) / (
+        F.col("__n") + F.col("__v") + 1.0
+    )
+    bi_term = F.when(
+        F.coalesce(F.col("c_prev"), F.lit(0)) > 0,
+        F.coalesce(F.col("c2"), F.lit(0)).cast("double") / F.col("c_prev"),
+    ).otherwise(F.lit(0.0))
+    p_cont = (F.coalesce(F.col("n1r"), F.lit(0.0)) + 1.0) / (
+        F.col("__t") + F.col("__v") + 1.0
+    )
+    p_kn = F.when(
+        F.coalesce(F.col("cl"), F.lit(0.0)) > 0,
+        F.greatest(F.coalesce(F.col("c2"), F.lit(0)).cast("double") - d, F.lit(0.0))
+        / F.col("cl")
+        + (d * F.col("n1l") / F.col("cl")) * p_cont,
+    ).otherwise(p_cont)
+
+    held_bi = held.select(
+        "id",
+        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+    ).select(
+        "id",
+        F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+        F.split(F.col("bg"), " ", 2)[1].alias("w"),
+    )
+    scored_bi = (
+        held_bi.join(bi, on=["w_prev", "w"], how="left")
+        .join(
+            uni.select(F.col("w").alias("w_prev"), F.col("c1").alias("c_prev")),
+            on="w_prev",
+            how="left",
+        )
+        .join(uni, on="w", how="left")
+        .join(left, on="w_prev", how="left")
+        .join(right, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            (-F.log(lam * bi_term + (1.0 - lam) * p_uni)).alias("nll_jm"),
+            (-F.log(p_kn)).alias("nll_kn"),
+        )
+    )
+    first = (
+        held.select("id", F.col("__toks").getItem(0).alias("w"))
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .join(uni, on="w", how="left")
+        .join(right, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            (-F.log(p_uni)).alias("nll_jm"),
+            (-F.log(p_cont)).alias("nll_kn"),
+        )
+    )
+    return (
+        scored_bi.unionByName(first)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("nll_jm").alias("sum_nll_jm"),
+            F.sum("nll_kn").alias("sum_nll_kn"),
+        )
+    )

@@ -1560,18 +1560,17 @@ def xs36_kneser_ney_filter(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_table(spark, f"{sf}/documents.parquet")
     ho = F.col("doc_id") % 5 == 0
-    jm = textstats.heldout_bigram_nll(docs, "doc_id", "text", holdout=ho, lam=_XS7_LAM)
-    kn = textstats.kneser_ney_nll(docs, "doc_id", "text", holdout=ho, discount=_XS36_D)
-    j = jm.select(
+    # the FUSED scorer: one held-bigram stream, one join tree, both
+    # smoothings (equality to the standalone scorers pinned by
+    # test_fused_lm_scorer_equals_standalones)
+    both = textstats.heldout_jm_kn_nll(
+        docs, "doc_id", "text", holdout=ho, lam=_XS7_LAM, discount=_XS36_D
+    )
+    j = both.select(
         F.col("id").alias("doc_id"),
         F.col("n_scored").alias("n_tokens"),
-        (F.col("sum_nll") / F.col("n_scored")).alias("__jm"),
-    ).join(
-        kn.select(
-            F.col("id").alias("doc_id"),
-            (F.col("sum_nll") / F.col("n_scored")).alias("__kn"),
-        ),
-        "doc_id",
+        (F.col("sum_nll_jm") / F.col("n_scored")).alias("__jm"),
+        (F.col("sum_nll_kn") / F.col("n_scored")).alias("__kn"),
     )
     return j.select(
         "doc_id",

@@ -4367,3 +4367,38 @@ def test_xs36_smoothings_disagree_on_corpus():
             " FROM (" + xs36_sql() + ")"
         ).fetchall()[0]
         assert 0 < pos < n, f"sf{sf}: delta sign constant ({pos}/{n})"
+
+
+def test_fused_lm_scorer_equals_standalones(spark):
+    """heldout_jm_kn_nll (the fused one-pass JM+KN scorer xs36 ships)
+    must reproduce BOTH standalone scorers exactly — same docs, same
+    token counts, sums equal to fp-sum-order noise (< 1e-9, far below
+    the 6dp oracle rounding)."""
+    import random
+
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        heldout_bigram_nll,
+        heldout_jm_kn_nll,
+        kneser_ney_nll,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1213)
+    vocab = [f"t{i}" for i in range(15)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    ho = F.col("doc_id") % 5 == 0
+    fused = {
+        r["id"]: r
+        for r in heldout_jm_kn_nll(df, "doc_id", "text", holdout=ho).collect()
+    }
+    jm = {r["id"]: r for r in heldout_bigram_nll(df, "doc_id", "text", holdout=ho).collect()}
+    kn = {r["id"]: r for r in kneser_ney_nll(df, "doc_id", "text", holdout=ho).collect()}
+    assert set(fused) == set(jm) == set(kn)
+    for i, r in fused.items():
+        assert r["n_scored"] == jm[i]["n_scored"] == kn[i]["n_scored"], i
+        assert abs(r["sum_nll_jm"] - jm[i]["sum_nll"]) < 1e-9, i
+        assert abs(r["sum_nll_kn"] - kn[i]["sum_nll"]) < 1e-9, i
