@@ -1492,8 +1492,15 @@ def bpe_merges(
         .orderBy(F.col("cnt").desc(), "w")
         .limit(top_words)
     )
+    # Spark's split keeps the empty match at the string END (Java's
+    # String.split trims it; DuckDB's string_split_regex never emits
+    # it): without the filter every word carries a phantom trailing ''
+    # symbol, and round 1 counts a phantom ('lastchar', '') pair that
+    # can WIN the argmax on the right corpus (it did at sf0.1: a no-op
+    # 'e'+'' merge consumed round 1 and shifted the whole trajectory)
+    chars = F.filter(F.split("w", "(?!^)"), lambda s: s != "")
     cur = words.select(
-        F.array_join(F.split("w", "(?!^)"), " ").alias("syms"), "cnt"
+        F.array_join(chars, " ").alias("syms"), "cnt"
     ).localCheckpoint(eager=True)
 
     out: list[tuple[int, str, str, str, int]] = []
@@ -1558,8 +1565,13 @@ def bpe_apply(
     lineage checkpointed every other rule to keep the 2R-deep lambda
     plan flat."""
     US = "\x1f"
+    # same trailing-empty-match filter as bpe_merges' sym construction
     cur = words.withColumn(
-        "__syms", F.array_join(F.split(F.col(word_col), "(?!^)"), " ")
+        "__syms",
+        F.array_join(
+            F.filter(F.split(F.col(word_col), "(?!^)"), lambda s: s != ""),
+            " ",
+        ),
     )
     for i, (_r, a_sym, b_sym, merged, _pc) in enumerate(merges):
 

@@ -524,17 +524,8 @@ def xs25_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     k >= 10 — BASELINE round-10)."""
     from presto_workload_analyzer_spark.sources import read_table
 
-    k = _XS25_K
     docs = read_table(spark, f"{sf}/documents.parquet")
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    m = F.size(toks) - (k - 1)
-    grams = F.when(
-        m > 0,
-        F.transform(
-            F.sequence(F.lit(0), m - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    grams = _xs25_grams()
     ev = (
         docs.filter(F.col("doc_id") % 10 == 0)
         .select(F.explode(grams).alias("gram"))
@@ -1391,9 +1382,9 @@ def xs34_sql() -> str:
 
 
 def _xs25_grams() -> "F.Column":
-    """xs25's k-gram Column (text -> array of space-joined k-grams),
-    shared verbatim by the streaming twin s21 so the batch and stream
-    contracts cannot drift."""
+    """The decontamination k-gram Column (text -> array of space-joined
+    k-grams, slice-in-transform form), shared by xs25 AND its streaming
+    twin s21 so the batch and stream contracts cannot drift."""
     k = _XS25_K
     toks = F.split(F.trim(F.col("text")), r"\s+")
     m = F.size(toks) - (k - 1)
