@@ -7,7 +7,9 @@
 # Steps (all must exit 0):
 #   1. pytest          — unit/property/plan-lint/skew suites
 #   2. full local gate — every queries() entry vs its DuckDB oracle at
-#                        sf0.01, ledger committed as LOCAL_GATE_r{N}.json
+#                        sf0.01, ledger committed as LOCAL_GATE_r{N}.json;
+#                        then the SAME full compare at sf0.1 (round-12
+#                        lesson: one-scale green can be corpus luck)
 #   3. bench sf0.1     — per-query wall, writes bench_detail.json
 #   4. bench sf1       — 10x data (tools/make_sf.py output in .bench_sf/sf1)
 #   5. slope gate      — per-query sf0.1->sf1 ratios vs the superlinear
@@ -20,53 +22,60 @@
 #  11. line-dedup skew  — hot-digest (viral boilerplate line on 50% of docs)
 #  12. span skew       — hot-gram (viral 12-token block on 50% of docs)
 #
-# Wall-clock ~45 min on local[32]. Bench numbers carry +/-30% host
+# Wall-clock ~80 min on local[32]. Bench numbers carry +/-30% host
 # variance — re-measure warm-solo before treating a regression as real.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 ROUND="${1:-dev}"
 
-echo "== 1/12 pytest =="
+echo "== 1/13 pytest =="
 python -m pytest tests/ -q
 
-echo "== 2/12 full local gate (sf0.01) =="
+echo "== 2/13 full local gate (sf0.01) =="
 python tools/check_correctness.py --json "LOCAL_GATE_r${ROUND}.json"
 
-echo "== 3/12 bench sf0.1 =="
+echo "== 2b/13 full local gate (sf0.1) =="
+# round-12 lesson: a value gate at ONE scale can be green by corpus
+# luck (the BPE phantom-pair bug was invisible below sf0.1) — the
+# full-registry exact compare runs at sf0.1 too (~35 min, dominated
+# by the recursive-CC DuckDB oracles)
+python tools/check_correctness.py --sf-dir /root/testdata/sf0.1   --json "LOCAL_GATE_r${ROUND}_sf0.1.json"
+
+echo "== 3/13 bench sf0.1 =="
 python bench.py
 cp bench_detail.json /tmp/close_round_small.json
 
 if [ -d .bench_sf/sf1 ]; then
-  echo "== 4/12 bench sf1 =="
+  echo "== 4/13 bench sf1 =="
   SPARK_GRAFT_SF_DIR=.bench_sf/sf1 python bench.py
   cp bench_detail.json /tmp/close_round_large.json
-  echo "== 5/12 slope gate =="
+  echo "== 5/13 slope gate =="
   python tools/slope.py /tmp/close_round_small.json /tmp/close_round_large.json --factor 10
   # restore the default-scale detail file the repo keeps committed
   cp /tmp/close_round_small.json bench_detail.json
 else
-  echo "== 4-5/12 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
+  echo "== 4-5/13 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
 fi
 
-echo "== 6/12 skew graph gate =="
+echo "== 6/13 skew graph gate =="
 python tools/skew_graph.py
 
-echo "== 7/12 corpus skew gate =="
+echo "== 7/13 corpus skew gate =="
 python tools/skew_corpus.py
 
-echo "== 8/12 stream skew gate =="
+echo "== 8/13 stream skew gate =="
 python tools/skew_stream.py
 
-echo "== 9/12 ANN skew gate =="
+echo "== 9/13 ANN skew gate =="
 python tools/skew_ann.py
 
-echo "== 10/12 semdedup skew gate =="
+echo "== 10/13 semdedup skew gate =="
 python tools/skew_semdedup.py
 
-echo "== 11/12 line-dedup skew gate =="
+echo "== 11/13 line-dedup skew gate =="
 python tools/skew_linededup.py
 
-echo "== 12/12 span skew gate =="
+echo "== 12/13 span skew gate =="
 python tools/skew_spans.py
 
 echo "close_round: all gates green"
