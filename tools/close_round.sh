@@ -7,9 +7,10 @@
 # Steps (all must exit 0):
 #   1. pytest          — unit/property/plan-lint/skew suites
 #   2. full local gate — every queries() entry vs its DuckDB oracle at
-#                        sf0.01, ledger committed as LOCAL_GATE_r{N}.json;
-#                        then the SAME full compare at sf0.1 (round-12
-#                        lesson: one-scale green can be corpus luck)
+#                        sf0.01, ledger committed as LOCAL_GATE_r{N}.json
+#  5b. sf0.1 local gate — the SAME full compare at sf0.1 (after the
+#                        benches, so its 35-min load shadow cannot
+#                        contaminate them — see the step-5b notes)
 #   3. bench sf0.1     — per-query wall, writes bench_detail.json
 #   4. bench sf1       — 10x data (tools/make_sf.py output in .bench_sf/sf1)
 #   5. slope gate      — per-query sf0.1->sf1 ratios vs the superlinear
@@ -34,13 +35,6 @@ python -m pytest tests/ -q
 echo "== 2/13 full local gate (sf0.01) =="
 python tools/check_correctness.py --json "LOCAL_GATE_r${ROUND}.json"
 
-echo "== 2b/13 full local gate (sf0.1) =="
-# round-12 lesson: a value gate at ONE scale can be green by corpus
-# luck (the BPE phantom-pair bug was invisible below sf0.1) — the
-# full-registry exact compare runs at sf0.1 too (~35 min, dominated
-# by the recursive-CC DuckDB oracles)
-python tools/check_correctness.py --sf-dir /root/testdata/sf0.1   --json "LOCAL_GATE_r${ROUND}_sf0.1.json"
-
 echo "== 3/13 bench sf0.1 =="
 python bench.py
 cp bench_detail.json /tmp/close_round_small.json
@@ -56,6 +50,17 @@ if [ -d .bench_sf/sf1 ]; then
 else
   echo "== 4-5/13 SKIPPED: no .bench_sf/sf1 (generate: python tools/make_sf.py 10 .bench_sf/sf1) =="
 fi
+
+echo "== 5b/13 full local gate (sf0.1) =="
+# round-12 lesson #1: a value gate at ONE scale can be green by corpus
+# luck (the BPE phantom-pair bug was invisible below sf0.1) — the
+# full-registry exact compare runs at sf0.1 too (~35 min, dominated by
+# the recursive-CC DuckDB oracles).
+# round-12 lesson #2: this step runs AFTER the benches — its first
+# placement (before step 3) left the host descending from load ~8 and
+# shifted the in-stack bench a uniform 1.4x (438 s vs the 264-294 s
+# control band; median per-query ratio 1.40, no structural mover).
+python tools/check_correctness.py --sf-dir /root/testdata/sf0.1 --json "LOCAL_GATE_r${ROUND}_sf0.1.json"
 
 echo "== 6/13 skew graph gate =="
 python tools/skew_graph.py
