@@ -699,7 +699,10 @@ def kcenter_coreset(
     df = emb.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )
-    seed = df.orderBy("id").limit(1).collect()[0]
+    seed_rows = df.orderBy("id").limit(1).collect()
+    if not seed_rows:
+        raise ValueError("kcenter_coreset: empty input — no seed row")
+    seed = seed_rows[0]
     picked = [(1, seed["id"], 0.0)]
 
     def dist_to(w: list) -> Column:
@@ -765,7 +768,17 @@ def mmr_rerank(
 
     rel: {id: relevance}; pair_sims: {(a, b): sim}, either orientation.
     max_sim accumulates over rounded sims via max (order-free).
-    Returns [(pick_rank, id, relevance, mmr_score)].
+
+    CONVENTION — max-sim floor at 0.0: maxsim initializes to 0.0 (and
+    missing pairs read as 0.0), so for pools holding NEGATIVE cosines
+    the diversity penalty clamps at 0 instead of rewarding
+    anti-similarity — a deliberate deviation from the literal
+    Carbonell-Goldstein max (which would start at the true max, i.e.
+    possibly negative). The xs34 oracle mirrors it exactly
+    (greatest(ms, coalesce(s, 0.0)) seeded from 0.0), so the two
+    engines cannot drift; pools from cosine retrieval are near-dup
+    heavy and all-positive in practice, where the two conventions
+    coincide. Returns [(pick_rank, id, relevance, mmr_score)].
     """
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"lam must be in [0, 1], got {lam}")

@@ -11,83 +11,14 @@ driver_queries._register — a move, not a debugging session.
 
 Registration history: xs1-xs5 (round 9, registry 222 -> 227),
 xs6-xs13 + s18 (round 11, 227 -> 236), xs14-xs19 + s19 + s20
-(round 12, 236 -> 244).
+(round 12, 236 -> 244), xs20-xs27 (round 13, 244 -> 252).
 
 THREE staging tiers live here so each round's registration stays <= 8
 (the driver window must cover gate + new + stale in one round):
-`STAGED` (xs20-xs27) registers in round 13; `STAGED_NEXT` (xs28-xs34 +
-s21) in round 14; `STAGED_TIER3` (xs35/xs36 + s22) in round 15. All
-tiers gate identically in tests/test_staged_queries.py.
-
-This module stages the xs20+ batch (round-11 verdict item 7: the three
-suggested families — suffix-array-style span dedup, classifier
-ensembles over the quality signals, a FineWeb-style pipeline twin —
-plus the span REMOVAL transform and a reference-model delta selector):
-
-  * xs20_dup_spans          — maximal corpus-duplicated token spans
-                              >= 10 tokens (Lee et al. 2022 ExactSubstr,
-                              gram-anchored distributed formulation;
-                              span-grain inventory with byte-exact span
-                              digests) — the maximal-span upgrade of
-                              x47's fixed-k stripping.
-  * xs21_quality_ensemble   — classifier-ensemble quality filtering:
-                              three independent published signals
-                              (Gopher word-count rule, C4 page keep,
-                              CCNet perplexity keep) majority-voted per
-                              candidate doc — the ensemble shape
-                              RHO/FineWeb-edu-style pipelines use to
-                              de-noise single classifiers.
-  * xs22_fineweb_funnel     — FineWeb-style curation funnel: language
-                              gate -> quality rule -> minhash-CC dedup
-                              survivors -> C4 page keep, reported as a
-                              per-source stage funnel (docs + tokens
-                              surviving each cumulative stage) — the
-                              monitoring table every published pipeline
-                              publishes about itself.
-  * xs23_exactsubstr_removal — the removal transform for xs20's spans:
-                              every token covered by a >= 10-token
-                              duplicated span dropped, md5 witness of
-                              each cleaned doc (Lee et al.'s actual
-                              dedup step, beside x47 strip-any-dup-gram
-                              and xs15 line-grain keep-first).
-  * xs24_rho_delta_select   — reference-model delta selection: each
-                              candidate scored under a TARGET-slice
-                              bigram LM and a general BASE LM; positive
-                              per-token NLL delta = target-like ->
-                              selected (RHO-style excess-loss selection,
-                              the LM-likelihood sibling of DSIR xs2).
-  * xs25_decontaminate      — benchmark decontamination by 8-gram
-                              overlap against the target slice (the
-                              GPT-3 appendix-C shape); broadcast
-                              semi-join, no corpus-sized shuffle — the
-                              complement of x101's leakage-free split.
-  * xs26_delta_source_weights — quality-guided DOMAIN weighting
-                              (DoReMi/RegMix-shaped): per-source mean
-                              reference-delta softmaxed at T=0.05 into
-                              sampling weights — sources weighted by
-                              measured target-fit, beside the
-                              size-driven mixers (xs6/xs9/x95).
-  * xs27_curation_v2_chain  — composition capstone for THIS batch
-                              (xs18's pattern): decontaminated ∧
-                              quality-gated pool -> per-source totals
-                              -> temperature mix, ONE plan, so contract
-                              drift between the new operators is a
-                              hash mismatch.
-
-Calibration on the synthetic corpus (pinned by tests):
-  * xs20/xs23 at k=3, min_len=10: span lengths span 3..20+ so the
-    threshold genuinely bifurcates (869 of 1,331 maximal spans qualify
-    at sf0.01); removal leaves some docs untouched at both gate SFs.
-  * xs21 votes spread over all four values {0,1,2,3} at both gate SFs
-    (sf0.001: 33/15/39/13, sf0.01: 26/25/41/8) — the majority threshold
-    discriminates.
-  * xs22 funnel strictly shrinks at every stage at both gate SFs
-    (sf0.001: 500->193->103->96->85; sf0.01: 500->218->117->110->97).
-    The quality stage uses the Gopher WORD-COUNT rule (the battery's
-    one rule this corpus discriminates on — ok_stopwords is uniformly
-    false on synthetic text, xs10's documented quirk).
-  * xs24 selection boundary (rounded delta > 0) sits >= 0.003 from the
-    nearest candidate at both gate SFs — no fp flip.
+`STAGED` (xs20-xs27) registered in round 13 and is now empty;
+`STAGED_NEXT` (xs28-xs34 + s21) registers in round 14; `STAGED_TIER3`
+(xs35/xs36 + s22) in round 15. All tiers gate identically in
+tests/test_staged_queries.py.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -103,649 +34,9 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-# xs20/xs23 span grain: trigram anchors, 10-token span threshold.
-_XS20_K = 3
-_XS20_MIN_LEN = 10
-
-# xs24 slices: target %10==0, base train %5!=0, candidates the held-out
-# %5==0 docs NOT in the target slice (disjoint from both fit slices).
-_XS24_LAM = 0.7
-
-
-def _span_sql_head() -> str:
-    """Shared CTE chain for xs20/xs23: corpus-duplicated trigram
-    positions merged into maximal per-doc spans `sp(doc_id, st, en)`
-    (0-based token positions, end inclusive) over `t(doc_id, toks)`."""
-    k = _XS20_K
-    return (
-        "WITH t AS (SELECT doc_id,"
-        "   string_split_regex(trim(text), '\\s+') AS toks FROM documents),"
-        " g AS (SELECT doc_id, i AS pos,"
-        f"   array_to_string(toks[i+1:i+{k}], ' ') AS gram"
-        f"  FROM t, UNNEST(range(0, greatest(len(toks)-{k - 1}, 0))) AS u(i)),"
-        " c AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),"
-        " d AS (SELECT doc_id, pos FROM g JOIN c USING (gram)),"
-        " sgf AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos)"
-        f"   OVER (PARTITION BY doc_id ORDER BY pos) <= {k} THEN 0 ELSE 1 END"
-        "    AS brk FROM d),"
-        " s2 AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id"
-        "   ORDER BY pos) AS seg FROM sgf),"
-        " sp AS (SELECT doc_id, seg, min(pos) AS st,"
-        f"   max(pos)+{k - 1} AS en FROM s2 GROUP BY 1, 2)"
-    )
-
-
-def xs20_dup_spans(spark: SparkSession, sf: str) -> DataFrame:
-    """Maximal duplicated-span inventory (Lee et al. 2022 ExactSubstr,
-    span grain): maximal runs of tokens covered by corpus-duplicated
-    trigrams, length >= 10, one row per (doc, span) with a byte-exact
-    md5 span digest. dedup.maximal_duplicate_spans has the gram-anchor
-    semantics and the 100 TB shuffle-shape audit (one gram-grain
-    shuffle + doc-partitioned gaps-and-islands window)."""
-    from presto_workload_analyzer_spark.extensions import dedup
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    return dedup.maximal_duplicate_spans(
-        docs, "doc_id", "text", k=_XS20_K, min_len=_XS20_MIN_LEN
-    ).withColumnRenamed("id", "doc_id")
-
-
-def xs20_sql() -> str:
-    L = _XS20_MIN_LEN
-    return (
-        _span_sql_head()
-        + " SELECT sp.doc_id, CAST(st AS BIGINT) AS span_start,"
-        "  CAST(en AS BIGINT) AS span_end,"
-        "  CAST(en - st + 1 AS BIGINT) AS span_len,"
-        "  md5(array_to_string(toks[st+1:en+1], ' ')) AS span_digest"
-        " FROM sp JOIN t ON t.doc_id = sp.doc_id"
-        f" WHERE en - st + 1 >= {L}"
-    )
-
-
-def xs23_exactsubstr_removal(spark: SparkSession, sf: str) -> DataFrame:
-    """ExactSubstr span removal (Lee et al. 2022): drop every token
-    covered by a >= 10-token maximal duplicated span, md5 witness of
-    each cleaned document — the length-thresholded sequence dedup
-    between x47 (strip any duplicated trigram) and xs15 (line grain,
-    keep-first). dedup.exactsubstr_removal docstring has the
-    every-occurrence semantics note and the scale audit."""
-    from presto_workload_analyzer_spark.extensions import dedup
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    return dedup.exactsubstr_removal(
-        docs, "doc_id", "text", k=_XS20_K, min_len=_XS20_MIN_LEN
-    ).withColumnRenamed("id", "doc_id")
-
-
-def xs23_sql() -> str:
-    L = _XS20_MIN_LEN
-    return (
-        _span_sql_head()
-        + ", cov AS (SELECT DISTINCT sp.doc_id, v.tp"
-        f"  FROM sp, UNNEST(range(st, en + 1)) AS v(tp) WHERE en - st + 1 >= {L}),"
-        " tok AS (SELECT t.doc_id, i, toks[i+1] AS tok"
-        "  FROM t, UNNEST(range(0, len(toks))) AS u(i)),"
-        " fl AS (SELECT tok.doc_id, i, tok.tok,"
-        "   (cov.tp IS NOT NULL) AS rm"
-        "  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.tp = tok.i)"
-        " SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,"
-        "  CAST(sum(CASE WHEN rm THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,"
-        "  md5(coalesce(string_agg(CASE WHEN NOT rm THEN tok END, ' '"
-        "   ORDER BY i), '')) AS cleaned_digest"
-        " FROM fl GROUP BY 1"
-    )
-
-
-def xs21_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
-    """Classifier-ensemble quality filtering over the xs12 candidate
-    slice (doc_id %% 5 == 0): three independent published keep signals —
-    the Gopher word-count rule (the xs10 battery's rule this corpus
-    discriminates on), the C4 page keep (xs14's line battery over the
-    reconstructed multi-line doc), and the CCNet perplexity keep (xs12's
-    margin-pinned threshold) — majority-voted. Ensembling de-noises any
-    single heuristic (the published motivation for classifier ensembles
-    over one model score); votes spread over {0,1,2,3} at both gate SFs
-    so the majority threshold is a real decision. Signals are per-doc
-    pure functions except the LM (fit on the %% 5 != 0 train slice), so
-    computing them on the candidate subset equals computing corpus-wide
-    and filtering."""
-    from presto_workload_analyzer_spark.driver_queries import (
-        _XS12_PPL_THRESHOLD,
-        _XS7_LAM,
-        _chunk_lines,
-    )
-    from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    cand = docs.filter(F.col("doc_id") % 5 == 0)
-    gop = textstats.gopher_rules(cand, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), F.col("ok_word_count").alias("wc_ok")
-    )
-    synth = cand.select(
-        "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
-    )
-    c4 = textstats.c4_line_stats(synth, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), F.col("keep").alias("c4_ok")
-    )
-    nll = textstats.heldout_bigram_nll(
-        docs, "doc_id", "text", holdout=F.col("doc_id") % 5 == 0, lam=_XS7_LAM
-    )
-    ppl = F.round(F.exp(F.col("sum_nll") / F.col("n_scored")) + 1e-9, 6)
-    pplk = nll.select(
-        F.col("id").alias("doc_id"),
-        (ppl < _XS12_PPL_THRESHOLD).alias("ppl_ok"),
-    )
-    votes = (
-        F.col("wc_ok").cast("long")
-        + F.col("c4_ok").cast("long")
-        + F.col("ppl_ok").cast("long")
-    )
-    return (
-        gop.join(c4, "doc_id")
-        .join(pplk, "doc_id")
-        .select(
-            "doc_id",
-            "wc_ok",
-            "c4_ok",
-            "ppl_ok",
-            votes.alias("votes"),
-            (votes >= 2).alias("keep"),
-        )
-    )
-
-
-def xs21_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import (
-        _xs10_sql,
-        _xs12_sql,
-        _xs14_sql,
-    )
-
-    return (
-        "WITH gop AS ("
-        + _xs10_sql()
-        + "), c4 AS ("
-        + _xs14_sql()
-        + "), ppl AS ("
-        + _xs12_sql()
-        + ")"
-        " SELECT g.doc_id, g.ok_word_count AS wc_ok, c.keep AS c4_ok,"
-        "  p.keep AS ppl_ok,"
-        "  CAST((CASE WHEN g.ok_word_count THEN 1 ELSE 0 END"
-        "   + CASE WHEN c.keep THEN 1 ELSE 0 END"
-        "   + CASE WHEN p.keep THEN 1 ELSE 0 END) AS BIGINT) AS votes,"
-        "  ((CASE WHEN g.ok_word_count THEN 1 ELSE 0 END"
-        "   + CASE WHEN c.keep THEN 1 ELSE 0 END"
-        "   + CASE WHEN p.keep THEN 1 ELSE 0 END) >= 2) AS keep"
-        " FROM ppl p JOIN gop g ON g.doc_id = p.doc_id"
-        "  JOIN c4 c ON c.doc_id = p.doc_id"
-    )
-
-
-_XS22_STAGES = ("raw", "lang", "quality", "dedup", "c4")
-
-
-def xs22_fineweb_funnel(spark: SparkSession, sf: str) -> DataFrame:
-    """FineWeb-style curation funnel (the published pipeline's
-    self-monitoring table): per-source documents and tokens surviving
-    each cumulative stage — raw -> language gate (lang = 'en') ->
-    quality rule (Gopher word count) -> minhash-CC dedup survivors
-    (keep-min over the shared x14 silver) -> C4 page keep. One pass:
-    the per-doc flag row explodes into its (stage, passes) pairs and a
-    single (stage, source) aggregation produces the funnel — no
-    five-way union, one shuffle. Strictly shrinking at every stage on
-    this corpus (calibration pinned by test)."""
-    from presto_workload_analyzer_spark.driver_queries import (
-        _chunk_lines,
-        shared_dedup_clusters,
-    )
-    from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    gop = textstats.gopher_rules(docs, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), F.col("ok_word_count").alias("__q")
-    )
-    synth = docs.select(
-        "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
-    )
-    c4 = textstats.c4_line_stats(synth, "doc_id", "text").select(
-        F.col("id").alias("doc_id"), F.col("keep").alias("__c")
-    )
-    losers = (
-        shared_dedup_clusters(spark, sf)
-        .filter(F.col("id") != F.col("cluster_id"))
-        .select(F.col("id").alias("doc_id"), F.lit(True).alias("__loser"))
-    )
-    flags = (
-        docs.select(
-            "doc_id",
-            "source",
-            (F.col("lang") == "en").alias("__l"),
-            textstats.token_count("text").cast("long").alias("__nt"),
-        )
-        .join(gop, "doc_id")
-        .join(c4, "doc_id")
-        .join(losers, "doc_id", "left")
-        .withColumn("__s", F.col("__loser").isNull())
-    )
-    l, q, s, c = F.col("__l"), F.col("__q"), F.col("__s"), F.col("__c")
-    passes = F.array(
-        F.lit(True), l, l & q, l & q & s, l & q & s & c
-    )
-    names = F.array(*[F.lit(n) for n in _XS22_STAGES])
-    return (
-        flags.select(
-            "source",
-            "__nt",
-            F.posexplode(passes).alias("stage_idx", "__pass"),
-        )
-        .filter(F.col("__pass"))
-        .groupBy("stage_idx", "source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__nt").cast("long").alias("n_tokens"),
-        )
-        .select(
-            F.col("stage_idx").cast("long").alias("stage_idx"),
-            F.element_at(names, F.col("stage_idx") + 1).alias("stage"),
-            "source",
-            "n_docs",
-            "n_tokens",
-        )
-    )
-
-
-def xs22_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import (
-        _X02_BANDS,
-        _X14_CC_SQL,
-        _xs10_sql,
-        _xs14_sql,
-    )
-
-    names = ", ".join(f"'{n}'" for n in _XS22_STAGES)
-    return (
-        _X14_CC_SQL.format(bands=_X02_BANDS)
-        + ", gop AS ("
-        + _xs10_sql()
-        + "), c4 AS ("
-        + _xs14_sql()
-        + "),"
-        " f AS (SELECT d.doc_id, d.source, (d.lang = 'en') AS l,"
-        "   g.ok_word_count AS q,"
-        "   (d.doc_id NOT IN (SELECT id FROM cc WHERE id <> cluster_id)) AS s,"
-        "   c.keep AS c,"
-        "   CAST(len(string_split_regex(trim(d.text), '\\s+')) AS BIGINT)"
-        "    AS nt"
-        "  FROM documents d JOIN gop g ON g.doc_id = d.doc_id"
-        "   JOIN c4 c ON c.doc_id = d.doc_id),"
-        " st AS (SELECT f.*, CAST(u.i AS BIGINT) AS stage_idx,"
-        "   CASE WHEN u.i = 0 THEN TRUE WHEN u.i = 1 THEN l"
-        "    WHEN u.i = 2 THEN l AND q WHEN u.i = 3 THEN l AND q AND s"
-        "    ELSE l AND q AND s AND c END AS pass"
-        "  FROM f, UNNEST(range(0, 5)) AS u(i))"
-        " SELECT stage_idx,"
-        f"  ([{names}])[CAST(stage_idx AS INTEGER) + 1] AS stage, source,"
-        "  CAST(count(*) AS BIGINT) AS n_docs,"
-        "  CAST(sum(nt) AS BIGINT) AS n_tokens"
-        " FROM st WHERE pass GROUP BY 1, 2, 3"
-    )
-
-
-def _xs24_nll_chain_sql(prefix: str, train_pred: str) -> str:
-    """One prefixed copy of the _xs7_perdoc_sql CTE chain (fit the JM
-    bigram LM on `train_pred` rows of nbase, score the candidate slice,
-    sum to doc grain) — two copies with different fit slices compose
-    into the delta without CTE-name collisions. The arithmetic is
-    verbatim _xs7_perdoc_sql's (the xs7/xs12 gates prove it matches
-    heldout_bigram_nll exactly)."""
-    lam = _XS24_LAM
-    p = prefix
-    return (
-        f" {p}tr AS (SELECT * FROM nbase WHERE {train_pred}),"
-        f" {p}uni AS (SELECT w, count(*) AS c1 FROM ("
-        f"   SELECT unnest(toks) AS w FROM {p}tr) u WHERE w <> '' GROUP BY 1),"
-        f" {p}scal AS (SELECT CAST(sum(c1) AS DOUBLE) AS n,"
-        f"   CAST(count(*) AS DOUBLE) AS v FROM {p}uni),"
-        f" {p}bi AS (SELECT w_prev, w, count(*) AS c2 FROM ("
-        f"   SELECT toks[i] AS w_prev, toks[i+1] AS w"
-        f"   FROM {p}tr, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        f"   WHERE len(toks) >= 2) b GROUP BY 1, 2),"
-        f" {p}sb AS (SELECT bh.id, -ln({lam!r} * (CASE WHEN coalesce(cp.c1, 0) > 0"
-        f"     THEN CAST(coalesce(b.c2, 0) AS DOUBLE) / cp.c1 ELSE 0.0 END)"
-        f"   + {1.0 - lam!r} * (coalesce(u.c1, 0) + 1.0) / (n + v + 1.0)) AS nll"
-        f"  FROM bh LEFT JOIN {p}bi b USING (w_prev, w)"
-        f"   LEFT JOIN {p}uni cp ON cp.w = bh.w_prev"
-        f"   LEFT JOIN {p}uni u ON u.w = bh.w, {p}scal),"
-        f" {p}fst AS (SELECT fh.id, -ln((coalesce(c1, 0) + 1.0) / (n + v + 1.0))"
-        f"    AS nll"
-        f"  FROM fh LEFT JOIN {p}uni ON {p}uni.w = fh.w, {p}scal),"
-        f" {p}perdoc AS (SELECT id, count(*) AS ns, sum(nll) AS snll"
-        f"  FROM (SELECT * FROM {p}sb UNION ALL SELECT * FROM {p}fst) a"
-        f"  GROUP BY 1)"
-    )
-
-
-def xs24_rho_delta_select(spark: SparkSession, sf: str) -> DataFrame:
-    """Reference-model delta selection (RHO-style excess-loss signal):
-    candidates (the %5==0 held-out docs NOT in the target slice) scored
-    under a TARGET-slice bigram LM (fit on doc_id %10==0 — xs2's target
-    convention) and the general BASE LM (fit on %5!=0); per-token NLL
-    delta = base - target, positive = the target model finds the doc
-    less surprising = target-like -> selected. The LM-likelihood
-    sibling of DSIR's hashed-ngram ratio (xs2) and the selection-grade
-    use of xs7's scoring machinery (textstats.reference_delta_scores).
-    Boundary pinned: the rounded delta sits >= 0.003 from 0 at both
-    gate SFs."""
-    from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    scored = textstats.reference_delta_scores(
-        docs,
-        "doc_id",
-        "text",
-        candidates=(F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 10 != 0),
-        target_train=F.col("doc_id") % 10 == 0,
-        base_train=F.col("doc_id") % 5 != 0,
-        lam=_XS24_LAM,
-    )
-    delta_r = F.round(F.col("delta") + 1e-9, 6)
-    return scored.join(
-        docs.select(F.col("doc_id").alias("id"), "source"), "id"
-    ).select(
-        F.col("id").alias("doc_id"),
-        "source",
-        F.col("n_scored").cast("long").alias("n_tokens"),
-        delta_r.alias("delta"),
-        (delta_r > 0.0).alias("selected"),
-    )
-
-
-def xs24_sql() -> str:
-    return (
-        "WITH nbase AS (SELECT doc_id AS id, source,"
-        "   list_transform(string_split_regex(trim(text), '\\s+'),"
-        "    t -> lower(t)) AS toks"
-        "  FROM documents WHERE text IS NOT NULL),"
-        " hd AS (SELECT * FROM nbase WHERE id % 5 = 0 AND id % 10 <> 0),"
-        " bh AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
-        "  FROM hd, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        "  WHERE len(toks) >= 2),"
-        " fh AS (SELECT id, toks[1] AS w FROM hd"
-        "   WHERE len(toks) >= 1 AND toks[1] <> ''),"
-        + _xs24_nll_chain_sql("b_", "id % 5 <> 0")
-        + ","
-        + _xs24_nll_chain_sql("t_", "id % 10 = 0")
-        + " SELECT b_perdoc.id AS doc_id, nb.source,"
-        "  CAST(b_perdoc.ns AS BIGINT) AS n_tokens,"
-        "  round((b_perdoc.snll - t_perdoc.snll) / b_perdoc.ns + 1e-9, 6)"
-        "   AS delta,"
-        "  (round((b_perdoc.snll - t_perdoc.snll) / b_perdoc.ns + 1e-9, 6)"
-        "   > 0.0) AS selected"
-        " FROM b_perdoc JOIN t_perdoc ON t_perdoc.id = b_perdoc.id"
-        "  JOIN (SELECT DISTINCT id, source FROM nbase) nb"
-        "   ON nb.id = b_perdoc.id"
-    )
-
-
-# xs25: 8-gram overlap against the doc_id%10==0 "benchmark" slice (the
-# xs2 target-slice convention). k=8 aligns with the corpus's 8-token
-# template chunking and stays under the shortest doc (13-grams, the
-# GPT-3 constant, exceed many synthetic docs); contamination bifurcates
-# at every SF (7/450 at sf0.001, 6/450 at sf0.01, 46/4500 at sf0.1) and
-# k=8 differs from k=5 at sf0.001 (7 vs 8 hits), so the gram size is
-# genuinely exercised.
-_XS25_K = 8
-
-
-def xs25_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """Benchmark DECONTAMINATION by n-gram overlap (the GPT-3 appendix-C
-    shape, shipped by every published pretraining pipeline since: drop
-    training documents sharing any length-k token gram with the
-    evaluation set). The eval slice here is doc_id % 10 == 0 (the
-    engine's target-slice convention, cf. xs2/xs24); every other doc is
-    the training pool and reports its overlap-gram count and the
-    contaminated flag — the complement of x101's leakage-free SPLIT
-    (which prevents near-dup straddle; this removes exact eval text).
-
-    100 TB shape: the eval gram set is benchmark-sized (tiny vs the
-    corpus), so the overlap test is a BROADCAST semi-join against the
-    corpus's gram stream — one scan-speed pass over the pool, no
-    corpus-sized shuffle at all (the count rollup shuffles only the
-    matching instances, a benchmark-bounded set). Grams use the
-    slice-in-transform form (O(len) expression tree; the zip-shift
-    chain is O(k*len) codegen and measured 2x-slower first runs at
-    k >= 10 — BASELINE round-10)."""
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    grams = _xs25_grams()
-    ev = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode(grams).alias("gram"))
-        .distinct()
-    )
-    pool = docs.filter(F.col("doc_id") % 10 != 0)
-    hits = (
-        pool.select("doc_id", F.explode(grams).alias("gram"))
-        .join(F.broadcast(ev), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("__n"))
-    )
-    return pool.select("doc_id").join(hits, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce(F.col("__n"), F.lit(0)).cast("long").alias("n_overlap_grams"),
-        (F.coalesce(F.col("__n"), F.lit(0)) > 0).alias("contaminated"),
-    )
-
-
-def xs25_sql() -> str:
-    k = _XS25_K
-    return (
-        "WITH t AS (SELECT doc_id,"
-        "   string_split_regex(trim(text), '\\s+') AS toks FROM documents),"
-        " g AS (SELECT doc_id,"
-        f"   array_to_string(toks[i+1:i+{k}], ' ') AS gram"
-        f"  FROM t, UNNEST(range(0, greatest(len(toks)-{k - 1}, 0))) AS u(i)),"
-        " ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),"
-        " hit AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM g"
-        "   WHERE doc_id % 10 <> 0 AND gram IN (SELECT gram FROM ev)"
-        "   GROUP BY 1)"
-        " SELECT d.doc_id,"
-        "  CAST(coalesce(hit.n, 0) AS BIGINT) AS n_overlap_grams,"
-        "  (coalesce(hit.n, 0) > 0) AS contaminated"
-        " FROM documents d LEFT JOIN hit ON hit.doc_id = d.doc_id"
-        " WHERE d.doc_id % 10 <> 0"
-    )
-
-
-# xs26: delta-guided DOMAIN weights. The candidate slice must hit many
-# sources, and source = f(doc_id % 20) on this corpus, so the xs24
-# slices (%5/%10) alias into just src5/src15 — xs26 uses %7 (coprime
-# with 20: 16 sources get 3-4 candidates each at both gate SFs),
-# excluding both fit slices (target %10==0; base %5!=0 AND %7!=0).
-# T=0.05 spreads the shares 0.018-0.18 (9.5-21x max/min) — neither
-# uniform nor winner-take-all.
-_XS26_T = 0.05
-
-
-def xs26_delta_source_weights(spark: SparkSession, sf: str) -> DataFrame:
-    """Quality-guided DOMAIN weighting (the DoReMi/RegMix-shaped step:
-    set per-source sampling weights from a quality/target-fit signal
-    rather than from token counts): each source's candidates are scored
-    with the reference-model delta (xs24's signal — positive =
-    target-like), averaged per source, and softmaxed at temperature T
-    into sampling weights. Completes the mixing surface: xs6/xs9/x95
-    weight by SIZE, xs3/xs13 rank DOCS by importance — this weights
-    SOURCES by measured target-fit. Output: (source, n_candidates,
-    avg_delta, weight), weights summing to 1 over the sources holding
-    candidates. The softmax denominator is one broadcast scalar row
-    (the engine's broadcast-NL convention); everything upstream is
-    reference_delta_scores' audited two-LM shape."""
-    from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    did = F.col("doc_id")
-    scored = textstats.reference_delta_scores(
-        docs,
-        "doc_id",
-        "text",
-        candidates=(did % 7 == 0) & (did % 5 != 0),
-        target_train=did % 10 == 0,
-        base_train=(did % 5 != 0) & (did % 7 != 0),
-        lam=_XS24_LAM,
-    )
-    per = (
-        scored.join(docs.select(F.col("doc_id").alias("id"), "source"), "id")
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidates"),
-            F.avg("delta").alias("__avg"),
-        )
-    )
-    z = per.agg(F.sum(F.exp(F.col("__avg") / _XS26_T)).alias("__z"))
-    return per.crossJoin(F.broadcast(z)).select(
-        "source",
-        "n_candidates",
-        F.round(F.col("__avg") + 1e-9, 6).alias("avg_delta"),
-        F.round(
-            F.exp(F.col("__avg") / _XS26_T) / F.col("__z") + 1e-9, 6
-        ).alias("weight"),
-    )
-
-
-def xs26_sql() -> str:
-    t = _XS26_T
-    return (
-        "WITH nbase AS (SELECT doc_id AS id, source,"
-        "   list_transform(string_split_regex(trim(text), '\\s+'),"
-        "    t -> lower(t)) AS toks"
-        "  FROM documents WHERE text IS NOT NULL),"
-        " hd AS (SELECT * FROM nbase WHERE id % 7 = 0 AND id % 5 <> 0),"
-        " bh AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
-        "  FROM hd, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        "  WHERE len(toks) >= 2),"
-        " fh AS (SELECT id, toks[1] AS w FROM hd"
-        "   WHERE len(toks) >= 1 AND toks[1] <> ''),"
-        + _xs24_nll_chain_sql("b_", "id % 5 <> 0 AND id % 7 <> 0")
-        + ","
-        + _xs24_nll_chain_sql("t_", "id % 10 = 0")
-        + ", per AS (SELECT nb.source,"
-        "   CAST(count(*) AS BIGINT) AS n_candidates,"
-        "   avg((b_perdoc.snll - t_perdoc.snll) / b_perdoc.ns) AS ad"
-        "  FROM b_perdoc JOIN t_perdoc ON t_perdoc.id = b_perdoc.id"
-        "   JOIN (SELECT DISTINCT id, source FROM nbase) nb"
-        "    ON nb.id = b_perdoc.id"
-        "  GROUP BY 1),"
-        f" z AS (SELECT sum(exp(ad / {t!r})) AS z FROM per)"
-        " SELECT source, n_candidates, round(ad + 1e-9, 6) AS avg_delta,"
-        f"  round(exp(ad / {t!r}) / z + 1e-9, 6) AS weight"
-        " FROM per, z"
-    )
-
-
-# xs27: the batch's composition capstone (xs18's pattern for the NEW
-# operators): budget/temperature chosen only for readable output —
-# temperature_mix has no thresholds, so no calibration cliff exists.
-_XS27_BUDGET = 20_000.0
-_XS27_T = 2.0
-
-
-def xs27_curation_v2_chain(spark: SparkSession, sf: str) -> DataFrame:
-    """Composition capstone for THIS batch (the xs18/x51 pattern): the
-    decontaminated (xs25's flag), quality-gated (Gopher word-count +
-    C4 page keep) training pool rolled up to per-source token totals
-    and temperature-mixed (xs9's published strategy) — the curation ->
-    mixing decision sequence a benchmark-safe pretraining pipeline
-    runs, chained as ONE plan so contract drift between the
-    decontamination flag, the quality batteries and the mixer (id/flag
-    column shapes, pool semantics, allocation arithmetic) is a hash
-    mismatch, not a silent skew. 18 of 20 sources survive with token
-    totals spread ~2.5x at both gate SFs, so the power-law weights
-    genuinely vary."""
-    from presto_workload_analyzer_spark.driver_queries import _chunk_lines
-    from presto_workload_analyzer_spark.extensions import sampling, textstats
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    clean = xs25_decontaminate(spark, sf).filter(~F.col("contaminated")).select(
-        "doc_id"
-    )
-    wc = (
-        textstats.gopher_rules(docs, "doc_id", "text")
-        .filter(F.col("ok_word_count"))
-        .select(F.col("id").alias("doc_id"))
-    )
-    synth = docs.select(
-        "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
-    )
-    c4 = (
-        textstats.c4_line_stats(synth, "doc_id", "text")
-        .filter(F.col("keep"))
-        .select(F.col("id").alias("doc_id"))
-    )
-    per = (
-        docs.join(clean, "doc_id")
-        .join(wc, "doc_id")
-        .join(c4, "doc_id")
-        .groupBy("source")
-        .agg(F.sum(textstats.token_count("text").cast("long")).alias("__tok"))
-    )
-    return sampling.temperature_mix(
-        per, "source", "__tok", budget=_XS27_BUDGET, temperature=_XS27_T
-    )
-
-
-def xs27_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import (
-        _xs10_sql,
-        _xs14_sql,
-    )
-
-    b, t = _XS27_BUDGET, _XS27_T
-    return (
-        "WITH decon AS ("
-        + xs25_sql()
-        + "), gop AS ("
-        + _xs10_sql()
-        + "), c4 AS ("
-        + _xs14_sql()
-        + "),"
-        " per AS (SELECT d.source,"
-        "   CAST(sum(len(string_split_regex(trim(d.text), '\\s+'))) AS BIGINT)"
-        "    AS tok"
-        "  FROM documents d"
-        "   JOIN decon ON decon.doc_id = d.doc_id AND NOT decon.contaminated"
-        "   JOIN gop ON gop.doc_id = d.doc_id AND gop.ok_word_count"
-        "   JOIN c4 ON c4.doc_id = d.doc_id AND c4.keep"
-        "  GROUP BY 1),"
-        f" p AS (SELECT source, tok, power(tok, 1.0 / {t!r}) AS pw FROM per),"
-        " z AS (SELECT sum(pw) AS zt FROM p)"
-        " SELECT source, tok AS tokens_available,"
-        "  round(pw / zt + 1e-9, 6) AS weight,"
-        f"  round({b!r} * pw / zt + 1e-9, 6) AS tokens_allocated,"
-        f"  round({b!r} * pw / zt / tok + 1e-9, 6) AS epochs"
-        " FROM p, z"
-    )
-
-
-STAGED: dict[str, tuple] = {
-    "xs20_dup_spans": (xs20_dup_spans, xs20_sql()),
-    "xs21_quality_ensemble": (xs21_quality_ensemble, xs21_sql()),
-    "xs22_fineweb_funnel": (xs22_fineweb_funnel, xs22_sql()),
-    "xs23_exactsubstr_removal": (xs23_exactsubstr_removal, xs23_sql()),
-    "xs24_rho_delta_select": (xs24_rho_delta_select, xs24_sql()),
-    "xs25_decontaminate": (xs25_decontaminate, xs25_sql()),
-    "xs26_delta_source_weights": (xs26_delta_source_weights, xs26_sql()),
-    "xs27_curation_v2_chain": (xs27_curation_v2_chain, xs27_sql()),
-}
+# (xs20-xs27 registered in round 13 — moved verbatim into
+# driver_queries; this tier is empty until the next batch stages.)
+STAGED: dict[str, tuple] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -1286,7 +577,11 @@ def xs34_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
     so the driver-side greedy — pool-sized state, MMR's own sequential
     dependency — does IEEE-double arithmetic on engine-identical
     operands and replays exactly in sequential SQL; the pick margins are
-    pinned >= 1e-9 by test so no engine can flip a round).
+    pinned >= 1e-9 by test so no engine can flip a round). Both sides
+    use the max-sim-floor-at-0.0 convention (similarity.mmr_rerank's
+    documented deviation from literal Carbonell-Goldstein for
+    negative-cosine pools): Python seeds maxsim = 0.0, the oracle's
+    m{r+1} takes greatest(ms, coalesce(s, 0.0)) from a 0.0 seed.
 
     Output: (pick_rank, vec_id, relevance, mmr_score)."""
     from presto_workload_analyzer_spark.extensions import similarity
@@ -1381,21 +676,6 @@ def xs34_sql() -> str:
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
 
 
-def _xs25_grams() -> "F.Column":
-    """The decontamination k-gram Column (text -> array of space-joined
-    k-grams, slice-in-transform form), shared by xs25 AND its streaming
-    twin s21 so the batch and stream contracts cannot drift."""
-    k = _XS25_K
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    m = F.size(toks) - (k - 1)
-    return F.when(
-        m > 0,
-        F.transform(
-            F.sequence(F.lit(0), m - 1),
-            lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
 
 def s21_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """The STREAMING seam of xs25's benchmark decontamination: pool
@@ -1410,6 +690,7 @@ def s21_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     xs25_sql so the two contracts cannot drift."""
     import uuid
 
+    from presto_workload_analyzer_spark.driver_queries import _xs25_grams
     from presto_workload_analyzer_spark.sources import read_table
     from presto_workload_analyzer_spark.streaming import (
         run_to_memory,
@@ -1440,6 +721,8 @@ def s21_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def s21_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import xs25_sql
+
     base = xs25_sql()
     head, _ = base.split(" SELECT d.doc_id,", 1)
     return head + " SELECT doc_id, n AS n_overlap_grams FROM hit"

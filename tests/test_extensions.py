@@ -3826,7 +3826,7 @@ def test_xs20_span_threshold_bifurcates_on_corpus():
     dup spans BOTH below and at/above the 10-token threshold at both
     gate SFs (otherwise the gate hashes a vacuous filter), and the
     removal must leave some docs untouched while touching others."""
-    from presto_workload_analyzer_spark.staged_queries import (
+    from presto_workload_analyzer_spark.driver_queries import (
         _XS20_MIN_LEN as L,
         _span_sql_head,
         xs23_sql,
@@ -3857,7 +3857,7 @@ def test_xs21_votes_bifurcate_on_corpus():
     """xs21's calibration pin: the three ensemble signals must disagree
     enough that votes land on BOTH sides of the majority threshold at
     both gate SFs — otherwise the gate hashes a constant keep column."""
-    from presto_workload_analyzer_spark.staged_queries import xs21_sql
+    from presto_workload_analyzer_spark.driver_queries import xs21_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -3877,7 +3877,7 @@ def test_xs22_funnel_strictly_shrinks_on_corpus():
     document corpus-wide at both gate SFs — a non-shrinking stage means
     its gate stopped discriminating (e.g. a regenerated fixture without
     the lang mix) and the funnel hash would no longer witness it."""
-    from presto_workload_analyzer_spark.staged_queries import xs22_sql
+    from presto_workload_analyzer_spark.driver_queries import xs22_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -3899,7 +3899,7 @@ def test_xs24_delta_margin_on_corpus():
     against 0 on both engines; pin (a) that selection bifurcates and
     (b) that no candidate's delta sits within fp-flip distance of 0 at
     both gate SFs."""
-    from presto_workload_analyzer_spark.staged_queries import xs24_sql
+    from presto_workload_analyzer_spark.driver_queries import xs24_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -3921,7 +3921,7 @@ def test_xs25_contamination_bifurcates_on_corpus():
     (7/450 and 6/450 as staged) — a regenerated fixture where templates
     stop aligning would zero it out and the gate would hash a constant
     flag column."""
-    from presto_workload_analyzer_spark.staged_queries import xs25_sql
+    from presto_workload_analyzer_spark.driver_queries import xs25_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -3939,7 +3939,7 @@ def test_xs26_weights_spread_on_corpus():
     cycle), (b) weights sum to 1, (c) max/min weight ratio >= 2 (neither
     uniform nor a degenerate 2-source split like the %5 slice would
     give)."""
-    from presto_workload_analyzer_spark.staged_queries import xs26_sql
+    from presto_workload_analyzer_spark.driver_queries import xs26_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -3960,7 +3960,7 @@ def test_xs27_chain_discriminates_on_corpus():
     (a) some but not all sources survive to the mix (18/20 as staged),
     (b) surviving token totals vary >= 1.5x (so the power-law weights
     are not uniform) at both gate SFs."""
-    from presto_workload_analyzer_spark.staged_queries import xs27_sql
+    from presto_workload_analyzer_spark.driver_queries import xs27_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -4038,6 +4038,45 @@ def test_xs30_deciles_carry_nll_signal_on_corpus():
         ).fetchall()[0]
         assert n >= 8, f"sf{sf}: only {n} deciles"
         assert spread > 0.005, f"sf{sf}: avg_nll spread {spread}"
+
+
+def test_xs30_decile_boundaries_match_cross_engine(spark):
+    """xs30's decile boundaries come from Spark approx_percentile, the
+    oracle's from DuckDB quantile_disc — two independent rank
+    conventions that can pick ADJACENT elements for the same percentile
+    on some slice sizes (an off-by-one the downstream bucketing would
+    silently shift a boundary doc across). Pin the conventions AGREEING
+    element-for-element at all three gate SFs (held-out slices of 100 /
+    100 / 900 docs) before xs30 registers; a corpus size where they
+    diverge must fail here, not hash-mismatch in the driver gate."""
+    from presto_workload_analyzer_spark.driver_queries import _X43_Z
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+    from presto_workload_analyzer_spark.staged_queries import _XS30_DECILES
+
+    for sf in ("0.001", "0.01", "0.1"):
+        docs = read_table(spark, f"/root/testdata/sf{sf}/documents.parquet")
+        lg = docs.filter(F.col("doc_id") % 5 == 0).select(
+            F.round(
+                textstats.quality_logit("text") + F.lit(1e-9), 6
+            ).alias("__q")
+        )
+        accuracy = min(max(1_000_000, 10 * lg.count()), 10_000_000)
+        pcts = ", ".join(f"{p}D" for p in _XS30_DECILES)
+        spark_b = lg.select(
+            F.expr(f"approx_percentile(__q, array({pcts}), {accuracy})")
+        ).collect()[0][0]
+        qpcts = ", ".join(repr(p) for p in _XS30_DECILES)
+        con = _staged_con(sf)
+        duck_b = con.sql(
+            f"SELECT quantile_disc(q, [{qpcts}]) FROM ("
+            f"SELECT round(1.0 / (1.0 + exp(-{_X43_Z})) + 1e-9, 6) AS q"
+            " FROM documents WHERE doc_id % 5 = 0)"
+        ).fetchone()[0]
+        assert list(spark_b) == list(duck_b), (
+            f"sf{sf}: decile boundary conventions diverge —"
+            f" spark {spark_b} vs duckdb {duck_b}"
+        )
 
 
 def test_xs31_purity_discriminates_on_corpus():
@@ -4262,6 +4301,21 @@ def test_kcenter_refuses_zero_radius(spark):
     # three points, two distinct directions: round 3 hits radius 0
     with _pytest.raises(ValueError, match="covering radius 0"):
         kcenter_coreset(df, "vec_id", "embedding", k=3)
+
+
+def test_kcenter_empty_input_raises_named_error(spark):
+    """An empty embeddings input must fail with the module's loud,
+    named ValueError (the cosine_topk_quantized convention), not an
+    opaque IndexError off `collect()[0]`."""
+    import pytest as _pytest
+
+    from presto_workload_analyzer_spark.extensions.similarity import (
+        kcenter_coreset,
+    )
+
+    df = spark.createDataFrame([], "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError, match="empty input"):
+        kcenter_coreset(df, "vec_id", "embedding", k=2)
 
 
 def test_kneser_ney_matches_python_reference(spark):

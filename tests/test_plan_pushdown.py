@@ -182,32 +182,29 @@ def test_round12_registrations_prune_document_scans(spark, name, allowed):
         assert cols <= allowed, (name, sorted(cols), line)
 
 
-def test_staged_xs20_batch_prunes_document_scans(spark):
-    """The staged xs20-xs24 batch arrives with pruned scans: only xs22
-    (the language-gated funnel) may read `lang`; nothing reads
-    `n_chars`; the span/ensemble/delta queries read only what their
-    math needs."""
-    from presto_workload_analyzer_spark import staged_queries
-
-    allowed = {
-        "xs20_dup_spans": {"doc_id", "text"},
-        "xs21_quality_ensemble": {"doc_id", "text"},
-        "xs22_fineweb_funnel": {"doc_id", "source", "lang", "text"},
-        "xs23_exactsubstr_removal": {"doc_id", "text"},
-        "xs24_rho_delta_select": {"doc_id", "source", "text"},
-        "xs25_decontaminate": {"doc_id", "text"},
-        "xs26_delta_source_weights": {"doc_id", "source", "text"},
-        "xs27_curation_v2_chain": {"doc_id", "source", "text"},
-    }
-    for name, (fn, _sql) in staged_queries.STAGED.items():
-        df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        for line in plan.splitlines():
-            m = _SCAN_RE.search(line)
-            if not m or m.group(2) != "documents":
-                continue
-            cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
-            assert cols <= allowed[name], (name, sorted(cols), line)
+@pytest.mark.parametrize(
+    "name,allowed",
+    [
+        ("xs20_dup_spans", {"doc_id", "text"}),
+        ("xs21_quality_ensemble", {"doc_id", "text"}),
+        ("xs22_fineweb_funnel", {"doc_id", "source", "lang", "text"}),
+        ("xs23_exactsubstr_removal", {"doc_id", "text"}),
+        ("xs24_rho_delta_select", {"doc_id", "source", "text"}),
+        ("xs25_decontaminate", {"doc_id", "text"}),
+        ("xs26_delta_source_weights", {"doc_id", "source", "text"}),
+        ("xs27_curation_v2_chain", {"doc_id", "source", "text"}),
+    ],
+)
+def test_round13_registrations_prune_document_scans(spark, name, allowed):
+    """The round-13 batch (registered this round): only xs22 (the
+    language-gated funnel) may read `lang`; nothing reads `n_chars`;
+    the span/ensemble/delta queries read only what their math needs."""
+    scans = _scans(spark, name)
+    assert scans, f"{name}: expected parquet scans in the plan"
+    for table, cols, line in scans:
+        if table != "documents":
+            continue
+        assert cols <= allowed, (name, sorted(cols), line)
 
 
 def test_staged_tier2_batch_prunes_scans(spark):
