@@ -82,8 +82,11 @@ def build_curation_report(
             sec, cap = CURATION_CHARTS[name]
             if sec != section:
                 continue
-            fn = registry[name]
             try:
+                # inside the try so a CURATION_CHARTS entry missing from
+                # the registry degrades to a per-chart error, not a
+                # report-killing KeyError
+                fn = registry[name]
                 df = fn(spark, sf_dir).limit(cap)
                 rows = df.collect()
                 if not rows:
@@ -142,33 +145,58 @@ _CURATION_TEMPLATE = """<!DOCTYPE html>
 <div id="report"></div>
 <script id="payload" type="application/json">{payload}</script>
 <script>
+// Corpus-derived strings (cells, descriptions, error messages) are
+// UNTRUSTED — an adversarial document in a web-crawled corpus must not
+// be able to inject markup. Everything renders through createElement +
+// textContent; no string-concatenated markup assignment anywhere.
 const doc = JSON.parse(document.getElementById('payload').textContent);
 const root = document.getElementById('report');
-const m = doc.structure.metrics;
-let h = '<h2>Corpus</h2><table class="metrics">';
-for (const [k, v] of Object.entries(m)) h += `<tr><td>${{k}}</td><td>${{v}}</td></tr>`;
-h += '</table>';
-for (const c of doc.charts) {{
-  h += `<div class="chart"><h2 id="${{c.id}}">${{c.title}}</h2>`;
-  h += `<div class="desc">${{c.description}}</div>`;
-  const shown = c.data.slice(0, 200);
-  h += '<table><tr>' + c.columns.map(x => `<th>${{x}}</th>`).join('') + '</tr>';
-  for (const row of shown) h += '<tr>' + row.map(x => `<td>${{x}}</td>`).join('') + '</tr>';
-  h += '</table>';
-  if (c.data.length > 200) h += `<div class="desc">… ${{c.data.length - 200}} more rows in payload</div>`;
-  h += '</div>';
+function el(tag, attrs, text) {{
+  const n = document.createElement(tag);
+  for (const [k, v] of Object.entries(attrs || {{}})) n.setAttribute(k, v);
+  if (text !== undefined) n.textContent = String(text);
+  return n;
 }}
-for (const [k, v] of Object.entries(doc.errors)) h += `<div class="err">${{k}}: ${{v}}</div>`;
-root.innerHTML = h;
+root.appendChild(el('h2', null, 'Corpus'));
+const mt = el('table', {{class: 'metrics'}});
+for (const [k, v] of Object.entries(doc.structure.metrics)) {{
+  const tr = el('tr');
+  tr.appendChild(el('td', null, k));
+  tr.appendChild(el('td', null, v));
+  mt.appendChild(tr);
+}}
+root.appendChild(mt);
+for (const c of doc.charts) {{
+  const box = el('div', {{class: 'chart'}});
+  box.appendChild(el('h2', {{id: c.id}}, c.title));
+  box.appendChild(el('div', {{class: 'desc'}}, c.description));
+  const tbl = el('table');
+  const hr = el('tr');
+  for (const x of c.columns) hr.appendChild(el('th', null, x));
+  tbl.appendChild(hr);
+  for (const row of c.data.slice(0, 200)) {{
+    const tr = el('tr');
+    for (const x of row) tr.appendChild(el('td', null, x));
+    tbl.appendChild(tr);
+  }}
+  box.appendChild(tbl);
+  if (c.data.length > 200)
+    box.appendChild(el('div', {{class: 'desc'}},
+                       '… ' + (c.data.length - 200) + ' more rows in payload'));
+  root.appendChild(box);
+}}
+for (const [k, v] of Object.entries(doc.errors))
+  root.appendChild(el('div', {{class: 'err'}}, k + ': ' + v));
 </script>
 </body></html>
 """
 
 
 def render_curation_html(report: dict[str, Any]) -> str:
-    return _CURATION_TEMPLATE.format(
-        payload=json.dumps(report, ensure_ascii=False)
-    )
+    # '<' is escaped so corpus text containing '</script>' cannot close
+    # the payload block (still byte-identical JSON after parsing)
+    payload = json.dumps(report, ensure_ascii=False).replace("<", "\\u003c")
+    return _CURATION_TEMPLATE.format(payload=payload)
 
 
 def write_curation_report(report: dict[str, Any], output_path: str) -> None:

@@ -78,6 +78,57 @@ def test_html_and_sinks_roundtrip(report, tmp_path):
     assert hp.read_text().startswith("<!DOCTYPE html>")
 
 
+def test_adversarial_corpus_strings_cannot_break_the_document():
+    """Corpus-derived strings are UNTRUSTED (web-crawled text can carry
+    markup): '</script>' inside a cell must not close the payload block,
+    and no corpus string may reach the static HTML shell unescaped —
+    rendering happens exclusively through textContent in the browser."""
+    hostile = "</script><img src=x onerror=alert(1)>"
+    report = {
+        "structure": {"title": "Corpus curation report", "metrics": {"n": 1}},
+        "charts": [
+            {
+                "id": "c1",
+                "title": "t " + hostile,
+                "description": "d " + hostile,
+                "columns": ["a"],
+                "data": [[hostile]],
+            }
+        ],
+        "errors": {"q": hostile},
+    }
+    html = curation.render_curation_html(report)
+    # the raw markup never appears in the document source...
+    assert hostile not in html
+    # ...and the payload still round-trips byte-identical through JSON
+    payload = html.split('<script id="payload" type="application/json">', 1)[
+        1
+    ].split("</script>", 1)[0]
+    doc = json.loads(payload)
+    assert doc["charts"][0]["data"][0][0] == hostile
+    assert doc["errors"]["q"] == hostile
+    # the template builds DOM nodes; it never concatenates innerHTML
+    assert "innerHTML" not in curation._CURATION_TEMPLATE
+
+
+def test_unregistered_chart_name_degrades_to_per_chart_error(spark):
+    """A CURATION_CHARTS entry missing from the registry must land in
+    errors (per-chart tolerance), not kill the whole report."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} not present")
+    orig = dict(curation.CURATION_CHARTS)
+    curation.CURATION_CHARTS["zz_not_registered"] = ("corpus", 10)
+    try:
+        doc = curation.build_curation_report(
+            spark, SF_DIR, only=["zz_not_registered", "x121_hll_distinct"]
+        )
+    finally:
+        curation.CURATION_CHARTS.clear()
+        curation.CURATION_CHARTS.update(orig)
+    assert "zz_not_registered" in doc["errors"]
+    assert [c["id"] for c in doc["charts"]] == ["x121_hll_distinct"]
+
+
 def test_cli_single_chart(tmp_path, spark):
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"{SF_DIR} not present")
