@@ -28,6 +28,13 @@ clean host the end/start median ratio sits at or BELOW ~1 (measured
 ratio well above 1, an inflated absolute end probe, or a load average
 far above the run's own footprint says the TOTAL is suspect without
 re-running anything.
+
+The probe has TWO legs since round 13 (the round-12 episode's lesson:
+walls ran ~1.49x the control while the CPU probe read 0.49-0.92 —
+IO/steal contention is invisible to a pure-compute job): `calibration`
+(CPU — spark.range sum) and `calibration_io` (a full parquet scan of a
+fixed file), each reported with its own start/end/ratio in the
+`calibration` block.
 """
 
 from __future__ import annotations
@@ -54,8 +61,9 @@ def main() -> None:
     spark = get_spark(app_name="pwa-bench")
 
     def calibration(n_runs: int = 3) -> list[float]:
-        """Constant-work probe (corpus-independent): median ~0.2-0.4 s on an
-        idle local[32]; inflation vs the start reading flags co-tenant load."""
+        """Constant-work CPU probe (corpus-independent): median ~0.2-0.4 s
+        on an idle local[32]; inflation vs the start reading flags
+        co-tenant CPU load."""
         out = []
         for _ in range(n_runs):
             t0 = time.time()
@@ -65,9 +73,29 @@ def main() -> None:
             out.append(round(time.time() - t0, 3))
         return out
 
+    def calibration_io(n_runs: int = 3) -> list[float]:
+        """Constant-work IO probe: a full parquet scan of a FIXED file
+        (documents at the bench SF — read-dominated, trivial compute).
+        The round-12 host episode showed the CPU-only probe under-flags
+        IO/steal contention (probe 0.49-0.92 while query walls ran
+        ~1.49x the control); this second leg times the read path the
+        queries actually exercise. Same interpretation: end/start
+        median ratio ~1 on a clean host; well above 1, or an inflated
+        absolute reading, says the TOTAL is suspect."""
+        path = os.path.join(sf_dir, "documents.parquet")
+        out = []
+        for _ in range(n_runs):
+            t0 = time.time()
+            spark.read.parquet(path).selectExpr(
+                "sum(length(text)) AS s", "count(*) AS n"
+            ).collect()
+            out.append(round(time.time() - t0, 3))
+        return out
+
     # warm up the JVM + parquet footers once
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
     calib_start = calibration()
+    calib_io_start = calibration_io()
     load_start = list(os.getloadavg())
     # warm the streaming machinery (state store, stateful python workers) at
     # tiny scale so timed s-queries measure steady state, not first-stream
@@ -96,6 +124,7 @@ def main() -> None:
         ended_at[name] = round(time.time() - sweep_t0, 3)
 
     calib_end = calibration()
+    calib_io_end = calibration_io()
     load_end = list(os.getloadavg())
     total = round(sum(timings.values()), 3)
     calib = {
@@ -103,6 +132,11 @@ def main() -> None:
         "end": calib_end,
         "ratio": round(
             sorted(calib_end)[1] / max(sorted(calib_start)[1], 1e-9), 3
+        ),
+        "io_start": calib_io_start,
+        "io_end": calib_io_end,
+        "io_ratio": round(
+            sorted(calib_io_end)[1] / max(sorted(calib_io_start)[1], 1e-9), 3
         ),
     }
     detail = {

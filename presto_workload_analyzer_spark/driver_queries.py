@@ -1427,7 +1427,11 @@ _register(
 
 
 def _x09(spark: SparkSession, sf: str) -> DataFrame:
-    docs = read_sf_table(spark, sf, "documents")
+    from presto_workload_analyzer_spark.sources import min_row_parallelism
+
+    # per-row marker battery is CPU-dense; core-count tasks when the
+    # scan arrives as fewer splits (no-op at production file counts)
+    docs = min_row_parallelism(read_sf_table(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         X_text.language_id("text").alias("pred_lang"),
@@ -3225,7 +3229,11 @@ def _x42(spark: SparkSession, sf: str) -> DataFrame:
     repetition signal x18 covers within-doc): per document, the share of
     its distinct trigrams occurring in >= 1 other document
     (textstats.duplicate_ngram_fraction — inverted-index shape)."""
-    docs = read_sf_table(spark, sf, "documents")
+    from presto_workload_analyzer_spark.sources import min_row_parallelism
+
+    # the trigram explode is CPU-dense per row; core-count tasks when
+    # the scan arrives as fewer splits (no-op at production file counts)
+    docs = min_row_parallelism(read_sf_table(spark, sf, "documents"))
     out = X_text.duplicate_ngram_fraction(docs, "doc_id", "text", k=3)
     return out.select(
         F.col("id").alias("doc_id"), "n_shingles", "n_dup", "dup_frac"
@@ -7893,8 +7901,13 @@ def _x113(spark: SparkSession, sf: str) -> DataFrame:
     is guessing), the docs a monolingual pipeline silently mangles and a
     router should fork. Unpivots the 5 scores to (doc, lang) rows and
     ranks inside a doc-keyed window (corpus-cardinality key); ties break
-    by the same en>de>fr>es>zh precedence as x09's argmax."""
-    docs = read_sf_table(spark, sf, "documents")
+    by the same en>de>fr>es>zh precedence as x09's argmax. The marker
+    battery is CPU-dense per row — rows repartition to core-count tasks
+    when the scan arrives as fewer splits (sources.min_row_parallelism;
+    structural no-op at production file counts)."""
+    from presto_workload_analyzer_spark.sources import min_row_parallelism
+
+    docs = min_row_parallelism(read_sf_table(spark, sf, "documents"))
     scores = X_text.language_scores(F.col("text"))
     order = list(scores)
     pairs = F.array(
@@ -9303,8 +9316,13 @@ def _x129(spark: SparkSession, sf: str) -> DataFrame:
     half-grain localization catches the append-translation and
     stitched-crawl shapes (doc starts English, ends German) that
     whole-doc argmax averages away. Same marker-ratio detector applied
-    to substrings; char-midpoint split is engine-exact."""
-    docs = read_sf_table(spark, sf, "documents")
+    to substrings; char-midpoint split is engine-exact. Two full marker
+    batteries per row — rows repartition to core-count tasks when the
+    scan arrives as fewer splits (sources.min_row_parallelism;
+    structural no-op at production file counts)."""
+    from presto_workload_analyzer_spark.sources import min_row_parallelism
+
+    docs = min_row_parallelism(read_sf_table(spark, sf, "documents"))
     half1 = F.substring(F.col("text"), 1, (F.length("text") / 2).cast("int"))
     half2 = F.substring(
         F.col("text"),
@@ -10676,7 +10694,14 @@ def _xs4(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.extensions import multimodal as X_mm
     from presto_workload_analyzer_spark.sources import read_table
 
-    docs = read_table(spark, f"{sf}/documents.parquet").select("doc_id")
+    from presto_workload_analyzer_spark.sources import min_row_parallelism
+
+    # JPEG encode+decode is pure CPU per row; the doc_id feed
+    # repartitions to core-count tasks when the scan arrives as fewer
+    # splits (structural no-op at production file counts)
+    docs = min_row_parallelism(
+        read_table(spark, f"{sf}/documents.parquet").select("doc_id")
+    )
 
     def synth(batches):
         import pandas as pd
@@ -11147,9 +11172,15 @@ def _xs11(spark: SparkSession, sf: str) -> DataFrame:
     equi-joins at (doc, gram) / (doc, position) grain — no window, no
     UDF (textstats.gopher_repetition)."""
     from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
+    from presto_workload_analyzer_spark.sources import (
+        min_row_parallelism,
+        read_table,
+    )
 
-    docs = read_table(spark, f"{sf}/documents.parquet")
+    # the positional n-gram explode is CPU-dense per row; rows
+    # repartition to core-count tasks when the scan arrives as fewer
+    # splits (structural no-op at production file counts)
+    docs = min_row_parallelism(read_table(spark, f"{sf}/documents.parquet"))
     out = textstats.gopher_repetition(docs, "doc_id", "text")
     flags = {
         f"ok_{k}": F.col(f"{k}_frac") <= t for k, t in _XS11_THRESHOLDS.items()

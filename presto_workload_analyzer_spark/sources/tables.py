@@ -64,6 +64,33 @@ def read_sf_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_table(spark, os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def min_row_parallelism(df: DataFrame) -> DataFrame:
+    """Give row-wise CPU-DENSE downstream work (media decode, per-char
+    regex batteries, n-gram expansion) at least the session's core count
+    of tasks.
+
+    Why this exists: parquet splits at row-group grain, so a small
+    single-row-group file arrives as ONE input split no matter how many
+    cores the executor has — and a per-row compute kernel (where CPU per
+    row ≫ bytes per row) then runs its entire map phase on one thread
+    while 31 cores idle. Scan parallelism follows BYTES; decode/regex
+    parallelism must follow ROWS.
+
+    Scale posture (100 TB): a production corpus is thousands of files,
+    the scan already yields ≥ cores input splits, and this helper is a
+    structural NO-OP — the partition check makes the repartition (and
+    its shuffle) vanish exactly where it would be expensive. The shuffle
+    only ever materializes for inputs small enough to arrive as fewer
+    splits than cores, where its cost is microscopic next to the map
+    work it parallelizes.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def register_tables(spark: SparkSession, sf_dir: str, names: list[str] | None = None) -> dict[str, DataFrame]:
     """Register every testdata table as a temp view; returns the DataFrames."""
     out = {}
