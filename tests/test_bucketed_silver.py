@@ -143,3 +143,25 @@ def test_append_silver_incremental_idempotent(spark, tmp_path_factory):
     got2 = read_silver(spark, out)
     for name in ("queries", "operators", "plan_nodes", "tasks"):
         assert got2[name].count() == full[name].count(), f"{name} duplicated on re-append"
+
+
+def test_min_row_parallelism_is_noop_when_scan_is_wide(spark):
+    """The repartition must vanish exactly where it would be expensive:
+    an input already at >= core-count partitions passes through
+    IDENTICALLY (same plan object — no exchange added), while a
+    single-split input comes back at core-count partitions."""
+    from presto_workload_analyzer_spark.sources import min_row_parallelism
+
+    target = spark.sparkContext.defaultParallelism
+    wide = spark.range(1000).repartition(target)
+    assert min_row_parallelism(wide) is wide
+
+    wider = spark.range(1000).repartition(target + 4)
+    assert min_row_parallelism(wider) is wider
+
+    narrow = spark.range(1000).coalesce(1)
+    out = min_row_parallelism(narrow)
+    assert out is not narrow
+    assert out.rdd.getNumPartitions() == target
+    # row set unchanged
+    assert out.count() == 1000
