@@ -4456,3 +4456,128 @@ def test_fused_lm_scorer_equals_standalones(spark):
         assert r["n_scored"] == jm[i]["n_scored"] == kn[i]["n_scored"], i
         assert abs(r["sum_nll_jm"] - jm[i]["sum_nll"]) < 1e-9, i
         assert abs(r["sum_nll_kn"] - kn[i]["sum_nll"]) < 1e-9, i
+
+
+def test_xs37_kmeans_calibration_on_corpus():
+    """xs37/xs38/s23's calibration pins, checked over the shared oracle
+    chain at both gate SFs: (a) every cluster stays non-empty at every
+    iteration (the Python side raises on an emptied cluster — the gates
+    prove the branch never fires on these corpora); (b) centroid MEAN
+    components — the ONE cross-engine-risky quantity (summation order
+    differs, everything else is identical-operand in-order arithmetic) —
+    sit >= 1e-6 away from their 6dp rounding cliff — the worst-case
+    cross-engine drift of a mean over n <= 20k unit-scale doubles is
+    ~n*eps ~ 4e-12, i.e. 4e-6 of one 1e-6 rounding step, so 1e-6 in
+    frac-of-step space is >= 10x that bound (observed minimum 2.2e-6 at
+    sf0.001); (c) the iterations genuinely move
+    assignments (a1 != final for some vector), so the trajectory is a
+    real decision sequence, not a fixed point hashed four times."""
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS37_ITERS,
+        _XS37_K,
+        _kmeans_sql_chain,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_emb_con(sf)
+        chain = _kmeans_sql_chain()
+        for t in range(1, _XS37_ITERS + 2):
+            n_cl, n_min = con.sql(
+                chain + f" SELECT count(DISTINCT cl),"
+                f" min(cnt) FROM (SELECT cl, count(*) AS cnt FROM a{t}"
+                " GROUP BY 1) g"
+            ).fetchone()
+            assert n_cl == _XS37_K, f"sf{sf} iter {t}: {n_cl} clusters"
+            assert n_min >= 5, f"sf{sf} iter {t}: near-empty cluster {n_min}"
+        for t in range(1, _XS37_ITERS + 1):
+            margin = con.sql(
+                chain + f" SELECT min(abs((((m + 1e-9) * 1e6) % 1) - 0.5))"
+                f" FROM m{t}"
+            ).fetchone()[0]
+            assert margin > 1e-6, (
+                f"sf{sf} iter {t}: centroid mean within {margin} of its"
+                " rounding cliff — cross-engine flip risk; recalibrate k/iters."
+            )
+        moved = con.sql(
+            chain + f" SELECT count(*) FROM a1 JOIN a{_XS37_ITERS + 1} f"
+            " ON f.vec_id = a1.vec_id AND f.cl <> a1.cl"
+        ).fetchone()[0]
+        assert moved > 0, f"sf{sf}: Lloyd iterations never moved a vector"
+
+
+def test_xs39_coverage_discriminates_on_corpus():
+    """xs39's calibration pin: coverage must strictly increase across
+    the vocab sizes and genuinely discriminate at the small end (top-64
+    words cover well under everything) at both gate SFs."""
+    from presto_workload_analyzer_spark.staged_queries import xs39_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT vocab_size, coverage, n_words FROM ("
+            + xs39_sql()
+            + ") ORDER BY vocab_size"
+        ).fetchall()
+        covs = [r[1] for r in rows]
+        assert covs == sorted(covs) and len(set(covs)) == len(covs), (
+            f"sf{sf}: coverage not strictly increasing: {covs}"
+        )
+        assert covs[0] < 0.5, f"sf{sf}: top-2 already covers {covs[0]}"
+
+
+def test_kmeans_matches_python_reference(spark):
+    """similarity.kmeans_lloyd vs a pure-python Lloyd replay with the
+    identical contract (lowest-id seeds, rounded-distance argmin with
+    lowest-index ties, 6dp-rounded means) on a small synthetic frame —
+    the kcenter/KN falsifiability pattern: the distributed formulation
+    must reproduce the sequential semantics bit-for-bit."""
+    import random
+
+    from presto_workload_analyzer_spark.extensions.similarity import (
+        kmeans_lloyd,
+    )
+
+    rng = random.Random(7)
+    rows = [(i, [round(rng.uniform(-1, 1), 3) for _ in range(4)]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    got = {
+        r["id"]: (r["cluster"], r["dist"])
+        for r in kmeans_lloyd(df, "vec_id", "embedding", k=3, iters=2).collect()
+    }
+
+    def rnd(x):
+        import decimal
+        # python round() is banker's; replay Spark/DuckDB HALF_UP
+        return float(
+            decimal.Decimal(repr(x + 1e-9)).quantize(
+                decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+            )
+        )
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def sqd(v, c):
+        return rnd((dot(v, v) - 2.0 * dot(v, c)) + dot(c, c))
+
+    data = {i: v for i, v in rows}
+    cents = [[rnd(x) for x in data[i]] for i in sorted(data)[:3]]
+    for _ in range(2):
+        asg = {}
+        for i, v in data.items():
+            ds = [sqd(v, c) for c in cents]
+            best = min(range(3), key=lambda j: (ds[j], j))
+            asg[i] = best
+        for j in range(3):
+            mem = [data[i] for i in data if asg[i] == j]
+            assert mem, "python replay emptied a cluster"
+            cents[j] = [
+                rnd(sum(v[p] for v in mem) / len(mem)) for p in range(4)
+            ]
+    for i, v in data.items():
+        ds = [sqd(v, c) for c in cents]
+        best = min(range(3), key=lambda j: (ds[j], j))
+        assert got[i] == (best, ds[best]), (i, got[i], (best, ds[best]))

@@ -66,6 +66,17 @@ def test_no_oracle_binds_to_spark_unrepresentable_dtype(con):
     )
 
 
+def _all_staged(staged_queries):
+    """Every staging tier — the dtype bans must hold for entries
+    registering two and three rounds out, not just the next batch."""
+    return {
+        **staged_queries.STAGED,
+        **staged_queries.STAGED_NEXT,
+        **staged_queries.STAGED_TIER3,
+        **staged_queries.STAGED_TIER4,
+    }
+
+
 def test_no_staged_oracle_binds_to_spark_unrepresentable_dtype(con):
     """Staged (not-yet-registered) oracles get the same ban BEFORE the r9
     unfreeze moves them into the registry — a HUGEINT/DECIMAL binding
@@ -73,7 +84,7 @@ def test_no_staged_oracle_binds_to_spark_unrepresentable_dtype(con):
     from presto_workload_analyzer_spark import staged_queries
 
     offenders = []
-    for name, (_fn, sql) in staged_queries.STAGED.items():
+    for name, (_fn, sql) in _all_staged(staged_queries).items():
         desc = con.execute(f"DESCRIBE ({sql})").fetchall()
         for col, typ, *_ in desc:
             if any(b in typ.upper() for b in _BANNED):
@@ -100,7 +111,7 @@ def test_staged_spark_and_oracle_dtypes_pair_exactly(spark, con):
         ("int", "INTEGER"),
     }
     offenders = []
-    for name, (fn, sql) in staged_queries.STAGED.items():
+    for name, (fn, sql) in _all_staged(staged_queries).items():
         sdt = {
             f.name: f.dataType.simpleString()
             for f in fn(spark, SF_DIR).schema.fields

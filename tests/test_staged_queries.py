@@ -15,12 +15,13 @@ import pytest
 from presto_workload_analyzer_spark import staged_queries
 
 # All staging tiers gate identically; STAGED registers next round,
-# STAGED_NEXT the round after, STAGED_TIER3 after that (each round's
-# registration stays <= 8).
+# STAGED_NEXT the round after, then STAGED_TIER3, then STAGED_TIER4
+# (each round's registration stays <= 8).
 ALL_STAGED = {
     **staged_queries.STAGED,
     **staged_queries.STAGED_NEXT,
     **staged_queries.STAGED_TIER3,
+    **staged_queries.STAGED_TIER4,
 }
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
@@ -104,6 +105,7 @@ def test_registration_rehearsal_window_and_names():
         set(staged_queries.STAGED),
         set(staged_queries.STAGED_NEXT),
         set(staged_queries.STAGED_TIER3),
+        set(staged_queries.STAGED_TIER4),
     ]
     for i, a in enumerate(tiers):
         for b in tiers[i + 1:]:
