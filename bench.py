@@ -94,6 +94,22 @@ def main() -> None:
 
     # warm up the JVM + parquet footers once
     spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet")).count()
+    # ...and the Arrow python-worker POOL at full width: a fresh session
+    # holds zero python workers, and the first core-count-parallel
+    # mapInPandas stage pays ~20 s of concurrent interpreter+pandas
+    # startup (measured on xs4 after its min_row_parallelism fix) that
+    # a steady-state deployment never sees; one trivial full-width pass
+    # moves that cost into the warm-up where the JIT warm-up already
+    # lives.
+    def _ident(batches):
+        yield from batches
+
+    (
+        spark.range(256)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_ident, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
     calib_start = calibration()
     calib_io_start = calibration_io()
     load_start = list(os.getloadavg())
