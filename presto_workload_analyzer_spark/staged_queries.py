@@ -1238,7 +1238,9 @@ _XS39_SIZES = (2, 4, 8, 16)
 
 def xs39_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     """Tokenizer-SIZING coverage table: the share of corpus tokens
-    covered by the top-V vocabulary at V = 64/256/1024/4096 — the
+    covered by the top-V vocabulary at V = 2/4/8/16 (_XS39_SIZES,
+    corpus-calibrated — the synthetic corpus has a 31-word vocabulary;
+    production corpora run the same operator at 32k-256k) — the
     decision table behind every vocab-size choice (and the cumulative
     companion of x55's Zipf slope: the slope says how fast the tail
     thins, this says what a budget of V types actually buys). Token

@@ -4460,7 +4460,9 @@ def test_fused_lm_scorer_equals_standalones(spark):
 
 def test_xs37_kmeans_calibration_on_corpus():
     """xs37/xs38/s23's calibration pins, checked over the shared oracle
-    chain at both gate SFs: (a) every cluster stays non-empty at every
+    chain at ALL THREE gate SFs (the tier-4 comment's claim — sf0.1
+    adds ~3 s, min rounding margin there 6.8e-4): (a) every cluster
+    stays non-empty at every
     iteration (the Python side raises on an emptied cluster — the gates
     prove the branch never fires on these corpora); (b) centroid MEAN
     components — the ONE cross-engine-risky quantity (summation order
@@ -4478,7 +4480,7 @@ def test_xs37_kmeans_calibration_on_corpus():
         _kmeans_sql_chain,
     )
 
-    for sf in ("0.001", "0.01"):
+    for sf in ("0.001", "0.01", "0.1"):
         con = _staged_emb_con(sf)
         chain = _kmeans_sql_chain()
         for t in range(1, _XS37_ITERS + 2):

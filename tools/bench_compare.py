@@ -62,6 +62,14 @@ def main() -> int:
     )
     args = ap.parse_args()
     cand, ctrl = load(args.candidate), load(args.control)
+    for tag, d in (("candidate", cand), ("control", ctrl)):
+        if not isinstance(d.get("queries"), dict):
+            sys.exit(f"{tag} detail has no 'queries' map — not a bench_detail.json")
+        if not isinstance(d.get("value"), (int, float)) or d["value"] <= 0:
+            sys.exit(
+                f"{tag} detail lacks a positive 'value' (got {d.get('value')!r})"
+                " — truncated or malformed bench_detail.json"
+            )
 
     shared = [
         k
@@ -91,6 +99,17 @@ def main() -> int:
     if new:
         mass = sum(cand["queries"][k] for k in new)
         print(f"new queries (not in control): {len(new)}, {mass:.1f}s total")
+    # symmetric coverage: a lost/renamed/errored query's control-side mass
+    # must not vanish from the raw-total comparison unnoticed
+    missing = sorted(set(ctrl["queries"]) - set(cand["queries"]))
+    if missing:
+        mass = sum(ctrl["queries"][k] for k in missing)
+        print(
+            f"MISSING queries (in control, absent from candidate):"
+            f" {len(missing)}, {mass:.1f}s control-side mass —"
+            f" {', '.join(missing[:10])}"
+            + (" …" if len(missing) > 10 else "")
+        )
 
     # episode window: consecutive inflated queries in EXECUTION order
     ended = cand.get("ended_at") or {}

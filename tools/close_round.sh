@@ -12,6 +12,8 @@
 #                        benches, so its 35-min load shadow cannot
 #                        contaminate them — see the step-5b notes)
 #   3. bench sf0.1     — per-query wall, writes bench_detail.json
+#  3b. bench adjudication — tools/bench_compare.py vs the committed
+#                        control, recorded as BENCH_ADJUDICATION_r{N}.txt
 #   4. bench sf1       — 10x data (tools/make_sf.py output in .bench_sf/sf1)
 #   5. slope gate      — per-query sf0.1->sf1 ratios vs the superlinear
 #                        allowlist (tools/slope.py)
@@ -38,6 +40,15 @@ python tools/check_correctness.py --json "LOCAL_GATE_r${ROUND}.json"
 echo "== 3/13 bench sf0.1 =="
 python bench.py
 cp bench_detail.json /tmp/close_round_small.json
+
+echo "== 3b/13 bench adjudication vs committed control =="
+# The repeatable form of the BASELINE decision rule (rounds 10-13 ran it
+# by hand): per-query median ratio + episode windows vs the committed
+# canonical control. Recorded as a per-round artifact so the adjudication
+# is mechanical, not narrative. Informational (exit 0 always) — the raw
+# total only matters through this lens on an episodic host.
+python tools/bench_compare.py bench_detail.json git:HEAD:bench_detail.json \
+  | tee "BENCH_ADJUDICATION_r${ROUND}.txt"
 
 if [ -d .bench_sf/sf1 ]; then
   echo "== 4/13 bench sf1 =="
