@@ -906,13 +906,21 @@ def kmeans_lloyd(
     vec_col: str = "embedding",
     k: int = 4,
     iters: int = 3,
+    cents: list[list[float]] | None = None,
 ) -> DataFrame:
     """Lloyd's k-means assignment under the post-`iters`-update
     centroids (kmeans_centroids' contract): one final scan-speed
     assignment pass. Returns (id, cluster, dist) — dist is the rounded
     squared euclidean to the assigned centroid (the quantity the argmin
-    ran on, so the gate hashes the decision itself)."""
-    cents = kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters)
+    ran on, so the gate hashes the decision itself).
+
+    Pass `cents` (a kmeans_centroids result) to assign under an
+    already-computed trajectory — the shared-silver path: several
+    consumers (assignment, prototypicality rank, streaming cell
+    monitor) read the SAME trained centroids, so the iteration cost is
+    paid once per (session, corpus), not once per consumer."""
+    if cents is None:
+        cents = kmeans_centroids(emb, id_col, vec_col, k=k, iters=iters)
     df = emb.select(
         F.col(id_col).alias("id"), _to_double(F.col(vec_col)).alias("v")
     )

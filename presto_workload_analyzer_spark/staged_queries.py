@@ -11,14 +11,15 @@ driver_queries._register — a move, not a debugging session.
 
 Registration history: xs1-xs5 (round 9, registry 222 -> 227),
 xs6-xs13 + s18 (round 11, 227 -> 236), xs14-xs19 + s19 + s20
-(round 12, 236 -> 244), xs20-xs27 (round 13, 244 -> 252).
+(round 12, 236 -> 244), xs20-xs27 (round 13, 244 -> 252),
+xs28-xs34 + s21 (round 14, 252 -> 260).
 
-THREE staging tiers live here so each round's registration stays <= 8
+Staging tiers live here so each round's registration stays <= 8
 (the driver window must cover gate + new + stale in one round):
-`STAGED` (xs20-xs27) registered in round 13 and is now empty;
-`STAGED_NEXT` (xs28-xs34 + s21) registers in round 14; `STAGED_TIER3`
-(xs35/xs36 + s22) in round 15; `STAGED_TIER4` (xs37-xs39 + s23, the
-k-means clustering surface) in round 16. All tiers gate identically in
+`STAGED` (xs20-xs27) and `STAGED_NEXT` (xs28-xs34 + s21) registered in
+rounds 13/14 and are now empty; `STAGED_TIER3` (xs35/xs36 + s22)
+registers in round 15; `STAGED_TIER4` (xs37-xs39 + s23, the k-means
+clustering surface) in round 16. All tiers gate identically in
 tests/test_staged_queries.py.
 
 Registration checklist for each entry:
@@ -40,705 +41,9 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 STAGED: dict[str, tuple] = {}
 
 
-# ---------------------------------------------------------------------------
-# TIER-2 staging (the round-14 pipeline; registered AFTER the xs20-xs27
-# batch above lands in round 13, keeping each round's registration <= 8).
-# Same contract as the batch above: exact DuckDB oracle, both gate SFs,
-# plan-lint clean, calibration pinned by tests. Families this batch adds:
-#
-#   * xs28_ccnet_ppl_buckets  — CCNet's published OUTPUT structure
-#                               (Wenzek et al. 2019 §4.3): per-language
-#                               head/middle/tail perplexity tertiles of
-#                               the held-out slice — the bucketing the
-#                               xs12 threshold filter is usually shipped
-#                               as.
-#   * xs29_d4_prototypes      — D4 prototypicality (Tirumala et al.
-#                               2023): rank members of each embedding
-#                               near-dup cluster by cosine to the
-#                               cluster centroid — the "drop the most
-#                               prototypical" signal beside SemDeDup's
-#                               keep-min (xs1/x64).
-#   * xs30_quality_calibration — decile calibration of the cheap
-#                               quality classifier (x43's logit)
-#                               against held-out LM perplexity (xs7's
-#                               chain): does the scan-speed score track
-#                               the expensive signal — the validation
-#                               step every published classifier-filter
-#                               pipeline reports.
-#   * xs31_cluster_purity     — embedding-cluster label purity/entropy
-#                               (majority share + label entropy per
-#                               near-dup cluster): the cluster-coherence
-#                               check SemDeDup-style pipelines run
-#                               before trusting semantic dedup.
-#   * xs32_kcenter_coreset    — greedy k-center coreset selection
-#                               (Sener & Savarese 2018): max-min
-#                               diversity subset with the full greedy
-#                               trajectory replayed in sequential SQL
-#                               (the x119 BPE-replay falsifiability
-#                               pattern).
-#   * xs33_source_unigram_kl  — per-source unigram KL(source ‖ corpus)
-#                               drift monitor (add-1 smoothed over the
-#                               corpus vocabulary) — the domain-shift
-#                               measurement DoReMi/DSIR-style mixers
-#                               consume.
-#   * xs34_mmr_rerank         — Maximal Marginal Relevance rerank
-#                               (Carbonell & Goldstein 1998) over an
-#                               exact top-16 retrieval pool: the
-#                               diversity-aware serving-side sibling of
-#                               the dedup stack, greedy trajectory
-#                               replayed in sequential SQL.
-#   * s21_stream_decontaminate — the STREAMING seam of xs25: arriving
-#                               pool documents' k-grams hit the static
-#                               broadcast eval-gram set; a stateful
-#                               per-doc count keeps each contaminated
-#                               doc's overlap mass (state grain =
-#                               contaminated docs, benchmark-bounded).
-# ---------------------------------------------------------------------------
-
-_XS28_BUCKETS = ("head", "middle", "tail")
-
-
-def xs28_ccnet_ppl_buckets(spark: SparkSession, sf: str) -> DataFrame:
-    """CCNet's published corpus layout (Wenzek et al. 2019 §4.3): the
-    held-out slice bucketed into per-LANGUAGE head/middle/tail
-    perplexity tertiles under the train-slice bigram LM — the shape the
-    perplexity filter (xs12) ships as when the pipeline keeps all three
-    tiers instead of hard-dropping. Tertile rank runs per language
-    (partitioned window — group grain, never a global sort); rows are
-    (lang, tertile): doc count, token mass, ppl range.
-
-    100 TB: the LM count tables are vocabulary-grain (xs7's shape); the
-    tertile window partitions by language, so the sort is per-language —
-    with skewed languages the inner ORDER BY key is the rounded ppl,
-    mergeable by range partitioning within the language. Oracle: the
-    shared _xs7_perdoc_sql chain + the identical NTILE(3)."""
-    from presto_workload_analyzer_spark.driver_queries import _XS7_LAM
-    from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
-    from pyspark.sql import Window
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    nll = textstats.heldout_bigram_nll(
-        docs, "doc_id", "text", holdout=F.col("doc_id") % 5 == 0, lam=_XS7_LAM
-    )
-    ppl = F.round(F.exp(F.col("sum_nll") / F.col("n_scored")) + 1e-9, 6)
-    scored = nll.select(
-        F.col("id").alias("doc_id"),
-        F.col("n_scored").alias("__nt"),
-        ppl.alias("__ppl"),
-    ).join(docs.select("doc_id", "lang"), "doc_id")
-    w = Window.partitionBy("lang").orderBy("__ppl", "doc_id")
-    names = F.array(*[F.lit(n) for n in _XS28_BUCKETS])
-    return (
-        scored.withColumn("__b", F.ntile(3).over(w))
-        .groupBy("lang", "__b")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum("__nt").cast("long").alias("n_tokens"),
-            F.min("__ppl").alias("ppl_min"),
-            F.max("__ppl").alias("ppl_max"),
-        )
-        .select(
-            "lang",
-            F.col("__b").cast("long").alias("bucket_idx"),
-            F.element_at(names, F.col("__b")).alias("bucket"),
-            "n_docs",
-            "n_tokens",
-            "ppl_min",
-            "ppl_max",
-        )
-    )
-
-
-def xs28_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import _xs7_perdoc_sql
-
-    names = ", ".join(f"'{n}'" for n in _XS28_BUCKETS)
-    return (
-        _xs7_perdoc_sql()
-        + ", lng AS (SELECT p.id, d.lang, p.ns,"
-        "   round(exp(p.snll / p.ns) + 1e-9, 6) AS ppl"
-        "  FROM perdoc p JOIN documents d ON d.doc_id = p.id),"
-        " bk AS (SELECT lang, id, ns, ppl,"
-        "   ntile(3) OVER (PARTITION BY lang ORDER BY ppl, id) AS b FROM lng)"
-        " SELECT lang, CAST(b AS BIGINT) AS bucket_idx,"
-        f"  ([{names}])[b] AS bucket,"
-        "  CAST(count(*) AS BIGINT) AS n_docs,"
-        "  CAST(sum(ns) AS BIGINT) AS n_tokens,"
-        "  min(ppl) AS ppl_min, max(ppl) AS ppl_max"
-        " FROM bk GROUP BY 1, 2, 3"
-    )
-
-
-def _emb_cc_sql_head() -> str:
-    """The embedding near-dup connected-components CTE chain (x33's
-    deterministic md5-hyperplane banding + exact cosine verify at 0.25 +
-    recursive hash-min CC), ending at `cc(id, cluster_id)` — the exact
-    splice _x64_sql performs, factored so xs29/xs31 consume the SAME
-    cluster definition their Spark sides read from the
-    shared_embedding_clusters silver."""
-    from presto_workload_analyzer_spark.driver_queries import _x33_sql
-
-    base = _x33_sql()
-    head, tail = base.split(" SELECT id_a, id_b,", 1)
-    assert tail.endswith("WHERE cosine > 0.25")
-    return (
-        "WITH RECURSIVE "
-        + head[len("WITH "):]
-        + ", prs AS (SELECT id_a, id_b FROM scored WHERE cosine > 0.25),"
-        " edges AS (SELECT id_a AS src, id_b AS dst FROM prs"
-        "  UNION SELECT id_b, id_a FROM prs),"
-        " walk(id, lab) AS ("
-        "  SELECT src, src FROM edges"
-        "  UNION"
-        "  SELECT e2.src, w.lab FROM walk w JOIN edges e2 ON e2.dst = w.id),"
-        " cc AS (SELECT id, min(lab) AS cluster_id FROM walk GROUP BY id)"
-    )
-
-
-def xs29_d4_prototypes(spark: SparkSession, sf: str) -> DataFrame:
-    """D4 prototypicality (Tirumala et al. 2023, public paper: "D4:
-    Improving LLM Pretraining via Document De-Duplication and
-    Diversification"): within each embedding near-dup cluster, rank
-    members by cosine similarity to the CLUSTER CENTROID — rank 1 is the
-    most prototypical member, the one D4 prunes first (SemDeDup keeps
-    min-id, x64; this emits the signal that lets the keep rule be
-    quality- or prototypicality-aware). Consumes the shared embedding-CC
-    silver; the centroid is a (clusters x dims)-grain aggregate
-    (label_centroids — map-side partial avg, shuffle independent of
-    corpus rows), components rounded to 6dp on BOTH sides so the cosine
-    is computed from identical doubles.
-
-    Output: (vec_id, cluster_id, cluster_size, cos_centroid, proto_rank);
-    rank window partitions by cluster (group grain)."""
-    from presto_workload_analyzer_spark.driver_queries import (
-        shared_embedding_clusters,
-    )
-    from presto_workload_analyzer_spark.extensions import similarity
-    from presto_workload_analyzer_spark.sources import read_table
-    from pyspark.sql import Window
-
-    emb = read_table(spark, f"{sf}/embeddings.parquet")
-    cc = shared_embedding_clusters(spark, sf)
-    mem = emb.join(
-        cc.select(F.col("id").alias("vec_id"), "cluster_id"), "vec_id"
-    )
-    cen = similarity.label_centroids(mem, "cluster_id", "embedding").select(
-        F.col("label").alias("cluster_id"),
-        F.col("n").alias("cluster_size"),
-        F.transform(
-            F.col("centroid"), lambda v: F.round(v + F.lit(1e-9), 6)
-        ).alias("__cv"),
-    )
-    cos = F.round(
-        similarity.cosine_expr(F.col("embedding"), F.col("__cv")) + F.lit(1e-9),
-        6,
-    )
-    w = Window.partitionBy("cluster_id").orderBy(
-        F.desc("cos_centroid"), F.asc("vec_id")
-    )
-    return (
-        mem.join(F.broadcast(cen), "cluster_id")
-        .select(
-            "vec_id", "cluster_id", "cluster_size", cos.alias("cos_centroid")
-        )
-        .withColumn("proto_rank", F.row_number().over(w).cast("long"))
-    )
-
-
-def xs29_sql() -> str:
-    cos = (
-        "list_dot_product(mem.ev, cv) / (sqrt(list_dot_product(mem.ev, mem.ev))"
-        " * sqrt(list_dot_product(cv, cv)))"
-    )
-    # reuses _x33_sql's `e(vec_id, v)` DOUBLE[] CTE (aliased to ev here)
-    return (
-        _emb_cc_sql_head()
-        + ", mem AS (SELECT cc.id AS vec_id, cc.cluster_id, e.v AS ev"
-        "  FROM cc JOIN e ON e.vec_id = cc.id),"
-        " dim AS (SELECT cluster_id, u.pos AS pos, ev[u.pos] AS vv"
-        "  FROM mem, UNNEST(range(1, len(ev) + 1)) AS u(pos)),"
-        " m AS (SELECT cluster_id, pos, avg(vv) AS mv FROM dim GROUP BY 1, 2),"
-        " cen AS (SELECT cluster_id, list(round(mv + 1e-9, 6) ORDER BY pos)"
-        "   AS cv FROM m GROUP BY 1),"
-        " sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size"
-        "  FROM mem GROUP BY 1),"
-        " sc AS (SELECT mem.vec_id, mem.cluster_id, sz.cluster_size,"
-        f"   round({cos} + 1e-9, 6) AS cos_centroid"
-        "  FROM mem JOIN cen USING (cluster_id) JOIN sz USING (cluster_id))"
-        " SELECT vec_id, cluster_id, cluster_size, cos_centroid,"
-        "  CAST(row_number() OVER (PARTITION BY cluster_id"
-        "   ORDER BY cos_centroid DESC, vec_id) AS BIGINT) AS proto_rank"
-        " FROM sc"
-    )
-
-
-_XS30_DECILES = tuple(i / 10.0 for i in range(1, 10))
-
-
-def xs30_quality_calibration(spark: SparkSession, sf: str) -> DataFrame:
-    """Calibration of the scan-speed quality classifier against the
-    expensive LM signal — the validation table every published
-    classifier-filter pipeline reports before trusting the cheap score
-    (FineWeb-edu, RedPajama-2, DCLM all publish some form): held-out
-    docs bucketed into DECILES of the x43 logistic quality score, each
-    decile's held-out perplexity under the train-slice bigram LM beside
-    it. A calibrated classifier shows monotone-ish ppl across deciles;
-    a flat profile means the cheap score carries no LM signal.
-
-    100 TB shape is x31's: decile BOUNDARIES from approx_percentile (a
-    mergeable sketch, accuracy derived from the slice row count so the
-    gate stays rank-exact, capped at 1e7 so sketch memory never scales
-    with the corpus), broadcast back over the scan — no global sort, no
-    unpartitioned window. Oracle: quantile_disc + the shared
-    _xs7_perdoc_sql chain."""
-    from presto_workload_analyzer_spark.driver_queries import _XS7_LAM
-    from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    hold = docs.filter(F.col("doc_id") % 5 == 0)
-    lg = hold.select(
-        "doc_id",
-        F.round(textstats.quality_logit("text") + F.lit(1e-9), 6).alias("__q"),
-    )
-    accuracy = min(max(1_000_000, 10 * lg.count()), 10_000_000)
-    pcts = ", ".join(f"{p}D" for p in _XS30_DECILES)
-    bounds = lg.select(
-        F.expr(f"approx_percentile(__q, array({pcts}), {accuracy})").alias("qb")
-    )
-    decile = F.lit(1)
-    for i in range(len(_XS30_DECILES)):
-        decile = decile + (F.col("__q") > F.col("qb")[i]).cast("int")
-    nll = textstats.heldout_bigram_nll(
-        docs, "doc_id", "text", holdout=F.col("doc_id") % 5 == 0, lam=_XS7_LAM
-    )
-    j = (
-        lg.join(F.broadcast(bounds))
-        .withColumn("__d", decile)
-        .join(
-            nll.select(F.col("id").alias("doc_id"), "n_scored", "sum_nll"),
-            "doc_id",
-        )
-    )
-    avg_nll = F.sum("sum_nll") / F.sum("n_scored")
-    return (
-        j.groupBy("__d")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.round(F.avg("__q") + F.lit(1e-9), 6).alias("mean_logit"),
-            F.round(avg_nll + F.lit(1e-9), 6).alias("avg_nll"),
-            F.round(F.exp(avg_nll) + F.lit(1e-9), 6).alias("ppl"),
-        )
-        .select(
-            F.col("__d").cast("long").alias("decile"),
-            "n_docs",
-            "mean_logit",
-            "avg_nll",
-            "ppl",
-        )
-    )
-
-
-def xs30_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import (
-        _X43_Z,
-        _xs7_perdoc_sql,
-    )
-
-    pcts = ", ".join(repr(p) for p in _XS30_DECILES)
-    bucket = " + ".join(
-        f"CAST(q > qb[{i + 1}] AS INT)" for i in range(len(_XS30_DECILES))
-    )
-    return (
-        _xs7_perdoc_sql()
-        + f", lg AS (SELECT doc_id, round(1.0 / (1.0 + exp(-{_X43_Z})) + 1e-9, 6)"
-        "   AS q FROM documents WHERE doc_id % 5 = 0),"
-        f" bnd AS (SELECT quantile_disc(q, [{pcts}]) AS qb FROM lg),"
-        f" bu AS (SELECT doc_id, q, 1 + {bucket} AS dec FROM lg, bnd),"
-        " j AS (SELECT dec, q, ns, snll FROM bu"
-        "  JOIN perdoc ON perdoc.id = bu.doc_id)"
-        " SELECT CAST(dec AS BIGINT) AS decile,"
-        "  CAST(count(*) AS BIGINT) AS n_docs,"
-        "  round(avg(q) + 1e-9, 6) AS mean_logit,"
-        "  round(sum(snll) / sum(ns) + 1e-9, 6) AS avg_nll,"
-        "  round(exp(sum(snll) / sum(ns)) + 1e-9, 6) AS ppl"
-        " FROM j GROUP BY 1"
-    )
-
-
-def xs31_cluster_purity(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cluster LABEL coherence — the sanity check
-    SemDeDup-style pipelines run before trusting semantic dedup: if
-    near-dup clusters mix unrelated labels, the encoder (or the
-    threshold) is wrong and the dedup would delete non-duplicates. Per
-    shared-CC cluster: member count, distinct labels, majority-label
-    share, and label entropy in bits (0 = pure). Entropy uses the
-    algebraic one-pass form H = log2(S) - sum(c*log2(c))/S on BOTH
-    sides, so a single aggregation computes it without a second
-    grouping pass (counts shuffle at (cluster, label) grain only)."""
-    from presto_workload_analyzer_spark.driver_queries import (
-        shared_embedding_clusters,
-    )
-    from presto_workload_analyzer_spark.sources import read_table
-
-    emb = read_table(spark, f"{sf}/embeddings.parquet")
-    cc = shared_embedding_clusters(spark, sf)
-    mem = emb.select("vec_id", "label").join(
-        cc.select(F.col("id").alias("vec_id"), "cluster_id"), "vec_id"
-    )
-    cnt = mem.groupBy("cluster_id", "label").agg(
-        F.count(F.lit(1)).cast("double").alias("__c")
-    )
-    s = F.sum("__c")
-    return cnt.groupBy("cluster_id").agg(
-        s.cast("long").alias("cluster_size"),
-        F.count(F.lit(1)).cast("long").alias("n_labels"),
-        F.round(F.max("__c") / s + F.lit(1e-9), 6).alias("majority_share"),
-        F.round(
-            F.log2(s) - F.sum(F.col("__c") * F.log2("__c")) / s + F.lit(1e-9), 6
-        ).alias("label_entropy"),
-    )
-
-
-def xs31_sql() -> str:
-    return (
-        _emb_cc_sql_head()
-        + ", mem AS (SELECT cc.id AS vec_id, cc.cluster_id, emb.label"
-        "  FROM cc JOIN embeddings emb ON emb.vec_id = cc.id),"
-        " cnt AS (SELECT cluster_id, label, CAST(count(*) AS DOUBLE) AS c"
-        "  FROM mem GROUP BY 1, 2)"
-        " SELECT cluster_id, CAST(sum(c) AS BIGINT) AS cluster_size,"
-        "  CAST(count(*) AS BIGINT) AS n_labels,"
-        "  round(max(c) / sum(c) + 1e-9, 6) AS majority_share,"
-        "  round(log2(sum(c)) - sum(c * log2(c)) / sum(c) + 1e-9, 6)"
-        "   AS label_entropy"
-        " FROM cnt GROUP BY 1"
-    )
-
-
-_XS32_K = 8
-
-
-def xs32_kcenter_coreset(spark: SparkSession, sf: str) -> DataFrame:
-    """Greedy k-center coreset selection over the corpus embeddings
-    (similarity.kcenter_coreset — Sener & Savarese 2018): the max-min
-    diversity subset, k=8, seeded at the min id. The reported dist is
-    the covering radius at each pick (non-increasing by round — pinned
-    by test). The oracle replays the FULL greedy trajectory in
-    sequential SQL (the x119 BPE-replay pattern): one divergence at any
-    round — wrong argmax, wrong tie-break, wrong running min — is a
-    hash mismatch."""
-    from presto_workload_analyzer_spark.extensions import similarity
-    from presto_workload_analyzer_spark.sources import read_table
-
-    emb = read_table(spark, f"{sf}/embeddings.parquet")
-    rows = similarity.kcenter_coreset(emb, "vec_id", "embedding", k=_XS32_K)
-    return spark.createDataFrame(
-        rows, "pick_round LONG, vec_id LONG, dist DOUBLE"
-    )
-
-
-def xs32_sql() -> str:
-    k = _XS32_K
-
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-            f" * sqrt(list_dot_product({b}, {b})))"
-        )
-
-    # MATERIALIZED pins: each s{r} is one row but inlines the whole
-    # m{r-1} chain; without materialization the m-chain re-expands at
-    # every reference (exponential plan text + one parquet re-open per
-    # inlined scan — fd exhaustion on deep chains).
-    parts = [
-        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings)",
-        "s1 AS MATERIALIZED (SELECT min(vec_id) AS id FROM e)",
-        "v1 AS (SELECT e.v FROM e JOIN s1 ON e.vec_id = s1.id)",
-        f"m1 AS (SELECT e.vec_id, round(1.0 - {cos('e.v', 'v1.v')} + 1e-9, 6)"
-        " AS d FROM e, v1)",
-    ]
-    for r in range(2, k + 1):
-        parts.append(
-            f"s{r} AS MATERIALIZED (SELECT vec_id AS id, d FROM m{r - 1}"
-            " ORDER BY d DESC, vec_id LIMIT 1)"
-        )
-        if r < k:
-            parts.append(
-                f"v{r} AS (SELECT e.v FROM e JOIN s{r} ON e.vec_id = s{r}.id)"
-            )
-            parts.append(
-                f"m{r} AS (SELECT m.vec_id,"
-                f" least(m.d, round(1.0 - {cos('e.v', f'v{r}.v')} + 1e-9, 6))"
-                f" AS d FROM m{r - 1} m JOIN e ON e.vec_id = m.vec_id, v{r})"
-            )
-    sel = [
-        "SELECT CAST(1 AS BIGINT) AS pick_round,"
-        " (SELECT id FROM s1) AS vec_id, 0.0 AS dist"
-    ]
-    for r in range(2, k + 1):
-        sel.append(f"SELECT CAST({r} AS BIGINT), id, d FROM s{r}")
-    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
-
-
-def xs33_source_unigram_kl(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-source unigram KL divergence from the corpus distribution —
-    the domain-DRIFT monitor mixture pipelines consume (DoReMi/DSIR
-    measure domain fit with exactly this family of statistics): for each
-    source, KL(p_source ‖ p_corpus) in nats, p_source add-1 smoothed
-    over the corpus vocabulary (so sources missing vocabulary words pay
-    for the mass they lack), p_corpus the MLE (every vocab word has
-    corpus support, so the ratio is finite by construction).
-
-    100 TB shape: everything lives at vocabulary grain — corpus counts,
-    per-source counts, and the (vocab x sources) term table built by
-    BROADCASTING the tiny per-source-total frame over the vocab scan
-    (never the reverse; vocab is the big side). One shuffle per count
-    table, all map-side combinable; the KL rollup shuffles source-grain
-    partials only."""
-    from presto_workload_analyzer_spark.extensions.textstats import tokens
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    toks = (
-        docs.filter(F.col("text").isNotNull())
-        .select(
-            "source",
-            F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
-                "w"
-            ),
-        )
-        .filter(F.col("w") != "")
-    )
-    corpus = toks.groupBy("w").agg(F.count(F.lit(1)).cast("double").alias("c"))
-    scal = corpus.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
-    )
-    srcc = toks.groupBy("source", "w").agg(
-        F.count(F.lit(1)).cast("double").alias("cs")
-    )
-    stot = srcc.groupBy("source").agg(F.sum("cs").alias("ns"))
-    x = (
-        corpus.join(F.broadcast(stot))
-        .join(srcc, ["source", "w"], "left")
-        .join(F.broadcast(scal))
-        .withColumn("__cs", F.coalesce(F.col("cs"), F.lit(0.0)))
-    )
-    p = (F.col("__cs") + F.lit(1.0)) / (F.col("ns") + F.col("v"))
-    q = F.col("c") / F.col("n")
-    return x.groupBy("source").agg(
-        F.min("ns").cast("long").alias("n_tokens"),
-        F.min("v").cast("long").alias("corpus_vocab"),
-        F.round(F.sum(p * F.log(p / q)) + F.lit(1e-9), 6).alias("kl_nats"),
-    )
-
-
-def xs33_sql() -> str:
-    return (
-        "WITH b AS (SELECT source,"
-        "   list_transform(string_split_regex(trim(text), '\\s+'),"
-        "    t -> lower(t)) AS toks"
-        "  FROM documents WHERE text IS NOT NULL),"
-        " u AS (SELECT source, w FROM ("
-        "   SELECT source, unnest(toks) AS w FROM b) q0 WHERE w <> ''),"
-        " corpus AS (SELECT w, CAST(count(*) AS DOUBLE) AS c"
-        "  FROM u GROUP BY 1),"
-        " scal AS (SELECT CAST(sum(c) AS DOUBLE) AS n,"
-        "   CAST(count(*) AS DOUBLE) AS v FROM corpus),"
-        " srcc AS (SELECT source, w, CAST(count(*) AS DOUBLE) AS cs"
-        "  FROM u GROUP BY 1, 2),"
-        " stot AS (SELECT source, sum(cs) AS ns FROM srcc GROUP BY 1),"
-        " x AS (SELECT st.source, co.c,"
-        "   coalesce(sc.cs, 0.0) AS cs, st.ns, scal.n, scal.v"
-        "  FROM corpus co CROSS JOIN stot st"
-        "   LEFT JOIN srcc sc ON sc.source = st.source AND sc.w = co.w,"
-        "   scal)"
-        " SELECT source, CAST(min(ns) AS BIGINT) AS n_tokens,"
-        "  CAST(min(v) AS BIGINT) AS corpus_vocab,"
-        "  round(sum(((cs + 1.0) / (ns + v))"
-        "   * ln(((cs + 1.0) / (ns + v)) / (c / n))) + 1e-9, 6) AS kl_nats"
-        " FROM x GROUP BY 1"
-    )
-
-
-_XS34_POOL = 16
-_XS34_K = 8
-_XS34_LAM = 0.7
-_XS34_QUERY = 0
-
-
-def xs34_mmr_rerank(spark: SparkSession, sf: str) -> DataFrame:
-    """Maximal Marginal Relevance rerank (Carbonell & Goldstein 1998)
-    over an exact top-16 retrieval pool for query vec 0: the
-    diversity-aware serving-side rerank (lam=0.7), picking 8. The
-    distributed work is the pool: exact top-16 cosine retrieval plus the
-    in-engine pairwise-cosine table over the pool (both rounded to 6dp,
-    so the driver-side greedy — pool-sized state, MMR's own sequential
-    dependency — does IEEE-double arithmetic on engine-identical
-    operands and replays exactly in sequential SQL; the pick margins are
-    pinned >= 1e-9 by test so no engine can flip a round). Both sides
-    use the max-sim-floor-at-0.0 convention (similarity.mmr_rerank's
-    documented deviation from literal Carbonell-Goldstein for
-    negative-cosine pools): Python seeds maxsim = 0.0, the oracle's
-    m{r+1} takes greatest(ms, coalesce(s, 0.0)) from a 0.0 seed.
-
-    Output: (pick_rank, vec_id, relevance, mmr_score)."""
-    from presto_workload_analyzer_spark.extensions import similarity
-    from presto_workload_analyzer_spark.sources import read_table
-
-    emb = read_table(spark, f"{sf}/embeddings.parquet")
-    q = emb.filter(F.col("vec_id") == _XS34_QUERY)
-    top = similarity.cosine_topk(emb, q, k=_XS34_POOL).select(
-        "neighbor_id", F.round(F.col("cosine") + F.lit(1e-9), 6).alias("rel")
-    )
-    pool = emb.join(
-        F.broadcast(top.select(F.col("neighbor_id").alias("vec_id"))), "vec_id"
-    )
-    a = pool.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = pool.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b")).select(
-        "id_a",
-        "id_b",
-        F.round(
-            similarity.cosine_expr(F.col("va"), F.col("vb")) + F.lit(1e-9), 6
-        ).alias("s"),
-    )
-    rel = {r["neighbor_id"]: r["rel"] for r in top.collect()}
-    psim = {(r["id_a"], r["id_b"]): r["s"] for r in pairs.collect()}
-    picks = similarity.mmr_rerank(rel, psim, k=_XS34_K, lam=_XS34_LAM)
-    out = spark.createDataFrame(
-        picks, "pick_rank LONG, vec_id LONG, relevance DOUBLE, __raw DOUBLE"
-    )
-    return out.select(
-        "pick_rank",
-        "vec_id",
-        "relevance",
-        F.round(F.col("__raw") + F.lit(1e-9), 6).alias("mmr_score"),
-    )
-
-
-def xs34_sql() -> str:
-    lam, k, pool, qid = _XS34_LAM, _XS34_K, _XS34_POOL, _XS34_QUERY
-    om = 1.0 - lam  # embedded via repr: 0.7 -> 0.30000000000000004 in IEEE
-
-    def cos(a: str, b: str) -> str:
-        return (
-            f"list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
-            f" * sqrt(list_dot_product({b}, {b})))"
-        )
-
-    # MATERIALIZED pins: cand/ps/g{r} are pool-sized (or one-row) but
-    # inline the whole upstream chain per reference; un-materialized,
-    # the m-chain's 4 references per level expand exponentially (plan
-    # blowup + one parquet re-open per inlined scan — fd exhaustion).
-    parts = [
-        "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        " FROM embeddings)",
-        f"qv AS (SELECT v FROM e WHERE vec_id = {qid})",
-        f"sc AS (SELECT e.vec_id, {cos('e.v', 'qv.v')} AS c"
-        f" FROM e, qv WHERE e.vec_id <> {qid})",
-        "rk AS (SELECT vec_id, c,"
-        " row_number() OVER (ORDER BY c DESC, vec_id) AS r FROM sc)",
-        f"cand AS MATERIALIZED (SELECT vec_id, round(c + 1e-9, 6) AS rel"
-        f" FROM rk WHERE r <= {pool})",
-        "ps AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
-        f" round({cos('ea.v', 'eb.v')} + 1e-9, 6) AS s"
-        " FROM cand a JOIN cand b ON a.vec_id < b.vec_id"
-        " JOIN e ea ON ea.vec_id = a.vec_id"
-        " JOIN e eb ON eb.vec_id = b.vec_id)",
-        "m1 AS (SELECT vec_id, rel, 0.0 AS ms FROM cand)",
-    ]
-    sel = []
-    for r in range(1, k + 1):
-        parts.append(
-            f"g{r} AS MATERIALIZED (SELECT vec_id, rel, ms,"
-            f" {lam!r} * rel - {om!r} * ms AS score"
-            f" FROM m{r} ORDER BY score DESC, vec_id LIMIT 1)"
-        )
-        if r < k:
-            # the one-row g{r} cross-joins in first so the LEFT JOIN
-            # condition sees plain columns (DuckDB rejects subqueries
-            # in non-inner join conditions)
-            parts.append(
-                f"m{r + 1} AS (SELECT m.vec_id, m.rel,"
-                " greatest(m.ms, coalesce(p.s, 0.0)) AS ms"
-                f" FROM m{r} m CROSS JOIN g{r} g"
-                " LEFT JOIN ps p ON (p.id_a = m.vec_id AND p.id_b = g.vec_id)"
-                "  OR (p.id_b = m.vec_id AND p.id_a = g.vec_id)"
-                " WHERE m.vec_id <> g.vec_id)"
-            )
-        sel.append(
-            f"SELECT CAST({r} AS BIGINT) AS pick_rank, vec_id,"
-            f" rel AS relevance, round(score + 1e-9, 6) AS mmr_score"
-            f" FROM g{r}"
-        )
-    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
-
-
-
-def s21_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
-    """The STREAMING seam of xs25's benchmark decontamination: pool
-    documents arrive continuously; each micro-batch's k-grams hit the
-    STATIC broadcast eval-gram set (stream-static equi-join — stateless)
-    and a stateful per-doc count accumulates each contaminated doc's
-    overlap mass. State grain = contaminated docs only (the set sharing
-    grams with a benchmark — benchmark-bounded, NOT corpus-bounded), the
-    same economics as the batch twin's broadcast semi-join. Complete-mode
-    memory drain in the gate; the production sink is the foreachBatch
-    upsert path. Oracle: xs25's own chain, hit rows only — spliced from
-    xs25_sql so the two contracts cannot drift."""
-    import uuid
-
-    from presto_workload_analyzer_spark.driver_queries import _xs25_grams
-    from presto_workload_analyzer_spark.sources import read_table
-    from presto_workload_analyzer_spark.streaming import (
-        run_to_memory,
-        state_partitions,
-        stream_sf_table,
-    )
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    ev = (
-        docs.filter(F.col("doc_id") % 10 == 0)
-        .select(F.explode(_xs25_grams()).alias("gram"))
-        .distinct()
-    )
-    hits = (
-        stream_sf_table(spark, sf, "documents")
-        .filter(F.col("doc_id") % 10 != 0)
-        .select("doc_id", F.explode(_xs25_grams()).alias("gram"))
-        .join(F.broadcast(ev), "gram")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_grams"))
-    )
-    name = f"s21_mem_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        q = run_to_memory(hits, name, output_mode="complete")
-        q.awaitTermination(300)
-    tbl = spark.table(name)
-    return spark.createDataFrame(tbl.collect(), tbl.schema)
-
-
-def s21_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import xs25_sql
-
-    base = xs25_sql()
-    head, _ = base.split(" SELECT d.doc_id,", 1)
-    return head + " SELECT doc_id, n AS n_overlap_grams FROM hit"
-
-
-STAGED_NEXT: dict[str, tuple] = {
-    "xs28_ccnet_ppl_buckets": (xs28_ccnet_ppl_buckets, xs28_sql()),
-    "xs29_d4_prototypes": (xs29_d4_prototypes, xs29_sql()),
-    "xs30_quality_calibration": (xs30_quality_calibration, xs30_sql()),
-    "xs31_cluster_purity": (xs31_cluster_purity, xs31_sql()),
-    "xs32_kcenter_coreset": (xs32_kcenter_coreset, xs32_sql()),
-    "xs33_source_unigram_kl": (xs33_source_unigram_kl, xs33_sql()),
-    "xs34_mmr_rerank": (xs34_mmr_rerank, xs34_sql()),
-    "s21_stream_decontaminate": (s21_stream_decontaminate, s21_sql()),
-}
+# (xs28-xs34 + s21 registered in round 14 — moved verbatim into
+# driver_queries; this tier is empty until the next batch stages.)
+STAGED_NEXT: dict[str, tuple] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -959,10 +264,18 @@ def s22_stream_source_kl(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(out.collect(), out.schema)
 
 
+def _xs33_sql_for_s22() -> str:
+    # s22's oracle IS its batch twin's (xs33 registered in round 14):
+    # after a full drain the stateful readout equals the batch KL table.
+    from presto_workload_analyzer_spark.driver_queries import xs33_sql
+
+    return xs33_sql()
+
+
 STAGED_TIER3: dict[str, tuple] = {
     "xs35_contrastive_pairs": (xs35_contrastive_pairs, xs35_sql()),
     "xs36_kneser_ney_filter": (xs36_kneser_ney_filter, xs36_sql()),
-    "s22_stream_source_kl": (s22_stream_source_kl, xs33_sql()),
+    "s22_stream_source_kl": (s22_stream_source_kl, _xs33_sql_for_s22()),
 }
 
 
@@ -1003,10 +316,13 @@ STAGED_TIER3: dict[str, tuple] = {
 #                              stateful per-cell count/dist-mass
 #                              aggregation (state grain = k cells).
 #
-# Registration note (r16): xs37/xs38/s23 each recompute the centroid
-# trajectory (3 bounded collects); at registration, lift it into a
-# shared per-session silver (the shared_dedup_clusters convention) so
-# the driver bench pays the iteration cost once, not three times.
+# Shared trajectory silver (r14, per the r13 registration note):
+# xs37/xs38/s23 all consume shared_kmeans_centroids below — the
+# centroid trajectory (iters+1 scans, 3 bounded collects) is computed
+# once per (process, corpus) and memoized, the shared_dedup_clusters
+# economics for driver-held state (a k x dims list, not a DataFrame).
+# At the r16 registration the memo + accessor move to driver_queries
+# with the batch.
 #
 # Pre-registration scale posture (measured, .bench_sf/sf1 = 10x rows):
 # xs37 4.2 -> 8.1 s (1.9x), xs38 5.0 -> 9.7 s (2.0x), xs39 1.3 -> 1.9 s
@@ -1023,6 +339,30 @@ STAGED_TIER3: dict[str, tuple] = {
 _XS37_K = 4
 _XS37_ITERS = 3
 _XS37_DIM = 64
+
+# (sf dir or other corpus key) -> final centroids; deterministic data
+# (kmeans_centroids' exact-replay contract), so a process-lifetime memo
+# is safe across Spark sessions reading the same corpus.
+_KMEANS_CENTS_CACHE: dict[str, list] = {}
+
+
+def shared_kmeans_centroids(spark: SparkSession, sf: str) -> list:
+    """The trained-centroid silver all three k-means consumers read
+    (xs37 assignment, xs38 prototypicality, s23 streaming cell monitor):
+    similarity.kmeans_centroids' exact-replay trajectory, computed once
+    per (process, corpus) — k x dims driver-held floats, the bounded
+    state class of BPE's merge list. Sharing it means the driver bench
+    pays the iteration cost (iters+1 scans) once, not three times, and
+    the three queries hash the SAME centroids by construction."""
+    if sf not in _KMEANS_CENTS_CACHE:
+        from presto_workload_analyzer_spark.extensions import similarity
+        from presto_workload_analyzer_spark.sources import read_table
+
+        emb = read_table(spark, f"{sf}/embeddings.parquet")
+        _KMEANS_CENTS_CACHE[sf] = similarity.kmeans_centroids(
+            emb, "vec_id", "embedding", k=_XS37_K, iters=_XS37_ITERS
+        )
+    return _KMEANS_CENTS_CACHE[sf]
 
 
 def _kmeans_sql_chain(k: int = _XS37_K, iters: int = _XS37_ITERS,
@@ -1080,13 +420,16 @@ def xs37_kmeans_lloyd(spark: SparkSession, sf: str) -> DataFrame:
     per-cluster pruning, at hash-gated grade (similarity.kmeans_lloyd
     has the determinism contract and the 100 TB shuffle audit: centroids
     are a driver-held k x dims table, each iteration one scan-speed
-    assignment pass + a (k x dims)-grain mean, iters+1 scans total)."""
+    assignment pass + a (k x dims)-grain mean, iters+1 scans total).
+    The trajectory itself comes from the shared_kmeans_centroids silver
+    (computed once per corpus, shared with xs38/s23)."""
     from presto_workload_analyzer_spark.extensions import similarity
     from presto_workload_analyzer_spark.sources import read_table
 
     emb = read_table(spark, f"{sf}/embeddings.parquet")
     return similarity.kmeans_lloyd(
-        emb, "vec_id", "embedding", k=_XS37_K, iters=_XS37_ITERS
+        emb, "vec_id", "embedding", k=_XS37_K, iters=_XS37_ITERS,
+        cents=shared_kmeans_centroids(spark, sf),
     ).withColumnRenamed("id", "vec_id")
 
 
@@ -1112,9 +455,7 @@ def xs38_kmeans_prototypes(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.sources import read_table
 
     emb = read_table(spark, f"{sf}/embeddings.parquet")
-    cents = similarity.kmeans_centroids(
-        emb, "vec_id", "embedding", k=_XS37_K, iters=_XS37_ITERS
-    )
+    cents = shared_kmeans_centroids(spark, sf)
     cen = spark.createDataFrame(
         [(j, cents[j]) for j in range(len(cents))],
         "cluster LONG, __cv ARRAY<DOUBLE>",
@@ -1186,17 +527,13 @@ def s23_stream_kmeans_assign(spark: SparkSession, sf: str) -> DataFrame:
     import uuid
 
     from presto_workload_analyzer_spark.extensions import similarity
-    from presto_workload_analyzer_spark.sources import read_table
     from presto_workload_analyzer_spark.streaming import (
         run_to_memory,
         state_partitions,
         stream_sf_table,
     )
 
-    emb = read_table(spark, f"{sf}/embeddings.parquet")
-    cents = similarity.kmeans_centroids(
-        emb, "vec_id", "embedding", k=_XS37_K, iters=_XS37_ITERS
-    )
+    cents = shared_kmeans_centroids(spark, sf)
     v = similarity._to_double(F.col("embedding"))
     cl, d = similarity._kmeans_assign_cols(v, cents)
     agg = (

@@ -3980,7 +3980,7 @@ def test_xs28_tertiles_cover_all_languages_on_corpus():
     perplexity tertiles at both gate SFs (5 langs x 3 buckets = 15
     rows), and the corpus ppl range must be genuinely non-degenerate —
     a collapsed range would make the tertile boundaries hash-fragile."""
-    from presto_workload_analyzer_spark.staged_queries import xs28_sql
+    from presto_workload_analyzer_spark.driver_queries import xs28_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -4010,7 +4010,7 @@ def test_xs29_prototype_ranks_discriminate_on_corpus():
     must hold a genuine cos-to-centroid SPREAD at both gate SFs (>= 0.01
     between its most and least prototypical member; measured ~0.66) —
     all-equal cosines would make proto_rank a pure id-order artifact."""
-    from presto_workload_analyzer_spark.staged_queries import xs29_sql
+    from presto_workload_analyzer_spark.driver_queries import xs29_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_emb_con(sf)
@@ -4028,7 +4028,7 @@ def test_xs30_deciles_carry_nll_signal_on_corpus():
     merge at most a couple) and (b) carry non-constant LM signal
     (avg_nll spread > 0.005 nats; measured ~0.03) at both gate SFs —
     a flat profile would hash a vacuous calibration table."""
-    from presto_workload_analyzer_spark.staged_queries import xs30_sql
+    from presto_workload_analyzer_spark.driver_queries import xs30_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -4052,7 +4052,7 @@ def test_xs30_decile_boundaries_match_cross_engine(spark):
     from presto_workload_analyzer_spark.driver_queries import _X43_Z
     from presto_workload_analyzer_spark.extensions import textstats
     from presto_workload_analyzer_spark.sources import read_table
-    from presto_workload_analyzer_spark.staged_queries import _XS30_DECILES
+    from presto_workload_analyzer_spark.driver_queries import _XS30_DECILES
 
     for sf in ("0.001", "0.01", "0.1"):
         docs = read_table(spark, f"/root/testdata/sf{sf}/documents.parquet")
@@ -4085,7 +4085,7 @@ def test_xs31_purity_discriminates_on_corpus():
     corpus mixes >= 2 labels (the synthetic labels are independent of
     the near-dup structure, so a PURE cluster would be suspicious), and
     majority shares must genuinely vary (not all minimal, not all 1)."""
-    from presto_workload_analyzer_spark.staged_queries import xs31_sql
+    from presto_workload_analyzer_spark.driver_queries import xs31_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_emb_con(sf)
@@ -4104,7 +4104,7 @@ def test_xs32_greedy_radius_invariants_on_corpus():
     true for ANY corpus, so a violation is an implementation bug, not a
     fixture change — and on this corpus all 8 picks are distinct with
     strictly positive radii (measured 1.37 -> 0.97)."""
-    from presto_workload_analyzer_spark.staged_queries import xs32_sql
+    from presto_workload_analyzer_spark.driver_queries import xs32_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_emb_con(sf)
@@ -4126,7 +4126,7 @@ def test_xs33_kl_spreads_on_corpus():
     everywhere (add-1 smoothing vs corpus MLE cannot coincide) and
     genuinely spread (max/min >= 1.5; measured ~2.4-3.7x) at both gate
     SFs — a flat KL table would hash no drift signal."""
-    from presto_workload_analyzer_spark.staged_queries import xs33_sql
+    from presto_workload_analyzer_spark.driver_queries import xs33_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -4148,7 +4148,7 @@ def test_xs34_mmr_margins_and_diversification_on_corpus():
     relevance order at both gate SFs (diversification actually fired),
     (c) the replay's pick sequence equals the oracle's."""
     from presto_workload_analyzer_spark.extensions.similarity import mmr_rerank
-    from presto_workload_analyzer_spark.staged_queries import (
+    from presto_workload_analyzer_spark.driver_queries import (
         _XS34_K,
         _XS34_LAM,
         _XS34_POOL,
@@ -4215,7 +4215,7 @@ def test_s21_contamination_nonvacuous_on_corpus():
     """s21's calibration pin: the streaming decontamination drain must
     flag SOME pool docs at both gate SFs (7 and 6 as staged) — zero
     rows would turn the stream-vs-batch oracle compare vacuous."""
-    from presto_workload_analyzer_spark.staged_queries import s21_sql
+    from presto_workload_analyzer_spark.driver_queries import s21_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)

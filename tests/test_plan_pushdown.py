@@ -207,9 +207,36 @@ def test_round13_registrations_prune_document_scans(spark, name, allowed):
         assert cols <= allowed, (name, sorted(cols), line)
 
 
-def test_staged_tier2_batch_prunes_scans(spark):
-    """The tier-2 staged batch (xs28+) arrives with pruned scans on BOTH
-    fact tables: documents readers never drag `text` where only ids are
+_ROUND14_SCAN_PINS = {
+    "xs28_ccnet_ppl_buckets": {
+        "documents": {"doc_id", "lang", "text"},
+    },
+    "xs29_d4_prototypes": {
+        "embeddings": {"vec_id", "embedding"},
+    },
+    "xs30_quality_calibration": {
+        "documents": {"doc_id", "text"},
+    },
+    "xs31_cluster_purity": {
+        "embeddings": {"vec_id", "label", "embedding"},
+    },
+    "xs32_kcenter_coreset": {
+        "embeddings": {"vec_id", "embedding"},
+    },
+    "xs33_source_unigram_kl": {
+        "documents": {"source", "text"},
+    },
+    "xs34_mmr_rerank": {
+        "embeddings": {"vec_id", "embedding"},
+    },
+    # s21 is a streaming drain; its batch twin xs25 pins the scan
+}
+
+
+@pytest.mark.parametrize("name", sorted(_ROUND14_SCAN_PINS))
+def test_round14_registrations_prune_scans(spark, name):
+    """The round-14 batch (registered this round): pruned scans on BOTH
+    fact tables — documents readers never drag `text` where only ids are
     needed (and never read n_chars at all); embeddings readers take only
     the columns their math touches (xs31 alone may read `label`).
     Subset-only assertions: the embedding-cluster silver may already be
@@ -218,42 +245,15 @@ def test_staged_tier2_batch_prunes_scans(spark):
     iterative passes scan inside the function — kcenter_coreset selects
     exactly (id, vec) by construction), so their rows here only guard
     against a future refactor reintroducing a plan-visible scan."""
-    from presto_workload_analyzer_spark import staged_queries
-
-    allowed = {
-        "xs28_ccnet_ppl_buckets": {
-            "documents": {"doc_id", "lang", "text"},
-        },
-        "xs29_d4_prototypes": {
-            "embeddings": {"vec_id", "embedding"},
-        },
-        "xs30_quality_calibration": {
-            "documents": {"doc_id", "text"},
-        },
-        "xs31_cluster_purity": {
-            "embeddings": {"vec_id", "label", "embedding"},
-        },
-        "xs32_kcenter_coreset": {
-            "embeddings": {"vec_id", "embedding"},
-        },
-        "xs33_source_unigram_kl": {
-            "documents": {"source", "text"},
-        },
-        "xs34_mmr_rerank": {
-            "embeddings": {"vec_id", "embedding"},
-        },
-        # s21 is a streaming drain; its batch twin xs25 pins the scan
-    }
-    for name, tables in allowed.items():
-        fn, _sql = staged_queries.STAGED_NEXT[name]
-        df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        for line in plan.splitlines():
-            m = _SCAN_RE.search(line)
-            if not m or m.group(2) not in tables:
-                continue
-            cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
-            assert cols <= tables[m.group(2)], (name, sorted(cols), line)
+    tables = _ROUND14_SCAN_PINS[name]
+    df = driver_queries.queries()[name](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    for line in plan.splitlines():
+        m = _SCAN_RE.search(line)
+        if not m or m.group(2) not in tables:
+            continue
+        cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
+        assert cols <= tables[m.group(2)], (name, sorted(cols), line)
 
 
 def test_staged_tier3_batch_prunes_scans(spark):
