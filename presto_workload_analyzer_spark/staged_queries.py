@@ -19,8 +19,10 @@ Staging tiers live here so each round's registration stays <= 8
 `STAGED` (xs20-xs27) and `STAGED_NEXT` (xs28-xs34 + s21) registered in
 rounds 13/14 and are now empty; `STAGED_TIER3` (xs35/xs36 + s22)
 registers in round 15; `STAGED_TIER4` (xs37-xs39 + s23, the k-means
-clustering surface) in round 16. All tiers gate identically in
-tests/test_staged_queries.py.
+clustering surface) in round 16; `STAGED_TIER5` (xs40-xs43 + s24, the
+context-budget / repeat-epochs / readability-curriculum surface, staged
+in round 14 after the tier-2 batch drained) in round 17. All tiers gate
+identically in tests/test_staged_queries.py.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -679,4 +681,443 @@ STAGED_TIER4: dict[str, tuple] = {
     "xs38_kmeans_prototypes": (xs38_kmeans_prototypes, xs38_sql()),
     "xs39_vocab_coverage": (xs39_vocab_coverage, xs39_sql()),
     "s23_stream_kmeans_assign": (s23_stream_kmeans_assign, s23_sql()),
+}
+
+
+# ---------------------------------------------------------------------------
+# TIER-5 staging (the round-17 pipeline; staged in round 14 after the
+# tier-2 batch drained, keeping every round's registration <= 8). Four
+# batch entries + one streaming seam, four families the registry does
+# not yet cover:
+#
+#   * xs40_context_budget   — the max-sequence-length DECISION TABLE:
+#                             per candidate context length L, docs
+#                             truncated / tokens kept / tokens lost /
+#                             loss share — the measurement behind every
+#                             "train at 2k or 8k?" budget choice (the
+#                             decision-table companion of x39/xs17's
+#                             packing, which assume L already chosen).
+#   * xs41_repeat_epochs    — data-constrained epoch allocation with
+#                             diminishing repeat value (Muennighoff et
+#                             al. 2023 arXiv:2305.16264 shape): greedy
+#                             over (source, epoch) marginal-value cells
+#                             under a token budget, geometric decay —
+#                             the repeats-aware upgrade of the xs6/xs9
+#                             single-epoch mixers.
+#   * xs42_readability      — Flesch-Kincaid-style readability battery
+#                             per source over the reconstructed
+#                             multi-line corpus (pooled EXACT-integer
+#                             sums; grade from one fixed expression) —
+#                             the curriculum-difficulty signal.
+#   * xs43_curriculum_order — easy-first curriculum SCHEDULE at doc
+#                             grain: per-doc grade -> decile (sketch
+#                             boundaries, xs30's shape) -> global
+#                             position via the hierarchical two-level
+#                             rank (no unpartitioned window) with a
+#                             within-decile md5 shuffle.
+#   * s24_stream_context_budget — xs40's streaming seam: stateless
+#                             per-doc token count feeding a stateful
+#                             per-L aggregation (state grain = |L|
+#                             cells); the ingest-side context-budget
+#                             monitor.
+#
+# Calibration (corpus-measured): token lengths run 10-100 (median ~55),
+# so _XS40_LENS = (16, 32, 64, 96) spans truncate-everything ->
+# truncate-the-tail (production: 2k-32k). The synthesized multi-line
+# corpus (xs14's _chunk_lines convention — this corpus has no native
+# punctuation) gives FK grades 0-10.6, median ~5.5 -> _XS42_EASY = 5.5
+# splits genuinely; n_sentences runs 1-9. The xs41 grid: 20 sources x
+# K=8 epochs, budget 60000 ~ 2.2 corpus epochs at sf0.001/0.01 and
+# ~0.2 at sf0.1 — both shapes non-degenerate (asserted per SF).
+# ---------------------------------------------------------------------------
+
+_XS40_LENS = (16, 32, 64, 96)
+_XS41_BUDGET = 60_000.0
+_XS41_DECAY = 0.5
+_XS41_EPOCHS = 8
+_XS42_EASY = 5.5
+_XS43_DECILES = tuple(i / 10.0 for i in range(1, 10))
+
+
+def xs40_context_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """Context-length budget table: for each candidate max sequence
+    length L, how many documents would truncate and how much token mass
+    the cut loses — the decision table behind the max-seq-len choice
+    (packing ops x39/xs17 take L as GIVEN; this measures what each L
+    costs). Token grain is the engine's token_count (x39's convention).
+
+    100 TB: one corpus scan; the explode multiplies rows by |L| (4) but
+    every row is one integer — the aggregate is map-side combinable to
+    |L| cells, so the shuffle is constant-size at any corpus."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    nt = docs.select(textstats.token_count("text").cast("long").alias("__n"))
+    sizes = F.array(*[F.lit(v) for v in _XS40_LENS])
+    x = nt.select("__n", F.explode(sizes).alias("seq_len"))
+    kept = F.sum(F.least(F.col("__n"), F.col("seq_len")))
+    lost = F.sum(F.greatest(F.col("__n") - F.col("seq_len"), F.lit(0)))
+    return (
+        x.groupBy("seq_len")
+        .agg(
+            F.sum((F.col("__n") > F.col("seq_len")).cast("long"))
+            .cast("long")
+            .alias("n_docs_truncated"),
+            kept.cast("long").alias("tokens_kept"),
+            lost.cast("long").alias("tokens_lost"),
+        )
+        .select(
+            F.col("seq_len").cast("long").alias("seq_len"),
+            "n_docs_truncated",
+            "tokens_kept",
+            "tokens_lost",
+            F.round(
+                F.col("tokens_lost")
+                / (F.col("tokens_kept") + F.col("tokens_lost"))
+                + F.lit(1e-9),
+                6,
+            ).alias("loss_share"),
+        )
+    )
+
+
+def xs40_sql() -> str:
+    lens = ", ".join(str(v) for v in _XS40_LENS)
+    return (
+        "WITH nt AS (SELECT len(string_split_regex(trim(text), '\\s+')) AS n"
+        "  FROM documents),"
+        f" l AS (SELECT unnest([{lens}]) AS seq_len),"
+        " x AS (SELECT seq_len, n FROM nt, l)"
+        " SELECT CAST(seq_len AS BIGINT) AS seq_len,"
+        "  CAST(sum(CASE WHEN n > seq_len THEN 1 ELSE 0 END) AS BIGINT)"
+        "   AS n_docs_truncated,"
+        "  CAST(sum(least(n, seq_len)) AS BIGINT) AS tokens_kept,"
+        "  CAST(sum(greatest(n - seq_len, 0)) AS BIGINT) AS tokens_lost,"
+        "  round(sum(greatest(n - seq_len, 0))"
+        "   / (1.0 * sum(n)) + 1e-9, 6) AS loss_share"
+        " FROM x GROUP BY 1"
+    )
+
+
+def xs41_repeat_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """Data-constrained epoch allocation (Muennighoff et al. 2023
+    shape): spread a token budget over (source, epoch) cells whose
+    marginal value decays geometrically in the epoch index — the
+    repeats-aware mixer beside the single-epoch allocators (xs6 UniMax,
+    xs9 temperature). sampling.repeat_decay_mix has the determinism
+    contract (exact-literal decay powers, greedy order, fractional
+    boundary cell) and the 100 TB audit (bounded grid, broadcast
+    triangular join, no window)."""
+    from presto_workload_analyzer_spark.extensions import sampling, textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    per = docs.groupBy("source").agg(
+        F.sum(textstats.token_count("text").cast("long")).alias("__tok")
+    )
+    return sampling.repeat_decay_mix(
+        per,
+        "source",
+        "__tok",
+        budget=_XS41_BUDGET,
+        decay=_XS41_DECAY,
+        max_epochs=_XS41_EPOCHS,
+    )
+
+
+def xs41_sql() -> str:
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        repeat_decay_powers,
+    )
+
+    b, k = _XS41_BUDGET, _XS41_EPOCHS
+    pows = repeat_decay_powers(_XS41_DECAY, k)
+    geo = [0.0]
+    for i in range(k):
+        geo.append(geo[-1] + pows[i])
+    plist = ", ".join(repr(p) for p in pows)
+    glist = ", ".join(repr(g) for g in geo)
+    return (
+        "WITH per AS (SELECT source,"
+        "   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT)"
+        "    AS t FROM documents GROUP BY 1),"
+        f" g AS (SELECT source, t, u.k AS k, t * ([{plist}][u.k]) AS val"
+        f"  FROM per, UNNEST(range(1, {k + 1})) AS u(k)),"
+        " w AS (SELECT a.source, a.t, a.k,"
+        "   coalesce(sum(b.t), 0) AS cum"
+        "  FROM g a LEFT JOIN g b ON (b.val > a.val)"
+        "   OR (b.val = a.val AND (b.source < a.source"
+        "    OR (b.source = a.source AND b.k < a.k)))"
+        "  GROUP BY 1, 2, 3),"
+        f" c AS (SELECT source, t,"
+        f"   CASE WHEN cum + t <= {b!r} THEN 1 ELSE 0 END AS fl,"
+        f"   CASE WHEN cum + t > {b!r} AND cum < {b!r}"
+        f"    THEN ({b!r} - cum) / t ELSE 0.0 END AS fr FROM w),"
+        " s AS (SELECT source, t, CAST(sum(fl) AS BIGINT) AS m, max(fr) AS f"
+        "  FROM c GROUP BY 1, 2)"
+        " SELECT source, t AS tokens_available, m AS epochs_full,"
+        "  round(f + 1e-9, 6) AS epoch_fraction,"
+        "  round(t * (m + f) + 1e-9, 6) AS tokens_allocated,"
+        f"  round(t * (([{glist}][m + 1]) + f * ([{plist}][m + 1]))"
+        "   + 1e-9, 6) AS effective_tokens"
+        " FROM s"
+    )
+
+
+def _synth_sentence_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """The reconstructed multi-line corpus (xs14's _chunk_lines
+    convention, markers=True — the deterministic terminal '.' on
+    (doc_id + i) % 3 != 0 lines is what gives this corpus sentence
+    structure), joined with ' ' so sentence splits run on one string."""
+    from presto_workload_analyzer_spark.driver_queries import _chunk_lines
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.array_join(_chunk_lines(markers=True), " ").alias("text"),
+    )
+
+
+def _synth_sentence_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import _chunk_lines_sql
+
+    return (
+        _chunk_lines_sql(markers=True)
+        + ", synth AS (SELECT t.doc_id, d.source,"
+        "   array_to_string(ln.lines, ' ') AS text"
+        "  FROM ln JOIN t ON t.doc_id = ln.doc_id"
+        "   JOIN documents d ON d.doc_id = ln.doc_id)"
+    )
+
+
+def _readability_perdoc_sql() -> str:
+    """The oracle twin of textstats.readability_stats over `synth`,
+    ending at perdoc(doc_id, source, ns, nw, nsyl, gr) — gr the RAW
+    double from the one fixed expression (identical operands on both
+    engines)."""
+    return (
+        _synth_sentence_sql()
+        + ", rd AS (SELECT doc_id, source,"
+        "   greatest(len(list_filter(string_split_regex(text, '[.!?]+'),"
+        "    x -> trim(x) <> '')), 1) AS ns,"
+        "   list_transform(list_filter(string_split_regex(trim(lower(text)),"
+        "    '\\s+'), w -> w <> ''),"
+        "    w -> greatest(len(regexp_extract_all(w, '[aeiouy]+')), 1)) AS syl"
+        "  FROM synth),"
+        " perdoc AS (SELECT doc_id, source, ns,"
+        "   len(syl) AS nw, CAST(list_sum(syl) AS BIGINT) AS nsyl,"
+        "   0.39 * (len(syl) / ns) + 11.8 * (CAST(list_sum(syl) AS BIGINT)"
+        "    / len(syl)) - 15.59 AS gr"
+        "  FROM rd WHERE len(syl) > 0)"
+    )
+
+
+def xs42_readability(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-source readability report over the reconstructed multi-line
+    corpus — the curriculum-difficulty signal (Flesch 1948 / Kincaid et
+    al. 1975 formula family; textstats.readability_stats has the
+    engine-twinned component definitions). Per-source values POOL the
+    exact integer sums (one division each — no order-dependent float
+    summation anywhere); p_easy counts docs whose per-doc grade (one
+    fixed expression over exact ints — identical doubles on both
+    engines) clears the corpus-calibrated threshold.
+
+    100 TB: readability is scan-speed Column math; the rollup is one
+    source-grain aggregate of integer partials."""
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    synth = _synth_sentence_docs(spark, sf)
+    r = textstats.readability_stats(synth, "doc_id", "text").join(
+        synth.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    w, s, y = F.sum("n_words"), F.sum("n_sentences"), F.sum("n_syllables")
+    pooled = 0.39 * (w / s) + 11.8 * (y / w) - 15.59
+    return r.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        s.cast("long").alias("total_sentences"),
+        w.cast("long").alias("total_words"),
+        y.cast("long").alias("total_syllables"),
+        F.round(w / s + F.lit(1e-9), 6).alias("words_per_sentence"),
+        F.round(y / w + F.lit(1e-9), 6).alias("syllables_per_word"),
+        F.round(pooled + F.lit(1e-9), 6).alias("fk_grade"),
+        F.round(
+            F.avg((F.col("fk_grade") <= _XS42_EASY).cast("double"))
+            + F.lit(1e-9),
+            6,
+        ).alias("p_easy"),
+    )
+
+
+def xs42_sql() -> str:
+    tau = _XS42_EASY
+    return (
+        _readability_perdoc_sql()
+        + " SELECT source, CAST(count(*) AS BIGINT) AS n_docs,"
+        "  CAST(sum(ns) AS BIGINT) AS total_sentences,"
+        "  CAST(sum(nw) AS BIGINT) AS total_words,"
+        "  CAST(sum(nsyl) AS BIGINT) AS total_syllables,"
+        "  round(sum(nw) / (1.0 * sum(ns)) + 1e-9, 6) AS words_per_sentence,"
+        "  round(sum(nsyl) / (1.0 * sum(nw)) + 1e-9, 6) AS syllables_per_word,"
+        "  round(0.39 * (sum(nw) / (1.0 * sum(ns)))"
+        "   + 11.8 * (sum(nsyl) / (1.0 * sum(nw))) - 15.59 + 1e-9, 6)"
+        "   AS fk_grade,"
+        f"  round(avg(CASE WHEN gr <= {tau!r} THEN 1.0 ELSE 0.0 END)"
+        "   + 1e-9, 6) AS p_easy"
+        " FROM perdoc GROUP BY 1"
+    )
+
+
+def xs43_curriculum_order(spark: SparkSession, sf: str) -> DataFrame:
+    """Easy-first curriculum SCHEDULE (curriculum learning's data-order
+    emission — Bengio et al. 2009 ordering, built from the cheap
+    readability difficulty): per-doc grade -> difficulty decile (sketch
+    boundaries broadcast back, xs30's approx_percentile shape) ->
+    global training position = decile-ascending with a deterministic
+    md5 shuffle inside each decile.
+
+    100 TB: the rank inside a decile runs TWO-LEVEL
+    (sampling._hierarchical_row_number — local rank per md5-prefix
+    shard, bounded offset table) and decile offsets come from a
+    9-cell broadcast triangular join, so there is NO unpartitioned and
+    NO low-cardinality-over-raw-rows window anywhere in the plan."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        _hierarchical_row_number,
+    )
+
+    synth = _synth_sentence_docs(spark, sf)
+    # (doc_id, grade) — two columns per doc, a sliver of the corpus it
+    # summarizes. The rank/bounds/counts machinery below references this
+    # frame 4+ times; localCheckpoint materializes the expensive
+    # readability scan ONCE (the dedup/graph iteration convention) so
+    # the schedule costs one corpus pass, not one per plan reference.
+    lg = (
+        textstats.readability_stats(synth, "doc_id", "text")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.round(F.col("fk_grade") + F.lit(1e-9), 6).alias("__g"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    accuracy = min(max(1_000_000, 10 * lg.count()), 10_000_000)
+    pcts = ", ".join(f"{p}D" for p in _XS43_DECILES)
+    bounds = lg.select(
+        F.expr(f"approx_percentile(__g, array({pcts}), {accuracy})").alias("qb")
+    )
+    decile = F.lit(1)
+    for i in range(len(_XS43_DECILES)):
+        decile = decile + (F.col("__g") > F.col("qb")[i]).cast("int")
+    bu = (
+        lg.join(F.broadcast(bounds))
+        .withColumn("__dec", decile.cast("long"))
+        .withColumn("__h", F.md5(F.col("doc_id").cast("string")))
+    )
+    ranked = _hierarchical_row_number(
+        bu,
+        ["__dec"],
+        [F.col("__h"), F.col("doc_id")],
+        F.conv(F.substring("__h", 1, 2), 16, 10).cast("long"),
+        "__rk",
+    )
+    cnt = ranked.groupBy("__dec").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = cnt.alias("a"), cnt.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b.__dec") < F.col("a.__dec"), "left")
+        .groupBy(F.col("a.__dec").alias("__dec"))
+        .agg(F.coalesce(F.sum("b.__n"), F.lit(0)).alias("__off"))
+    )
+    return (
+        ranked.join(F.broadcast(offs), "__dec")
+        .select(
+            "doc_id",
+            F.col("__dec").alias("decile"),
+            (F.col("__off") + F.col("__rk")).cast("long").alias("position"),
+        )
+    )
+
+
+def xs43_sql() -> str:
+    pcts = ", ".join(repr(p) for p in _XS43_DECILES)
+    bucket = " + ".join(
+        f"CAST(g > qb[{i + 1}] AS INT)" for i in range(len(_XS43_DECILES))
+    )
+    return (
+        _readability_perdoc_sql()
+        + ", lg AS (SELECT doc_id, round(gr + 1e-9, 6) AS g FROM perdoc),"
+        f" bnd AS (SELECT quantile_disc(g, [{pcts}]) AS qb FROM lg),"
+        f" bu AS (SELECT doc_id, 1 + {bucket} AS dec FROM lg, bnd)"
+        " SELECT doc_id, CAST(dec AS BIGINT) AS decile,"
+        "  CAST(row_number() OVER (ORDER BY dec,"
+        "   md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS position"
+        " FROM bu"
+    )
+
+
+def s24_stream_context_budget(spark: SparkSession, sf: str) -> DataFrame:
+    """xs40's STREAMING seam — the ingest-side context-budget monitor:
+    documents arrive continuously, a stateless per-doc token count
+    explodes over the candidate lengths and feeds a stateful per-L
+    aggregation (truncated docs, kept/lost token mass — state grain =
+    |L| cells, never corpus rows). Complete-mode memory drain in the
+    gate; the production sink is the foreachBatch upsert path. Oracle:
+    xs40's own SQL — after a full drain the cells equal the batch
+    table exactly."""
+    import uuid
+
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    sizes = F.array(*[F.lit(v) for v in _XS40_LENS])
+    nt = (
+        stream_sf_table(spark, sf, "documents")
+        .select(textstats.token_count("text").cast("long").alias("__n"))
+        .select("__n", F.explode(sizes).alias("seq_len"))
+    )
+    agg = (
+        nt.groupBy("seq_len")
+        .agg(
+            F.sum((F.col("__n") > F.col("seq_len")).cast("long"))
+            .cast("long")
+            .alias("n_docs_truncated"),
+            F.sum(F.least(F.col("__n"), F.col("seq_len")))
+            .cast("long")
+            .alias("tokens_kept"),
+            F.sum(F.greatest(F.col("__n") - F.col("seq_len"), F.lit(0)))
+            .cast("long")
+            .alias("tokens_lost"),
+        )
+        .select(
+            F.col("seq_len").cast("long").alias("seq_len"),
+            "n_docs_truncated",
+            "tokens_kept",
+            "tokens_lost",
+            F.round(
+                F.col("tokens_lost")
+                / (F.col("tokens_kept") + F.col("tokens_lost"))
+                + F.lit(1e-9),
+                6,
+            ).alias("loss_share"),
+        )
+    )
+    name = f"s24_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    tbl = spark.table(name)
+    return spark.createDataFrame(tbl.collect(), tbl.schema)
+
+
+STAGED_TIER5: dict[str, tuple] = {
+    "xs40_context_budget": (xs40_context_budget, xs40_sql()),
+    "xs41_repeat_epochs": (xs41_repeat_epochs, xs41_sql()),
+    "xs42_readability": (xs42_readability, xs42_sql()),
+    "xs43_curriculum_order": (xs43_curriculum_order, xs43_sql()),
+    "s24_stream_context_budget": (s24_stream_context_budget, xs40_sql()),
 }

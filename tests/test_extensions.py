@@ -4583,3 +4583,204 @@ def test_kmeans_matches_python_reference(spark):
         ds = [sqd(v, c) for c in cents]
         best = min(range(3), key=lambda j: (ds[j], j))
         assert got[i] == (best, ds[best]), (i, got[i], (best, ds[best]))
+
+
+# -- TIER5 staged batch calibration pins (round-17 registration) --------
+
+
+def test_xs40_budget_table_discriminates_on_corpus():
+    """xs40's calibration pin: the candidate lengths must genuinely
+    span the corpus (loss share strictly decreasing in L, near-total
+    truncation at L=16, tail-only at L=96) at both gate SFs, and the
+    exact mass identity kept+lost = total tokens must hold per L."""
+    from presto_workload_analyzer_spark.staged_queries import xs40_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT seq_len, n_docs_truncated, tokens_kept, tokens_lost,"
+            " loss_share FROM (" + xs40_sql() + ") ORDER BY seq_len"
+        ).fetchall()
+        tot = con.sql(
+            "SELECT sum(len(string_split_regex(trim(text), '\\s+'))),"
+            " count(*) FROM documents"
+        ).fetchone()
+        shares = [r[4] for r in rows]
+        assert shares == sorted(shares, reverse=True) and len(set(shares)) == 4
+        # doc lengths start at 10 tokens, so L=16 truncates MOST (not
+        # all) docs — the head of the curve must still be near-total
+        assert rows[0][1] > tot[1] * 0.85, f"sf{sf}: L=16 head {rows[0][1]}"
+        assert 0 < rows[-1][1] < tot[1] * 0.2, f"sf{sf}: L=96 tail {rows[-1][1]}"
+        for r in rows:
+            assert r[2] + r[3] == tot[0], f"sf{sf}: mass identity broken at {r}"
+
+
+def test_xs41_greedy_allocation_invariants_on_corpus():
+    """xs41's calibration pin + the greedy's own invariants at both gate
+    SFs: (a) sum(tokens_allocated) = min(budget, K * total) exactly (to
+    the 6dp emit rounding x #sources); (b) at most ONE source holds a
+    fractional epoch (the single boundary cell); (c) the allocation
+    genuinely varies across sources; (d) effective_tokens equals
+    tokens_allocated exactly when a source got <= 1 epoch and is
+    strictly smaller once repeats begin (the diminishing-returns
+    signature the operator exists to price)."""
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS41_BUDGET,
+        _XS41_EPOCHS,
+        xs41_sql,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT tokens_available, epochs_full, epoch_fraction,"
+            " tokens_allocated, effective_tokens FROM (" + xs41_sql() + ")"
+        ).fetchall()
+        total = sum(r[0] for r in rows)
+        alloc = sum(r[3] for r in rows)
+        expect = min(_XS41_BUDGET, _XS41_EPOCHS * total)
+        assert abs(alloc - expect) < 1e-4 * len(rows), (sf, alloc, expect)
+        fracs = [r for r in rows if 1e-9 < r[2] < 1 - 1e-9]
+        assert len(fracs) <= 1, f"sf{sf}: {len(fracs)} fractional sources"
+        eps = [r[1] + r[2] for r in rows]
+        assert max(eps) - min(eps) > 0.01, f"sf{sf}: flat allocation {eps[:3]}"
+        for t, m, f, al, eff in rows:
+            if m + f <= 1.0 + 1e-9:
+                assert abs(eff - al) < 2e-6, (sf, t, m, f, al, eff)
+            else:
+                assert eff < al - 1e-6, (sf, t, m, f, al, eff)
+
+
+def test_xs42_readability_discriminates_on_corpus():
+    """xs42's calibration pin at both gate SFs: the synthesized corpus
+    must hold real sentence structure (strictly more sentences than
+    docs), the easy threshold must split genuinely (overall p_easy away
+    from 0 and 1), and per-source pooled grades must spread (the
+    curriculum signal varies by source)."""
+    from presto_workload_analyzer_spark.staged_queries import xs42_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        nd, ns, lo_g, hi_g, lo_p, hi_p = con.sql(
+            "SELECT sum(n_docs), sum(total_sentences), min(fk_grade),"
+            " max(fk_grade), min(p_easy), max(p_easy)"
+            " FROM (" + xs42_sql() + ")"
+        ).fetchall()[0]
+        assert ns > 2 * nd, f"sf{sf}: sentence structure vacuous ({ns}/{nd})"
+        assert hi_g - lo_g > 0.1, f"sf{sf}: pooled grades flat ({lo_g}..{hi_g})"
+        assert 0.0 < lo_p and hi_p < 1.0, f"sf{sf}: p_easy saturated"
+
+
+def test_xs43_curriculum_is_monotone_permutation_on_corpus():
+    """xs43's calibration pin at both gate SFs: `position` must be an
+    exact permutation of 1..N, deciles must cover >= 8 distinct values
+    (quantile ties can merge a couple), every decile's positions must
+    form a contiguous block (decile d exhausts before d+1 starts — the
+    easy-first contract), and mean difficulty must strictly increase
+    from the first to the last decile (the schedule orders by the real
+    signal, not noise)."""
+    from presto_workload_analyzer_spark.staged_queries import (
+        _readability_perdoc_sql,
+        xs43_sql,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        n, npos, lo, hi, ndec = con.sql(
+            "SELECT count(*), count(DISTINCT position), min(position),"
+            " max(position), count(DISTINCT decile) FROM (" + xs43_sql() + ")"
+        ).fetchall()[0]
+        assert (npos, lo, hi) == (n, 1, n), f"sf{sf}: not a permutation"
+        assert ndec >= 8, f"sf{sf}: only {ndec} deciles"
+        overlaps = con.sql(
+            "WITH q AS (" + xs43_sql() + "),"
+            " b AS (SELECT decile, min(position) AS lo, max(position) AS hi,"
+            "  count(*) AS n FROM q GROUP BY 1)"
+            " SELECT count(*) FROM b WHERE hi - lo + 1 <> n"
+        ).fetchone()[0]
+        assert overlaps == 0, f"sf{sf}: deciles interleave in the schedule"
+        first, last = con.sql(
+            "WITH q AS (" + xs43_sql() + "),"
+            " g AS (" + _readability_perdoc_sql() + " SELECT doc_id, gr"
+            "  FROM perdoc)"
+            " SELECT"
+            "  avg(CASE WHEN decile = (SELECT min(decile) FROM q)"
+            "   THEN gr END),"
+            "  avg(CASE WHEN decile = (SELECT max(decile) FROM q)"
+            "   THEN gr END)"
+            " FROM q JOIN g USING (doc_id)"
+        ).fetchall()[0]
+        assert last - first > 1.0, f"sf{sf}: decile grades flat ({first}..{last})"
+
+
+def test_xs43_decile_boundaries_match_cross_engine(spark):
+    """xs43's decile boundaries come from Spark approx_percentile, the
+    oracle's from DuckDB quantile_disc (the xs30 risk, on a different
+    value column): pin the two rank conventions agreeing
+    element-for-element on the rounded grade at all three gate SFs
+    before xs43 registers."""
+    from pyspark.sql import functions as F
+
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS43_DECILES,
+        _readability_perdoc_sql,
+        _synth_sentence_docs,
+    )
+
+    for sf in ("0.001", "0.01", "0.1"):
+        synth = _synth_sentence_docs(spark, f"/root/testdata/sf{sf}")
+        lg = textstats.readability_stats(synth, "doc_id", "text").select(
+            F.round(F.col("fk_grade") + F.lit(1e-9), 6).alias("__g")
+        )
+        accuracy = min(max(1_000_000, 10 * lg.count()), 10_000_000)
+        pcts = ", ".join(f"{p}D" for p in _XS43_DECILES)
+        spark_b = lg.select(
+            F.expr(f"approx_percentile(__g, array({pcts}), {accuracy})")
+        ).collect()[0][0]
+        qpcts = ", ".join(repr(p) for p in _XS43_DECILES)
+        con = _staged_con(sf)
+        duck_b = con.sql(
+            _readability_perdoc_sql()
+            + f" SELECT quantile_disc(round(gr + 1e-9, 6), [{qpcts}])"
+            " FROM perdoc"
+        ).fetchone()[0]
+        assert list(spark_b) == list(duck_b), (
+            f"sf{sf}: decile boundary conventions diverge —"
+            f" spark {spark_b} vs duckdb {duck_b}"
+        )
+
+
+def test_readability_stats_definitions(spark):
+    """Unit pin for the engine-twinned readability definitions on
+    punctuated fixtures (the synthetic corpus has no native punctuation,
+    so the sentence path needs its own fixture): sentence floor,
+    terminal-split semantics, vowel-group syllables with the
+    consonant-only floor, and the exact FK expression."""
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        readability_stats,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran! Did it?"),
+            (2, "no punctuation here at all"),
+            (3, "Rhythm myths..."),
+            (4, "   "),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    rows = {r["id"]: r for r in readability_stats(df, "doc_id", "text").collect()}
+    assert set(rows) == {1, 2, 3}  # the blank doc has no words -> dropped
+    r1 = rows[1]
+    assert r1["n_sentences"] == 3 and r1["n_words"] == 8
+    # the/cat/sat/the/dog/ran/did/it -> vowel groups 1 each
+    assert r1["n_syllables"] == 8
+    assert abs(
+        r1["fk_grade"] - (0.39 * (8 / 3) + 11.8 * (8 / 8) - 15.59)
+    ) < 1e-12
+    r2 = rows[2]
+    assert r2["n_sentences"] == 1 and r2["n_words"] == 5
+    r3 = rows[3]
+    # consonant-only words floor at 1 syllable each
+    assert r3["n_words"] == 2 and r3["n_syllables"] == 2
