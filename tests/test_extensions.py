@@ -4784,3 +4784,74 @@ def test_readability_stats_definitions(spark):
     r3 = rows[3]
     # consonant-only words floor at 1 syllable each
     assert r3["n_words"] == 2 and r3["n_syllables"] == 2
+
+
+def test_repeat_decay_matches_python_reference(spark):
+    """sampling.repeat_decay_mix vs a pure-python greedy replay of the
+    identical contract (marginal order value DESC / source ASC / epoch
+    ASC, whole cells while the budget holds, one fractional boundary
+    cell, exact-literal decay powers). The fixture engineers a marginal
+    TIE across sources (src_a holds 2x src_b's tokens, so a's epoch-2
+    cell equals b's epoch-1 cell exactly in IEEE at decay 0.5) — a wrong
+    tiebreak anywhere is a row mismatch, not drift."""
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        repeat_decay_mix,
+        repeat_decay_powers,
+    )
+
+    data = [("a", 4000), ("b", 2000), ("c", 1500), ("d", 700), ("e", 1)]
+    decay, K, budget = 0.5, 4, 9000.0
+    per = spark.createDataFrame(data, "source STRING, tok LONG")
+    got = {
+        r["source"]: r
+        for r in repeat_decay_mix(
+            per, "source", "tok", budget=budget, decay=decay, max_epochs=K
+        ).collect()
+    }
+
+    pows = repeat_decay_powers(decay, K)
+    cells = sorted(
+        ((t * pows[k - 1], s, k, t) for s, t in data for k in range(1, K + 1)),
+        key=lambda c: (-c[0], c[1], c[2]),
+    )
+    spent, m, f = 0.0, {s: 0 for s, _ in data}, {s: 0.0 for s, _ in data}
+    for val, s, k, t in cells:
+        if spent + t <= budget:
+            m[s] += 1
+            spent += t
+        elif spent < budget:
+            f[s] = (budget - spent) / t
+            spent = budget
+    geo = [0.0]
+    for i in range(K):
+        geo.append(geo[-1] + pows[i])
+    for s, t in data:
+        row = got[s]
+        assert row["tokens_available"] == t
+        assert row["epochs_full"] == m[s], (s, row, m)
+        assert abs(row["epoch_fraction"] - round(f[s] + 1e-9, 6)) < 1e-12
+        assert abs(
+            row["tokens_allocated"] - round(t * (m[s] + f[s]) + 1e-9, 6)
+        ) < 1e-12
+        eff = t * (geo[m[s]] + f[s] * pows[m[s]])
+        assert abs(row["effective_tokens"] - round(eff + 1e-9, 6)) < 1e-12
+    # the fixture's intended shape actually occurred: the 2000.0 marginal
+    # TIE (a's epoch-2 vs b's epoch-1) resolved toward source 'a' (source
+    # ASC), leaving 'b' only the fractional boundary cell — and the
+    # budget landed mid-cell exactly once
+    assert m["a"] == 2 and m["b"] == 0 and 0 < f["b"] < 1
+    assert sum(1 for s, _ in data if 0 < f[s] < 1) == 1
+
+
+def test_repeat_decay_mix_validates_params(spark):
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        repeat_decay_mix,
+    )
+
+    per = spark.createDataFrame([("a", 10)], "source STRING, tok LONG")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_epochs"):
+        repeat_decay_mix(per, "source", "tok", budget=5.0, max_epochs=0)
+    with _pytest.raises(ValueError, match="decay"):
+        repeat_decay_mix(per, "source", "tok", budget=5.0, decay=0.0)
