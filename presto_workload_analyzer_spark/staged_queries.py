@@ -21,8 +21,10 @@ rounds 13/14 and are now empty; `STAGED_TIER3` (xs35/xs36 + s22)
 registers in round 15; `STAGED_TIER4` (xs37-xs39 + s23, the k-means
 clustering surface) in round 16; `STAGED_TIER5` (xs40-xs43 + s24, the
 context-budget / repeat-epochs / readability-curriculum surface, staged
-in round 14 after the tier-2 batch drained) in round 17. All tiers gate
-identically in tests/test_staged_queries.py.
+in round 14 after the tier-2 batch drained) in round 17; `STAGED_TIER6`
+(xs44-xs47: distinct-n diversity, exact stratified split, dup-leakage
+matrix, term burstiness — also staged round 14) in round 18. All tiers
+gate identically in tests/test_staged_queries.py.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -1120,4 +1122,358 @@ STAGED_TIER5: dict[str, tuple] = {
     "xs42_readability": (xs42_readability, xs42_sql()),
     "xs43_curriculum_order": (xs43_curriculum_order, xs43_sql()),
     "s24_stream_context_budget": (s24_stream_context_budget, xs40_sql()),
+}
+
+
+# ---------------------------------------------------------------------------
+# TIER-6 staging (the round-18 pipeline; staged in round 14 behind
+# TIER5, keeping every round's registration <= 8). Four entries, four
+# families the registry does not yet cover:
+#
+#   * xs44_distinct_ngrams   — distinct-n DIVERSITY ratios per source
+#                              (n = 1/2/3): distinct n-grams / total
+#                              n-grams, the Texygen/self-BLEU-adjacent
+#                              repetitiveness audit (Li et al. 2016
+#                              "distinct-1/2") synthetic-data pipelines
+#                              report; the WITHIN-source companion of
+#                              x82's first-seen novelty.
+#   * xs45_stratified_split  — EXACT largest-remainder stratified
+#                              eval split: per-source val quotas =
+#                              floor(frac*n) + largest-remainder
+#                              top-up to the exact global target, val
+#                              picks = per-source smallest-md5 docs
+#                              (consistent hashing) — the exact-count
+#                              upgrade of x16's proportional-in-
+#                              expectation hash split.
+#   * xs46_dup_leakage_matrix — source x source near-duplicate LEAKAGE
+#                              matrix over the shared minhash-CC
+#                              silver: for each ordered pair (a, b),
+#                              clusters shared and docs of a exposed —
+#                              the cross-SOURCE companion of x66's
+#                              corpus x benchmark contamination matrix.
+#   * xs47_term_burstiness   — per-term burstiness (variance-to-mean
+#                              ratio of per-doc counts, zeros included;
+#                              Church & Gale 1995's deviation-from-
+#                              Poisson signal) from EXACT integer
+#                              moments — the term-level corpus-health
+#                              audit beside x55's Zipf slope.
+#
+# Calibration (corpus-measured): unigram distinct-ratio ~0.02 at the
+# 31-word vocabulary (n=2/3 discriminate more); VMR at df >= 50 spreads
+# 1.20-1.57 (everything bursty — template generator — but genuinely
+# varied); frac=0.15 over ~25-doc sources makes the largest-remainder
+# top-up real (floor sums undershoot the global target).
+# ---------------------------------------------------------------------------
+
+_XS44_NS = (1, 2, 3)
+_XS45_FRAC = 0.15
+_XS47_MIN_DF = 50
+
+
+def xs44_distinct_ngrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-n diversity ratios per source (Li et al. 2016's
+    distinct-1/2 convention, extended to n=3): total n-gram incidences,
+    distinct n-grams, and their ratio — the repetitiveness audit
+    generated/synthetic corpora are screened with (a template-heavy
+    source shows a LOW ratio at n >= 2). Token stream: lowercased
+    whitespace split of the trimmed text, grams via dedup.gram_array
+    over the lowercased text (no empty-drop on either side — the split
+    artifact only arises on whitespace-only docs, identically on both
+    engines).
+
+    100 TB: gram-grain groupBys (map-side combinable); distinct counts
+    shuffle (source, n, gram) — vocabulary-grain per n, never doc-grain
+    state. |n| = 3 fixed frames union at the plan level."""
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    frames = []
+    for n in _XS44_NS:
+        g = docs.select(
+            "source",
+            F.explode(dedup.gram_array(F.lower(F.col("text")), n)).alias(
+                "__g"
+            ),
+        )
+        frames.append(
+            g.groupBy("source").agg(
+                F.lit(n).cast("long").alias("n"),
+                F.count(F.lit(1)).cast("long").alias("total_ngrams"),
+                F.countDistinct("__g").cast("long").alias("distinct_ngrams"),
+            )
+        )
+    out = frames[0]
+    for f_ in frames[1:]:
+        out = out.unionByName(f_)
+    return out.select(
+        "source",
+        "n",
+        "total_ngrams",
+        "distinct_ngrams",
+        F.round(
+            F.col("distinct_ngrams") / F.col("total_ngrams") + F.lit(1e-9), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+def xs44_sql() -> str:
+    ns = ", ".join(str(n) for n in _XS44_NS)
+    return (
+        "WITH t AS (SELECT source,"
+        "   string_split_regex(trim(lower(text)), '\\s+') AS toks"
+        "  FROM documents),"
+        f" g AS (SELECT source, nn.n AS n,"
+        "   array_to_string(toks[ii.i+1:ii.i+nn.n], ' ') AS gram"
+        f"  FROM t, UNNEST([{ns}]) AS nn(n),"
+        "   UNNEST(range(0, greatest(len(toks) - nn.n + 1, 0))) AS ii(i))"
+        " SELECT source, CAST(n AS BIGINT) AS n,"
+        "  CAST(count(*) AS BIGINT) AS total_ngrams,"
+        "  CAST(count(DISTINCT gram) AS BIGINT) AS distinct_ngrams,"
+        "  round(count(DISTINCT gram) / (1.0 * count(*)) + 1e-9, 6)"
+        "   AS distinct_ratio"
+        " FROM g GROUP BY 1, 2"
+    )
+
+
+def xs45_stratified_split(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT stratified eval split by largest remainder (the Hare quota /
+    Hamilton apportionment convention): the validation set holds EXACTLY
+    round(frac * N) docs globally, each source contributing
+    floor(frac * n_s) plus one top-up doc for the largest fractional
+    remainders (ties: source ASC) until the global target is met. Val
+    picks inside a source = the smallest-md5 docs (consistent hashing,
+    x16's portability convention) — so membership is stable under
+    corpus growth elsewhere. The exact-count upgrade of x16's
+    proportional-in-expectation split; output one row per doc:
+    (doc_id, source, split).
+
+    100 TB: per-source ranks run TWO-LEVEL (_hierarchical_row_number,
+    md5-prefix shards — no low-cardinality window over raw rows); the
+    quota arithmetic lives on the #sources-grain table (broadcast
+    triangular join for the remainder rank, 1-row totals cross join)."""
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        _hierarchical_row_number,
+    )
+    from presto_workload_analyzer_spark.sources import read_table
+
+    frac = _XS45_FRAC
+    docs = read_table(spark, f"{sf}/documents.parquet").select(
+        "doc_id", "source"
+    )
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("__n"))
+    tot = per.agg(
+        F.sum("__n").alias("__ntot"),
+        F.sum(F.floor(F.lit(frac) * F.col("__n"))).alias("__base_sum"),
+    )
+    quota = per.select(
+        "source",
+        "__n",
+        F.floor(F.lit(frac) * F.col("__n")).alias("__base"),
+        (F.lit(frac) * F.col("__n") - F.floor(F.lit(frac) * F.col("__n"))).alias(
+            "__rem"
+        ),
+    )
+    rhs = F.broadcast(
+        quota.select(
+            F.col("source").alias("__src2"),
+            F.col("__rem").alias("__rem2"),
+        )
+    )
+    before = (F.col("__rem2") > F.col("__rem")) | (
+        (F.col("__rem2") == F.col("__rem")) & (F.col("__src2") < F.col("source"))
+    )
+    ranked = (
+        quota.join(rhs, before, "left")
+        .groupBy("source", "__n", "__base", "__rem")
+        .agg((F.coalesce(F.count("__src2"), F.lit(0)) + 1).alias("__rrank"))
+    )
+    caps = ranked.crossJoin(F.broadcast(tot)).select(
+        "source",
+        (
+            F.col("__base")
+            + (
+                F.col("__rrank")
+                <= F.floor(F.lit(frac) * F.col("__ntot") + F.lit(0.5))
+                - F.col("__base_sum")
+            ).cast("long")
+        ).alias("__cap"),
+    )
+    h = F.md5(F.col("doc_id").cast("string"))
+    rows = docs.withColumn("__h", h)
+    rk = _hierarchical_row_number(
+        rows,
+        ["source"],
+        [F.col("__h"), F.col("doc_id")],
+        F.conv(F.substring("__h", 1, 2), 16, 10).cast("long"),
+        "__rk",
+    )
+    return rk.join(F.broadcast(caps), "source").select(
+        "doc_id",
+        "source",
+        F.when(F.col("__rk") <= F.col("__cap"), F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+    )
+
+
+def xs45_sql() -> str:
+    frac = _XS45_FRAC
+    return (
+        "WITH d AS (SELECT doc_id, source FROM documents),"
+        " per AS (SELECT source, count(*) AS n FROM d GROUP BY 1),"
+        " tot AS (SELECT sum(n) AS N,"
+        f"   sum(floor({frac!r} * n)) AS base_sum FROM per),"
+        f" q AS (SELECT source, n, floor({frac!r} * n) AS base,"
+        f"   {frac!r} * n - floor({frac!r} * n) AS rem FROM per),"
+        " r AS (SELECT a.source, a.base,"
+        "   1 + count(b.source) AS rrank"
+        "  FROM q a LEFT JOIN q b ON (b.rem > a.rem)"
+        "   OR (b.rem = a.rem AND b.source < a.source)"
+        "  GROUP BY 1, 2),"
+        " caps AS (SELECT r.source,"
+        f"   base + CASE WHEN rrank <= floor({frac!r} * N + 0.5) - base_sum"
+        "    THEN 1 ELSE 0 END AS cap"
+        "  FROM r, tot),"
+        " rk AS (SELECT doc_id, source,"
+        "   row_number() OVER (PARTITION BY source"
+        "    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM d)"
+        " SELECT rk.doc_id, rk.source,"
+        "  CASE WHEN rk.rk <= caps.cap THEN 'val' ELSE 'train' END AS split"
+        " FROM rk JOIN caps ON caps.source = rk.source"
+    )
+
+
+def xs46_dup_leakage_matrix(spark: SparkSession, sf: str) -> DataFrame:
+    """Source x source near-duplicate LEAKAGE matrix over the shared
+    minhash-CC silver: for each ordered source pair (a, b), how many
+    dup clusters the two sources share and how many of a's docs sit in
+    such a cluster — the cross-source companion of x66's corpus x
+    benchmark contamination matrix (train/eval SPLITS leak through
+    exactly this structure when splits follow sources).
+
+    100 TB: membership is (cluster, doc, source) at dup-doc grain (only
+    clustered docs — a sliver of the corpus); the pair join runs on the
+    DISTINCT (cluster, source) frame, bounded per cluster by the source
+    enum, never |cluster|^2 docs."""
+    from presto_workload_analyzer_spark.driver_queries import (
+        shared_dedup_clusters,
+    )
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    mem = shared_dedup_clusters(spark, sf).join(docs, "id")
+    cs = mem.select("cluster_id", "source").distinct()
+    other = cs.select(
+        F.col("cluster_id"), F.col("source").alias("source_b")
+    )
+    return (
+        mem.join(other, "cluster_id")
+        .filter(F.col("source") != F.col("source_b"))
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(
+            F.countDistinct("cluster_id").cast("long").alias(
+                "n_shared_clusters"
+            ),
+            F.countDistinct("id").cast("long").alias("n_docs_exposed"),
+        )
+    )
+
+
+def xs46_sql() -> str:
+    from presto_workload_analyzer_spark.driver_queries import (
+        _X02_BANDS,
+        _X14_CC_SQL,
+    )
+
+    return (
+        _X14_CC_SQL.format(bands=_X02_BANDS)
+        + ", mem AS (SELECT cc.cluster_id, cc.id, d.source"
+        "  FROM cc JOIN documents d ON d.doc_id = cc.id),"
+        " cs AS (SELECT DISTINCT cluster_id, source FROM mem)"
+        " SELECT mem.source AS source_a, cs.source AS source_b,"
+        "  CAST(count(DISTINCT mem.cluster_id) AS BIGINT)"
+        "   AS n_shared_clusters,"
+        "  CAST(count(DISTINCT mem.id) AS BIGINT) AS n_docs_exposed"
+        " FROM mem JOIN cs ON cs.cluster_id = mem.cluster_id"
+        "  AND cs.source <> mem.source"
+        " GROUP BY 1, 2"
+    )
+
+
+def xs47_term_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-term burstiness: the variance-to-mean ratio of per-document
+    counts, zeros included (Church & Gale 1995's deviation-from-Poisson
+    — VMR 1 = Poisson scatter, >> 1 = the term clumps into few docs) for
+    every term with document frequency >= the calibrated floor. Both
+    engines compute VMR from the SAME exact integer moments
+    (N * sum(c^2) - T^2) / (N * T) in one fixed expression — no float
+    accumulation on the hash path. Token stream: the engine's standard
+    (lowercased, empty-dropped).
+
+    100 TB: (word, doc) counts are one map-side-combinable shuffle; the
+    moment rollup is vocabulary-grain; N broadcasts as one scalar."""
+    from presto_workload_analyzer_spark.extensions.textstats import tokens
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    toks = (
+        docs.filter(F.col("text").isNotNull())
+        .select(
+            "doc_id",
+            F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
+                "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+    )
+    pc = toks.groupBy("w", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("__c")
+    )
+    st = pc.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("__c").cast("long").alias("total_count"),
+        F.sum(F.col("__c") * F.col("__c")).cast("long").alias("__s2"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("long").alias("__nd"))
+    vmr = (
+        F.col("__nd") * F.col("__s2") - F.col("total_count") * F.col("total_count")
+    ) / (F.col("__nd") * F.col("total_count"))
+    return (
+        st.filter(F.col("df") >= _XS47_MIN_DF)
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("word"),
+            "df",
+            "total_count",
+            F.round(vmr + F.lit(1e-9), 6).alias("vmr"),
+        )
+    )
+
+
+def xs47_sql() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, w FROM ("
+        "   SELECT doc_id, unnest(list_transform("
+        "    string_split_regex(trim(text), '\\s+'), t -> lower(t))) AS w"
+        "   FROM documents WHERE text IS NOT NULL) q0 WHERE w <> ''),"
+        " pc AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c"
+        "  FROM u GROUP BY 1, 2),"
+        " st AS (SELECT w, CAST(count(*) AS BIGINT) AS df,"
+        "   CAST(sum(c) AS BIGINT) AS t, CAST(sum(c * c) AS BIGINT) AS s2"
+        "  FROM pc GROUP BY 1),"
+        " nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)"
+        " SELECT w AS word, df, t AS total_count,"
+        "  round((n * s2 - t * t) / (1.0 * n * t) + 1e-9, 6) AS vmr"
+        f" FROM st, nd WHERE df >= {_XS47_MIN_DF}"
+    )
+
+
+STAGED_TIER6: dict[str, tuple] = {
+    "xs44_distinct_ngrams": (xs44_distinct_ngrams, xs44_sql()),
+    "xs45_stratified_split": (xs45_stratified_split, xs45_sql()),
+    "xs46_dup_leakage_matrix": (xs46_dup_leakage_matrix, xs46_sql()),
+    "xs47_term_burstiness": (xs47_term_burstiness, xs47_sql()),
 }

@@ -4855,3 +4855,103 @@ def test_repeat_decay_mix_validates_params(spark):
         repeat_decay_mix(per, "source", "tok", budget=5.0, max_epochs=0)
     with _pytest.raises(ValueError, match="decay"):
         repeat_decay_mix(per, "source", "tok", budget=5.0, decay=0.0)
+
+
+# -- TIER6 staged batch calibration pins (round-18 registration) --------
+
+
+def test_xs44_diversity_discriminates_on_corpus():
+    """xs44's calibration pin at both gate SFs: ratios strictly increase
+    with n for every source (longer grams repeat less), the unigram
+    ratio is tiny (31-word vocabulary) while the trigram ratio is
+    substantial, and sources genuinely vary at n=3 (the template
+    structure differs by source)."""
+    from presto_workload_analyzer_spark.staged_queries import xs44_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT source, n, distinct_ratio FROM (" + xs44_sql() + ")"
+        ).fetchall()
+        by_src: dict = {}
+        for s, n, r in rows:
+            by_src.setdefault(s, {})[n] = r
+        for s, d in by_src.items():
+            assert d[1] < d[2] < d[3], f"sf{sf} {s}: not increasing {d}"
+            assert d[1] < 0.1, f"sf{sf} {s}: unigram ratio {d[1]}"
+        tri = [d[3] for d in by_src.values()]
+        assert max(tri) - min(tri) > 0.01, f"sf{sf}: trigram ratios flat"
+
+
+def test_xs45_split_exactness_on_corpus():
+    """xs45's calibration pin + the apportionment invariants at both
+    gate SFs: the val set holds EXACTLY floor(frac*N + 0.5) docs
+    globally; every source contributes floor(frac*n) or floor(frac*n)+1;
+    and the largest-remainder top-up is genuinely exercised (some source
+    got the +1 — floor sums undershoot on this corpus)."""
+    import math
+
+    from presto_workload_analyzer_spark.staged_queries import (
+        _XS45_FRAC,
+        xs45_sql,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        n_total, n_val = con.sql(
+            "SELECT count(*), sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)"
+            " FROM (" + xs45_sql() + ")"
+        ).fetchall()[0]
+        assert n_val == math.floor(_XS45_FRAC * n_total + 0.5), (sf, n_val)
+        per = con.sql(
+            "SELECT count(*) AS n,"
+            " sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS v"
+            " FROM (" + xs45_sql() + ") GROUP BY source"
+        ).fetchall()
+        topped = 0
+        for n, v in per:
+            base = math.floor(_XS45_FRAC * n)
+            assert v in (base, base + 1), (sf, n, v, base)
+            topped += v == base + 1
+        assert topped >= 1, f"sf{sf}: largest-remainder top-up never fired"
+
+
+def test_xs46_leakage_matrix_structure_on_corpus():
+    """xs46's calibration pin at both gate SFs: the matrix is non-empty
+    (cross-source near-dups exist on this corpus), cluster counts are
+    SYMMETRIC (a shares c clusters with b iff b shares c with a), no
+    diagonal rows, and exposure counts are positive wherever a pair
+    appears."""
+    from presto_workload_analyzer_spark.staged_queries import xs46_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        rows = con.sql(
+            "SELECT source_a, source_b, n_shared_clusters, n_docs_exposed"
+            " FROM (" + xs46_sql() + ")"
+        ).fetchall()
+        assert rows, f"sf{sf}: empty leakage matrix"
+        m = {(a, b): (c, d) for a, b, c, d in rows}
+        for (a, b), (c, d) in m.items():
+            assert a != b, f"sf{sf}: diagonal row {a}"
+            assert c > 0 and d > 0, f"sf{sf}: vacuous pair {(a, b)}"
+            assert (b, a) in m and m[(b, a)][0] == c, (
+                f"sf{sf}: asymmetric cluster counts at {(a, b)}"
+            )
+
+
+def test_xs47_burstiness_spreads_on_corpus():
+    """xs47's calibration pin at both gate SFs: the df floor keeps a
+    real table (>= 20 terms on the 31-word vocabulary), every VMR is
+    >= 1 - eps (the template generator clumps terms; sub-Poisson would
+    be suspicious here), and the ratios genuinely spread."""
+    from presto_workload_analyzer_spark.staged_queries import xs47_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        n, lo, hi = con.sql(
+            "SELECT count(*), min(vmr), max(vmr) FROM (" + xs47_sql() + ")"
+        ).fetchall()[0]
+        assert n >= 20, f"sf{sf}: only {n} terms over the df floor"
+        assert lo > 0.9, f"sf{sf}: sub-Poisson VMR {lo}"
+        assert hi - lo > 0.1, f"sf{sf}: VMR flat ({lo}..{hi})"

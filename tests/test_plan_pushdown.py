@@ -328,3 +328,36 @@ def test_staged_tier5_batch_prunes_scans(spark):
         cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
         assert cols <= {"doc_id", "text"}, ("xs43 lg", sorted(cols), line)
     assert scans > 0, "xs43 lg: expected documents scans in the plan"
+
+
+def test_staged_tier6_batch_prunes_scans(spark):
+    """Tier-6 scan pruning: xs44 reads (source, text); xs45 reads ONLY
+    (doc_id, source) — the split never touches text at all (at 100 TB
+    that is the whole game for a metadata-only op); xs46's own scan is
+    (doc_id, source) (the dedup-CC silver's (doc_id, text) scan is
+    pinned by the xs20-batch test, and may be cached in-session); xs47
+    reads (doc_id, text)."""
+    from presto_workload_analyzer_spark import staged_queries
+
+    allowed = {
+        "xs44_distinct_ngrams": {"source", "text"},
+        "xs45_stratified_split": {"doc_id", "source"},
+        "xs46_dup_leakage_matrix": {"doc_id", "source", "text"},
+        "xs47_term_burstiness": {"doc_id", "text"},
+    }
+    must_scan = {"xs44_distinct_ngrams", "xs45_stratified_split",
+                 "xs47_term_burstiness"}
+    for name, cols_ok in allowed.items():
+        fn, _sql = staged_queries.STAGED_TIER6[name]
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = 0
+        for line in plan.splitlines():
+            m = _SCAN_RE.search(line)
+            if not m or m.group(2) != "documents":
+                continue
+            scans += 1
+            cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
+            assert cols <= cols_ok, (name, sorted(cols), line)
+        if name in must_scan:
+            assert scans > 0, f"{name}: expected documents scans in the plan"
