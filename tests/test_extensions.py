@@ -4955,3 +4955,44 @@ def test_xs47_burstiness_spreads_on_corpus():
         assert n >= 20, f"sf{sf}: only {n} terms over the df floor"
         assert lo > 0.9, f"sf{sf}: sub-Poisson VMR {lo}"
         assert hi - lo > 0.1, f"sf{sf}: VMR flat ({lo}..{hi})"
+
+
+def test_repeat_decay_budget_edges(spark):
+    """Boundary fixtures for the allocator: a budget below the smallest
+    source (single fractional cell on the largest-value source, zero
+    epochs everywhere), and a budget above K * total (every cell full,
+    no fraction, allocation = K * t per source)."""
+    from presto_workload_analyzer_spark.extensions.sampling import (
+        repeat_decay_mix,
+        repeat_decay_powers,
+    )
+
+    data = [("a", 300), ("b", 200)]
+    per = spark.createDataFrame(data, "source STRING, tok LONG")
+    K = 3
+
+    tiny = {
+        r["source"]: r
+        for r in repeat_decay_mix(
+            per, "source", "tok", budget=150.0, decay=0.5, max_epochs=K
+        ).collect()
+    }
+    assert tiny["a"]["epochs_full"] == 0 and tiny["b"]["epochs_full"] == 0
+    assert tiny["a"]["epoch_fraction"] == 0.5  # 150/300 into the top cell
+    assert tiny["b"]["epoch_fraction"] == 0.0
+    assert tiny["a"]["tokens_allocated"] == 150.0
+    assert tiny["a"]["effective_tokens"] == 150.0  # epoch-1 value is fresh
+
+    huge = {
+        r["source"]: r
+        for r in repeat_decay_mix(
+            per, "source", "tok", budget=1e9, decay=0.5, max_epochs=K
+        ).collect()
+    }
+    pows = repeat_decay_powers(0.5, K)
+    geo_k = sum(pows[:K])
+    for s, t in data:
+        assert huge[s]["epochs_full"] == K
+        assert huge[s]["epoch_fraction"] == 0.0
+        assert huge[s]["tokens_allocated"] == float(K * t)
+        assert abs(huge[s]["effective_tokens"] - round(t * geo_k + 1e-9, 6)) < 1e-12
