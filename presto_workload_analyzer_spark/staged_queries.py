@@ -755,7 +755,9 @@ def xs40_context_budget(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.sources import read_table
 
     docs = read_table(spark, f"{sf}/documents.parquet")
-    nt = docs.select(textstats.token_count("text").cast("long").alias("__n"))
+    nt = docs.filter(F.col("text").isNotNull()).select(
+        textstats.token_count("text").cast("long").alias("__n")
+    )
     sizes = F.array(*[F.lit(v) for v in _XS40_LENS])
     x = nt.select("__n", F.explode(sizes).alias("seq_len"))
     kept = F.sum(F.least(F.col("__n"), F.col("seq_len")))
@@ -788,7 +790,7 @@ def xs40_sql() -> str:
     lens = ", ".join(str(v) for v in _XS40_LENS)
     return (
         "WITH nt AS (SELECT len(string_split_regex(trim(text), '\\s+')) AS n"
-        "  FROM documents),"
+        "  FROM documents WHERE text IS NOT NULL),"
         f" l AS (SELECT unnest([{lens}]) AS seq_len),"
         " x AS (SELECT seq_len, n FROM nt, l)"
         " SELECT CAST(seq_len AS BIGINT) AS seq_len,"
@@ -888,10 +890,9 @@ def _synth_sentence_sql() -> str:
 
     return (
         _chunk_lines_sql(markers=True)
-        + ", synth AS (SELECT t.doc_id, d.source,"
+        + ", synth AS (SELECT ln.doc_id, d.source,"
         "   array_to_string(ln.lines, ' ') AS text"
-        "  FROM ln JOIN t ON t.doc_id = ln.doc_id"
-        "   JOIN documents d ON d.doc_id = ln.doc_id)"
+        "  FROM ln JOIN documents d ON d.doc_id = ln.doc_id)"
     )
 
 
@@ -1079,6 +1080,7 @@ def s24_stream_context_budget(spark: SparkSession, sf: str) -> DataFrame:
     sizes = F.array(*[F.lit(v) for v in _XS40_LENS])
     nt = (
         stream_sf_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
         .select(textstats.token_count("text").cast("long").alias("__n"))
         .select("__n", F.explode(sizes).alias("seq_len"))
     )

@@ -47,8 +47,11 @@ echo "== 3b/13 bench adjudication vs committed control =="
 # canonical control. Recorded as a per-round artifact so the adjudication
 # is mechanical, not narrative. Informational (exit 0 always) — the raw
 # total only matters through this lens on an episodic host.
+# `|| true`: bench_compare exits non-zero on a missing/truncated control
+# (e.g. a fork with no committed bench_detail.json) — that must not
+# abort the remaining gate stack under set -e, this step is advisory.
 python tools/bench_compare.py bench_detail.json git:HEAD:bench_detail.json \
-  | tee "BENCH_ADJUDICATION_r${ROUND}.txt"
+  | tee "BENCH_ADJUDICATION_r${ROUND}.txt" || true
 
 if [ -d .bench_sf/sf1 ]; then
   echo "== 4/13 bench sf1 =="
