@@ -23,8 +23,10 @@ clustering surface) in round 16; `STAGED_TIER5` (xs40-xs43 + s24, the
 context-budget / repeat-epochs / readability-curriculum surface, staged
 in round 14 after the tier-2 batch drained) in round 17; `STAGED_TIER6`
 (xs44-xs47: distinct-n diversity, exact stratified split, dup-leakage
-matrix, term burstiness — also staged round 14) in round 18. All tiers
-gate identically in tests/test_staged_queries.py.
+matrix, term burstiness — also staged round 14) in round 18;
+`STAGED_TIER7` (xs48/xs49 + s25: PMI collocations, trigram backoff
+pressure, streaming term-moments — also staged round 14) in round 19.
+All tiers gate identically in tests/test_staged_queries.py.
 
 Registration checklist for each entry:
   * move (name, fn, sql) into driver_queries._register;
@@ -1478,4 +1480,283 @@ STAGED_TIER6: dict[str, tuple] = {
     "xs45_stratified_split": (xs45_stratified_split, xs45_sql()),
     "xs46_dup_leakage_matrix": (xs46_dup_leakage_matrix, xs46_sql()),
     "xs47_term_burstiness": (xs47_term_burstiness, xs47_sql()),
+}
+
+
+# ---------------------------------------------------------------------------
+# TIER-7 staging (the round-19 pipeline; staged in round 14 behind
+# TIER6). Two batch entries + one streaming seam, closing out the
+# corpus-statistics families:
+#
+#   * xs48_pmi_collocations — adjacent-bigram pointwise mutual
+#                             information (Church & Hanks 1990's
+#                             association measure): the collocation
+#                             mining table (which word pairs co-occur
+#                             far above chance) beside xs47's
+#                             burstiness and x55's Zipf slope.
+#   * xs49_backoff_rate     — n-gram LM BACKOFF pressure: the share of
+#                             held-out trigram incidences unseen in the
+#                             train slice (the rate a trigram LM falls
+#                             back to lower orders — the KenLM/CCNet
+#                             hygiene stat), per source. Held-out slice
+#                             = md5 hash split (doc_id % k correlates
+#                             with `source` on this corpus — measured:
+#                             %5 leaves only 4 sources held out).
+#   * s25_stream_burstiness — xs47's streaming seam: per-doc word
+#                             counts computed ROW-LOCALLY (in-row
+#                             distinct+fold — no (word, doc)-grain
+#                             state), feeding a stateful
+#                             vocabulary-grain sufficient-statistics
+#                             aggregation (df, total, sum of squares —
+#                             mergeable; VMR = a read-time division
+#                             needing the separate doc-count scalar).
+#
+# Calibration (corpus-measured): 916 bigram types, PMI spread -0.7 to
+# +4.9, ~870 pairs at count >= 20; trigram backoff over the md5 slice
+# covers 19/20 sources with rates 0.21-0.53.
+# ---------------------------------------------------------------------------
+
+_XS48_MIN = 20
+_XS49_K = 3
+# held-out docs: first md5 hex digit in 0-2 (~19% of docs, source-independent)
+_XS49_HO = ("0", "1", "2")
+
+
+def xs48_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """Adjacent-bigram PMI (Church & Hanks 1990): ln(p(a,b) / (p(a)p(b)))
+    with p from the corpus bigram/unigram incidence totals — the
+    collocation-mining table (template phrases and fixed expressions
+    surface as high-PMI pairs; anti-collocations go negative). Both
+    engines compute the SAME sum-of-logs expression
+    ln(n_pair) + 2*ln(T_uni) - ln(T_bi) - ln(n_w1) - ln(n_w2) over exact
+    integer counts (the product form would overflow BIGINT at corpus
+    scale), so the doubles are identical. Emitted at pair count >= 20.
+
+    100 TB: unigram and bigram count tables are vocabulary-grain
+    (map-side combinable); totals broadcast as 1-row frames; the PMI
+    join is vocab-grain x 2 lookups."""
+    from presto_workload_analyzer_spark.extensions.textstats import tokens
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    t = docs.filter(F.col("text").isNotNull()).select(
+        F.filter(
+            F.transform(tokens("text"), lambda x: F.lower(x)),
+            lambda w: w != "",
+        ).alias("__toks")
+    )
+    uni = (
+        t.select(F.explode("__toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tu = uni.agg(F.sum("c").alias("__tu"))
+    bi = (
+        t.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
+                    F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+    )
+    tb = bi.agg(F.sum("n_pair").alias("__tb"))
+    j = (
+        bi.filter(F.col("n_pair") >= _XS48_MIN)
+        .join(uni.select(F.col("w").alias("w1"), F.col("c").alias("n_w1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("c").alias("n_w2")), "w2")
+        .crossJoin(F.broadcast(tu))
+        .crossJoin(F.broadcast(tb))
+    )
+    pmi = (
+        F.log("n_pair")
+        + 2 * F.log("__tu")
+        - F.log("__tb")
+        - F.log("n_w1")
+        - F.log("n_w2")
+    )
+    return j.select(
+        "w1",
+        "w2",
+        "n_pair",
+        "n_w1",
+        "n_w2",
+        F.round(pmi + F.lit(1e-9), 6).alias("pmi"),
+    )
+
+
+def xs48_sql() -> str:
+    return (
+        "WITH t AS (SELECT list_filter(list_transform("
+        "   string_split_regex(trim(text), '\\s+'), x -> lower(x)),"
+        "   w -> w <> '') AS toks"
+        "  FROM documents WHERE text IS NOT NULL),"
+        " uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM ("
+        "   SELECT unnest(toks) AS w FROM t) q0 GROUP BY 1),"
+        " tu AS (SELECT sum(c) AS T FROM uni),"
+        " bc AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2,"
+        "   CAST(count(*) AS BIGINT) AS n_pair"
+        "  FROM t, UNNEST(range(0, greatest(len(toks) - 1, 0))) AS ii(i)"
+        "  GROUP BY 1, 2),"
+        " tb AS (SELECT sum(n_pair) AS TB FROM bc)"
+        " SELECT bc.w1, bc.w2, bc.n_pair,"
+        "  a.c AS n_w1, b.c AS n_w2,"
+        "  round(ln(n_pair) + 2 * ln(T) - ln(TB) - ln(a.c) - ln(b.c)"
+        "   + 1e-9, 6) AS pmi"
+        " FROM bc JOIN uni a ON a.w = bc.w1 JOIN uni b ON b.w = bc.w2,"
+        "  tu, tb"
+        f" WHERE bc.n_pair >= {_XS48_MIN}"
+    )
+
+
+def xs49_backoff_rate(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram LM backoff pressure per source: the share of held-out
+    TRIGRAM incidences whose trigram never occurs in the train slice —
+    how often a trigram model falls back to lower orders on this
+    source's text (the KenLM-family hygiene stat; CCNet's LM filtering
+    inherits it). The held-out slice is an md5 HASH split (x16's
+    portability convention) because doc_id % k slices correlate with
+    `source` on this corpus (measured: %5 leaves only 4 held-out
+    sources).
+
+    100 TB: train trigram types are vocabulary-grain distinct; the
+    membership check is one gram-grain left join; per-source rollup is
+    integer sums until one division."""
+    from presto_workload_analyzer_spark.extensions import dedup
+    from presto_workload_analyzer_spark.sources import read_table
+
+    k = _XS49_K
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    base = docs.filter(F.col("text").isNotNull()).select(
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin(*_XS49_HO)
+        .alias("__ho"),
+        F.explode(dedup.gram_array(F.lower(F.col("text")), k)).alias("__g"),
+    )
+    train = base.filter(~F.col("__ho")).select("__g").distinct()
+    held = base.filter(F.col("__ho"))
+    j = held.join(
+        train.withColumn("__seen", F.lit(1)), "__g", "left"
+    )
+    miss = F.sum((F.col("__seen").isNull()).cast("long"))
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        miss.cast("long").alias("n_unseen"),
+        F.round(
+            miss / F.count(F.lit(1)) + F.lit(1e-9), 6
+        ).alias("backoff_rate"),
+    )
+
+
+def xs49_sql() -> str:
+    k = _XS49_K
+    ho = ", ".join(f"'{h}'" for h in _XS49_HO)
+    return (
+        "WITH t AS (SELECT source,"
+        "   substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)"
+        f"    IN ({ho}) AS ho,"
+        "   string_split_regex(trim(lower(text)), '\\s+') AS toks"
+        "  FROM documents WHERE text IS NOT NULL),"
+        f" g AS (SELECT source, ho, array_to_string(toks[i+1:i+{k}], ' ')"
+        "   AS gram"
+        f"  FROM t, UNNEST(range(0, greatest(len(toks) - {k - 1}, 0)))"
+        "   AS ii(i)),"
+        " trn AS (SELECT DISTINCT gram FROM g WHERE NOT ho),"
+        " j AS (SELECT g.source,"
+        "   CASE WHEN trn.gram IS NULL THEN 1 ELSE 0 END AS miss"
+        "  FROM g LEFT JOIN trn ON trn.gram = g.gram WHERE g.ho)"
+        " SELECT source, CAST(count(*) AS BIGINT) AS n_grams,"
+        "  CAST(sum(miss) AS BIGINT) AS n_unseen,"
+        "  round(sum(miss) / (1.0 * count(*)) + 1e-9, 6) AS backoff_rate"
+        " FROM j GROUP BY 1"
+    )
+
+
+def s25_stream_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """xs47's STREAMING seam — the term-statistics monitor at ingest:
+    per-document word counts are computed ROW-LOCALLY (distinct + an
+    in-row fold over the token array — NO (word, doc)-grain state,
+    which would grow with the stream), feeding a stateful
+    VOCABULARY-grain sufficient-statistics aggregation: df, total
+    count, sum of squared per-doc counts — exactly the mergeable
+    moments xs47's VMR divides (the division itself is read-time: it
+    needs the separate doc-count scalar, so the monitor publishes the
+    sufficient statistics, the established sketch-dashboard shape).
+    Emitted at the xs47 df floor. Oracle: xs47's own moment chain.
+
+    Row-local cost is O(distinct_words x doc_len) per doc — bounded by
+    the in-doc vocabulary; pathological single-doc vocabularies belong
+    to the batch path."""
+    import uuid
+
+    from presto_workload_analyzer_spark.extensions.textstats import tokens
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    toks = F.filter(
+        F.transform(tokens("text"), lambda x: F.lower(x)), lambda w: w != ""
+    )
+    counts = F.transform(
+        F.array_distinct(toks),
+        lambda w: F.struct(
+            w.alias("w"),
+            F.aggregate(
+                toks,
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + (x == w).cast("long"),
+            ).alias("c"),
+        ),
+    )
+    rows = (
+        stream_sf_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(F.explode(counts).alias("p"))
+        .select("p.w", "p.c")
+    )
+    agg = (
+        rows.groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sum("c").cast("long").alias("total_count"),
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("sum_csq"),
+        )
+        .filter(F.col("df") >= _XS47_MIN_DF)
+        .select(F.col("w").alias("word"), "df", "total_count", "sum_csq")
+    )
+    name = f"s25_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(agg, name, output_mode="complete")
+        q.awaitTermination(300)
+    tbl = spark.table(name)
+    return spark.createDataFrame(tbl.collect(), tbl.schema)
+
+
+def s25_sql() -> str:
+    return (
+        "WITH u AS (SELECT doc_id, w FROM ("
+        "   SELECT doc_id, unnest(list_transform("
+        "    string_split_regex(trim(text), '\\s+'), t -> lower(t))) AS w"
+        "   FROM documents WHERE text IS NOT NULL) q0 WHERE w <> ''),"
+        " pc AS (SELECT w, doc_id, CAST(count(*) AS BIGINT) AS c"
+        "  FROM u GROUP BY 1, 2)"
+        " SELECT w AS word, CAST(count(*) AS BIGINT) AS df,"
+        "  CAST(sum(c) AS BIGINT) AS total_count,"
+        "  CAST(sum(c * c) AS BIGINT) AS sum_csq"
+        f" FROM pc GROUP BY 1 HAVING count(*) >= {_XS47_MIN_DF}"
+    )
+
+
+STAGED_TIER7: dict[str, tuple] = {
+    "xs48_pmi_collocations": (xs48_pmi_collocations, xs48_sql()),
+    "xs49_backoff_rate": (xs49_backoff_rate, xs49_sql()),
+    "s25_stream_burstiness": (s25_stream_burstiness, s25_sql()),
 }

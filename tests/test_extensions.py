@@ -4996,3 +4996,71 @@ def test_repeat_decay_budget_edges(spark):
         assert huge[s]["epoch_fraction"] == 0.0
         assert huge[s]["tokens_allocated"] == float(K * t)
         assert abs(huge[s]["effective_tokens"] - round(t * geo_k + 1e-9, 6)) < 1e-12
+
+
+# -- TIER7 staged batch calibration pins (round-19 registration) --------
+
+
+def test_xs48_pmi_discriminates_on_corpus():
+    """xs48's calibration pin at both gate SFs: the PMI table keeps a
+    real set at the count floor (>= 500 pairs on this template corpus),
+    spreads across zero (genuine collocations AND anti-collocations),
+    and every pair's counts respect n_pair <= min(n_w1, n_w2)."""
+    from presto_workload_analyzer_spark.staged_queries import xs48_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        n, lo, hi, bad = con.sql(
+            "SELECT count(*), min(pmi), max(pmi),"
+            " sum(CASE WHEN n_pair > least(n_w1, n_w2) THEN 1 ELSE 0 END)"
+            " FROM (" + xs48_sql() + ")"
+        ).fetchall()[0]
+        assert n >= 500, f"sf{sf}: only {n} pairs over the floor"
+        assert lo < 0 < hi, f"sf{sf}: PMI does not straddle zero ({lo}..{hi})"
+        # the count floor trims the rare extreme-PMI tails (full-table
+        # spread is -0.7..+4.9; at n_pair >= 20 it is ~0.96 wide)
+        assert hi - lo > 0.5, f"sf{sf}: PMI flat ({lo}..{hi})"
+        assert bad == 0, f"sf{sf}: {bad} pairs exceed their marginals"
+
+
+def test_xs49_backoff_discriminates_on_corpus():
+    """xs49's calibration pin at both gate SFs: the md5 held-out slice
+    must cover nearly every source (the doc_id%k slices provably do NOT
+    on this corpus — only 4 sources survive %5), rates must sit strictly
+    inside (0, 1), and sources must genuinely vary."""
+    from presto_workload_analyzer_spark.staged_queries import xs49_sql
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        ns, lo, hi = con.sql(
+            "SELECT count(*), min(backoff_rate), max(backoff_rate)"
+            " FROM (" + xs49_sql() + ")"
+        ).fetchall()[0]
+        assert ns >= 18, f"sf{sf}: held-out slice covers only {ns} sources"
+        assert 0.0 < lo and hi < 1.0, f"sf{sf}: saturated ({lo}..{hi})"
+        assert hi - lo > 0.05, f"sf{sf}: rates flat ({lo}..{hi})"
+
+
+def test_s25_moments_equal_xs47_on_corpus():
+    """s25's sufficient statistics must reproduce xs47's VMR exactly:
+    dividing the drained (df, total, sum_csq) by the corpus doc count
+    yields xs47's table term-for-term at both gate SFs — the
+    batch/stream contract the two queries share."""
+    from presto_workload_analyzer_spark.staged_queries import (
+        s25_sql,
+        xs47_sql,
+    )
+
+    for sf in ("0.001", "0.01"):
+        con = _staged_con(sf)
+        mismatches = con.sql(
+            "WITH s AS (" + s25_sql() + "),"
+            " nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),"
+            " v AS (SELECT word, round((n * sum_csq - total_count"
+            "   * total_count) / (1.0 * n * total_count) + 1e-9, 6) AS vmr"
+            "  FROM s, nd),"
+            " x AS (" + xs47_sql() + ")"
+            " SELECT count(*) FROM v FULL JOIN x USING (word)"
+            " WHERE v.vmr IS DISTINCT FROM x.vmr"
+        ).fetchone()[0]
+        assert mismatches == 0, f"sf{sf}: {mismatches} moment mismatches"

@@ -361,3 +361,29 @@ def test_staged_tier6_batch_prunes_scans(spark):
             assert cols <= cols_ok, (name, sorted(cols), line)
         if name in must_scan:
             assert scans > 0, f"{name}: expected documents scans in the plan"
+
+
+def test_staged_tier7_batch_prunes_scans(spark):
+    """Tier-7 scan pruning: xs48 reads only `text`; xs49 reads
+    (doc_id, source, text) — doc_id feeds the md5 hash split; s25 is a
+    streaming drain (xs47, its batch twin, pins the (doc_id, text)
+    scan)."""
+    from presto_workload_analyzer_spark import staged_queries
+
+    allowed = {
+        "xs48_pmi_collocations": {"text"},
+        "xs49_backoff_rate": {"doc_id", "source", "text"},
+    }
+    for name, cols_ok in allowed.items():
+        fn, _sql = staged_queries.STAGED_TIER7[name]
+        df = fn(spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        scans = 0
+        for line in plan.splitlines():
+            m = _SCAN_RE.search(line)
+            if not m or m.group(2) != "documents":
+                continue
+            scans += 1
+            cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
+            assert cols <= cols_ok, (name, sorted(cols), line)
+        assert scans > 0, f"{name}: expected documents scans in the plan"

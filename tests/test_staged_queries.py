@@ -24,6 +24,7 @@ ALL_STAGED = {
     **staged_queries.STAGED_TIER4,
     **staged_queries.STAGED_TIER5,
     **staged_queries.STAGED_TIER6,
+    **staged_queries.STAGED_TIER7,
 }
 
 SF_DIR = os.environ.get("SPARK_GRAFT_TINY_SF", "/root/testdata/sf0.001")
@@ -110,6 +111,7 @@ def test_registration_rehearsal_window_and_names():
         set(staged_queries.STAGED_TIER4),
         set(staged_queries.STAGED_TIER5),
         set(staged_queries.STAGED_TIER6),
+        set(staged_queries.STAGED_TIER7),
     ]
     for i, a in enumerate(tiers):
         for b in tiers[i + 1:]:

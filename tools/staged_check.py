@@ -38,7 +38,7 @@ TABLES = [
 
 TIERS = [
     "STAGED", "STAGED_NEXT", "STAGED_TIER3", "STAGED_TIER4",
-    "STAGED_TIER5", "STAGED_TIER6",
+    "STAGED_TIER5", "STAGED_TIER6", "STAGED_TIER7",
 ]
 
 
