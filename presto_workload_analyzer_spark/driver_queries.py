@@ -13309,3 +13309,203 @@ _register("xs32_kcenter_coreset", xs32_kcenter_coreset, xs32_sql())
 _register("xs33_source_unigram_kl", xs33_source_unigram_kl, xs33_sql())
 _register("xs34_mmr_rerank", xs34_mmr_rerank, xs34_sql())
 _register("s21_stream_decontaminate", s21_stream_decontaminate, s21_sql())
+
+
+# --------------------------------------------------------------------------
+# -- round-15 registrations: the tier-3 batch (staged and 3-SF gate-verified
+# -- in round 13, calibration-pinned in round 14; moved here verbatim,
+# -- oracle strings byte-identical to the staged versions — asserted at
+# -- move time). Contrastive positive-pair mining from the minhash-CC
+# -- duplicate clusters (the SimCSE/E5 near-dup-as-positive convention),
+# -- held-out interpolated Kneser-Ney scoring beside Jelinek-Mercer (the
+# -- KenLM/CCNet smoothing family) with the per-doc disagreement delta,
+# -- and the streaming seam of xs33's per-source unigram-KL drift monitor.
+# --------------------------------------------------------------------------
+
+
+def xs35_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """Contrastive POSITIVE-pair mining from the duplicate clusters —
+    the training-data-generation step embedding-model pipelines publish
+    (SimCSE/E5-style: near-duplicate documents form positive pairs;
+    negatives come free in-batch at training time, so the mining op
+    emits only (anchor, positive)). Every member of an x14 minhash-CC
+    cluster pairs with the NEXT member in doc_id order, wrapping to the
+    first (a deterministic ring: every member appears exactly once as
+    anchor and once as positive, no member pairs with itself in
+    clusters >= 2 — which CC guarantees, since membership requires an
+    edge). Consumes the shared dedup-CC silver; windows partition by
+    cluster (group grain)."""
+    cc = shared_dedup_clusters(spark, sf)
+    w = Window.partitionBy("cluster_id").orderBy("id")
+    return cc.select(
+        F.col("id").alias("anchor_id"),
+        F.coalesce(F.lead("id").over(w), F.first("id").over(w)).alias(
+            "positive_id"
+        ),
+        "cluster_id",
+        F.count(F.lit(1))
+        .over(Window.partitionBy("cluster_id"))
+        .cast("long")
+        .alias("cluster_size"),
+    )
+
+
+def xs35_sql() -> str:
+    return (
+        _X14_CC_SQL.format(bands=_X02_BANDS)
+        + " SELECT id AS anchor_id,"
+        "  coalesce(lead(id) OVER (PARTITION BY cluster_id ORDER BY id),"
+        "   first_value(id) OVER (PARTITION BY cluster_id ORDER BY id))"
+        "   AS positive_id,"
+        " cluster_id,"
+        "  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)"
+        "   AS cluster_size"
+        " FROM cc"
+    )
+
+
+_XS36_D = 0.75
+
+
+def xs36_kneser_ney_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Held-out per-doc perplexity under interpolated KNESER-NEY beside
+    the Jelinek-Mercer score (xs7/xs12's LM), same slices, same token
+    stream — the smoothing-family upgrade the published perplexity
+    filters actually ship (CCNet's KenLM is modified-KN), emitted as a
+    per-doc comparison so the gate hashes which documents the two
+    smoothings DISAGREE on (jm_minus_kn_nll > 0 = KN considers the doc
+    more natural than JM does). Both scores share one oracle CTE chain
+    (the _xs7_perdoc_sql token stream), so a drift in either smoothing
+    — or in the shared tokenization — is a hash mismatch."""
+    from presto_workload_analyzer_spark.extensions import textstats
+    from presto_workload_analyzer_spark.sources import read_table
+
+    docs = read_table(spark, f"{sf}/documents.parquet")
+    ho = F.col("doc_id") % 5 == 0
+    # the FUSED scorer: one held-bigram stream, one join tree, both
+    # smoothings (equality to the standalone scorers pinned by
+    # test_fused_lm_scorer_equals_standalones)
+    both = textstats.heldout_jm_kn_nll(
+        docs, "doc_id", "text", holdout=ho, lam=_XS7_LAM, discount=_XS36_D
+    )
+    j = both.select(
+        F.col("id").alias("doc_id"),
+        F.col("n_scored").alias("n_tokens"),
+        (F.col("sum_nll_jm") / F.col("n_scored")).alias("__jm"),
+        (F.col("sum_nll_kn") / F.col("n_scored")).alias("__kn"),
+    )
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        F.round(F.exp(F.col("__kn")) + F.lit(1e-9), 6).alias("kn_ppl"),
+        F.round(F.exp(F.col("__jm")) + F.lit(1e-9), 6).alias("jm_ppl"),
+        F.round(F.col("__jm") - F.col("__kn") + F.lit(1e-9), 6).alias(
+            "jm_minus_kn_nll"
+        ),
+    )
+
+
+def xs36_sql() -> str:
+    d = _XS36_D
+    p_cont = "((coalesce(rgt.n1r, 0.0) + 1.0) / (t + v + 1.0))"
+    return (
+        _xs7_perdoc_sql()
+        + ", lft AS (SELECT w_prev, CAST(sum(c2) AS DOUBLE) AS cl,"
+        "   CAST(count(*) AS DOUBLE) AS n1l FROM bi GROUP BY 1),"
+        " rgt AS (SELECT w, CAST(count(*) AS DOUBLE) AS n1r"
+        "  FROM bi GROUP BY 1),"
+        " kt AS (SELECT CAST(sum(n1r) AS DOUBLE) AS t FROM rgt),"
+        " ksb AS (SELECT id, -ln(CASE WHEN coalesce(lft.cl, 0.0) > 0 THEN"
+        f"   greatest(coalesce(b.c2, 0) - {d!r}, 0.0) / lft.cl"
+        f"   + ({d!r} * lft.n1l / lft.cl) * {p_cont}"
+        f"  ELSE {p_cont} END) AS nll"
+        "  FROM bh LEFT JOIN bi b USING (w_prev, w)"
+        "   LEFT JOIN lft USING (w_prev)"
+        "   LEFT JOIN rgt ON rgt.w = bh.w, kt, scal),"
+        " kfst AS (SELECT id,"
+        f"  -ln((coalesce(n1r, 0.0) + 1.0) / (t + v + 1.0)) AS nll"
+        "  FROM (SELECT id, toks[1] AS w FROM hd"
+        "    WHERE len(toks) >= 1 AND toks[1] <> '') f"
+        "   LEFT JOIN rgt USING (w), kt, scal),"
+        " knper AS (SELECT id, count(*) AS ns, sum(nll) AS snll"
+        "  FROM (SELECT * FROM ksb UNION ALL SELECT * FROM kfst) a"
+        "  GROUP BY 1)"
+        " SELECT p.id AS doc_id, CAST(p.ns AS BIGINT) AS n_tokens,"
+        "  round(exp(k.snll / k.ns) + 1e-9, 6) AS kn_ppl,"
+        "  round(exp(p.snll / p.ns) + 1e-9, 6) AS jm_ppl,"
+        "  round(p.snll / p.ns - k.snll / k.ns + 1e-9, 6) AS jm_minus_kn_nll"
+        " FROM perdoc p JOIN knper k ON k.id = p.id"
+    )
+
+
+def s22_stream_source_kl(spark: SparkSession, sf: str) -> DataFrame:
+    """The STREAMING seam of xs33's domain-drift monitor: documents
+    arrive continuously, a stateful (source, word)-grain count runs at
+    ingest (state bounded by vocabulary x sources — never corpus rows),
+    and the KL readout computes over the DRAINED state: per-source
+    KL(source ‖ corpus) where the corpus distribution is the sum of the
+    state itself — so after a full drain the readout equals xs33's batch
+    answer exactly, which is what the oracle hashes. This is the one
+    streaming shape no other s-query exercises: a stateful aggregation
+    whose CONSUMER is a batch computation over the drained state table
+    (the production deployment reads the state store per trigger via
+    foreachBatch and publishes the KL time-series). Token stream is
+    xs33's verbatim (lowercased, empty-dropped)."""
+    import uuid
+
+    from presto_workload_analyzer_spark.extensions.textstats import tokens
+    from presto_workload_analyzer_spark.streaming import (
+        run_to_memory,
+        state_partitions,
+        stream_sf_table,
+    )
+
+    counts = (
+        stream_sf_table(spark, sf, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            "source",
+            F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
+                "w"
+            ),
+        )
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("double").alias("cs"))
+    )
+    name = f"s22_mem_{uuid.uuid4().hex[:8]}"
+    with state_partitions(spark, 8):
+        q = run_to_memory(counts, name, output_mode="complete")
+        q.awaitTermination(300)
+    # materialize the drained state before self-joining it (deriving
+    # multiple join branches from a live memory-sink table trips a
+    # Spark-internal plan error; every s-query materializes its drain)
+    tbl = spark.table(name)
+    st = spark.createDataFrame(tbl.collect(), tbl.schema)
+
+    corpus = st.groupBy("w").agg(F.sum("cs").alias("c"))
+    scal = corpus.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
+    )
+    stot = st.groupBy("source").agg(F.sum("cs").alias("ns"))
+    x = (
+        corpus.join(F.broadcast(stot))
+        .join(st, ["source", "w"], "left")
+        .join(F.broadcast(scal))
+        .withColumn("__cs", F.coalesce(F.col("cs"), F.lit(0.0)))
+    )
+    p = (F.col("__cs") + F.lit(1.0)) / (F.col("ns") + F.col("v"))
+    q_ = F.col("c") / F.col("n")
+    out = x.groupBy("source").agg(
+        F.min("ns").cast("long").alias("n_tokens"),
+        F.min("v").cast("long").alias("corpus_vocab"),
+        F.round(F.sum(p * F.log(p / q_)) + F.lit(1e-9), 6).alias("kl_nats"),
+    )
+    return spark.createDataFrame(out.collect(), out.schema)
+
+
+_register("xs35_contrastive_pairs", xs35_contrastive_pairs, xs35_sql())
+_register("xs36_kneser_ney_filter", xs36_kneser_ney_filter, xs36_sql())
+# s22's oracle IS its batch twin's (xs33): after a full drain the
+# stateful readout equals the batch KL table exactly.
+_register("s22_stream_source_kl", s22_stream_source_kl, xs33_sql())

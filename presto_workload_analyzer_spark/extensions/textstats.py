@@ -2186,3 +2186,51 @@ def readability_stats(
         - 15.59
     )
     return out.withColumn("fk_grade", grade)
+
+
+def row_local_term_counts(toks: Column) -> Column:
+    """Per-row (word, count) pairs over a token array — computed entirely
+    ROW-LOCALLY, so a streaming consumer can explode it into a
+    vocabulary-grain stateful aggregation without ever holding
+    (word, doc)-grain state (Spark supports only one stateful
+    aggregation per streaming query, so the per-doc count cannot be its
+    own groupBy stage there).
+
+    Single O(n log n) pass: sort the array, mark run starts/ends by
+    zipping the sorted array against its one-shifted selves (zip_with
+    pads nothing here — both shifts are built to length n), then pair
+    run words with run lengths positionally. No element_at rescans, no
+    per-step accumulator copies — the previous formulation
+    (array_distinct x an `aggregate` rescan per distinct word) was
+    O(distinct_words x doc_len) per row, ~2x10^9 comparisons for a
+    100k-token doc with a 20k vocabulary; this is ~1.7x10^6.
+
+    Empty arrays yield an empty pair array (explode then drops the row).
+    Returns array<struct<w string, c long>>.
+    """
+    s = F.array_sort(toks)
+    n = F.size(s)
+    tail_len = F.greatest(n - 1, F.lit(0))
+    null_s = F.array(F.lit(None).cast("string"))
+    prv = F.concat(null_s, F.slice(s, 1, tail_len))
+    nxt = F.concat(F.slice(s, 2, tail_len), null_s)
+    is_start = F.zip_with(s, prv, lambda a, b: b.isNull() | (a != b))
+    is_end = F.zip_with(s, nxt, lambda a, b: b.isNull() | (a != b))
+    starts = F.filter(
+        F.transform(is_start, lambda f, i: F.when(f, i)),
+        lambda v: v.isNotNull(),
+    )
+    ends = F.filter(
+        F.transform(is_end, lambda f, i: F.when(f, i)),
+        lambda v: v.isNotNull(),
+    )
+    run_words = F.filter(
+        F.zip_with(s, is_start, lambda a, f: F.when(f, a)),
+        lambda v: v.isNotNull(),
+    )
+    counts = F.zip_with(ends, starts, lambda e, st: (e - st + 1).cast("long"))
+    pairs = F.zip_with(
+        run_words, counts, lambda w, c: F.struct(w.alias("w"), c.alias("c"))
+    )
+    empty = F.array().cast("array<struct<w:string,c:bigint>>")
+    return F.when(n > 0, pairs).otherwise(empty)

@@ -12,13 +12,14 @@ driver_queries._register — a move, not a debugging session.
 Registration history: xs1-xs5 (round 9, registry 222 -> 227),
 xs6-xs13 + s18 (round 11, 227 -> 236), xs14-xs19 + s19 + s20
 (round 12, 236 -> 244), xs20-xs27 (round 13, 244 -> 252),
-xs28-xs34 + s21 (round 14, 252 -> 260).
+xs28-xs34 + s21 (round 14, 252 -> 260), xs35/xs36 + s22 (round 15,
+260 -> 263).
 
 Staging tiers live here so each round's registration stays <= 8
 (the driver window must cover gate + new + stale in one round):
-`STAGED` (xs20-xs27) and `STAGED_NEXT` (xs28-xs34 + s21) registered in
-rounds 13/14 and are now empty; `STAGED_TIER3` (xs35/xs36 + s22)
-registers in round 15; `STAGED_TIER4` (xs37-xs39 + s23, the k-means
+`STAGED` (xs20-xs27), `STAGED_NEXT` (xs28-xs34 + s21), and
+`STAGED_TIER3` (xs35/xs36 + s22) registered in rounds 13/14/15 and are
+now empty; `STAGED_TIER4` (xs37-xs39 + s23, the k-means
 clustering surface) in round 16; `STAGED_TIER5` (xs40-xs43 + s24, the
 context-budget / repeat-epochs / readability-curriculum surface, staged
 in round 14 after the tier-2 batch drained) in round 17; `STAGED_TIER6`
@@ -52,237 +53,10 @@ STAGED: dict[str, tuple] = {}
 STAGED_NEXT: dict[str, tuple] = {}
 
 
-# ---------------------------------------------------------------------------
-# TIER-3 staging (the round-15 pipeline; registers after STAGED_NEXT so
-# every round's registration stays <= 8). Three entries, three families
-# the registry does not yet cover:
-#
-#   * xs35_contrastive_pairs — training-PAIR generation: positive pairs
-#                              mined from the minhash-CC duplicate
-#                              clusters (the SimCSE/E5-style "near-dup
-#                              = positive, negatives in-batch" mining
-#                              convention), deterministic ring pick.
-#   * xs36_kneser_ney_filter — held-out scoring under interpolated
-#                              KNESER-NEY (the KenLM/CCNet smoothing
-#                              family) beside the Jelinek-Mercer score,
-#                              per-doc, with the JM-minus-KN delta —
-#                              which docs the two smoothings disagree on.
-#   * s22_stream_source_kl   — the STREAMING seam of xs33: stateful
-#                              (source, word)-grain counts at ingest
-#                              (state bounded by vocab x sources, never
-#                              corpus rows), KL readout over the drained
-#                              state — the mixing-drift monitor running
-#                              continuously.
-# ---------------------------------------------------------------------------
-
-
-def xs35_contrastive_pairs(spark: SparkSession, sf: str) -> DataFrame:
-    """Contrastive POSITIVE-pair mining from the duplicate clusters —
-    the training-data-generation step embedding-model pipelines publish
-    (SimCSE/E5-style: near-duplicate documents form positive pairs;
-    negatives come free in-batch at training time, so the mining op
-    emits only (anchor, positive)). Every member of an x14 minhash-CC
-    cluster pairs with the NEXT member in doc_id order, wrapping to the
-    first (a deterministic ring: every member appears exactly once as
-    anchor and once as positive, no member pairs with itself in
-    clusters >= 2 — which CC guarantees, since membership requires an
-    edge). Consumes the shared dedup-CC silver; windows partition by
-    cluster (group grain)."""
-    from presto_workload_analyzer_spark.driver_queries import (
-        shared_dedup_clusters,
-    )
-    from pyspark.sql import Window
-
-    cc = shared_dedup_clusters(spark, sf)
-    w = Window.partitionBy("cluster_id").orderBy("id")
-    return cc.select(
-        F.col("id").alias("anchor_id"),
-        F.coalesce(F.lead("id").over(w), F.first("id").over(w)).alias(
-            "positive_id"
-        ),
-        "cluster_id",
-        F.count(F.lit(1))
-        .over(Window.partitionBy("cluster_id"))
-        .cast("long")
-        .alias("cluster_size"),
-    )
-
-
-def xs35_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import (
-        _X02_BANDS,
-        _X14_CC_SQL,
-    )
-
-    return (
-        _X14_CC_SQL.format(bands=_X02_BANDS)
-        + " SELECT id AS anchor_id,"
-        "  coalesce(lead(id) OVER (PARTITION BY cluster_id ORDER BY id),"
-        "   first_value(id) OVER (PARTITION BY cluster_id ORDER BY id))"
-        "   AS positive_id,"
-        " cluster_id,"
-        "  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)"
-        "   AS cluster_size"
-        " FROM cc"
-    )
-
-
-_XS36_D = 0.75
-
-
-def xs36_kneser_ney_filter(spark: SparkSession, sf: str) -> DataFrame:
-    """Held-out per-doc perplexity under interpolated KNESER-NEY beside
-    the Jelinek-Mercer score (xs7/xs12's LM), same slices, same token
-    stream — the smoothing-family upgrade the published perplexity
-    filters actually ship (CCNet's KenLM is modified-KN), emitted as a
-    per-doc comparison so the gate hashes which documents the two
-    smoothings DISAGREE on (jm_minus_kn_nll > 0 = KN considers the doc
-    more natural than JM does). Both scores share one oracle CTE chain
-    (the _xs7_perdoc_sql token stream), so a drift in either smoothing
-    — or in the shared tokenization — is a hash mismatch."""
-    from presto_workload_analyzer_spark.driver_queries import _XS7_LAM
-    from presto_workload_analyzer_spark.extensions import textstats
-    from presto_workload_analyzer_spark.sources import read_table
-
-    docs = read_table(spark, f"{sf}/documents.parquet")
-    ho = F.col("doc_id") % 5 == 0
-    # the FUSED scorer: one held-bigram stream, one join tree, both
-    # smoothings (equality to the standalone scorers pinned by
-    # test_fused_lm_scorer_equals_standalones)
-    both = textstats.heldout_jm_kn_nll(
-        docs, "doc_id", "text", holdout=ho, lam=_XS7_LAM, discount=_XS36_D
-    )
-    j = both.select(
-        F.col("id").alias("doc_id"),
-        F.col("n_scored").alias("n_tokens"),
-        (F.col("sum_nll_jm") / F.col("n_scored")).alias("__jm"),
-        (F.col("sum_nll_kn") / F.col("n_scored")).alias("__kn"),
-    )
-    return j.select(
-        "doc_id",
-        "n_tokens",
-        F.round(F.exp(F.col("__kn")) + F.lit(1e-9), 6).alias("kn_ppl"),
-        F.round(F.exp(F.col("__jm")) + F.lit(1e-9), 6).alias("jm_ppl"),
-        F.round(F.col("__jm") - F.col("__kn") + F.lit(1e-9), 6).alias(
-            "jm_minus_kn_nll"
-        ),
-    )
-
-
-def xs36_sql() -> str:
-    from presto_workload_analyzer_spark.driver_queries import _xs7_perdoc_sql
-
-    d = _XS36_D
-    p_cont = "((coalesce(rgt.n1r, 0.0) + 1.0) / (t + v + 1.0))"
-    return (
-        _xs7_perdoc_sql()
-        + ", lft AS (SELECT w_prev, CAST(sum(c2) AS DOUBLE) AS cl,"
-        "   CAST(count(*) AS DOUBLE) AS n1l FROM bi GROUP BY 1),"
-        " rgt AS (SELECT w, CAST(count(*) AS DOUBLE) AS n1r"
-        "  FROM bi GROUP BY 1),"
-        " kt AS (SELECT CAST(sum(n1r) AS DOUBLE) AS t FROM rgt),"
-        " ksb AS (SELECT id, -ln(CASE WHEN coalesce(lft.cl, 0.0) > 0 THEN"
-        f"   greatest(coalesce(b.c2, 0) - {d!r}, 0.0) / lft.cl"
-        f"   + ({d!r} * lft.n1l / lft.cl) * {p_cont}"
-        f"  ELSE {p_cont} END) AS nll"
-        "  FROM bh LEFT JOIN bi b USING (w_prev, w)"
-        "   LEFT JOIN lft USING (w_prev)"
-        "   LEFT JOIN rgt ON rgt.w = bh.w, kt, scal),"
-        " kfst AS (SELECT id,"
-        f"  -ln((coalesce(n1r, 0.0) + 1.0) / (t + v + 1.0)) AS nll"
-        "  FROM (SELECT id, toks[1] AS w FROM hd"
-        "    WHERE len(toks) >= 1 AND toks[1] <> '') f"
-        "   LEFT JOIN rgt USING (w), kt, scal),"
-        " knper AS (SELECT id, count(*) AS ns, sum(nll) AS snll"
-        "  FROM (SELECT * FROM ksb UNION ALL SELECT * FROM kfst) a"
-        "  GROUP BY 1)"
-        " SELECT p.id AS doc_id, CAST(p.ns AS BIGINT) AS n_tokens,"
-        "  round(exp(k.snll / k.ns) + 1e-9, 6) AS kn_ppl,"
-        "  round(exp(p.snll / p.ns) + 1e-9, 6) AS jm_ppl,"
-        "  round(p.snll / p.ns - k.snll / k.ns + 1e-9, 6) AS jm_minus_kn_nll"
-        " FROM perdoc p JOIN knper k ON k.id = p.id"
-    )
-
-
-def s22_stream_source_kl(spark: SparkSession, sf: str) -> DataFrame:
-    """The STREAMING seam of xs33's domain-drift monitor: documents
-    arrive continuously, a stateful (source, word)-grain count runs at
-    ingest (state bounded by vocabulary x sources — never corpus rows),
-    and the KL readout computes over the DRAINED state: per-source
-    KL(source ‖ corpus) where the corpus distribution is the sum of the
-    state itself — so after a full drain the readout equals xs33's batch
-    answer exactly, which is what the oracle hashes. This is the one
-    streaming shape no other s-query exercises: a stateful aggregation
-    whose CONSUMER is a batch computation over the drained state table
-    (the production deployment reads the state store per trigger via
-    foreachBatch and publishes the KL time-series). Token stream is
-    xs33's verbatim (lowercased, empty-dropped)."""
-    import uuid
-
-    from presto_workload_analyzer_spark.extensions.textstats import tokens
-    from presto_workload_analyzer_spark.streaming import (
-        run_to_memory,
-        state_partitions,
-        stream_sf_table,
-    )
-
-    counts = (
-        stream_sf_table(spark, sf, "documents")
-        .filter(F.col("text").isNotNull())
-        .select(
-            "source",
-            F.explode(F.transform(tokens("text"), lambda t: F.lower(t))).alias(
-                "w"
-            ),
-        )
-        .filter(F.col("w") != "")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).cast("double").alias("cs"))
-    )
-    name = f"s22_mem_{uuid.uuid4().hex[:8]}"
-    with state_partitions(spark, 8):
-        q = run_to_memory(counts, name, output_mode="complete")
-        q.awaitTermination(300)
-    # materialize the drained state before self-joining it (deriving
-    # multiple join branches from a live memory-sink table trips a
-    # Spark-internal plan error; every s-query materializes its drain)
-    tbl = spark.table(name)
-    st = spark.createDataFrame(tbl.collect(), tbl.schema)
-
-    corpus = st.groupBy("w").agg(F.sum("cs").alias("c"))
-    scal = corpus.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).cast("double").alias("v")
-    )
-    stot = st.groupBy("source").agg(F.sum("cs").alias("ns"))
-    x = (
-        corpus.join(F.broadcast(stot))
-        .join(st, ["source", "w"], "left")
-        .join(F.broadcast(scal))
-        .withColumn("__cs", F.coalesce(F.col("cs"), F.lit(0.0)))
-    )
-    p = (F.col("__cs") + F.lit(1.0)) / (F.col("ns") + F.col("v"))
-    q_ = F.col("c") / F.col("n")
-    out = x.groupBy("source").agg(
-        F.min("ns").cast("long").alias("n_tokens"),
-        F.min("v").cast("long").alias("corpus_vocab"),
-        F.round(F.sum(p * F.log(p / q_)) + F.lit(1e-9), 6).alias("kl_nats"),
-    )
-    return spark.createDataFrame(out.collect(), out.schema)
-
-
-def _xs33_sql_for_s22() -> str:
-    # s22's oracle IS its batch twin's (xs33 registered in round 14):
-    # after a full drain the stateful readout equals the batch KL table.
-    from presto_workload_analyzer_spark.driver_queries import xs33_sql
-
-    return xs33_sql()
-
-
-STAGED_TIER3: dict[str, tuple] = {
-    "xs35_contrastive_pairs": (xs35_contrastive_pairs, xs35_sql()),
-    "xs36_kneser_ney_filter": (xs36_kneser_ney_filter, xs36_sql()),
-    "s22_stream_source_kl": (s22_stream_source_kl, _xs33_sql_for_s22()),
-}
+# (xs35/xs36 + s22 registered in round 15 — moved verbatim into
+# driver_queries with the byte-identical oracle assert; this tier is
+# empty until the next batch stages.)
+STAGED_TIER3: dict[str, tuple] = {}
 
 
 # ---------------------------------------------------------------------------
@@ -346,29 +120,46 @@ _XS37_K = 4
 _XS37_ITERS = 3
 _XS37_DIM = 64
 
-# (sf dir or other corpus key) -> final centroids; deterministic data
-# (kmeans_centroids' exact-replay contract), so a process-lifetime memo
-# is safe across Spark sessions reading the same corpus.
-_KMEANS_CENTS_CACHE: dict[str, list] = {}
+# (corpus path + parquet file fingerprint) -> final centroids;
+# deterministic data (kmeans_centroids' exact-replay contract), so a
+# process-lifetime memo is safe across Spark sessions — and keying on
+# the file's (mtime_ns, size) means an in-process corpus regeneration
+# (tools/make_sf.py rewriting .bench_sf or testdata between checks)
+# invalidates the entry instead of silently serving stale centroids.
+_KMEANS_CENTS_CACHE: dict[tuple, list] = {}
+
+
+def _corpus_fingerprint(path: str) -> tuple:
+    import os
+
+    try:
+        st = os.stat(path)
+        return (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        # non-local paths (hdfs/s3 in production) fall back to the
+        # path-only key — document the regeneration hazard there
+        return (path,)
 
 
 def shared_kmeans_centroids(spark: SparkSession, sf: str) -> list:
     """The trained-centroid silver all three k-means consumers read
     (xs37 assignment, xs38 prototypicality, s23 streaming cell monitor):
     similarity.kmeans_centroids' exact-replay trajectory, computed once
-    per (process, corpus) — k x dims driver-held floats, the bounded
-    state class of BPE's merge list. Sharing it means the driver bench
-    pays the iteration cost (iters+1 scans) once, not three times, and
-    the three queries hash the SAME centroids by construction."""
-    if sf not in _KMEANS_CENTS_CACHE:
+    per (process, corpus file-version) — k x dims driver-held floats,
+    the bounded state class of BPE's merge list. Sharing it means the
+    driver bench pays the iteration cost (iters+1 scans) once, not
+    three times, and the three queries hash the SAME centroids by
+    construction."""
+    key = _corpus_fingerprint(f"{sf}/embeddings.parquet")
+    if key not in _KMEANS_CENTS_CACHE:
         from presto_workload_analyzer_spark.extensions import similarity
         from presto_workload_analyzer_spark.sources import read_table
 
         emb = read_table(spark, f"{sf}/embeddings.parquet")
-        _KMEANS_CENTS_CACHE[sf] = similarity.kmeans_centroids(
+        _KMEANS_CENTS_CACHE[key] = similarity.kmeans_centroids(
             emb, "vec_id", "embedding", k=_XS37_K, iters=_XS37_ITERS
         )
-    return _KMEANS_CENTS_CACHE[sf]
+    return _KMEANS_CENTS_CACHE[key]
 
 
 def _kmeans_sql_chain(k: int = _XS37_K, iters: int = _XS37_ITERS,
@@ -1551,12 +1342,17 @@ def xs48_pmi_collocations(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
     tu = uni.agg(F.sum("c").alias("__tu"))
+    # slice length clamped at 0: a doc whose text tokenizes to zero
+    # non-empty tokens would otherwise pass length -1 and throw
+    # (INVALID_PARAMETER_VALUE.LENGTH); the oracle's
+    # range(0, greatest(len-1, 0)) yields zero rows for the same doc
+    n_bi = F.greatest(F.size("__toks") - 1, F.lit(0))
     bi = (
         t.select(
             F.explode(
                 F.zip_with(
-                    F.slice(F.col("__toks"), 1, F.size("__toks") - 1),
-                    F.slice(F.col("__toks"), 2, F.size("__toks") - 1),
+                    F.slice(F.col("__toks"), 1, n_bi),
+                    F.slice(F.col("__toks"), 2, n_bi),
                     lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
                 )
             ).alias("p")
@@ -1690,12 +1486,16 @@ def s25_stream_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     sufficient statistics, the established sketch-dashboard shape).
     Emitted at the xs47 df floor. Oracle: xs47's own moment chain.
 
-    Row-local cost is O(distinct_words x doc_len) per doc — bounded by
-    the in-doc vocabulary; pathological single-doc vocabularies belong
-    to the batch path."""
+    Row-local cost is one O(doc_len log doc_len) sorted-run pass
+    (textstats.row_local_term_counts) — a 100k-token doc with a 20k
+    in-doc vocabulary costs ~1.7M comparisons, not the ~2x10^9 the
+    earlier array_distinct-x-rescan formulation paid."""
     import uuid
 
-    from presto_workload_analyzer_spark.extensions.textstats import tokens
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        row_local_term_counts,
+        tokens,
+    )
     from presto_workload_analyzer_spark.streaming import (
         run_to_memory,
         state_partitions,
@@ -1705,17 +1505,7 @@ def s25_stream_burstiness(spark: SparkSession, sf: str) -> DataFrame:
     toks = F.filter(
         F.transform(tokens("text"), lambda x: F.lower(x)), lambda w: w != ""
     )
-    counts = F.transform(
-        F.array_distinct(toks),
-        lambda w: F.struct(
-            w.alias("w"),
-            F.aggregate(
-                toks,
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + (x == w).cast("long"),
-            ).alias("c"),
-        ),
-    )
+    counts = row_local_term_counts(toks)
     rows = (
         stream_sf_table(spark, sf, "documents")
         .filter(F.col("text").isNotNull())

@@ -4387,7 +4387,7 @@ def test_xs35_ring_property_on_corpus():
     itself (CC clusters are >= 2 by construction), every member appears
     exactly once as anchor and exactly once as positive (a permutation
     within each cluster), at both gate SFs."""
-    from presto_workload_analyzer_spark.staged_queries import xs35_sql
+    from presto_workload_analyzer_spark.driver_queries import xs35_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -4412,7 +4412,7 @@ def test_xs36_smoothings_disagree_on_corpus():
     (54/100 and 58/100 positive as staged) — otherwise the comparison
     column hashes a constant sign and the gate stops witnessing the
     smoothing difference."""
-    from presto_workload_analyzer_spark.staged_queries import xs36_sql
+    from presto_workload_analyzer_spark.driver_queries import xs36_sql
 
     for sf in ("0.001", "0.01"):
         con = _staged_con(sf)
@@ -4603,7 +4603,7 @@ def test_xs40_budget_table_discriminates_on_corpus():
         ).fetchall()
         tot = con.sql(
             "SELECT sum(len(string_split_regex(trim(text), '\\s+'))),"
-            " count(*) FROM documents"
+            " count(*) FROM documents WHERE text IS NOT NULL"
         ).fetchone()
         shares = [r[4] for r in rows]
         assert shares == sorted(shares, reverse=True) and len(set(shares)) == 4
@@ -5064,3 +5064,117 @@ def test_s25_moments_equal_xs47_on_corpus():
             " WHERE v.vmr IS DISTINCT FROM x.vmr"
         ).fetchone()[0]
         assert mismatches == 0, f"sf{sf}: {mismatches} moment mismatches"
+
+
+def _empty_token_corpus(spark, tmp_path):
+    """A documents.parquet containing the degenerate texts the repo
+    treats as in-contract: empty string, whitespace-only, NULL — plus
+    enough repeated real text that xs48's pair floor keeps rows."""
+    rows = [(i, "s0", "en", "alpha beta alpha beta alpha beta", 32)
+            for i in range(60)]  # df=60 > the _XS47_MIN_DF=50 floor
+    rows += [(100, "s1", "en", "", 0), (101, "s1", "en", "   ", 3),
+             (102, "s1", "en", None, 0), (103, "s1", "en", "gamma", 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, source string, lang string, text string,"
+        " n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    return str(tmp_path)
+
+
+def test_xs48_survives_empty_token_docs(spark, tmp_path):
+    """Regression for the slice-length guard: a doc whose text tokenizes
+    to ZERO non-empty tokens (empty or whitespace-only) used to make
+    F.slice(__toks, 1, size-1) throw INVALID_PARAMETER_VALUE.LENGTH;
+    the guarded plan must instead agree with the oracle exactly (the
+    oracle's range(0, greatest(len-1, 0)) yields zero rows for such
+    docs)."""
+    import duckdb
+
+    import pandas as pd
+
+    from presto_workload_analyzer_spark.staged_queries import (
+        xs48_pmi_collocations,
+        xs48_sql,
+    )
+
+    sf = _empty_token_corpus(spark, tmp_path)
+    got = (
+        xs48_pmi_collocations(spark, sf)
+        .toPandas()
+        .sort_values(["w1", "w2"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(xs48_sql()).df().sort_values(["w1", "w2"]).reset_index(
+        drop=True
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_s25_survives_empty_token_docs(spark, tmp_path):
+    """s25's row-local term counts over the same degenerate corpus:
+    empty/whitespace/NULL texts contribute nothing, and the drained
+    vocabulary-grain moments equal the oracle exactly."""
+    import duckdb
+
+    import pandas as pd
+
+    from presto_workload_analyzer_spark.staged_queries import (
+        s25_stream_burstiness,
+        s25_sql,
+    )
+
+    sf = _empty_token_corpus(spark, tmp_path)
+    got = (
+        s25_stream_burstiness(spark, sf)
+        .toPandas()
+        .sort_values("word")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf}/documents.parquet/*.parquet')"
+    )
+    want = con.sql(s25_sql()).df().sort_values("word").reset_index(drop=True)
+    for c in want.columns:
+        if want[c].dtype != got[c].dtype:
+            want[c] = want[c].astype(got[c].dtype)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want, check_exact=True)
+
+
+def test_row_local_term_counts_matches_counter(spark):
+    """The sorted-run row-local term counter (s25's O(n log n) kernel)
+    must equal collections.Counter on random token arrays, including
+    empty and single-token rows."""
+    import random
+    from collections import Counter
+
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        row_local_term_counts,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1514)
+    vocab = [f"w{i}" for i in range(12)]
+    data = [(i, [rng.choice(vocab) for _ in range(rng.randint(0, 40))])
+            for i in range(120)]
+    data += [(1000, []), (1001, ["solo"]), (1002, ["a"] * 17)]
+    df = spark.createDataFrame(data, "id long, toks array<string>")
+    got = {
+        r.id: sorted((p.w, p.c) for p in r.p)
+        for r in df.select(
+            "id", row_local_term_counts(F.col("toks")).alias("p")
+        ).collect()
+    }
+    for i, toks in data:
+        assert got[i] == sorted(Counter(toks).items()), i

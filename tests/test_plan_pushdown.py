@@ -256,27 +256,23 @@ def test_round14_registrations_prune_scans(spark, name):
         assert cols <= tables[m.group(2)], (name, sorted(cols), line)
 
 
-def test_staged_tier3_batch_prunes_scans(spark):
-    """Tier-3 scan pruning: xs36 reads only (doc_id, text); xs35
-    consumes the dedup-CC silver whose own scan (doc_id, text) is
-    pinned by the xs20-batch test; s22 is a streaming drain (xs33, its
-    batch twin, pins the (source, text) scan)."""
-    from presto_workload_analyzer_spark import staged_queries
-
-    allowed = {
-        "xs35_contrastive_pairs": {"doc_id", "text"},
-        "xs36_kneser_ney_filter": {"doc_id", "text"},
-    }
-    for name, cols_ok in allowed.items():
-        fn, _sql = staged_queries.STAGED_TIER3[name]
-        df = fn(spark, SF_DIR)
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        for line in plan.splitlines():
-            m = _SCAN_RE.search(line)
-            if not m or m.group(2) != "documents":
-                continue
-            cols = {c.split("#")[0] for c in m.group(1).split(",") if c.strip()}
-            assert cols <= cols_ok, (name, sorted(cols), line)
+@pytest.mark.parametrize(
+    "name,allowed",
+    [
+        ("xs35_contrastive_pairs", {"doc_id", "text"}),
+        ("xs36_kneser_ney_filter", {"doc_id", "text"}),
+    ],
+)
+def test_round15_registrations_prune_document_scans(spark, name, allowed):
+    """The round-15 batch (registered this round): xs36 reads only
+    (doc_id, text); xs35 consumes the dedup-CC silver whose own
+    (doc_id, text) scan is pinned by the xs20-batch test (and may
+    already be cached in-session, so subset-only); s22 is a streaming
+    drain (xs33, its batch twin, pins the (source, text) scan)."""
+    for table, cols, line in _scans(spark, name):
+        if table != "documents":
+            continue
+        assert cols <= allowed, (name, sorted(cols), line)
 
 
 def test_staged_tier5_batch_prunes_scans(spark):
