@@ -1478,14 +1478,25 @@ _register(
 
 
 def _x11(spark: SparkSession, sf: str) -> DataFrame:
-    docs = read_sf_table(spark, sf, "documents")
+    # NULL text has no payload to attach — filtered on BOTH sides; a
+    # zero-byte payload legitimately has 0 frames, so the frame count
+    # joins LEFT with coalesce(., 0) to match the oracle's ceil
+    docs = read_sf_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
     media = X_mm.attach_binary(docs, "doc_id", "text", mime="text/plain")
     frames = X_mm.frame_sample(media, every_n_bytes=64).groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
+        F.count(F.lit(1)).alias("__nf")
     )
-    return media.select(
-        "doc_id", F.col("meta.n_bytes").alias("n_bytes")
-    ).join(frames, on="doc_id")
+    return (
+        media.select("doc_id", F.col("meta.n_bytes").alias("n_bytes"))
+        .join(frames, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.coalesce(F.col("__nf"), F.lit(0)).alias("n_frames"),
+        )
+    )
 
 
 _register(
@@ -1493,7 +1504,7 @@ _register(
     _x11,
     "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,"
     " CAST(ceil(octet_length(encode(text)) / 64.0) AS BIGINT) AS n_frames"
-    " FROM documents",
+    " FROM documents WHERE text IS NOT NULL",
 )
 
 
@@ -3467,7 +3478,11 @@ def _x47(spark: SparkSession, sf: str) -> DataFrame:
     Lee et al.'s 'Deduplicating Training Data' line of work): strip every
     token covered by a corpus-duplicated trigram, keep per-doc stats plus
     the cleaned text (dedup.strip_duplicate_spans)."""
-    docs = read_sf_table(spark, sf, "documents")
+    # NULL text has no tokens to strip — filtered on BOTH sides (the
+    # oracle would otherwise emit a NULL-stats row the kernel drops)
+    docs = read_sf_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull()
+    )
     out = X_dedup.strip_duplicate_spans(docs, "doc_id", "text", k=3)
     return out.select(
         F.col("id").alias("doc_id"), "n_tokens", "n_removed", "clean_text"
@@ -3478,7 +3493,7 @@ _register(
     "x47_span_dedup",
     _x47,
     r"""WITH tok AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
-  FROM documents),
+  FROM documents WHERE text IS NOT NULL),
 inst AS (SELECT doc_id, i - 1 AS pos, array_to_string(w[i:i+2], ' ') AS gram
   FROM tok, UNNEST(range(1, greatest(len(w)-2, 0)+1)) AS t(i)),
 dupg AS (SELECT gram FROM inst GROUP BY gram HAVING count(*) >= 2),
@@ -4338,7 +4353,7 @@ _register(
     " tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),"
     " bii AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
     "  FROM base, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-    "  WHERE len(toks) >= 2),"
+    "  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i+1] <> ''),"
     " bi AS (SELECT w_prev, w, count(*) AS c2 FROM bii GROUP BY 1, 2),"
     " sb AS (SELECT id, -ln(0.7 * c2 / cp.c1 + 0.3 * u.c1 / n) AS nll"
     "  FROM bii JOIN bi USING (w_prev, w)"
@@ -6701,7 +6716,12 @@ def _x99(spark: SparkSession, sf: str) -> DataFrame:
     the key, per-shard local top-20, aggregated offset window) — `source`
     alone is the low-cardinality partition key the engine's window lint
     bans over raw rows."""
-    docs = read_sf_table(spark, sf, "documents")
+    # NULL text has no token weight and NULL source no sampling cohort
+    # — filtered on BOTH sides (NULL keys rank differently across
+    # engines and the shard machinery is join-based)
+    docs = read_sf_table(spark, sf, "documents").filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    )
     w = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("double")
     u = (
         (F.conv(F.substring(F.md5(F.concat(F.lit("wsamp|"), F.col("doc_id").cast("string"))), 1, 6), 16, 10).cast("double") + 0.5)
@@ -6735,7 +6755,8 @@ _register(
     _x99,
     r"WITH b AS (SELECT source, doc_id,"
     r"   len(string_split_regex(trim(text), '\s+')) AS n_tokens,"
-    "   md5('wsamp|' || CAST(doc_id AS VARCHAR)) AS h FROM documents),"
+    "   md5('wsamp|' || CAST(doc_id AS VARCHAR)) AS h FROM documents"
+    "   WHERE text IS NOT NULL AND source IS NOT NULL),"
     " k AS (SELECT source, doc_id, n_tokens,"
     "   ln((((strpos('0123456789abcdef', substr(h, 1, 1)) - 1) * 1048576"
     "    + (strpos('0123456789abcdef', substr(h, 2, 1)) - 1) * 65536"
@@ -7139,7 +7160,13 @@ def _x105(spark: SparkSession, sf: str) -> DataFrame:
     rounded (+1e-9, 6) BEFORE ranking so the order compares identically
     in any engine (the x03/x08 half-grid convention)."""
     docs = read_sf_table(spark, sf, "documents")
-    scored = docs.select(
+    # NULL text has no quality score and NULL source no cohort to
+    # normalize within — both filtered on BOTH sides (NULL keys are
+    # join-rejecting here but window-partition-preserved in the oracle,
+    # so leaving them in diverges cross-engine)
+    scored = docs.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select(
         "doc_id",
         "source",
         F.round(X_text.quality_score("text") + 1e-9, 6).alias("quality"),
@@ -7180,7 +7207,8 @@ _register(
     "        / len(regexp_replace(text, '\\s', '', 'g')) ELSE 0.0 END) * 5.0, 1.0))"
     " + 0.3 * least((CAST(list_sum(list_transform(string_split_regex(trim(text), '\\s+'),"
     "   x -> len(x))) AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))) / 8.0, 1.0)"
-    " + 1e-9, 6) AS quality FROM documents)"
+    " + 1e-9, 6) AS quality FROM documents"
+    "  WHERE text IS NOT NULL AND source IS NOT NULL)"
     " SELECT doc_id, source, quality,"
     "  round(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6)"
     "   AS pct_rank"
@@ -7579,7 +7607,12 @@ def _x110(spark: SparkSession, sf: str) -> DataFrame:
             for i in (1, 2, 3, 4)
         ]
     )
-    wide = v.join(n, "source")
+    # the log-log fit needs all four prefix points positive: a source
+    # whose smallest prefix holds no docs or no vocabulary (possible
+    # when its doc_ids cluster at the top of the id range) has an
+    # undefined curve — dropped on BOTH sides (DuckDB ln(0) throws;
+    # v/n are nondecreasing in i, so v1/n1 > 0 covers all four)
+    wide = v.join(n, "source").filter((F.col("v1") > 0) & (F.col("n1") > 0))
     xs = [F.log(F.col(f"n{i}")) for i in (1, 2, 3, 4)]
     ys = [F.log(F.col(f"v{i}")) for i in (1, 2, 3, 4)]
     sx = xs[0] + xs[1] + xs[2] + xs[3]
@@ -7626,6 +7659,7 @@ def _x110_sql() -> str:
         f"  round((4 * ({sxy}) - ({sx}) * ({sy}))"
         f"   / (4 * ({sxx}) - ({sx}) * ({sx})) + 1e-9, 6) AS heaps_beta"
         " FROM v JOIN n ON n.source = v.source"
+        " WHERE v1 > 0 AND n1 > 0"
     )
 
 
@@ -10846,7 +10880,10 @@ def _xs6(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.sources import read_table
 
     docs = read_table(spark, f"{sf}/documents.parquet")
-    per = docs.groupBy("source").agg(
+    # a NULL source is not an allocatable source — filtered on BOTH
+    # sides (unimax_mix's rank/prefix broadcast self-join is
+    # null-rejecting, while the oracle's window keeps the NULL group)
+    per = docs.filter(F.col("source").isNotNull()).groupBy("source").agg(
         F.sum(textstats.token_count("text").cast("long")).alias("__tok")
     )
     return sampling.unimax_mix(
@@ -10859,7 +10896,7 @@ def _xs6_sql() -> str:
     return (
         "WITH per AS (SELECT source,"
         "   CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS t"
-        "  FROM documents GROUP BY 1),"
+        "  FROM documents WHERE source IS NOT NULL GROUP BY 1),"
         " r AS (SELECT source, t,"
         "   CAST(count(*) OVER (ORDER BY t, source) AS BIGINT) AS rnk,"
         "   CAST(sum(t) OVER (ORDER BY t, source) AS BIGINT) AS cum_le,"
@@ -10947,10 +10984,11 @@ def _xs7_perdoc_sql() -> str:
         " bi AS (SELECT w_prev, w, count(*) AS c2 FROM ("
         "   SELECT toks[i] AS w_prev, toks[i+1] AS w"
         "   FROM tr, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        "   WHERE len(toks) >= 2) b GROUP BY 1, 2),"
+        "   WHERE len(toks) >= 2"
+        "    AND toks[i] <> '' AND toks[i+1] <> '') b GROUP BY 1, 2),"
         " bh AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
         "  FROM hd, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        "  WHERE len(toks) >= 2),"
+        "  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i+1] <> ''),"
         f" sb AS (SELECT id, -ln({lam!r} * (CASE WHEN coalesce(cp.c1, 0) > 0"
         "     THEN CAST(coalesce(b.c2, 0) AS DOUBLE) / cp.c1 ELSE 0.0 END)"
         f"   + {1.0 - lam!r} * (coalesce(u.c1, 0) + 1.0) / (n + v + 1.0)) AS nll"
@@ -11686,7 +11724,14 @@ def _xs17(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.sources import read_table
 
     docs = read_table(spark, f"{sf}/documents.parquet")
-    sized = docs.select(
+    # NULL text has no token count and cannot be packed, and a NULL
+    # source no pack group (the oracle's recursive replay joins on
+    # source, which is null-rejecting) — both filtered on BOTH sides;
+    # a NULL sz would otherwise reach the Arrow kernel as NaN and
+    # crash int()
+    sized = docs.filter(
+        F.col("text").isNotNull() & F.col("source").isNotNull()
+    ).select(
         "source", "doc_id", textstats.token_count("text").cast("long").alias("sz")
     )
     out = textstats.best_fit_decreasing_pack(
@@ -11708,7 +11753,8 @@ def _xs17_sql() -> str:
         "WITH RECURSIVE sized AS ("
         f"  SELECT source, doc_id, CAST(doc_id // {sh} AS BIGINT) AS shard,"
         "    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS sz"
-        "  FROM documents),"
+        "  FROM documents"
+        "  WHERE text IS NOT NULL AND source IS NOT NULL),"
         " items AS ("
         "  SELECT source, shard, doc_id, sz,"
         "    row_number() OVER (PARTITION BY source, shard"
@@ -12111,8 +12157,12 @@ def xs23_exactsubstr_removal(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.sources import read_table
 
     docs = read_table(spark, f"{sf}/documents.parquet")
+    # NULL text has no tokens to remove — filtered on BOTH sides (the
+    # oracle's tok CTE would otherwise drop the doc while the kernel
+    # passes it through with NULL stats)
     return dedup.exactsubstr_removal(
-        docs, "doc_id", "text", k=_XS20_K, min_len=_XS20_MIN_LEN
+        docs.filter(F.col("text").isNotNull()),
+        "doc_id", "text", k=_XS20_K, min_len=_XS20_MIN_LEN,
     ).withColumnRenamed("id", "doc_id")
 
 
@@ -12123,7 +12173,8 @@ def xs23_sql() -> str:
         + ", cov AS (SELECT DISTINCT sp.doc_id, v.tp"
         f"  FROM sp, UNNEST(range(st, en + 1)) AS v(tp) WHERE en - st + 1 >= {L}),"
         " tok AS (SELECT t.doc_id, i, toks[i+1] AS tok"
-        "  FROM t, UNNEST(range(0, len(toks))) AS u(i)),"
+        "  FROM t, UNNEST(range(0, len(toks))) AS u(i)"
+        "  WHERE toks IS NOT NULL),"
         " fl AS (SELECT tok.doc_id, i, tok.tok,"
         "   (cov.tp IS NOT NULL) AS rm"
         "  FROM tok LEFT JOIN cov ON cov.doc_id = tok.doc_id AND cov.tp = tok.i)"
@@ -12331,7 +12382,8 @@ def _xs24_nll_chain_sql(prefix: str, train_pred: str) -> str:
         f" {p}bi AS (SELECT w_prev, w, count(*) AS c2 FROM ("
         f"   SELECT toks[i] AS w_prev, toks[i+1] AS w"
         f"   FROM {p}tr, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        f"   WHERE len(toks) >= 2) b GROUP BY 1, 2),"
+        f"   WHERE len(toks) >= 2"
+        f"    AND toks[i] <> '' AND toks[i+1] <> '') b GROUP BY 1, 2),"
         f" {p}sb AS (SELECT bh.id, -ln({lam!r} * (CASE WHEN coalesce(cp.c1, 0) > 0"
         f"     THEN CAST(coalesce(b.c2, 0) AS DOUBLE) / cp.c1 ELSE 0.0 END)"
         f"   + {1.0 - lam!r} * (coalesce(u.c1, 0) + 1.0) / (n + v + 1.0)) AS nll"
@@ -12392,7 +12444,7 @@ def xs24_sql() -> str:
         " hd AS (SELECT * FROM nbase WHERE id % 5 = 0 AND id % 10 <> 0),"
         " bh AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
         "  FROM hd, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        "  WHERE len(toks) >= 2),"
+        "  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i+1] <> ''),"
         " fh AS (SELECT id, toks[1] AS w FROM hd"
         "   WHERE len(toks) >= 1 AND toks[1] <> ''),"
         + _xs24_nll_chain_sql("b_", "id % 5 <> 0")
@@ -12562,7 +12614,7 @@ def xs26_sql() -> str:
         " hd AS (SELECT * FROM nbase WHERE id % 7 = 0 AND id % 5 <> 0),"
         " bh AS (SELECT id, toks[i] AS w_prev, toks[i+1] AS w"
         "  FROM hd, UNNEST(range(1, greatest(len(toks)-1, 0)+1)) AS t(i)"
-        "  WHERE len(toks) >= 2),"
+        "  WHERE len(toks) >= 2 AND toks[i] <> '' AND toks[i+1] <> ''),"
         " fh AS (SELECT id, toks[1] AS w FROM hd"
         "   WHERE len(toks) >= 1 AND toks[1] <> ''),"
         + _xs24_nll_chain_sql("b_", "id % 5 <> 0 AND id % 7 <> 0")

@@ -439,10 +439,13 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 4096) -> DataFrame:
     actual RIFF structure and pixel-decodes each sampled frame.
     """
     n_frames = F.ceil(F.col("meta.n_bytes") / every_n_bytes).cast("int")
-    return media.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), n_frames - 1)).alias("frame_idx"),
+    # guard the zero/NULL-byte payload: sequence(0, -1) counts DOWN
+    # ([0, -1] — two phantom frames), so empty payloads must yield an
+    # empty index array (explode then drops the row)
+    idx = F.when(n_frames > 0, F.sequence(F.lit(0), n_frames - 1)).otherwise(
+        F.array().cast("array<int>")
     )
+    return media.select("doc_id", F.explode(idx).alias("frame_idx"))
 
 
 # --------------------------------------------------------------------------

@@ -887,6 +887,9 @@ def gopher_repetition(
         ]
     )
 
+    # try_divide, not `/`: a zero-token-chars doc (empty or
+    # whitespace-only text) has __chars = 0, which ANSI `/` throws on;
+    # NULL-on-zero matches the oracle's x/0 -> NULL -> coalesce(., 0.0)
     out = totals.join(tops, "id", "left").join(cov_chars, "id", "left")
     for n in top_ns:
         t = F.col(f"__t{n}")
@@ -894,9 +897,11 @@ def gopher_repetition(
             f"top{n}_frac",
             F.round(
                 F.coalesce(
-                    (-t.getField("nc"))
-                    * (F.length(t.getField("g")) - (n - 1))
-                    / F.col("__chars"),
+                    F.try_divide(
+                        (-t.getField("nc"))
+                        * (F.length(t.getField("g")) - (n - 1)),
+                        F.col("__chars"),
+                    ),
                     F.lit(0.0),
                 )
                 + 1e-9,
@@ -907,7 +912,10 @@ def gopher_repetition(
         out = out.withColumn(
             f"dup{n}_frac",
             F.round(
-                F.coalesce(F.col(f"__cc{n}") / F.col("__chars"), F.lit(0.0))
+                F.coalesce(
+                    F.try_divide(F.col(f"__cc{n}"), F.col("__chars")),
+                    F.lit(0.0),
+                )
                 + 1e-9,
                 6,
             ),

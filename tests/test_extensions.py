@@ -5178,3 +5178,48 @@ def test_row_local_term_counts_matches_counter(spark):
     }
     for i, toks in data:
         assert got[i] == sorted(Counter(toks).items()), i
+
+
+def test_frame_sample_zero_byte_payload(spark):
+    """Regression for the descending-sequence trap: a zero-byte payload
+    made frame_sample's sequence(0, ceil(0/64)-1) count DOWN ([0, -1] —
+    two phantom frames). Empty and NULL payloads must contribute no
+    frame rows; short payloads exactly ceil(n_bytes/every)."""
+    from presto_workload_analyzer_spark.extensions import multimodal
+
+    df = spark.createDataFrame(
+        [(1, "x" * 100), (2, ""), (3, "abc"), (4, None)],
+        "doc_id long, text string",
+    )
+    media = multimodal.attach_binary(df, "doc_id", "text", mime="text/plain")
+    got = {
+        r.doc_id: r.n
+        for r in multimodal.frame_sample(media, every_n_bytes=64)
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == {1: 2, 3: 1}, got
+
+
+def test_gopher_repetition_zero_char_docs(spark):
+    """Regression for the ANSI divide-by-zero: a doc whose text
+    tokenizes to zero token chars (empty or whitespace-only) must score
+    0.0 on every fraction (the oracle's x/0 -> NULL -> coalesce(., 0)
+    semantics), not throw."""
+    from presto_workload_analyzer_spark.extensions import textstats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, ""), (3, "   "), (4, "\t \n ")],
+        "id long, text string",
+    )
+    out = {
+        r.id: r
+        for r in textstats.gopher_repetition(df, "id", "text").collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    for i in (2, 3, 4):
+        for c in ("top2_frac", "top3_frac", "top4_frac",
+                  "dup5_frac", "dup10_frac"):
+            assert abs(getattr(out[i], c)) < 1e-6, (i, c, out[i])
+    assert out[1].top2_frac > 0

@@ -37,6 +37,16 @@ python -m pytest tests/ -q
 echo "== 2/13 full local gate (sf0.01) =="
 python tools/check_correctness.py --json "LOCAL_GATE_r${ROUND}.json"
 
+echo "== 2b/13 degenerate-input gate =="
+# round-15 addition: the full oracle compare over a corpus seeded with
+# degenerate documents rows (NULL/empty/whitespace-only text, NULL
+# lang/source). Catches what the standard corpora cannot witness:
+# Spark-side crashes on degenerate arrays (negative slice lengths,
+# descending sequence(1,0)) and cross-engine NULL-semantics divergence.
+# First run found 10 real findings (two Spark crashes among them).
+python tools/make_degenerate.py /root/testdata/sf0.001 .bench_sf/degen
+python tools/check_correctness.py --sf-dir .bench_sf/degen --json "DEGEN_GATE_r${ROUND}.json"
+
 echo "== 3/13 bench sf0.1 =="
 python bench.py
 cp bench_detail.json /tmp/close_round_small.json

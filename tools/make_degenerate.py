@@ -1,0 +1,90 @@
+"""Build a DEGENERATE-corpus copy of a testdata SF dir for the
+degenerate-input gate: every table copied byte-for-byte except
+`documents.parquet`, which gains rows exercising the text edge cases the
+repo treats as in-contract (the xs40/xs48 review-bug class):
+
+  * NULL text
+  * empty-string text
+  * whitespace-only text (tokenizes to zero non-empty tokens)
+  * single-token text
+  * repeated-whitespace text (split() artifacts)
+  * a one-character doc and a NULL lang / NULL source row
+
+Running the full oracle compare on this corpus
+(`python tools/check_correctness.py --sf-dir .bench_sf/degen`) catches
+two bug classes the standard corpora cannot witness, because they
+contain no such rows:
+
+  1. Spark-side crashes on degenerate arrays (negative slice lengths,
+     descending sequence(1,0), element_at on empties) — the xs48 class;
+  2. cross-engine NULL-semantics divergence (Spark vs DuckDB skipping
+     NULLs differently in denominators) — the xs40 class.
+
+Usage:  python tools/make_degenerate.py [SRC_SF_DIR] [OUT_DIR]
+Defaults: /root/testdata/sf0.001 -> .bench_sf/degen
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+# (text, lang, source) triples; doc_id and n_chars derived below.
+# lang/source NULLs included: group-by-lang/source analyzers must agree
+# with the oracle on NULL grouping keys too.
+DEGENERATE_DOCS = [
+    (None, "en", "degen"),
+    ("", "en", "degen"),
+    ("   ", "en", "degen"),
+    ("\t \n ", "en", "degen"),
+    ("solo", "en", "degen"),
+    ("a", "en", "degen"),
+    ("two  tokens", "en", "degen"),      # doubled space: split artifact
+    (" leading trailing ", "en", "degen"),
+    ("alpha beta gamma", None, "degen"),  # NULL lang
+    ("alpha beta gamma", "en", None),     # NULL source
+]
+
+
+def build(src: str, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
+        if t != "documents":
+            shutil.copyfile(s, d)
+            continue
+        tbl = pq.read_table(s)
+        base = max(tbl.column("doc_id").to_pylist()) + 1
+        rows = {
+            "doc_id": [base + i for i in range(len(DEGENERATE_DOCS))],
+            "text": [x[0] for x in DEGENERATE_DOCS],
+            "lang": [x[1] for x in DEGENERATE_DOCS],
+            "source": [x[2] for x in DEGENERATE_DOCS],
+            "n_chars": [len(x[0]) if x[0] is not None else 0
+                        for x in DEGENERATE_DOCS],
+        }
+        extra = pa.table(
+            {name: pa.array(rows[name], type=tbl.schema.field(name).type)
+             for name in tbl.schema.names},
+            schema=pa.schema([tbl.schema.field(n) for n in tbl.schema.names]),
+        )
+        pq.write_table(
+            pa.concat_tables([tbl.select(tbl.schema.names), extra]), d
+        )
+    print(f"degenerate corpus at {out} "
+          f"(+{len(DEGENERATE_DOCS)} documents rows)")
+
+
+if __name__ == "__main__":
+    src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    out = sys.argv[2] if len(sys.argv) > 2 else ".bench_sf/degen"
+    build(src, out)
