@@ -903,6 +903,24 @@ from presto_workload_analyzer_spark.extensions import (  # noqa: E402
 )
 
 
+# The similarity-family ingest contract (similarity.indexable_expr): only
+# unit-normalizable vectors are indexable — NULL embeddings (failed
+# encodes) and zero-norm vectors (all-masked inputs) are excluded BEFORE
+# bucketing/ranking, on BOTH engines, because a NULL cosine reaching a
+# rank window places differently across engines. Audit queries (x50)
+# deliberately do NOT use this: they exist to report those rows.
+_EMB_OK = (
+    "embedding IS NOT NULL"
+    " AND list_dot_product(CAST(embedding AS DOUBLE[]),"
+    " CAST(embedding AS DOUBLE[])) > 0"
+)
+
+
+def read_indexable_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_sf_table(spark, sf_dir, "embeddings")
+    return emb.filter(X_sim.indexable_expr(F.col("embedding")))
+
+
 def shared_minhash_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The doc-grain md5 MinHash signature silver (k=3 shingles, 16
     hashes) under shared_lsh_pairs, cached separately because two
@@ -981,8 +999,12 @@ def shared_embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding_pairs_md5_p4_b2_t025",
         spark,
         sf_dir,
+        # indexable filter at the silver's ingest edge (the 100 TB shape:
+        # filter once, every pair consumer inherits it) — a zero-norm
+        # vector lands in every band's all-ones bucket and a NULL one
+        # cannot be bucketed at all
         lambda: X_dedup.blocked_embedding_near_dup_pairs(
-            read_sf_table(spark, sf_dir, "embeddings"),
+            read_indexable_embeddings(spark, sf_dir),
             "vec_id", "embedding", threshold=0.25, n_planes=4, n_bands=2,
             n_dims=64,
         ),
@@ -1209,7 +1231,7 @@ _register(
 
 
 def _x05(spark: SparkSession, sf: str) -> DataFrame:
-    emb = read_sf_table(spark, sf, "embeddings")
+    emb = read_indexable_embeddings(spark, sf)
     out = X_sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.select(
         "query_id",
@@ -1228,8 +1250,9 @@ _register(
     "x05_cosine_topk",
     _x05,
     "WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv"
-    " FROM embeddings WHERE vec_id < 10),"
-    " c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings),"
+    f" FROM embeddings WHERE vec_id < 10 AND {_EMB_OK}),"
+    " c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv"
+    f" FROM embeddings WHERE {_EMB_OK}),"
     f" s AS (SELECT query_id, neighbor_id, {_COS} AS cosine"
     " FROM q, c WHERE query_id <> neighbor_id),"
     " r AS (SELECT *, row_number() OVER (PARTITION BY query_id"
@@ -1241,7 +1264,7 @@ _ORACLES["x19_cosine_topk_pandas"] = _ORACLES["x05_cosine_topk"]
 
 
 def _x19(spark: SparkSession, sf: str) -> DataFrame:
-    emb = read_sf_table(spark, sf, "embeddings")
+    emb = read_indexable_embeddings(spark, sf)
     out = X_sim.cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 10), k=5)
     return out.select(
         "query_id",
@@ -1312,7 +1335,8 @@ def _x33_sql() -> str:
             f"SELECT {band} AS band, vec_id AS id, v, {' + '.join(terms)} AS bucket FROM e"
         )
     return (
-        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
+        f" FROM embeddings WHERE {_EMB_OK}),"
         f" bk AS ({' UNION ALL '.join(band_selects)}),"
         " cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b"
         "  FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket"
@@ -1509,7 +1533,7 @@ _register(
 
 
 def _x12(spark: SparkSession, sf: str) -> DataFrame:
-    emb = read_sf_table(spark, sf, "embeddings")
+    emb = read_indexable_embeddings(spark, sf)
     out = X_sim.lsh_topk(emb, n_planes=8, k=5, n_dims=64)
     return out.select(
         "query_id",
@@ -1540,7 +1564,8 @@ def _hyperplane_bucket_sql(n_planes: int = 8, n_dims: int = 64) -> str:
 def _x12_sql() -> str:
     bucket = _hyperplane_bucket_sql(n_planes=8, n_dims=64)
     return (
-        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
+        f" FROM embeddings WHERE {_EMB_OK}),"
         f" bk AS (SELECT id, v, {bucket} AS bucket FROM e),"
         " s AS (SELECT a.id AS query_id, b.id AS neighbor_id,"
         " list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
@@ -3304,7 +3329,7 @@ def _x44(spark: SparkSession, sf: str) -> DataFrame:
     query vectors — similarity.ann_recall. The join + aggregate is
     (#queries x k)-sized regardless of corpus size; the oracle reproduces
     BOTH retrieval paths in SQL and intersects them the same way."""
-    emb = read_sf_table(spark, sf, "embeddings")
+    emb = read_indexable_embeddings(spark, sf)
     queries = emb.filter(F.col("vec_id") < 10)
     exact = X_sim.cosine_topk(emb, queries, k=5)
     ann = X_sim.lsh_topk(emb, n_planes=8, k=5, n_dims=64).filter(
@@ -3321,7 +3346,7 @@ def _x44_sql() -> str:
     )
     return (
         "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
-        "  FROM embeddings),"
+        f"  FROM embeddings WHERE {_EMB_OK}),"
         f" bk AS (SELECT id, v, {bucket} AS bucket FROM e),"
         f" es AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
         "   FROM e a, e b WHERE a.id < 10 AND a.id <> b.id),"
@@ -3741,12 +3766,16 @@ _register(
 
 
 def _x50(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-hygiene audit: per label — vector count, dimension
-    consistency (min/max length), zero-vector count, and mean L2 norm.
-    The pre-index sanity gate for any ANN build (a single ragged or
-    zero vector poisons cosine math silently); completes the audit
-    family (x46 referential, x49 field drift). One aggregate pass,
-    norm via the same in-order fold the similarity module uses."""
+    """Embedding-hygiene audit: per label — vector count, NULL-vector
+    count, dimension consistency (min/max length), zero-vector count,
+    and mean L2 norm. The pre-index sanity gate for any ANN build (a
+    single NULL, ragged or zero vector poisons cosine math silently);
+    completes the audit family (x46 referential, x49 field drift) and
+    is the one embeddings consumer that deliberately does NOT apply the
+    indexable filter — its job is to COUNT what the filter would drop.
+    One aggregate pass, norm via the same in-order fold the similarity
+    module uses (NULL vectors contribute n_vectors + n_null_vectors
+    only: size/norm are NULL and every other aggregate skips them)."""
     from presto_workload_analyzer_spark.extensions.similarity import dot_expr
 
     emb = read_sf_table(spark, sf, "embeddings")
@@ -3755,9 +3784,15 @@ def _x50(spark: SparkSession, sf: str) -> DataFrame:
         emb.groupBy(F.col("label").cast("long").alias("label"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            F.sum(F.col("embedding").isNull().cast("long"))
+            .cast("long").alias("n_null_vectors"),
             F.min(F.size("embedding")).cast("long").alias("min_dims"),
             F.max(F.size("embedding")).cast("long").alias("max_dims"),
-            F.sum((norm_sq == 0.0).cast("long")).alias("n_zero_vectors"),
+            # coalesce: an all-NULL label group sums over no rows ->
+            # NULL here, but 0 in the oracle's CASE ... ELSE 0 sum
+            F.coalesce(
+                F.sum((norm_sq == 0.0).cast("long")), F.lit(0)
+            ).cast("long").alias("n_zero_vectors"),
             F.round(F.avg(F.sqrt(norm_sq)) + 1e-9, 6).alias("avg_norm"),
         )
     )
@@ -3855,14 +3890,24 @@ _register(
 _register(
     "x50_embedding_hygiene",
     _x50,
+    # norm precomputed NULL-safely (list_dot_product(NULL, NULL) is NULL,
+    # but inside CASE/aggregates it must never be the bare two-NULL call
+    # DuckDB's list_inner_product rejects): coalesce to [] for the dot,
+    # then null the result back out for NULL vectors
     "WITH e AS (SELECT CAST(label AS BIGINT) AS label,"
-    "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    "  CAST(embedding AS DOUBLE[]) AS v,"
+    "  CASE WHEN embedding IS NULL THEN NULL"
+    "   ELSE list_dot_product(CAST(embedding AS DOUBLE[]),"
+    "    CAST(embedding AS DOUBLE[])) END AS nsq"
+    "  FROM embeddings)"
     " SELECT label, CAST(count(*) AS BIGINT) AS n_vectors,"
+    "  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)"
+    "   AS n_null_vectors,"
     "  CAST(min(len(v)) AS BIGINT) AS min_dims,"
     "  CAST(max(len(v)) AS BIGINT) AS max_dims,"
-    "  CAST(sum(CASE WHEN list_dot_product(v, v) = 0.0 THEN 1 ELSE 0 END)"
+    "  CAST(sum(CASE WHEN nsq = 0.0 THEN 1 ELSE 0 END)"
     "   AS BIGINT) AS n_zero_vectors,"
-    "  round(avg(sqrt(list_dot_product(v, v))) + 1e-9, 6) AS avg_norm"
+    "  round(avg(sqrt(nsq)) + 1e-9, 6) AS avg_norm"
     " FROM e GROUP BY 1",
 )
 
@@ -6950,12 +6995,16 @@ def _x102(spark: SparkSession, sf: str) -> DataFrame:
     pieces (slice -> cosine_topk -> ann_recall), one curve row per
     (dims, query); queries capped to vec_id < 10 like x44 (broadcast query
     side; corpus side scans once per dims level)."""
-    emb = read_sf_table(spark, sf, "embeddings")
+    emb = read_indexable_embeddings(spark, sf)
     q_full = emb.filter(F.col("vec_id") < 10)
     exact = X_sim.cosine_topk(emb, q_full, k=5)
     out = None
     for dims in (16, 32):
-        tr = emb.select("vec_id", F.slice("embedding", 1, dims).alias("embedding"))
+        # an indexable full vector can still have an all-zero PREFIX —
+        # not rankable at that dims level, excluded on both sides
+        tr = emb.select(
+            "vec_id", F.slice("embedding", 1, dims).alias("embedding")
+        ).filter(X_sim.indexable_expr(F.col("embedding")))
         ann = X_sim.cosine_topk(tr, tr.filter(F.col("vec_id") < 10), k=5)
         rec = X_sim.ann_recall(ann, exact, k=5).select(
             F.lit(dims).cast("long").alias("dims"), "query_id", "n_hits", "recall"
@@ -6995,9 +7044,11 @@ def _x102_sql() -> str:
         )
     return (
         "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
-        "  FROM embeddings),"
-        " e16 AS (SELECT id, v[1:16] AS v FROM e),"
-        " e32 AS (SELECT id, v[1:32] AS v FROM e),"
+        f"  FROM embeddings WHERE {_EMB_OK}),"
+        " e16 AS (SELECT id, v[1:16] AS v FROM e"
+        "  WHERE list_dot_product(v[1:16], v[1:16]) > 0),"
+        " e32 AS (SELECT id, v[1:32] AS v FROM e"
+        "  WHERE list_dot_product(v[1:32], v[1:32]) > 0),"
         + topk("ex", "e") + ","
         + topk("an16", "e16") + ","
         + topk("an32", "e32") + ","
@@ -7227,7 +7278,7 @@ def _x106(spark: SparkSession, sf: str) -> DataFrame:
     contributes one term (full-outer fusion join). Per-query windows key
     on query_id (bounded candidates per query); the lexical leg's
     shingle join only explodes the 10-query side, never corpus x corpus."""
-    emb = read_sf_table(spark, sf, "embeddings")
+    emb = read_indexable_embeddings(spark, sf)
     docs = read_sf_table(spark, sf, "documents")
     r1 = X_sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=10).select(
         "query_id", "neighbor_id", F.col("rank").alias("__r1")
@@ -7286,7 +7337,7 @@ def _x106_sql() -> str:
     return (
         f"WITH {_SHINGLE_SQL},"
         " e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
-        "  FROM embeddings),"
+        f"  FROM embeddings WHERE {_EMB_OK}),"
         f" es AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
         "   FROM e a, e b WHERE a.id < 10 AND a.id <> b.id),"
         " r1 AS (SELECT query_id, neighbor_id, rnk AS r1 FROM ("
@@ -8850,8 +8901,12 @@ def _x124_sql() -> str:
         "[" + ", ".join(f"{c!r}" for c in row) + "]" for row in signs
     )
     return (
+        # v IS NOT NULL only (no norm>0): JL audits DISTANCES, where a
+        # zero vector is legitimate; the Spark side needs no filter — a
+        # NULL va/vb makes __do NULL, which the __do > 0 filter drops,
+        # exactly matching the join-miss here
         "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v"
-        "  FROM embeddings),"
+        "  FROM embeddings WHERE embedding IS NOT NULL),"
         f" pr AS (SELECT vec_id, v, [list_dot_product(v, r) FOR r IN [{arrs}]]"
         "   AS p FROM e)"
         " SELECT a.vec_id AS id_a, b.vec_id AS id_b,"
@@ -8950,7 +9005,7 @@ def _x126(spark: SparkSession, sf: str) -> DataFrame:
     tie-breaks) per-operator oracles cannot — and the recall NUMBER is
     the thing a serving migration actually signs off on."""
     signs = _jl_signs()
-    emb = read_sf_table(spark, sf, "embeddings")
+    emb = read_indexable_embeddings(spark, sf)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
 
     def dot(row):
@@ -8996,7 +9051,7 @@ def _x126_sql() -> str:
     )
     return (
         "WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v"
-        "  FROM embeddings),"
+        f"  FROM embeddings WHERE {_EMB_OK}),"
         f" bk AS (SELECT id, v, {bucket} AS bucket FROM e),"
         f" es AS (SELECT a.id AS query_id, b.id AS neighbor_id, {cos} AS cosine"
         "   FROM e a, e b WHERE a.id < 10 AND a.id <> b.id),"
@@ -10584,8 +10639,14 @@ def _xs1(spark: SparkSession, sf: str) -> DataFrame:
 def _xs1_sql() -> str:
     t = _XS1_SEMDEDUP_THRESHOLD
     return (
+        # v IS NOT NULL mirrors the BLAS kernel's dropna (a NULL vector
+        # is not pairable); a zero-norm vector stays on both sides — its
+        # cosine is NULL here / NaN in the kernel, failing >= threshold
+        # either way. The final survivor SELECT stays UNFILTERED: rows
+        # that can't pair can't lose.
         "WITH RECURSIVE e AS (SELECT vec_id, label,"
-        "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings),"
+        "  CAST(embedding AS DOUBLE[]) AS v FROM embeddings"
+        "  WHERE embedding IS NOT NULL),"
         " prs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b"
         "  FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id"
         "  WHERE list_dot_product(a.v, b.v)"

@@ -1430,6 +1430,11 @@ def _cluster_pairs_blas(
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
+        # NULL vectors are not pairable (and a ragged .tolist() with a
+        # None row cannot build the matrix); zero-norm rows may stay —
+        # their cosines come out NaN and NaN >= threshold is False,
+        # matching the expr path's NULL-fails-the-filter semantics.
+        pdf = pdf[pdf["__v"].notna()]
         n = len(pdf)
         if n < 2:
             return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(

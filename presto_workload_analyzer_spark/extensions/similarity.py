@@ -35,7 +35,30 @@ def norm_expr(a: Column) -> Column:
 
 
 def cosine_expr(a: Column, b: Column) -> Column:
-    return dot_expr(a, b) / (norm_expr(a) * norm_expr(b))
+    """Cosine similarity; NULL when either vector is NULL or zero-norm.
+
+    try_divide, not ANSI `/`: a zero-norm vector (an all-masked encode,
+    a default-stamped row) must yield NULL — the same x/0 -> NULL
+    convention DuckDB applies — not throw DIVIDE_BY_ZERO mid-scan.
+    Rank/threshold consumers then drop it organically (NULL fails every
+    comparison); callers that need the row GONE before a window ranks
+    it filter with indexable_expr first.
+    """
+    return F.try_divide(dot_expr(a, b), norm_expr(a) * norm_expr(b))
+
+
+def indexable_expr(v: Column) -> Column:
+    """True iff `v` is a unit-normalizable vector: non-NULL with a
+    strictly positive squared norm (NaN components fail the > 0 test).
+
+    The ingest contract every similarity index assumes — cosine against
+    a NULL or zero-norm vector is undefined, so ANN build/serve paths
+    filter on this BEFORE bucketing/ranking rather than letting NULL
+    cosines reach a rank window (engines disagree on NULL placement in
+    window order; exclusion is the only deterministic semantics).
+    SQL twin: `v IS NOT NULL AND list_dot_product(v, v) > 0`.
+    """
+    return v.isNotNull() & (dot_expr(v, v) > F.lit(0.0))
 
 
 def label_centroids(emb: DataFrame, label_col: str, vec_col: str) -> DataFrame:
@@ -137,9 +160,15 @@ def cosine_topk_pandas(
             "rows; this operator collects+broadcasts the query matrix. For a "
             "large query side use lsh_topk / ivf_topk_indexed (blocked paths)."
         )
+    # indexable_expr's contract replayed in numpy: NULL and zero-norm
+    # vectors are not rankable — dropped from BOTH matrices (a ragged
+    # .tolist() with a None row cannot even build the ndarray)
+    q_rows = [r for r in q_rows if r[1] is not None]
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     q_mat = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
-    q_mat = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    q_norms = np.linalg.norm(q_mat, axis=1, keepdims=True) if len(q_rows) else np.empty((0, 1))
+    q_keep = q_norms[:, 0] > 0
+    q_ids, q_mat = q_ids[q_keep], q_mat[q_keep] / q_norms[q_keep]
     bq = corpus.sparkSession.sparkContext.broadcast((q_ids, q_mat))
 
     take = k + 1  # self-match is filtered after ranking; keep one spare
@@ -147,11 +176,18 @@ def cosine_topk_pandas(
     def score(batches):
         ids, qn = bq.value
         for pdf in batches:
+            pdf = pdf[pdf["__cv"].notna()]
             if not len(pdf):
                 continue
             c_ids = pdf["__cid"].to_numpy(dtype=np.int64)
             c_mat = np.array(pdf["__cv"].tolist(), dtype=np.float64)
-            c_mat = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_norms = np.linalg.norm(c_mat, axis=1, keepdims=True)
+            c_keep = c_norms[:, 0] > 0
+            if not c_keep.all():
+                c_ids, c_mat, c_norms = c_ids[c_keep], c_mat[c_keep], c_norms[c_keep]
+            if not len(c_ids):
+                continue
+            c_mat = c_mat / c_norms
             sims = c_mat @ qn.T  # (batch, queries)
             n = min(take, len(c_ids))
             for j in range(len(ids)):

@@ -5223,3 +5223,68 @@ def test_gopher_repetition_zero_char_docs(spark):
                   "dup5_frac", "dup10_frac"):
             assert abs(getattr(out[i], c)) < 1e-6, (i, c, out[i])
     assert out[1].top2_frac > 0
+
+
+def test_cosine_expr_null_on_zero_norm(spark):
+    """Regression for the ANSI DIVIDE_BY_ZERO class the degenerate-
+    embeddings gate caught across seven ANN queries: cosine against a
+    NULL or zero-norm vector must be NULL (the DuckDB x/0 -> NULL
+    convention), never a thrown DIVIDE_BY_ZERO; indexable_expr is the
+    ingest-side predicate that excludes exactly those rows."""
+    from presto_workload_analyzer_spark.extensions import similarity
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, None), (4, [0.0, 2.0])],
+        "id long, v array<double>",
+    )
+    got = {
+        r.id: (r.cos, r.ok)
+        for r in df.select(
+            "id",
+            similarity.cosine_expr(
+                F.col("v"), F.array(F.lit(1.0), F.lit(0.0))
+            ).alias("cos"),
+            similarity.indexable_expr(F.col("v")).alias("ok"),
+        ).collect()
+    }
+    assert got[1] == (1.0, True)
+    assert got[2] == (None, False)
+    assert got[3][0] is None and not got[3][1]
+    assert got[4] == (0.0, True)
+
+
+def test_cosine_topk_pandas_drops_non_indexable(spark):
+    """The BLAS top-k path must neither crash on a NULL vector (ragged
+    .tolist() cannot build the matrix) nor rank a zero-norm one; both
+    are dropped from corpus AND query sides, matching indexable_expr."""
+    from presto_workload_analyzer_spark.extensions import similarity
+
+    rows = [
+        (0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+        (3, None), (4, [0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = similarity.cosine_topk_pandas(emb, emb, k=2).collect()
+    ids = {r.query_id for r in out} | {r.neighbor_id for r in out}
+    assert ids <= {0, 1, 2}, out
+    assert {r.query_id for r in out} == {0, 1, 2}
+
+
+def test_cluster_pairs_blas_null_vector(spark):
+    """cluster_scoped_cosine_pairs (blas impl) with a NULL vector in a
+    cluster: the kernel drops it (it is not pairable) and still pairs
+    the rest; a zero-norm member yields NaN cosines which fail the
+    threshold — no pair, no crash."""
+    from presto_workload_analyzer_spark.extensions import dedup
+
+    emb = spark.createDataFrame(
+        [
+            (0, 7, [1.0, 0.0]), (1, 7, [1.0, 1e-4]),
+            (2, 7, None), (3, 7, [0.0, 0.0]),
+        ],
+        "vec_id long, label long, embedding array<double>",
+    )
+    got = dedup.cluster_scoped_cosine_pairs(
+        emb, "vec_id", "embedding", "label", threshold=0.9, impl="blas"
+    ).collect()
+    assert [(r.id_a, r.id_b) for r in got] == [(0, 1)], got

@@ -1,7 +1,8 @@
 """Build a DEGENERATE-corpus copy of a testdata SF dir for the
 degenerate-input gate: every table copied byte-for-byte except
-`documents.parquet`, which gains rows exercising the text edge cases the
-repo treats as in-contract (the xs40/xs48 review-bug class):
+`documents.parquet` and `embeddings.parquet`, which gain rows exercising
+the edge cases the repo treats as in-contract (the xs40/xs48 review-bug
+class).  Documents rows:
 
   * NULL text
   * empty-string text
@@ -55,33 +56,62 @@ DEGENERATE_DOCS = [
 ]
 
 
+def _append(tbl: pa.Table, rows: dict) -> pa.Table:
+    extra = pa.table(
+        {name: pa.array(rows[name], type=tbl.schema.field(name).type)
+         for name in tbl.schema.names},
+        schema=pa.schema([tbl.schema.field(n) for n in tbl.schema.names]),
+    )
+    return pa.concat_tables([tbl.select(tbl.schema.names), extra])
+
+
+def _degenerate_documents(tbl: pa.Table) -> pa.Table:
+    base = max(tbl.column("doc_id").to_pylist()) + 1
+    return _append(tbl, {
+        "doc_id": [base + i for i in range(len(DEGENERATE_DOCS))],
+        "text": [x[0] for x in DEGENERATE_DOCS],
+        "lang": [x[1] for x in DEGENERATE_DOCS],
+        "source": [x[2] for x in DEGENERATE_DOCS],
+        "n_chars": [len(x[0]) if x[0] is not None else 0
+                    for x in DEGENERATE_DOCS],
+    })
+
+
+def _degenerate_embeddings(tbl: pa.Table) -> pa.Table:
+    """Seed the embedding edge cases a real encode pipeline produces:
+    a NULL vector (failed encode), an all-zero vector (all-masked input
+    — norm 0, so cosine against it is 0/0), and a NULL label.  A
+    dim-mismatched or empty vector is OUT of contract: the corpus
+    invariant is fixed-dim, which every index/quantizer assumes.
+    """
+    dim = len(next(v for v in tbl.column("embedding").to_pylist()
+                   if v is not None))
+    base = max(tbl.column("vec_id").to_pylist()) + 1
+    unit = [0.0] * dim
+    unit[0] = 1.0
+    return _append(tbl, {
+        "vec_id": [base, base + 1, base + 2],
+        "embedding": [None, [0.0] * dim, unit],
+        "label": [0, 0, None],
+    })
+
+
 def build(src: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
+    made = {"documents": _degenerate_documents,
+            "embeddings": _degenerate_embeddings}
+    n_extra = {}
     for t in TABLES:
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
-        if t != "documents":
+        if t not in made:
             shutil.copyfile(s, d)
             continue
         tbl = pq.read_table(s)
-        base = max(tbl.column("doc_id").to_pylist()) + 1
-        rows = {
-            "doc_id": [base + i for i in range(len(DEGENERATE_DOCS))],
-            "text": [x[0] for x in DEGENERATE_DOCS],
-            "lang": [x[1] for x in DEGENERATE_DOCS],
-            "source": [x[2] for x in DEGENERATE_DOCS],
-            "n_chars": [len(x[0]) if x[0] is not None else 0
-                        for x in DEGENERATE_DOCS],
-        }
-        extra = pa.table(
-            {name: pa.array(rows[name], type=tbl.schema.field(name).type)
-             for name in tbl.schema.names},
-            schema=pa.schema([tbl.schema.field(n) for n in tbl.schema.names]),
-        )
-        pq.write_table(
-            pa.concat_tables([tbl.select(tbl.schema.names), extra]), d
-        )
+        out_tbl = made[t](tbl)
+        n_extra[t] = out_tbl.num_rows - tbl.num_rows
+        pq.write_table(out_tbl, d)
     print(f"degenerate corpus at {out} "
-          f"(+{len(DEGENERATE_DOCS)} documents rows)")
+          + " ".join(f"(+{n} {t} rows)" for t, n in n_extra.items()))
 
 
 if __name__ == "__main__":

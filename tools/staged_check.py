@@ -59,6 +59,8 @@ def main() -> int:
     ap.add_argument("--tier", choices=TIERS, help="one staging tier only")
     ap.add_argument("--sf", nargs="+", default=["0.001", "0.01", "0.1"])
     ap.add_argument("--only", help="comma-separated staged query names")
+    ap.add_argument("--sf-dir", help="explicit corpus dir (e.g. the"
+                    " degenerate corpus) instead of the --sf testdata list")
     args = ap.parse_args()
 
     tiers = [args.tier] if args.tier else TIERS
@@ -77,8 +79,9 @@ def main() -> int:
 
     spark = get_spark()
     fail = 0
-    for sf in args.sf:
-        d = f"/root/testdata/sf{sf}"
+    legs = ([(args.sf_dir, args.sf_dir)] if args.sf_dir
+            else [(sf, f"/root/testdata/sf{sf}") for sf in args.sf])
+    for sf, d in legs:
         if not os.path.isdir(d):
             print(f"sf{sf}: {d} missing, skipped")
             continue
