@@ -1764,8 +1764,12 @@ def _s01(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "s01_stream_events_by_day",
     _s01,
+    # ts IS NOT NULL (here and in every windowed streaming oracle): the
+    # streaming engine's window operator cannot bucket a NULL event time
+    # and silently drops the row — the oracle must replay that contract
     "SELECT date_trunc('day', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events,"
-    " round(sum(\"value\"), 6) AS total_value FROM events GROUP BY 1",
+    " round(sum(\"value\"), 6) AS total_value FROM events"
+    " WHERE ts IS NOT NULL GROUP BY 1",
 )
 
 
@@ -2007,7 +2011,7 @@ _register(
     "s03_stream_dedup_events_by_day",
     _s03,
     "SELECT date_trunc('day', ts) AS bucket, CAST(count(*) AS BIGINT) AS n_events"
-    " FROM events GROUP BY 1",
+    " FROM events WHERE ts IS NOT NULL GROUP BY 1",
 )
 
 
@@ -2249,9 +2253,14 @@ def _p03(spark: SparkSession, sf: str) -> DataFrame:
 _register(
     "p03_json_extract_rollup",
     _p03,
+    # NULLIF: regexp_extract returns '' (not NULL) on a non-matching —
+    # empty/garbage/'{}' — props string, and CAST('' AS BIGINT) throws;
+    # from_json on the Spark side is NULL for all of those
     "SELECT event_type, CAST(count(*) AS BIGINT) AS n,"
-    " CAST(sum(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,"
-    " round(avg(CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT)) + 1e-9, 6) AS k_avg"
+    " CAST(sum(CAST(NULLIF(regexp_extract(props, '\"k\": (\\d+)', 1), '')"
+    "  AS BIGINT)) AS BIGINT) AS k_sum,"
+    " round(avg(CAST(NULLIF(regexp_extract(props, '\"k\": (\\d+)', 1), '')"
+    "  AS BIGINT)) + 1e-9, 6) AS k_avg"
     " FROM events GROUP BY 1",
 )
 
@@ -2580,7 +2589,7 @@ _register(
     # every event belongs to windows starting at floor_day(ts) and
     # floor_day(ts) - 1 day (2d width, 1d slide)
     "WITH x AS (SELECT date_trunc('day', ts) + INTERVAL (o) DAY AS bucket, \"value\""
-    "  FROM events, UNNEST([0, -1]) AS t(o))"
+    "  FROM events, UNNEST([0, -1]) AS t(o) WHERE ts IS NOT NULL)"
     " SELECT bucket, CAST(count(*) AS BIGINT) AS n_events,"
     "  round(sum(\"value\"), 6) AS total_value FROM x GROUP BY 1",
 )
@@ -2637,7 +2646,7 @@ _register(
     " CAST(count(*) AS BIGINT) AS n_events,"
     " round(sum(e.\"value\"), 6) AS value_sum"
     " FROM events e JOIN customer c ON e.user_id = c.c_custkey"
-    " GROUP BY 1, 2",
+    " WHERE e.ts IS NOT NULL GROUP BY 1, 2",
 )
 
 
@@ -2790,7 +2799,10 @@ def _a33(spark: SparkSession, sf: str) -> DataFrame:
     daily = q.groupBy(F.to_date("query_ts").alias("day")).agg(
         (F.sum("scheduled_time") / 86400.0).alias("load")
     )
-    w = Window.orderBy("day").rowsBetween(-7, -1)
+    # asc_nulls_last: an undated bucket (NULL day) must park at the END
+    # of the trailing-window order on both engines — Spark's asc default
+    # is NULLS FIRST, which would fold it into the first week's stats
+    w = Window.orderBy(F.asc_nulls_last("day")).rowsBetween(-7, -1)
     mean = F.avg("load").over(w)
     sd = F.stddev_samp("load").over(w)
     return daily.select(
@@ -2810,7 +2822,8 @@ _register(
     "   sum(scheduled_time) / 86400.0 AS load FROM queries GROUP BY 1),"
     " r AS (SELECT day, load, avg(load) OVER w AS m,"
     "   stddev_samp(load) OVER w AS sd FROM daily"
-    "   WINDOW w AS (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
+    "   WINDOW w AS (ORDER BY day NULLS LAST"
+    "    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))"
     " SELECT day, round(load + 1e-9, 6) AS load,"
     "  round(CASE WHEN sd > 0 THEN (load - m) / sd END + 1e-9, 6) AS zscore"
     " FROM r",
@@ -3053,10 +3066,13 @@ def _p05_sql() -> str:
         f"{hexpos.format(i=i + 1)} * {16 ** (5 - i)}" for i in range(6)
     )
     return (
+        # coalesce(., ''): the engine keys noise via concat_ws, which
+        # maps a NULL group value to the empty string — the NULL group's
+        # count is still a released number and still gets noise
         "WITH g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM events"
         "  GROUP BY 1),"
         " k AS (SELECT user_id, n,"
-        "  md5('noise|' || CAST(user_id AS VARCHAR)) AS h FROM g),"
+        "  md5('noise|' || coalesce(CAST(user_id AS VARCHAR), '')) AS h FROM g),"
         f" u AS (SELECT user_id, n, (({v}) + 0.5) / {float(16 ** 6)!r} - 0.5 AS u"
         "  FROM k)"
         " SELECT user_id, n,"
@@ -3439,7 +3455,7 @@ _register(
     _s08,
     "WITH g AS (SELECT date_trunc('day', ts) AS bucket, event_type,"
     "  CAST(count(*) AS BIGINT) AS n_events, round(sum(\"value\"), 6) AS total_value"
-    "  FROM events GROUP BY 1, 2),"
+    "  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),"
     " r AS (SELECT *, row_number() OVER (PARTITION BY bucket"
     "   ORDER BY n_events DESC, event_type) AS rnk FROM g)"
     " SELECT bucket, event_type, n_events, total_value, CAST(rnk AS BIGINT) AS rnk"
@@ -4129,7 +4145,7 @@ _register(
     "SELECT date_trunc('day', ts) AS bucket,"
     " CAST(count(*) AS BIGINT) AS n_events,"
     " round(sum(\"value\"), 6) AS value_sum"
-    " FROM events WHERE event_id % 3 <> 0 GROUP BY 1",
+    " FROM events WHERE event_id % 3 <> 0 AND ts IS NOT NULL GROUP BY 1",
 )
 
 
@@ -4569,7 +4585,10 @@ def _s11(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     hist = (
+        # ts IS NOT NULL: an undatable event is no day's count — the
+        # batch profile must skip it exactly as the streaming window does
         read_sf_table(spark, sf, "events")
+        .filter(F.col("ts").isNotNull())
         .groupBy(F.to_date("ts").alias("d"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
         .groupBy("event_type")
@@ -4610,7 +4629,8 @@ _register(
     "s11_stream_anomaly",
     _s11,
     "WITH daily AS (SELECT date_trunc('day', ts) AS bucket, event_type,"
-    "   CAST(count(*) AS BIGINT) AS n_events FROM events GROUP BY 1, 2),"
+    "   CAST(count(*) AS BIGINT) AS n_events FROM events"
+    "   WHERE ts IS NOT NULL GROUP BY 1, 2),"
     " hist AS (SELECT event_type, avg(n_events) AS mu,"
     "   stddev_pop(n_events) AS sigma FROM daily GROUP BY 1)"
     " SELECT bucket, event_type, n_events,"
@@ -4897,8 +4917,11 @@ def _x71(spark: SparkSession, sf: str) -> DataFrame:
     """User-behavior transition matrix: adjacent event-type bigrams per
     user in event-time order — the Markov-chain view of product telemetry
     (which actions follow which). One lag window per user_id (a
-    corpus-cardinality key, never the enum) and a 25-cell aggregate."""
-    ev = read_sf_table(spark, sf, "events")
+    corpus-cardinality key, never the enum) and a 25-cell aggregate.
+    An undatable (NULL-ts) event has no position in event-time order —
+    placing it anywhere fabricates two transitions, and engines disagree
+    on where (NULLS FIRST vs LAST) — so it is excluded on BOTH sides."""
+    ev = read_sf_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     t = ev.select(
         "user_id",
@@ -4915,7 +4938,7 @@ _register(
     _x71,
     "WITH t AS (SELECT lag(event_type) OVER"
     "   (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,"
-    "   event_type AS next_type FROM events)"
+    "   event_type AS next_type FROM events WHERE ts IS NOT NULL)"
     " SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n"
     " FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2",
 )
@@ -5686,7 +5709,7 @@ _register(
     _x85,
     "WITH bins AS (SELECT event_type,"
     "   CAST(round(\"value\" * 100, 0) AS BIGINT) AS bin, count(*) AS n"
-    "  FROM events GROUP BY 1, 2),"
+    "  FROM events WHERE \"value\" IS NOT NULL GROUP BY 1, 2),"
     " cum AS (SELECT event_type, bin, n,"
     "   sum(n) OVER (PARTITION BY event_type ORDER BY bin"
     "    ROWS UNBOUNDED PRECEDING) AS c,"
@@ -5984,7 +6007,9 @@ def _s14(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     ev = stream_sf_table(spark, sf, "events")
-    bins = ev.groupBy(
+    # NULL values are unmeasurable — excluded exactly as the batch
+    # histogram_quantiles does (see sketches.py)
+    bins = ev.filter(F.col("value").isNotNull()).groupBy(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("__bin"),
     ).agg(F.count(F.lit(1)).alias("__n"))
@@ -6002,7 +6027,7 @@ _register(
     _s14,
     "WITH bins AS (SELECT event_type,"
     "   CAST(round(\"value\" * 100, 0) AS BIGINT) AS bin, count(*) AS n"
-    "  FROM events GROUP BY 1, 2),"
+    "  FROM events WHERE \"value\" IS NOT NULL GROUP BY 1, 2),"
     " cum AS (SELECT event_type, bin, n,"
     "   sum(n) OVER (PARTITION BY event_type ORDER BY bin"
     "    ROWS UNBOUNDED PRECEDING) AS c,"
@@ -6066,13 +6091,16 @@ def _x91(spark: SparkSession, sf: str) -> DataFrame:
         F.sum(F.col("__x") * F.col("__x")).alias("__s2"),
     )
     n, s1, s2 = F.col("__n"), F.col("__s1"), F.col("__s2")
-    variance = (n * s2 - s1 * s1) / (n * (n - 1))
+    # try_divide: sample variance (and so Fano) is undefined for a
+    # single-cell group (n = 1 -> n*(n-1) = 0); NULL-on-zero matches the
+    # oracle's x/0 -> NULL
+    variance = F.try_divide(n * s2 - s1 * s1, n * (n - 1))
     mean = s1 / n
     return mom.select(
         "event_type",
         n.cast("long").alias("n_minutes"),
         F.round(mean, 6).alias("mean_per_min"),
-        F.round(variance / mean, 6).alias("fano"),
+        F.round(F.try_divide(variance, mean), 6).alias("fano"),
     )
 
 
@@ -6634,7 +6662,13 @@ def _p12(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.privacy.obfuscate import laplace_noise
 
     ev = read_sf_table(spark, sf, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # asc_nulls_last pins the clip order cross-engine: an undatable
+    # (NULL-ts) event contributes only after every dated one — Spark's
+    # asc default is NULLS FIRST, DuckDB's is NULLS LAST, and the clip
+    # would otherwise keep different events for that user
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_last("ts"), "event_id"
+    )
     clipped = ev.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= 5)
     g = clipped.groupBy(
         F.date_trunc("day", F.col("ts")).cast("date").alias("bucket")
@@ -6654,7 +6688,7 @@ _register(
     "p12_dp_clipped_histogram",
     _p12,
     "WITH r AS (SELECT ts, row_number() OVER (PARTITION BY user_id"
-    "   ORDER BY ts, event_id) AS rn FROM events),"
+    "   ORDER BY ts NULLS LAST, event_id) AS rn FROM events),"
     " g AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS bucket,"
     "   CAST(count(*) AS BIGINT) AS n_clipped FROM r WHERE rn <= 5 GROUP BY 1),"
     " k AS (SELECT bucket, n_clipped,"
@@ -10157,8 +10191,9 @@ def _x140(spark: SparkSession, sf: str) -> DataFrame:
     0 bits; organic users sit much higher), the per-user refinement of
     x71's global transition matrix. Lag windows keyed by user_id
     (corpus-cardinality); entropy sums run at (user, cur, next) cell
-    grain."""
-    ev = read_sf_table(spark, sf, "events")
+    grain. NULL-ts events are excluded like x71's — no event-time
+    position, no transitions."""
+    ev = read_sf_table(spark, sf, "events").filter(F.col("ts").isNotNull())
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     tr = (
         ev.withColumn("__nxt", F.lead("event_type").over(w))
@@ -10191,7 +10226,7 @@ _register(
     _x140,
     "WITH o AS (SELECT user_id, event_type AS cur,"
     "   lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)"
-    "    AS nxt FROM events),"
+    "    AS nxt FROM events WHERE ts IS NOT NULL),"
     " tr AS (SELECT user_id, cur, nxt, count(*) AS n FROM o"
     "  WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),"
     " ct AS (SELECT user_id, cur, sum(n) AS nc FROM tr GROUP BY 1, 2),"

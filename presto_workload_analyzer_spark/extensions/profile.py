@@ -232,8 +232,11 @@ def zorder_key(cols: list, bits: int = 8) -> "F.Column":
 
     Callers quantize first (e.g. `F.least(lit(2**bits - 1), col / step)`);
     values outside [0, 2^bits) raise via assert_true rather than silently
-    aliasing distant rows into the same locality bucket. n_cols * bits
-    must fit a long (<= 63).
+    aliasing distant rows into the same locality bucket. A NULL dimension
+    yields a NULL key (the row has no position in that dimension's order;
+    sorting then parks it in the NULLS region instead of aliasing it into
+    bucket 0 — and assert_true on the NULL comparison would otherwise
+    throw). n_cols * bits must fit a long (<= 63).
     """
     n = len(cols)
     if n == 0:
@@ -245,7 +248,7 @@ def zorder_key(cols: list, bits: int = 8) -> "F.Column":
         c = (F.col(c) if isinstance(c, str) else c).cast("long")
         guarded = F.coalesce(
             F.assert_true(
-                (c >= 0) & (c < (1 << bits)),
+                c.isNull() | ((c >= 0) & (c < (1 << bits))),
                 F.lit(f"zorder_key: column {i} outside [0, 2^{bits})"),
             ).cast("long"),
             c,

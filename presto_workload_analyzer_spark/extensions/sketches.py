@@ -334,8 +334,13 @@ def histogram_quantiles(
     At 100 TB the histogram build is scan + tiny shuffle, and the
     readout cost is independent of the corpus entirely.
     """
+    # NULL values are unmeasurable, not bin cells: every percentile
+    # implementation (SQL percentile_cont/disc included) ignores them,
+    # and a NULL bin would otherwise cumulate NULLS-FIRST here but
+    # NULLS-LAST in ANSI engines, shifting every readout
     bins = (
-        df.groupBy(
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(
             group_col,
             F.round(F.col(value_col) * resolution, 0).cast("long").alias("__bin"),
         )

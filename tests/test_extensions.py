@@ -5288,3 +5288,37 @@ def test_cluster_pairs_blas_null_vector(spark):
         emb, "vec_id", "embedding", "label", threshold=0.9, impl="blas"
     ).collect()
     assert [(r.id_a, r.id_b) for r in got] == [(0, 1)], got
+
+
+def test_zorder_key_null_dimension(spark):
+    """A row missing a quantized dimension gets a NULL Morton key (no
+    position in that dimension's order), while out-of-range values still
+    raise — the degenerate-events gate caught assert_true throwing on
+    the NULL comparison itself."""
+    from presto_workload_analyzer_spark.extensions import profile
+
+    df = spark.createDataFrame(
+        [(0, 3), (1, None), (None, 2), (None, None)],
+        "a int, b int",
+    )
+    key = profile.zorder_key(["a", "b"], bits=2)
+    got = [r.k for r in df.select(key.alias("k")).collect()]
+    assert got[0] is not None and got[1:] == [None, None, None], got
+    bad = spark.createDataFrame([(7, 1)], "a int, b int")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="zorder_key"):
+        bad.select(profile.zorder_key(["a", "b"], bits=2).alias("k")).collect()
+
+
+def test_histogram_quantiles_ignores_null_values(spark):
+    """NULL metric values are unmeasurable, not histogram cells: they
+    must not shift any readout (a NULL bin cumulates NULLS-FIRST in
+    Spark but NULLS-LAST in ANSI engines) and n counts measured rows
+    only — standard percentile semantics."""
+    from presto_workload_analyzer_spark.extensions import sketches
+
+    rows = [("a", v) for v in (1.0, 2.0, 3.0, None, None)]
+    df = spark.createDataFrame(rows, "g string, value double")
+    out = sketches.histogram_quantiles(df, "g", "value", qs=(0.5, 0.99))
+    r = out.collect()[0]
+    assert (r.n, r.p50, r.p99) == (3, 2.0, 3.0), r

@@ -65,6 +65,43 @@ def _append(tbl: pa.Table, rows: dict) -> pa.Table:
     return pa.concat_tables([tbl.select(tbl.schema.names), extra])
 
 
+def _degenerate_events(tbl: pa.Table) -> pa.Table:
+    """Seed the event-log edge cases a real ingest produces: anonymous
+    events (NULL user_id), unclassified events (NULL event_type),
+    NULL value, and the props-JSON garbage spectrum (NULL, empty
+    string, invalid JSON, empty object).  One NULL-ts row is included
+    deliberately: batch consumers must agree cross-engine on the NULL
+    time bucket, and event-time STREAMING consumers must agree with
+    their batch oracles on dropping it (Spark's window operator cannot
+    bucket a NULL event time).
+    """
+    import datetime
+
+    ids = tbl.column("event_id").to_pylist()
+    base = max(ids) + 1
+    t0 = datetime.datetime(2024, 1, 2, 3, 4, 5)
+    rows = [
+        # (ts, user_id, event_type, value, props)
+        (t0, None, "click", 1.5, '{"k": 1}'),
+        (t0, 7, None, 2.5, '{"k": 2}'),
+        (t0, 7, "click", None, '{"k": 3}'),
+        (t0, 7, "click", 3.5, None),
+        (t0, 7, "click", 4.5, ""),
+        (t0, 7, "click", 5.5, "not json"),
+        (t0, 7, "click", 6.5, "{}"),
+        (None, 7, "click", 7.5, '{"k": 4}'),
+        (t0, None, None, None, None),
+    ]
+    return _append(tbl, {
+        "event_id": [base + i for i in range(len(rows))],
+        "ts": [r[0] for r in rows],
+        "user_id": [r[1] for r in rows],
+        "event_type": [r[2] for r in rows],
+        "value": [r[3] for r in rows],
+        "props": [r[4] for r in rows],
+    })
+
+
 def _degenerate_documents(tbl: pa.Table) -> pa.Table:
     base = max(tbl.column("doc_id").to_pylist()) + 1
     return _append(tbl, {
@@ -99,7 +136,8 @@ def _degenerate_embeddings(tbl: pa.Table) -> pa.Table:
 def build(src: str, out: str) -> None:
     os.makedirs(out, exist_ok=True)
     made = {"documents": _degenerate_documents,
-            "embeddings": _degenerate_embeddings}
+            "embeddings": _degenerate_embeddings,
+            "events": _degenerate_events}
     n_extra = {}
     for t in TABLES:
         s, d = f"{src}/{t}.parquet", f"{out}/{t}.parquet"
