@@ -104,9 +104,18 @@ def main() -> None:
     def _ident(batches):
         yield from batches
 
+    # TWO chained mapInPandas stages: a pipeline of k python-eval nodes in
+    # one stage holds k workers per task slot, so the media pipelines
+    # (synth -> decode, e.g. xs4/x133-x139) need a 2x-core worker pool.
+    # The single-stage warm-up left the second pool to be forked+imported
+    # inside the first such query's timer (~10-13 s booked to xs4 on a
+    # fresh session, r15 measurement; steady-state deployments never see
+    # it). Same rationale as the original pool warm-up — move interpreter
+    # and import cost where the JIT warm-up already lives.
     (
         spark.range(256)
         .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_ident, "id long")
         .mapInPandas(_ident, "id long")
         .write.format("noop").mode("overwrite").save()
     )

@@ -298,8 +298,14 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             ).alias("e")
         )
         .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+        # localCheckpoint, not persist: every iteration's join plan embeds
+        # the edges subtree — persisted lineage keeps the full upstream
+        # candidate-pair pipeline in each round's plan (and recomputes it
+        # if the cache is evicted mid-loop); the checkpoint truncates to a
+        # flat edge-grain RDD scan (r15 plan-audit fix; pagerank/kcore
+        # already follow this convention for their loop frames).
         .distinct()
-        .persist()
+        .localCheckpoint(eager=False)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -365,6 +371,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             "raise max_iter (needed rounds ~ graph diameter)"
         )
     finally:
+        # checkpointed RDD blocks are released when the frame is GC'd;
+        # unpersist() is the no-op spelling that keeps the old contract
+        # visible for persisted callers of earlier revisions
         edges.unpersist()
 
 
@@ -399,6 +408,11 @@ def ngram_jaccard(
     fine after blocking, unusable raw at 100 TB).
     Output: (id_a, id_b, jaccard).
     """
+    # materialize the shingle table once: three consumers (sizes + both
+    # join sides) would otherwise each re-execute the upstream
+    # tokenize+shingle explode (r15 plan-audit discipline); this is the
+    # shingle table any dedup pipeline materializes at scale
+    shingle_df = shingle_df.localCheckpoint(eager=False)
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
@@ -455,6 +469,11 @@ def shingle_containment(
     upstream at 100 TB, same contract as ngram_jaccard).
     Output: (id_a, id_b, containment) with containment > threshold.
     """
+    # materialize the shingle table once: three consumers (sizes + both
+    # join sides) would otherwise each re-execute the upstream
+    # tokenize+shingle explode (r15 plan-audit discipline); this is the
+    # shingle table any dedup pipeline materializes at scale
+    shingle_df = shingle_df.localCheckpoint(eager=False)
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
@@ -703,9 +722,16 @@ def incremental_dedup(
     exact_keys = corpus.select(
         digest(F.col(text_col)).alias("__text_digest")
     ).distinct()
-    non_exact = new.withColumn(
-        "__text_digest", digest(F.col(text_col))
-    ).join(exact_keys, on="__text_digest", how="left_anti").drop("__text_digest")
+    non_exact = (
+        new.withColumn("__text_digest", digest(F.col(text_col)))
+        .join(exact_keys, on="__text_digest", how="left_anti")
+        .drop("__text_digest")
+        # materialized: read twice (its own band pipeline + the final
+        # anti-join) — without this the exact-stage anti-join against the
+        # corpus digest set executes twice (r15 plan-audit discipline);
+        # new-batch grain, the small side of continuous ingest
+        .localCheckpoint(eager=False)
+    )
 
     rows_per_band = num_hashes // bands
 
@@ -1087,13 +1113,17 @@ def sorted_neighborhood_pairs(
         raise ValueError(f"window must be >= 2, got {window}")
     k = key if key is not None else normalized_text(text_col)
     base = df.select(F.col(id_col).alias("id"), k.alias("__key"))
+    # materialized: both explode sides below read the global rank frame,
+    # and the hierarchical ranker itself references its input twice —
+    # un-materialized this re-sorts the normalized corpus per reference
+    # (r15 plan-audit discipline; (id, rank) grain)
     ranked = _hierarchical_row_number(
         base,
         [],
         [F.asc("__key"), F.asc("id")],
         F.substring(F.col("__key"), 1, 2),
         "rank",
-    ).select("id", "rank")
+    ).select("id", "rank").localCheckpoint(eager=False)
     a = ranked.select(
         F.col("id").alias("id_a"),
         F.col("rank").alias("__ra"),

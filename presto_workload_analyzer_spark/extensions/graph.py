@@ -109,9 +109,20 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
     """
     # canonicalize so a duplicate edge reported in both orientations
     # cannot double a degree (same robustness contract as pagerank)
-    e = pairs.select(
-        F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
-    ).distinct()
+    # localCheckpoint: `e` is referenced twice (degree count + orientation
+    # join) and `orient` three times (both wedge sides + the closing edge);
+    # without materialization each reference re-plans — and on first touch
+    # re-executes — the entire upstream pair pipeline, which the r15 plan
+    # audit measured as a 371-Exchange plan for x100 over a 255-row edge
+    # set. Edge-grain frames, the same storage class as the pair silver
+    # itself (pagerank/kcore set the precedent).
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     und = e.select(F.col("a").alias("id")).unionAll(e.select(F.col("b").alias("id")))
     deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("dg"))
     ed = e.join(deg.select(F.col("id").alias("a"), F.col("dg").alias("dga")), "a").join(
@@ -124,7 +135,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lt, F.col("dgb")).otherwise(F.col("dga")).alias("dg_dst"),
-    )
+    ).localCheckpoint(eager=False)
     e1 = orient.select("src", F.col("dst").alias("d1"), F.col("dg_dst").alias("g1"))
     e2 = orient.select("src", F.col("dst").alias("d2"), F.col("dg_dst").alias("g2"))
     # wedge endpoints ordered by the SAME (degree, id) key as the

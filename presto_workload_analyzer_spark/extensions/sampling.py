@@ -102,7 +102,12 @@ def _hierarchical_row_number(
     sound because global rank >= local rank — bounding the join input to
     cap rows per (group, shard).
     """
-    rows = df.withColumn("__shard", shard_col)
+    # materialized: the ranker reads its input twice (local ranks + shard
+    # counts) — the xs43/x119 lesson, enforced here so every caller
+    # inherits it instead of each remembering to checkpoint (r15). One
+    # narrow copy of the rank columns; callers passing an already-flat
+    # frame pay one cheap re-materialization.
+    rows = df.withColumn("__shard", shard_col).localCheckpoint(eager=False)
     w_local = Window.partitionBy(*group_cols, "__shard").orderBy(*order_cols)
     local = rows.withColumn("__lrn", F.row_number().over(w_local))
     if local_prune is not None:

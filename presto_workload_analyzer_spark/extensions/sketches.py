@@ -188,6 +188,12 @@ def kmv_pairwise_jaccard(
     exactness reduction the driver oracle uses (same pattern as IVF
     n_probe == n_cells).
     """
+    # materialize the sketch once: five references below (both sides of
+    # the intersection join, both sides of the union, and the group list)
+    # would otherwise each re-execute the full upstream gram-explode +
+    # bottom-k chain (r15 plan-audit discipline). Sketch grain is
+    # groups x k rows — bounded at any corpus scale.
+    sketch = sketch.localCheckpoint(eager=False)
     a = sketch.select(
         F.col(group_col).alias("ga"), F.col("h").alias("h")
     )

@@ -264,6 +264,13 @@ def tfidf_cosine_pairs(
         weighted.join(norms, on="id")
         .filter(F.col("nrm") > 0)
         .select("id", "term", "dfq", (F.col("w") / F.col("nrm")).alias("u"))
+        # materialize the inverted index once: both sides of the
+        # posting-list self-join (and, on the prefix path, the suffix-norm
+        # window plus two verify joins) read this frame — un-materialized,
+        # the whole scan+tokenize+tf+df chain executes once per reference
+        # (r15 plan-audit discipline). (id, term, u) grain is exactly what
+        # a materialized inverted index holds at any scale.
+        .localCheckpoint(eager=False)
     )
     if not prefix_filter:
         a = unit.select(F.col("id").alias("id_a"), "term", F.col("u").alias("ua"))
@@ -785,7 +792,12 @@ def gopher_repetition(
     linear in corpus tokens times len(top_ns) + len(dup_ns).
     """
     lower = F.transform(tokens(text_col), lambda t: F.lower(t))
-    base = df.select(F.col(id_col).alias("id"), lower.alias("__toks"))
+    # tokenize ONCE: four consumers (char totals, top-gram stream, dup
+    # positional stream, token-position chars) each re-ran the full
+    # scan+tokenize without this (r15 plan-audit discipline)
+    base = df.select(F.col(id_col).alias("id"), lower.alias("__toks")).localCheckpoint(
+        eager=False
+    )
     totals = base.select(
         "id",
         F.aggregate(
@@ -854,12 +866,15 @@ def gopher_repetition(
         ]
     )
     # --- dup rules: one (id, n, gram) count, one (id, n, pos) distinct ---
+    # materialized: the positional gram stream is both counted (dup_grams)
+    # and re-joined against those counts (covered) — two full explodes of
+    # the widest stream in the battery without it
     inst = base.select("id", tagged(dup_ns, with_pos=True).alias("t")).select(
         "id",
         F.col("t.n").alias("__n"),
         F.col("t.p").alias("__p"),
         F.col("t.g").alias("g"),
-    )
+    ).localCheckpoint(eager=False)
     dup_grams = (
         inst.groupBy("id", "__n", "g")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1103,7 +1118,15 @@ def bigram_logprob(
     uni_inst = base.select("id", F.explode("__toks").alias("w")).where(
         F.col("w") != ""
     )
-    uni = uni_inst.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    # materialized multi-consumer frames (r15 plan-audit discipline):
+    # uni feeds three joins + the total scalar; bi_inst is both counted
+    # (bi) and scored against its own count table — un-materialized,
+    # each reference re-runs the scan+tokenize+explode chain
+    uni = (
+        uni_inst.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
+    )
     total = uni.select(F.sum("c1").cast("double").alias("__n"))
 
     bi_inst = base.select(
@@ -1113,7 +1136,7 @@ def bigram_logprob(
         "id",
         F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
         F.split(F.col("bg"), " ", 2)[1].alias("w"),
-    )
+    ).localCheckpoint(eager=False)
     bi = bi_inst.groupBy("w_prev", "w").agg(F.count(F.lit(1)).alias("c2"))
 
     # every non-first token scores under the interpolated bigram
@@ -1206,13 +1229,25 @@ def heldout_bigram_nll(
         (train if train is not None else ~holdout).alias("__tr"),
     )
     train = base.filter(F.col("__tr"))
-    held = base.filter(F.col("__ho"))
+    # materialize the held token slice once (id + tokens only): it is
+    # consumed three times (bigram instances, first-token row, and the
+    # doc-grain rollup) and each un-materialized reference re-plans and
+    # re-executes the full scan+tokenize subtree — the r15 plan audit
+    # measured the two-LM consumers (xs24/xs26) at 64-136 Exchange /
+    # 34-68 scan plans from exactly this duplication. Candidate-slice
+    # grain, the data any reference-model scorer must hold anyway.
+    held = base.filter(F.col("__ho")).select("id", "__toks").localCheckpoint(
+        eager=False
+    )
 
     uni = (
         train.select(F.explode("__toks").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        # vocabulary-grain count table, read by three joins + the scalar
+        # aggregate below — one scan+tokenize instead of four
+        .localCheckpoint(eager=False)
     )
     scal = uni.agg(
         F.sum("c1").cast("double").alias("__n"),
@@ -1228,6 +1263,8 @@ def heldout_bigram_nll(
         )
         .groupBy("w_prev", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
+        # bigram-type grain (bounded by distinct type count, not corpus)
+        .localCheckpoint(eager=False)
     )
 
     p_uni = (F.coalesce(F.col("c1"), F.lit(0)) + 1.0) / (
@@ -1932,7 +1969,12 @@ def kneser_ney_nll(
         holdout.alias("__ho"),
     )
     train = base.filter(~F.col("__ho"))
-    held = base.filter(F.col("__ho"))
+    # same materialization discipline as heldout_bigram_nll: the held
+    # slice feeds two consumers, the bigram count table four — an
+    # un-materialized reference re-executes the scan+tokenize chain
+    held = base.filter(F.col("__ho")).select("id", "__toks").localCheckpoint(
+        eager=False
+    )
 
     vocab = (
         train.select(F.explode("__toks").alias("w"))
@@ -1949,6 +1991,7 @@ def kneser_ney_nll(
         )
         .groupBy("w_prev", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
     )
     left = bi.groupBy("w_prev").agg(
         F.sum("c2").cast("double").alias("cl"),
@@ -2032,13 +2075,18 @@ def heldout_jm_kn_nll(
         holdout.alias("__ho"),
     )
     train = base.filter(~F.col("__ho"))
-    held = base.filter(F.col("__ho"))
+    # same materialization discipline as heldout_bigram_nll (r15 plan
+    # audit): held feeds three consumers, uni four, bi four
+    held = base.filter(F.col("__ho")).select("id", "__toks").localCheckpoint(
+        eager=False
+    )
 
     uni = (
         train.select(F.explode("__toks").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
+        .localCheckpoint(eager=False)
     )
     bi = (
         train.select(
@@ -2050,6 +2098,7 @@ def heldout_jm_kn_nll(
         )
         .groupBy("w_prev", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
     )
     left = bi.groupBy("w_prev").agg(
         F.sum("c2").cast("double").alias("cl"),

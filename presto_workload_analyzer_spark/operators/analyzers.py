@@ -292,7 +292,11 @@ def _scanfilter_selectivity(operators: DataFrame, plan_nodes: DataFrame, top_k: 
         F.col("input_rows"),
         F.col("deepest_scan_table").alias("table_name"),
         F.col("query_id"),
-    )
+    # materialized: the guarded scan-op slice feeds BOTH the top-K wall
+    # aggregate and the semi-joined scatter below — un-materialized, the
+    # operators x plan_nodes attribution join executes twice per analyzer
+    # (r15 plan-audit discipline; slice grain, a projection of the silver)
+    ).localCheckpoint(eager=False)
     top = top_k_keys(ops, "table_name", "wall", top_k)
     return ops.join(F.broadcast(top), on="table_name", how="left_semi")
 
