@@ -29,6 +29,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from presto_workload_analyzer_spark.materialize import materialize
+
 from presto_workload_analyzer_spark.functions import parse_size, parse_time, query_timestamp
 from presto_workload_analyzer_spark.operators import analyzers as A
 from presto_workload_analyzer_spark.sources.tables import read_sf_table
@@ -61,7 +63,7 @@ def _cached_adapter(kind, spark, sf_dir, build):
         # mid-bench (the x123 r13 mis-booking). Lazy (eager=False): the
         # first consumer's action materializes it, same attribution as
         # persist. Still computed from the parquet inputs in every run.
-        df = build().localCheckpoint(eager=False)
+        df = build().transform(materialize)
         _ADAPTER_CACHE[key] = df
     return df
 
@@ -3862,19 +3864,15 @@ def _x51(spark: SparkSession, sf: str) -> DataFrame:
     # curation pipeline materializes each stage's survivor set. The
     # dataflow contracts the chain exists to test (column names, null
     # conventions, survivor rules) flow through unchanged.
-    kept = corpus.filter(q >= 0.5).localCheckpoint(eager=False)
-    exd = X_dedup.drop_exact_duplicates(kept, ["text"], "doc_id").localCheckpoint(
-        eager=False
-    )
+    kept = corpus.filter(q >= 0.5).transform(materialize)
+    exd = X_dedup.drop_exact_duplicates(kept, ["text"], "doc_id").transform(materialize)
     ids = exd.select("doc_id")
     pairs = (
         shared_lsh_pairs(spark, sf)
         .join(ids.select(F.col("doc_id").alias("id_a")), "id_a", "left_semi")
         .join(ids.select(F.col("doc_id").alias("id_b")), "id_b", "left_semi")
     )
-    nd = X_dedup.drop_near_duplicates(exd, "doc_id", pairs).localCheckpoint(
-        eager=False
-    )
+    nd = X_dedup.drop_near_duplicates(exd, "doc_id", pairs).transform(materialize)
     clean = X_dedup.decontaminate(nd, bench, "doc_id", "text", k=5)
     sized = clean.select(
         "source", "doc_id", X_text.token_count("text").cast("long").alias("n_tokens")
@@ -6769,18 +6767,37 @@ def _a38(spark: SparkSession, sf: str) -> DataFrame:
     tables co-scanned in 40% of queries are the ones to co-locate).
     Per-query distinct tables first, so the pair fan-out is bounded by
     (tables per query)^2 — a plan-shape constant — not corpus size."""
-    pn = (
+    # one shuffle, no self-join (r15): collect each query's DISTINCT table
+    # set (collect_set subsumes the former .distinct() pass) and enumerate
+    # ordered pairs with array combinatorics — the per-query set is a
+    # plan-shape constant, so the explode is narrow, while the former
+    # pn-self-join shuffled the node table twice more. Same pairs, same
+    # counts: sort_array + slice-from-successor yields exactly the
+    # a.t < b.t enumeration.
+    grouped = (
         workload_plan_nodes(spark, sf)
-        .select("query_id", F.col("deepest_scan_table").alias("t"))
-        .distinct()
+        .groupBy("query_id")
+        .agg(F.sort_array(F.collect_set("deepest_scan_table")).alias("__ts"))
+        .transform(materialize)  # read by tot AND the pair explode
     )
-    tot = pn.agg(F.countDistinct("query_id").alias("__nq"))
-    pairs = (
-        pn.alias("a")
-        .join(pn.alias("b"), "query_id")
-        .filter(F.col("a.t") < F.col("b.t"))
-        .select(F.col("a.t").alias("table_a"), F.col("b.t").alias("table_b"))
-    )
+    tot = grouped.agg(F.count(F.lit(1)).alias("__nq"))
+    pairs = grouped.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "__ts",
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("__ts"), i + F.lit(2), F.size("__ts") - i - 1
+                        ),
+                        lambda b: F.struct(
+                            a.alias("table_a"), b.alias("table_b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("p")
+    ).select(F.col("p.table_a"), F.col("p.table_b"))
     return (
         pairs.groupBy("table_a", "table_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_queries"))

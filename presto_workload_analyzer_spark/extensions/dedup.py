@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from presto_workload_analyzer_spark.materialize import materialize
+
 
 def exact_dedup_groups(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     """Hash-groupBy exact dedup: one row per duplicate group.
@@ -190,6 +192,12 @@ def lsh_candidate_pairs(
     not. Default None keeps the exact enumeration (the oracle-checked
     mode); production at scale sets a cap around 10_000.
     """
+    # materialize the band table once: the self-join reads it twice and
+    # the guard path a third time (bucket counts) — un-materialized, each
+    # reference re-runs the shingle+minhash pipeline (r15 plan-audit
+    # discipline; bands-per-doc grain, the LSH index any deployment
+    # materializes)
+    band_df = band_df.transform(materialize)
     a = band_df.select(
         F.col("band"), F.col("band_hash"), F.col("id").alias("id_a")
     )
@@ -305,7 +313,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # flat edge-grain RDD scan (r15 plan-audit fix; pagerank/kcore
         # already follow this convention for their loop frames).
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     labels = (
         edges.select(F.col("src").alias("id"))
@@ -412,7 +420,7 @@ def ngram_jaccard(
     # join sides) would otherwise each re-execute the upstream
     # tokenize+shingle explode (r15 plan-audit discipline); this is the
     # shingle table any dedup pipeline materializes at scale
-    shingle_df = shingle_df.localCheckpoint(eager=False)
+    shingle_df = shingle_df.transform(materialize)
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
@@ -473,7 +481,7 @@ def shingle_containment(
     # join sides) would otherwise each re-execute the upstream
     # tokenize+shingle explode (r15 plan-audit discipline); this is the
     # shingle table any dedup pipeline materializes at scale
-    shingle_df = shingle_df.localCheckpoint(eager=False)
+    shingle_df = shingle_df.transform(materialize)
     sizes = shingle_df.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     a = shingle_df.select(F.col("id").alias("id_a"), "shingle")
     b = shingle_df.select(F.col("id").alias("id_b"), "shingle")
@@ -730,7 +738,7 @@ def incremental_dedup(
         # anti-join) — without this the exact-stage anti-join against the
         # corpus digest set executes twice (r15 plan-audit discipline);
         # new-batch grain, the small side of continuous ingest
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     rows_per_band = num_hashes // bands
@@ -1123,7 +1131,7 @@ def sorted_neighborhood_pairs(
         [F.asc("__key"), F.asc("id")],
         F.substring(F.col("__key"), 1, 2),
         "rank",
-    ).select("id", "rank").localCheckpoint(eager=False)
+    ).select("id", "rank").transform(materialize)
     a = ranked.select(
         F.col("id").alias("id_a"),
         F.col("rank").alias("__ra"),
@@ -1364,8 +1372,15 @@ def prefix_filter_jaccard_join(
     territory. ceil is computed with a -1e-9 guard so float error can only
     LENGTHEN the prefix (more candidates, never a lost pair).
     """
-    toks = shingles(df, id_col, text_col, k=k, distinct=True)
-    sizes = toks.groupBy("id").agg(F.count(F.lit(1)).alias("__m"))
+    # materialized multi-consumer frames (r15 plan-audit discipline):
+    # toks feeds the rank join + both verify sides (3 scan+shingle chains
+    # otherwise), sizes feeds the rank join + both final joins
+    toks = shingles(df, id_col, text_col, k=k, distinct=True).transform(materialize)
+    sizes = (
+        toks.groupBy("id")
+        .agg(F.count(F.lit(1)).alias("__m"))
+        .transform(materialize)
+    )
     dfreq = toks.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
     ranked = (
         toks.join(dfreq, "shingle")
@@ -1379,7 +1394,12 @@ def prefix_filter_jaccard_join(
             (F.col("__m") - F.ceil(F.col("__m") * threshold - 1e-9) + 1).cast("int"),
         )
     )
-    prefix = ranked.filter(F.col("__rn") <= F.col("__p")).select("id", "shingle")
+    prefix = (
+        ranked.filter(F.col("__rn") <= F.col("__p"))
+        .select("id", "shingle")
+        # both sides of the candidate self-join read the prefix index
+        .transform(materialize)
+    )
     cand = (
         prefix.alias("a")
         .join(prefix.alias("b"), "shingle")

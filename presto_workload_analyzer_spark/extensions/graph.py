@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from presto_workload_analyzer_spark.materialize import materialize
+
 
 def pagerank(
     pairs: DataFrame, iters: int = 5, damping: float = 0.85
@@ -121,7 +123,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
             F.least("id_a", "id_b").alias("a"), F.greatest("id_a", "id_b").alias("b")
         )
         .distinct()
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     und = e.select(F.col("a").alias("id")).unionAll(e.select(F.col("b").alias("id")))
     deg = und.groupBy("id").agg(F.count(F.lit(1)).alias("dg"))
@@ -135,7 +137,7 @@ def triangle_counts(pairs: DataFrame) -> DataFrame:
         F.when(lt, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(lt, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(lt, F.col("dgb")).otherwise(F.col("dga")).alias("dg_dst"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     e1 = orient.select("src", F.col("dst").alias("d1"), F.col("dg_dst").alias("g1"))
     e2 = orient.select("src", F.col("dst").alias("d2"), F.col("dg_dst").alias("g2"))
     # wedge endpoints ordered by the SAME (degree, id) key as the

@@ -20,6 +20,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from presto_workload_analyzer_spark.materialize import materialize
+
 HASH_BUCKETS = 256
 
 
@@ -107,7 +109,7 @@ def _hierarchical_row_number(
     # inherits it instead of each remembering to checkpoint (r15). One
     # narrow copy of the rank columns; callers passing an already-flat
     # frame pay one cheap re-materialization.
-    rows = df.withColumn("__shard", shard_col).localCheckpoint(eager=False)
+    rows = df.withColumn("__shard", shard_col).transform(materialize)
     w_local = Window.partitionBy(*group_cols, "__shard").orderBy(*order_cols)
     local = rows.withColumn("__lrn", F.row_number().over(w_local))
     if local_prune is not None:
@@ -293,8 +295,13 @@ def dsir_log_weights(
     least one token (empty/whitespace docs carry no evidence; callers
     union them back with log_w 0 if required).
     """
-    src = _dsir_features(source, id_col, text_col, n_features, mode)
-    tgt = _dsir_features(target, id_col, text_col, n_features, mode)
+    # materialized (r15 plan-audit discipline): src feeds the corpus
+    # totals, the per-feature counts AND the final scoring join (three
+    # full hash-feature explodes un-materialized); tgt feeds two.
+    # (id, feat, c) grain — the hashed-ngram count table DSIR
+    # materializes by construction.
+    src = _dsir_features(source, id_col, text_col, n_features, mode).transform(materialize)
+    tgt = _dsir_features(target, id_col, text_col, n_features, mode).transform(materialize)
     s_tot = src.groupBy("feat").agg(F.sum("c").alias("cs"))
     t_tot = tgt.groupBy("feat").agg(F.sum("c").alias("ct"))
     # full outer over the feature space observed on either side; features

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from presto_workload_analyzer_spark.materialize import materialize
+
 from presto_workload_analyzer_spark.extensions.textstats import tokens
 
 
@@ -193,7 +195,7 @@ def kmv_pairwise_jaccard(
     # would otherwise each re-execute the full upstream gram-explode +
     # bottom-k chain (r15 plan-audit discipline). Sketch grain is
     # groups x k rows — bounded at any corpus scale.
-    sketch = sketch.localCheckpoint(eager=False)
+    sketch = sketch.transform(materialize)
     a = sketch.select(
         F.col(group_col).alias("ga"), F.col("h").alias("h")
     )

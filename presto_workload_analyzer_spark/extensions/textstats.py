@@ -11,6 +11,8 @@ import functools
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from presto_workload_analyzer_spark.materialize import materialize
+
 # tiny per-language marker lists for the n-gram/stopword heuristic
 LANG_MARKERS: dict[str, list[str]] = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it"],
@@ -270,7 +272,7 @@ def tfidf_cosine_pairs(
         # the whole scan+tokenize+tf+df chain executes once per reference
         # (r15 plan-audit discipline). (id, term, u) grain is exactly what
         # a materialized inverted index holds at any scale.
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     if not prefix_filter:
         a = unit.select(F.col("id").alias("id_a"), "term", F.col("u").alias("ua"))
@@ -795,9 +797,7 @@ def gopher_repetition(
     # tokenize ONCE: four consumers (char totals, top-gram stream, dup
     # positional stream, token-position chars) each re-ran the full
     # scan+tokenize without this (r15 plan-audit discipline)
-    base = df.select(F.col(id_col).alias("id"), lower.alias("__toks")).localCheckpoint(
-        eager=False
-    )
+    base = df.select(F.col(id_col).alias("id"), lower.alias("__toks")).transform(materialize)
     totals = base.select(
         "id",
         F.aggregate(
@@ -874,7 +874,7 @@ def gopher_repetition(
         F.col("t.n").alias("__n"),
         F.col("t.p").alias("__p"),
         F.col("t.g").alias("g"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     dup_grams = (
         inst.groupBy("id", "__n", "g")
         .agg(F.count(F.lit(1)).alias("__c"))
@@ -1125,7 +1125,7 @@ def bigram_logprob(
     uni = (
         uni_inst.groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     total = uni.select(F.sum("c1").cast("double").alias("__n"))
 
@@ -1136,7 +1136,7 @@ def bigram_logprob(
         "id",
         F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
         F.split(F.col("bg"), " ", 2)[1].alias("w"),
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     bi = bi_inst.groupBy("w_prev", "w").agg(F.count(F.lit(1)).alias("c2"))
 
     # every non-first token scores under the interpolated bigram
@@ -1236,9 +1236,7 @@ def heldout_bigram_nll(
     # measured the two-LM consumers (xs24/xs26) at 64-136 Exchange /
     # 34-68 scan plans from exactly this duplication. Candidate-slice
     # grain, the data any reference-model scorer must hold anyway.
-    held = base.filter(F.col("__ho")).select("id", "__toks").localCheckpoint(
-        eager=False
-    )
+    held = base.filter(F.col("__ho")).select("id", "__toks").transform(materialize)
 
     uni = (
         train.select(F.explode("__toks").alias("w"))
@@ -1247,7 +1245,7 @@ def heldout_bigram_nll(
         .agg(F.count(F.lit(1)).alias("c1"))
         # vocabulary-grain count table, read by three joins + the scalar
         # aggregate below — one scan+tokenize instead of four
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     scal = uni.agg(
         F.sum("c1").cast("double").alias("__n"),
@@ -1264,7 +1262,7 @@ def heldout_bigram_nll(
         .groupBy("w_prev", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
         # bigram-type grain (bounded by distinct type count, not corpus)
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
 
     p_uni = (F.coalesce(F.col("c1"), F.lit(0)) + 1.0) / (
@@ -1972,9 +1970,7 @@ def kneser_ney_nll(
     # same materialization discipline as heldout_bigram_nll: the held
     # slice feeds two consumers, the bigram count table four — an
     # un-materialized reference re-executes the scan+tokenize chain
-    held = base.filter(F.col("__ho")).select("id", "__toks").localCheckpoint(
-        eager=False
-    )
+    held = base.filter(F.col("__ho")).select("id", "__toks").transform(materialize)
 
     vocab = (
         train.select(F.explode("__toks").alias("w"))
@@ -1991,7 +1987,7 @@ def kneser_ney_nll(
         )
         .groupBy("w_prev", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     left = bi.groupBy("w_prev").agg(
         F.sum("c2").cast("double").alias("cl"),
@@ -2077,16 +2073,14 @@ def heldout_jm_kn_nll(
     train = base.filter(~F.col("__ho"))
     # same materialization discipline as heldout_bigram_nll (r15 plan
     # audit): held feeds three consumers, uni four, bi four
-    held = base.filter(F.col("__ho")).select("id", "__toks").localCheckpoint(
-        eager=False
-    )
+    held = base.filter(F.col("__ho")).select("id", "__toks").transform(materialize)
 
     uni = (
         train.select(F.explode("__toks").alias("w"))
         .where(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c1"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     bi = (
         train.select(
@@ -2098,7 +2092,7 @@ def heldout_jm_kn_nll(
         )
         .groupBy("w_prev", "w")
         .agg(F.count(F.lit(1)).alias("c2"))
-        .localCheckpoint(eager=False)
+        .transform(materialize)
     )
     left = bi.groupBy("w_prev").agg(
         F.sum("c2").cast("double").alias("cl"),

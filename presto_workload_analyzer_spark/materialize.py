@@ -1,0 +1,34 @@
+"""Materialization discipline for multiply-consumed DataFrames.
+
+A DataFrame referenced N times re-plans — and, when nothing pins it, also
+re-executes — its entire upstream subtree once per reference. The r15
+plan audit (tools/plan_audit.py) measured the cost of forgetting this:
+x100's triangle census planned 371 Exchange instances over a 255-edge
+graph, and the wall was driver-side planning, not data. The repo-wide
+convention (the xs43/x119 lesson) is therefore: any frame an operator
+reads more than once is materialized at that boundary.
+
+`materialize(df)` is the one spelling of that convention: a LAZY
+localCheckpoint — the plan truncates to a flat RDD scan immediately, the
+first action materializes the blocks, later references (in the same or
+any later job) read them. Chosen over persist() because a persisted
+frame keeps its full lineage inside every consumer plan and can be
+evicted and silently recomputed mid-run.
+
+`PWA_NO_MATERIALIZE=1` makes it the identity — set by the plan-shape
+test suites (pushdown pins, plan lint) so they audit the FULL logical
+dataflow down to the parquet scans instead of stopping at checkpoint
+leaves. Never set it in production or bench paths.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
+    if os.environ.get("PWA_NO_MATERIALIZE"):
+        return df
+    return df.localCheckpoint(eager=eager)

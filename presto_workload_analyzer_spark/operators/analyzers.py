@@ -34,6 +34,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from presto_workload_analyzer_spark.materialize import materialize
+
 from presto_workload_analyzer_spark.functions.labels import strip_operator_suffix
 from presto_workload_analyzer_spark.functions.timeutil import trunc_date, trunc_hour
 from presto_workload_analyzer_spark.operators.joins import join_pairs
@@ -296,7 +298,7 @@ def _scanfilter_selectivity(operators: DataFrame, plan_nodes: DataFrame, top_k: 
     # aggregate and the semi-joined scatter below — un-materialized, the
     # operators x plan_nodes attribution join executes twice per analyzer
     # (r15 plan-audit discipline; slice grain, a projection of the silver)
-    ).localCheckpoint(eager=False)
+    ).transform(materialize)
     top = top_k_keys(ops, "table_name", "wall", top_k)
     return ops.join(F.broadcast(top), on="table_name", how="left_semi")
 

@@ -20,6 +20,19 @@ from presto_workload_analyzer_spark import driver_queries
 
 SF_DIR = "/root/testdata/sf0.001"
 
+
+@pytest.fixture(autouse=True)
+def _full_dataflow_plans(monkeypatch):
+    """The lint must see the FULL dataflow: materialize.py's lazy
+    localCheckpoints truncate plans at RDD-scan leaves, which would hide
+    a banned shape (cartesian / BatchEvalPython / raw-input window)
+    inside a checkpointed subtree. Same kill-switch + silver-cache clear
+    as test_plan_pushdown."""
+    monkeypatch.setenv("PWA_NO_MATERIALIZE", "1")
+    driver_queries._ADAPTER_CACHE.clear()
+    yield
+    driver_queries._ADAPTER_CACHE.clear()
+
 # query -> Arrow-batched operators it is allowed to plan
 _ALLOWED_PANDAS = {
     "x11_multimodal_meta",      # mapInPandas decode plumbing (declared surface)

@@ -13,6 +13,24 @@ from presto_workload_analyzer_spark import driver_queries
 
 SF_DIR = "/root/testdata/sf0.001"
 
+
+@pytest.fixture(autouse=True)
+def _full_dataflow_plans(monkeypatch):
+    """Plan pins must audit the FULL dataflow down to the parquet scans.
+
+    The engine materializes multiply-consumed frames (materialize.py —
+    lazy localCheckpoint), which truncates consumer plans at RDD-scan
+    leaves and would hide the very FileScan nodes these tests pin. The
+    kill-switch disables materialization for frames built inside the
+    test; the shared-silver cache is cleared so silvers built (and
+    checkpointed) by other suites in the same session don't leak
+    truncated plans in.
+    """
+    monkeypatch.setenv("PWA_NO_MATERIALIZE", "1")
+    driver_queries._ADAPTER_CACHE.clear()
+    yield
+    driver_queries._ADAPTER_CACHE.clear()
+
 _SCAN_RE = re.compile(r"FileScan parquet \[([^\]]*)\][^\n]*?Location:[^\n]*?/(\w+)\.parquet")
 
 

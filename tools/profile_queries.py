@@ -63,6 +63,7 @@ def main() -> None:
         spark.range(256)
         .repartition(sc.defaultParallelism)
         .mapInPandas(_ident, "id long")
+        .mapInPandas(_ident, "id long")  # 2-deep pool, same as bench.py
         .write.format("noop")
         .mode("overwrite")
         .save()
