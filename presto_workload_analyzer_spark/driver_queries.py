@@ -51,19 +51,22 @@ def _cached_adapter(kind, spark, sf_dir, build):
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _ADAPTER_CACHE.get(key)
     if df is None:
-        # localCheckpoint, not persist: a persisted silver keeps its full
-        # lineage in every consumer's plan, so a query that references the
-        # silver N times re-plans (and on first touch can re-execute) the
-        # whole upstream subtree N times — the r15 plan audit measured
-        # x100/x145 at 371/718 Exchange instances and tens of seconds of
-        # driver-side planning over a 255-row pair graph. The checkpoint
-        # truncates lineage to a flat RDD scan: built once per (session,
-        # sf), every consumer plan is silver-leaf-deep, and (unlike a
-        # persisted frame) it cannot be evicted and silently recomputed
-        # mid-bench (the x123 r13 mis-booking). Lazy (eager=False): the
-        # first consumer's action materializes it, same attribution as
-        # persist. Still computed from the parquet inputs in every run.
-        df = build().transform(materialize)
+        # checkpoint + persist, in that order. The checkpoint truncates
+        # lineage to a flat RDD scan: a persisted-only silver keeps its
+        # full upstream in every consumer plan, so a query referencing it
+        # N times re-plans (and on eviction re-executes) the subtree N
+        # times — the r15 plan audit measured x100/x145 at 371/718
+        # Exchange instances over a 255-row pair graph. The persist on
+        # top restores the COLUMNAR cache for the silver's many readers:
+        # a bare RDD checkpoint deserializes row objects on every
+        # consumer scan, which the r15 bench A/B showed as a uniform
+        # ~1.5-2x drag across the adapter-reading analyzers. Eviction
+        # now falls back to the checkpointed RDD (cheap re-cache, no
+        # re-plan, no x123-style silent rebuild). Lazy: the first
+        # consumer's action materializes both layers — same cost
+        # attribution as the old persist. Still computed from the
+        # parquet inputs in every run.
+        df = build().transform(materialize).persist()
         _ADAPTER_CACHE[key] = df
     return df
 

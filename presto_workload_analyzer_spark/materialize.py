@@ -25,10 +25,20 @@ from __future__ import annotations
 
 import os
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame
+
+# Serialized blocks, not the deserialized default: checkpointed frames
+# often carry token/gram arrays, and deserialized Java object graphs cost
+# several times their serialized bytes in heap — across a 263-query
+# session the accumulation becomes GC pressure on everything downstream.
+# Serialized MEMORY_AND_DISK keeps the block-manager footprint at data
+# size; the read-back deserialization is a bulk columnar-ish pass, cheap
+# next to the re-execution the checkpoint exists to avoid.
+_LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
     if os.environ.get("PWA_NO_MATERIALIZE"):
         return df
-    return df.localCheckpoint(eager=eager)
+    return df.localCheckpoint(eager=eager, storageLevel=_LEVEL)
