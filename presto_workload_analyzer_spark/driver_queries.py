@@ -51,22 +51,26 @@ def _cached_adapter(kind, spark, sf_dir, build):
     key = (spark.sparkContext.applicationId, sf_dir, kind)
     df = _ADAPTER_CACHE.get(key)
     if df is None:
-        # checkpoint + persist, in that order. The checkpoint truncates
-        # lineage to a flat RDD scan: a persisted-only silver keeps its
-        # full upstream in every consumer plan, so a query referencing it
-        # N times re-plans (and on eviction re-executes) the subtree N
-        # times — the r15 plan audit measured x100/x145 at 371/718
-        # Exchange instances over a 255-row pair graph. The persist on
-        # top restores the COLUMNAR cache for the silver's many readers:
-        # a bare RDD checkpoint deserializes row objects on every
-        # consumer scan, which the r15 bench A/B showed as a uniform
-        # ~1.5-2x drag across the adapter-reading analyzers. Eviction
-        # now falls back to the checkpointed RDD (cheap re-cache, no
-        # re-plan, no x123-style silent rebuild). Lazy: the first
-        # consumer's action materializes both layers — same cost
-        # attribution as the old persist. Still computed from the
-        # parquet inputs in every run.
-        df = build().transform(materialize).persist()
+        # persist-only — measured, not assumed (r15). Three forms were
+        # A/B'd in full benches: (a) plain persist (the control), (b)
+        # localCheckpoint only, (c) checkpoint+persist. (b) lost the
+        # columnar cache (uniform ~1.5-2x drag on the adapter-reading
+        # analyzers); (c) looked best in one in-stack run but warm-solo
+        # A/B of the first consumers showed WHY it cannot win: a "lazy"
+        # localCheckpoint is not lazy — at CALL time it re-plans the
+        # build and eagerly materializes every upstream AQE stage
+        # (measured: 3 jobs fire inside the localCheckpoint() call
+        # itself), so a codegen-heavy silver build pays planning twice
+        # (x33's embedding-pair silver: 6.5 s persist-only vs 11.2 s
+        # combo, solo; a18/x51/xs27 regressed the same way in-stack).
+        # The monster-plan problem the checkpoint was meant to solve
+        # (x100 at 371 Exchange instances) lives in operator-INTERNAL
+        # multiply-referenced frames and is fixed there (materialize.py
+        # sites in graph/dedup/textstats); adapter consumers reference a
+        # silver once or twice per plan, so lineage in consumer plans is
+        # cheap. Eviction never silently recomputes: DataFrame.persist's
+        # MEMORY_AND_DISK spills to disk instead of dropping the blocks.
+        df = build().persist()
         _ADAPTER_CACHE[key] = df
     return df
 
