@@ -1121,17 +1121,19 @@ def sorted_neighborhood_pairs(
         raise ValueError(f"window must be >= 2, got {window}")
     k = key if key is not None else normalized_text(text_col)
     base = df.select(F.col(id_col).alias("id"), k.alias("__key"))
-    # materialized: both explode sides below read the global rank frame,
-    # and the hierarchical ranker itself references its input twice —
-    # un-materialized this re-sorts the normalized corpus per reference
-    # (r15 plan-audit discipline; (id, rank) grain)
+    # materialized: both explode sides below read the global rank frame —
+    # (id, rank) grain, narrow. The ranker's INPUT is left un-materialized
+    # (materialize_input=False): it is a cheap scan+normalize whose __key
+    # column is corpus bytes — checkpointing it costs more than the second
+    # scan it saves (measured, x56 warm-solo; r15).
     ranked = _hierarchical_row_number(
         base,
         [],
         [F.asc("__key"), F.asc("id")],
         F.substring(F.col("__key"), 1, 2),
         "rank",
-    ).select("id", "rank").transform(materialize)
+        materialize_input=False,
+    ).select("id", "rank")
     a = ranked.select(
         F.col("id").alias("id_a"),
         F.col("rank").alias("__ra"),

@@ -84,6 +84,7 @@ def _hierarchical_row_number(
     shard_col: Column,
     rank_alias: str,
     local_prune: Column | None = None,
+    materialize_input: bool = True,
 ) -> DataFrame:
     """Global row_number() per group computed TWO-LEVEL, so no task ever
     sorts a whole group — the fix for rank windows whose partition key is
@@ -104,12 +105,16 @@ def _hierarchical_row_number(
     sound because global rank >= local rank — bounding the join input to
     cap rows per (group, shard).
     """
-    # materialized: the ranker reads its input twice (local ranks + shard
-    # counts) — the xs43/x119 lesson, enforced here so every caller
-    # inherits it instead of each remembering to checkpoint (r15). One
-    # narrow copy of the rank columns; callers passing an already-flat
-    # frame pay one cheap re-materialization.
-    rows = df.withColumn("__shard", shard_col).transform(materialize)
+    # The ranker reads its input twice (local ranks + shard counts — the
+    # two exchanges carry different payloads, raw rows vs partial counts,
+    # so ReusedExchange cannot dedup them). Default: materialize once
+    # (the xs43/x119 lesson). `materialize_input=False` is for callers
+    # whose input is a cheap scan carrying HEAVY payload columns (e.g.
+    # SNM's normalized-text sort key): checkpointing corpus bytes costs
+    # more than the second scan it saves — measured on x56/x65 (r15).
+    rows = df.withColumn("__shard", shard_col)
+    if materialize_input:
+        rows = rows.transform(materialize)
     w_local = Window.partitionBy(*group_cols, "__shard").orderBy(*order_cols)
     local = rows.withColumn("__lrn", F.row_number().over(w_local))
     if local_prune is not None:
