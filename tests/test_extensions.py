@@ -1690,6 +1690,19 @@ def test_zipf_slope_power_law_and_flat(spark):
     assert {(r.source, r.term, r.rank) for r in naive.collect()} == {
         (r.source, r.term, r.rank) for r in hier.collect()
     }
+    # materialize_input=False (the r15 SNM heavy-payload path) is a pure
+    # plan-shape choice: ranks must be byte-identical to the default form
+    hier_nomat = _hierarchical_row_number(
+        counts,
+        ["source"],
+        [F.desc("cnt"), F.asc("term")],
+        -F.floor(F.log2(F.col("cnt"))),
+        "rank",
+        materialize_input=False,
+    )
+    assert {(r.source, r.term, r.rank) for r in hier.collect()} == {
+        (r.source, r.term, r.rank) for r in hier_nomat.collect()
+    }
 
 
 def test_vocab_coverage_hand_computed(spark):
