@@ -33,6 +33,19 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Let the planner pick shuffled-hash join when its size conditions
+        # hold instead of always sort-merge (guide §3.1/§9): most joins
+        # here key on bounded metadata grains (vocab terms, pair sets,
+        # count tables), where the per-partition build side is small and
+        # the SMJ sorts are pure overhead. Measured on the joins-heaviest
+        # registry slice (xs26/xs27/x51/x62 + 6 more, warm-solo A/B):
+        # 85.9 s -> 50.3 s; full-bench and sf1-slope legs re-run with it
+        # (OPTIMIZATION_r15.md). Scale posture: the decision stays with
+        # the planner's size estimates per join (this is a preference,
+        # not a force); AQE skew-join still splits oversized partitions,
+        # and a cluster deployment sizes executor memory for its
+        # shuffle-partition count as usual.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The synthetic testdata parquet carries TIMESTAMP(NANOS) columns,
         # which Spark's vectorized reader rejects outright; read them as
