@@ -33,19 +33,21 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # Let the planner pick shuffled-hash join when its size conditions
-        # hold instead of always sort-merge (guide §3.1/§9): most joins
-        # here key on bounded metadata grains (vocab terms, pair sets,
-        # count tables), where the per-partition build side is small and
-        # the SMJ sorts are pure overhead. Measured on the joins-heaviest
-        # registry slice (xs26/xs27/x51/x62 + 6 more, warm-solo A/B):
-        # 85.9 s -> 50.3 s; full-bench and sf1-slope legs re-run with it
-        # (OPTIMIZATION_r15.md). Scale posture: the decision stays with
-        # the planner's size estimates per join (this is a preference,
-        # not a force); AQE skew-join still splits oversized partitions,
-        # and a cluster deployment sizes executor memory for its
-        # shuffle-partition count as usual.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Shuffled-hash joins ONLY via AQE's runtime rewrite, never as a
+        # plan-time preference. Both forms were measured at two scales
+        # (OPTIMIZATION_r15.md): preferSortMergeJoin=false won ~8%
+        # in-stack at sf0.1 (metadata-grain build sides, SMJ sorts are
+        # overhead) but regressed the sf1 tail up to 2.4x (x33/x81's
+        # pair-enumeration joins build per-partition hash maps over
+        # 10x-bigger partitions — the guide's stated SHJ memory risk).
+        # The AQE threshold form is scale-adaptive by construction: the
+        # rewrite fires only when EVERY post-shuffle partition of the
+        # build side is under the threshold, so small-scale runs get the
+        # sort-free join and large partitions keep sort-merge's graceful
+        # spill. 64m x 32 local tasks bounds concurrent build memory at
+        # ~2 GB of the 16g heap; a cluster deployment scales the bound
+        # with its executor memory the same way.
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "64m")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # The synthetic testdata parquet carries TIMESTAMP(NANOS) columns,
         # which Spark's vectorized reader rejects outright; read them as

@@ -42,8 +42,9 @@ def test_bucketed_join_no_shuffle(spark, bucketed):
         joined.count()  # materialize so executedPlan is final
         plan = joined._jdf.queryExecution().executedPlan().toString()
         # either shuffle-free strategy is the point (SMJ by default;
-        # ShuffledHashJoin since the r15 preferSortMergeJoin=false — both
-        # consume the bucketed partitioning without an exchange)
+        # ShuffledHashJoin when AQE's maxShuffledHashJoinLocalMapThreshold
+        # rewrite fires — both consume the bucketed partitioning without
+        # an exchange)
         assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan)
         # both scans read bucketed; no hash-repartition exchange feeds the join
         assert plan.count("Bucketed: true") == 2
