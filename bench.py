@@ -164,6 +164,16 @@ def main() -> None:
             sorted(calib_io_end)[1] / max(sorted(calib_io_start)[1], 1e-9), 3
         ),
     }
+    # Harness self-defense (r16, VERDICT item 8): say OUT LOUD when the
+    # run's own calibration evidence impeaches the total, instead of
+    # leaving the flag computation to the reader (r15's driver bench read
+    # 446 s with io_ratio 0.682 printed and nobody's eyes on it, and was
+    # ledgered as a 40% regression until the c8 leg disproved it).
+    # Interpretation unchanged from the round-11/13 notes above: on a
+    # clean host both probes END at-or-below their start reading; a
+    # median end/start ratio well above 1 on either leg means co-tenant
+    # load arrived during the sweep and the TOTAL is suspect.
+    suspect = calib["ratio"] > 1.3 or calib["io_ratio"] > 1.3
     detail = {
         "metric": "all_queries_wall_sec",
         "value": total,
@@ -175,6 +185,7 @@ def main() -> None:
         "ended_at": ended_at,
         "calibration": calib,
         "loadavg": {"start": load_start, "end": load_end},
+        "suspect": suspect,
     }
     with open(os.path.join(REPO, "bench_detail.json"), "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
@@ -194,6 +205,7 @@ def main() -> None:
         "n_queries": len(timings),
         "errors": len(errors),
         "calibration": calib,
+        "suspect": suspect,
         "detail": "bench_detail.json",
     }
     print(json.dumps(headline))

@@ -1892,30 +1892,173 @@ def reference_delta_scores(
     base LM (more target-like), UNROUNDED so callers round at their
     output grain.
 
-    Shuffle shape at 100 TB: two vocabulary-grain count tables + the
-    candidate token stream LEFT-joining each (heldout_bigram_nll's
-    shape, twice), then one doc-grain equi-join between the two score
-    sets. Everything is Column expressions — no UDF, no collect.
+    Shuffle shape at 100 TB: ONE pass builds both models' count tables
+    (unigram and bigram tables carry a (c_base, c_target) column pair,
+    aggregated with slice-conditional sums over the union of the two
+    train slices), and ONE pass scores the candidate token stream
+    against both models simultaneously — the per-model expressions are
+    heldout_bigram_nll's verbatim, evaluated side by side on the same
+    joined row. r16 fold: the previous form called heldout_bigram_nll
+    twice, which tokenized the corpus and walked the 4-join scoring
+    chain once per model and then equi-joined the two score sets at doc
+    grain; the fused form halves the scan/explode/join work and removes
+    the doc-grain join outright (both sums come out of one groupBy).
+    Everything is Column expressions — no UDF, no collect.
     """
-    base_nll = heldout_bigram_nll(
-        df, id_col, text_col, holdout=candidates, lam=lam, train=base_train
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+
+    lower = F.transform(tokens(text_col), lambda t: F.lower(t))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        lower.alias("__toks"),
+        candidates.alias("__ho"),
+        base_train.alias("__trb"),
+        target_train.alias("__trt"),
+    )
+    # union of the two fit slices; per-row membership flags drive the
+    # conditional counts (a row in both slices counts for both models,
+    # exactly as two independent heldout_bigram_nll fits would)
+    train = base.filter(
+        F.coalesce(F.col("__trb"), F.lit(False))
+        | F.coalesce(F.col("__trt"), F.lit(False))
+    )
+    # candidate token slice: consumed by the bigram stream, the
+    # first-token row and (via those) the rollup — materialized once,
+    # same rationale as heldout_bigram_nll's held slice
+    held = base.filter(F.col("__ho")).select("id", "__toks").transform(materialize)
+
+    uni = (
+        train.select(F.explode("__toks").alias("w"), "__trb", "__trt")
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(
+            F.sum(
+                F.when(F.coalesce(F.col("__trb"), F.lit(False)), 1).otherwise(0)
+            ).alias("c1b"),
+            F.sum(
+                F.when(F.coalesce(F.col("__trt"), F.lit(False)), 1).otherwise(0)
+            ).alias("c1t"),
+        )
+        .transform(materialize)
+    )
+    # per-model N (token count) and V (vocab size): rows with a zero
+    # count for a model contribute nothing, so sums over the combined
+    # table equal the per-slice table's sums
+    scal = uni.agg(
+        F.sum("c1b").cast("double").alias("__nb"),
+        F.sum((F.col("c1b") > 0).cast("long")).cast("double").alias("__vb"),
+        F.sum("c1t").cast("double").alias("__nt"),
+        F.sum((F.col("c1t") > 0).cast("long")).cast("double").alias("__vt"),
+    )
+    bi = (
+        train.select(
+            F.explode(
+                gram_array(F.array_join(F.col("__toks"), " "), 2)
+            ).alias("bg"),
+            "__trb",
+            "__trt",
+        )
+        .select(
+            F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+            F.split(F.col("bg"), " ", 2)[1].alias("w"),
+            "__trb",
+            "__trt",
+        )
+        .groupBy("w_prev", "w")
+        .agg(
+            F.sum(
+                F.when(F.coalesce(F.col("__trb"), F.lit(False)), 1).otherwise(0)
+            ).alias("c2b"),
+            F.sum(
+                F.when(F.coalesce(F.col("__trt"), F.lit(False)), 1).otherwise(0)
+            ).alias("c2t"),
+        )
+        .transform(materialize)
+    )
+
+    # heldout_bigram_nll's per-model expressions, verbatim; a count that
+    # is 0 in the combined table behaves exactly like the NULL a left
+    # join against a per-slice table would produce (both coalesce to 0,
+    # and the c_prev>0 guard keeps the division unevaluated either way)
+    def _p_uni(c1: str, n: str, v: str) -> Column:
+        return (F.coalesce(F.col(c1), F.lit(0)) + 1.0) / (
+            F.col(n) + F.col(v) + 1.0
+        )
+
+    def _bi_term(c2: str, c_prev: str) -> Column:
+        return F.when(
+            F.coalesce(F.col(c_prev), F.lit(0)) > 0,
+            F.coalesce(F.col(c2), F.lit(0)).cast("double") / F.col(c_prev),
+        ).otherwise(F.lit(0.0))
+
+    held_bi = held.select(
+        "id",
+        F.explode(
+            gram_array(F.array_join(F.col("__toks"), " "), 2)
+        ).alias("bg"),
     ).select(
         "id",
-        "n_scored",
-        F.col("sum_nll").alias("sum_nll_base"),
+        F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
+        F.split(F.col("bg"), " ", 2)[1].alias("w"),
     )
-    tgt_nll = heldout_bigram_nll(
-        df, id_col, text_col, holdout=candidates, lam=lam, train=target_train
-    ).select("id", F.col("sum_nll").alias("sum_nll_target"))
-    return base_nll.join(tgt_nll, "id").select(
-        "id",
-        "n_scored",
-        "sum_nll_base",
-        "sum_nll_target",
-        (
-            (F.col("sum_nll_base") - F.col("sum_nll_target"))
-            / F.col("n_scored")
-        ).alias("delta"),
+    scored_bi = (
+        held_bi.join(bi, on=["w_prev", "w"], how="left")
+        .join(
+            uni.select(
+                F.col("w").alias("w_prev"),
+                F.col("c1b").alias("c_prevb"),
+                F.col("c1t").alias("c_prevt"),
+            ),
+            on="w_prev",
+            how="left",
+        )
+        .join(uni, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            (
+                -F.log(
+                    lam * _bi_term("c2b", "c_prevb")
+                    + (1.0 - lam) * _p_uni("c1b", "__nb", "__vb")
+                )
+            ).alias("nllb"),
+            (
+                -F.log(
+                    lam * _bi_term("c2t", "c_prevt")
+                    + (1.0 - lam) * _p_uni("c1t", "__nt", "__vt")
+                )
+            ).alias("nllt"),
+        )
+    )
+    first = (
+        held.select("id", F.col("__toks").getItem(0).alias("w"))
+        .where(F.col("w").isNotNull() & (F.col("w") != ""))
+        .join(uni, on="w", how="left")
+        .crossJoin(F.broadcast(scal))
+        .select(
+            "id",
+            (-F.log(_p_uni("c1b", "__nb", "__vb"))).alias("nllb"),
+            (-F.log(_p_uni("c1t", "__nt", "__vt"))).alias("nllt"),
+        )
+    )
+    return (
+        scored_bi.unionByName(first)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_scored"),
+            F.sum("nllb").alias("sum_nll_base"),
+            F.sum("nllt").alias("sum_nll_target"),
+        )
+        .select(
+            "id",
+            "n_scored",
+            "sum_nll_base",
+            "sum_nll_target",
+            (
+                (F.col("sum_nll_base") - F.col("sum_nll_target"))
+                / F.col("n_scored")
+            ).alias("delta"),
+        )
     )
 
 

@@ -19,6 +19,15 @@ evicted and silently recomputed mid-run.
 test suites (pushdown pins, plan lint) so they audit the FULL logical
 dataflow down to the parquet scans instead of stopping at checkpoint
 leaves. Never set it in production or bench paths.
+
+Deployment caveat (ADVICE r15): localCheckpoint blocks live in executor
+block managers with NO recompute path — on a cluster, executor loss
+(including dynamic-allocation decommission) permanently loses blocks and
+fails the job, unlike persist()'s lineage-backed recompute. The
+convention is validated on single-node/local-mode runs; a multi-executor
+deployment should either disable dynamic allocation for these jobs or
+swap materialize() to reliable `checkpoint()` into a durable dir (one
+conf-site change here, not per-operator).
 """
 
 from __future__ import annotations
@@ -39,6 +48,8 @@ _LEVEL = StorageLevel.MEMORY_AND_DISK
 
 
 def materialize(df: DataFrame, eager: bool = False) -> DataFrame:
-    if os.environ.get("PWA_NO_MATERIALIZE"):
+    # parse the kill-switch value: PWA_NO_MATERIALIZE=0/false/no must NOT
+    # silently disable materialization (ADVICE r15)
+    if os.environ.get("PWA_NO_MATERIALIZE", "").lower() in ("1", "true", "yes"):
         return df
     return df.localCheckpoint(eager=eager, storageLevel=_LEVEL)

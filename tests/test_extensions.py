@@ -4471,6 +4471,60 @@ def test_fused_lm_scorer_equals_standalones(spark):
         assert abs(r["sum_nll_kn"] - kn[i]["sum_nll"]) < 1e-9, i
 
 
+def test_fused_reference_delta_equals_two_heldout_calls(spark):
+    """reference_delta_scores (r16: fused two-model single-pass form)
+    must reproduce the composition it replaced — two independent
+    heldout_bigram_nll fits joined at doc grain — exactly: same docs,
+    same n_scored, per-model sums equal to fp-sum-order noise (< 1e-9,
+    far below the 6dp oracle rounding). Slices deliberately OVERLAP
+    (base ⊃ target here) so the conditional-count path is exercised on
+    rows that train both models."""
+    import random
+
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        heldout_bigram_nll,
+        reference_delta_scores,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(1617)
+    vocab = [f"t{i}" for i in range(15)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 25))))
+        for i in range(80)
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    cand = F.col("doc_id") % 5 == 0
+    tgt = F.col("doc_id") % 10 == 3
+    bas = F.col("doc_id") % 5 != 0
+    fused = {
+        r["id"]: r
+        for r in reference_delta_scores(
+            df, "doc_id", "text", candidates=cand,
+            target_train=tgt, base_train=bas,
+        ).collect()
+    }
+    b = {
+        r["id"]: r
+        for r in heldout_bigram_nll(
+            df, "doc_id", "text", holdout=cand, train=bas
+        ).collect()
+    }
+    t = {
+        r["id"]: r
+        for r in heldout_bigram_nll(
+            df, "doc_id", "text", holdout=cand, train=tgt
+        ).collect()
+    }
+    assert set(fused) == set(b) == set(t)
+    for i, r in fused.items():
+        assert r["n_scored"] == b[i]["n_scored"] == t[i]["n_scored"], i
+        assert abs(r["sum_nll_base"] - b[i]["sum_nll"]) < 1e-9, i
+        assert abs(r["sum_nll_target"] - t[i]["sum_nll"]) < 1e-9, i
+        want = (b[i]["sum_nll"] - t[i]["sum_nll"]) / r["n_scored"]
+        assert abs(r["delta"] - want) < 1e-9, i
+
+
 def test_xs37_kmeans_calibration_on_corpus():
     """xs37/xs38/s23's calibration pins, checked over the shared oracle
     chain at ALL THREE gate SFs (the tier-4 comment's claim — sf0.1

@@ -5,7 +5,7 @@ For each named query (or --top N slowest from bench_detail.json):
     (plan-construction + any eager work vs engine execution);
   * run the noop sink twice (first-touch vs warm) — shared-silver
     materialization and JIT land in the first number;
-  * count Spark jobs/stages/tasks via the status tracker delta;
+  * count Spark jobs launched per query via the status tracker delta;
   * optionally dump explain("formatted") to plans/<round>/<name>_<tag>.txt.
 
 Usage:
@@ -92,9 +92,9 @@ def main() -> None:
             t1 = time.time()
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.time() - t1, 3))
+        n_jobs = len(tracker.getJobIdsForGroup() or []) - jobs0
         if args.plans:
             try:
-                plan = df._sc is not None and df.explain  # noqa: B018
                 import io
                 import contextlib
 
@@ -110,9 +110,10 @@ def main() -> None:
         results[name] = {
             "build_s": round(t_build, 3),
             "runs_s": runs,
+            "n_jobs": n_jobs,
         }
         print(
-            f"{name:40s} build {t_build:6.2f}s  runs {runs}",
+            f"{name:40s} build {t_build:6.2f}s  runs {runs}  jobs {n_jobs}",
             flush=True,
         )
         sc.setJobDescription(None)
