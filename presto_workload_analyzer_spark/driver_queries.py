@@ -7220,6 +7220,10 @@ def _x104(spark: SparkSession, sf: str) -> DataFrame:
         )
         .groupBy("s")
         .agg(F.sum("c").cast("long").alias("c"))
+        # materialized (r16 plan audit): consumed by the totals scalar
+        # AND the cumulative-window frame; size-grain histogram (a few
+        # hundred rows at any corpus scale)
+        .transform(materialize)
     )
     tot = hist.agg(
         F.sum("c").alias("__C"), F.sum(F.col("s") * F.col("c")).alias("__N")
@@ -7235,6 +7239,10 @@ def _x104(spark: SparkSession, sf: str) -> DataFrame:
         .withColumn("__cd", F.sum(F.col("s") * F.col("c")).over(w_desc))
         .withColumn("__k", F.coalesce(F.sum("c").over(w_asc_excl), F.lit(0)))
         .crossJoin(F.broadcast(tot))
+        # materialized: consumed twice (Gini scalar + Lorenz select);
+        # same size-grain rows (r16: x104's plan was 70 Exchange from
+        # exactly this double duplication)
+        .transform(materialize)
     )
     gini = cum.select(
         F.sum(
@@ -12737,6 +12745,10 @@ def xs26_delta_source_weights(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_candidates"),
             F.avg("delta").alias("__avg"),
         )
+        # materialized (r16 plan audit): consumed twice (softmax
+        # normalizer + final select); un-materialized, each reference
+        # re-executed the entire two-LM delta chain. Source grain.
+        .transform(materialize)
     )
     z = per.agg(F.sum(F.exp(F.col("__avg") / _XS26_T)).alias("__z"))
     return per.crossJoin(F.broadcast(z)).select(

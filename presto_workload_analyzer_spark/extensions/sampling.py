@@ -374,14 +374,17 @@ def unimax_mix(
 
     Input: a SOURCE-GRAIN table — exactly ONE row per source, token
     count >= 1 (the natural output of a groupBy(source) token
-    aggregate; duplicate source rows would collide in the rank
-    self-join and zero-token sources have no epochs to cap). The
-    caller pays the one corpus-grain aggregate; this operator is pure
-    arithmetic on #sources rows. Rank and prefix sums
-    come from a broadcast nested-loop self-join on the tiny table (the
-    lint-sanctioned pattern for bounds tables — no window, no global
-    sort), and the two global reductions fold in via broadcast 1-row
-    cross joins, so the plan stays shuffle-free above the input grain.
+    aggregate; duplicate source rows would collide in the rank order
+    and zero-token sources have no epochs to cap). The caller pays the
+    one corpus-grain aggregate; this operator is pure arithmetic on
+    #sources rows: rank, prefix sums and the two global reductions all
+    come from windows over the SAME single-partition pass (r16 — the
+    guide's share-one-exchange rule; the lint-sanctioned single-reducer
+    window over pre-aggregated input). The previous broadcast
+    nested-loop self-join form referenced the input three times, and a
+    DataFrame referenced N times re-executes its entire upstream N
+    times — for xs18 that meant the whole dedup-survivor + C4 + rollup
+    chain once per reference (64-Exchange / 24-scan plan).
 
     Output: (source, tokens_available, capped, tokens_allocated, epochs),
     one row per source; sum(tokens_allocated) = min(B, E * total).
@@ -392,26 +395,20 @@ def unimax_mix(
         F.col(source_col).alias("__src"),
         F.col(tokens_col).cast("long").alias("__t"),
     )
-    rhs = F.broadcast(
-        per.select(F.col("__src").alias("__src2"), F.col("__t").alias("__t2"))
+    w_ord = Window.orderBy(F.col("__t").asc(), F.col("__src").asc())
+    w_cum = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    # (t2, src2) <= (t, src) lexicographically: rank + inclusive prefix sum
-    ranked = (
-        per.join(
-            rhs,
-            (F.col("__t2") < F.col("__t"))
-            | ((F.col("__t2") == F.col("__t")) & (F.col("__src2") <= F.col("__src"))),
-        )
-        .groupBy("__src", "__t")
-        .agg(
-            F.count(F.lit(1)).alias("__rank"),
-            F.sum("__t2").alias("__cum_le"),
-        )
-    )
-    totals = per.agg(
-        F.count(F.lit(1)).alias("__n"), F.sum("__t").alias("__tot")
-    )
-    flagged = ranked.crossJoin(F.broadcast(totals)).withColumn(
+    # rank + inclusive prefix sum in ascending (tokens, source) order —
+    # same integers the (t2, src2) <= (t, src) self-join produced
+    flagged = per.select(
+        "__src",
+        "__t",
+        F.row_number().over(w_ord).alias("__rank"),
+        F.sum("__t").over(w_cum).alias("__cum_le"),
+        F.count(F.lit(1)).over(w_all).alias("__n"),
+    ).withColumn(
         "capped",
         F.lit(e)
         * (
@@ -420,15 +417,20 @@ def unimax_mix(
         )
         < F.lit(b),
     )
-    cap_tot = flagged.agg(
-        F.sum(F.when(F.col("capped"), F.col("__t")).otherwise(F.lit(0))).alias("__ct"),
-        F.sum(F.col("capped").cast("long")).alias("__nc"),
+    withtot = flagged.select(
+        "__src",
+        "__t",
+        "__n",
+        "capped",
+        F.sum(F.when(F.col("capped"), F.col("__t")).otherwise(F.lit(0)))
+        .over(w_all)
+        .alias("__ct"),
+        F.sum(F.col("capped").cast("long")).over(w_all).alias("__nc"),
     )
     share = (F.lit(b) - F.lit(e) * F.col("__ct")) / (F.col("__n") - F.col("__nc"))
     alloc = F.when(F.col("capped"), F.lit(e) * F.col("__t")).otherwise(share)
     return (
-        flagged.crossJoin(F.broadcast(cap_tot))
-        .select(
+        withtot.select(
             F.col("__src").alias(source_col),
             F.col("__t").alias("tokens_available"),
             "capped",
@@ -528,9 +530,12 @@ def temperature_mix(
     Input/output grain matches unimax_mix: a source-grain token table
     (one row per source, tokens >= 1 — a zero-token source has no
     defined epochs) in, (source, tokens_available, weight,
-    tokens_allocated, epochs) out. The normalizer sum(t^(1/T)) folds in
-    via a 1-row broadcast cross join; everything is arithmetic on
-    #sources rows.
+    tokens_allocated, epochs) out. The normalizer sum(t^(1/T)) is a
+    window over the same single-partition pass (r16 — previously a
+    1-row cross join whose second reference to the input re-executed
+    the caller's entire upstream; xs27 fed this mixer the full
+    decontaminate + gopher + C4 curation chain, so the chain ran once
+    per reference). Everything is arithmetic on #sources rows.
     """
     b = float(budget)
     inv_t = 1.0 / float(temperature)
@@ -538,10 +543,12 @@ def temperature_mix(
         F.col(source_col).alias("__src"),
         F.col(tokens_col).cast("long").alias("__t"),
     ).withColumn("__pw", F.pow(F.col("__t"), F.lit(inv_t)))
-    z = per.agg(F.sum("__pw").alias("__z"))
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
     w = F.col("__pw") / F.col("__z")
     return (
-        per.crossJoin(F.broadcast(z))
+        per.withColumn("__z", F.sum("__pw").over(w_all))
         .select(
             F.col("__src").alias(source_col),
             F.col("__t").alias("tokens_available"),
@@ -631,10 +638,9 @@ def repeat_decay_mix(
     Input: a SOURCE-GRAIN table (one row per source, tokens >= 1 — the
     unimax_mix precondition). The (source x epoch) grid is bounded
     (#sources x max_epochs — sources are a curated enum at any corpus
-    scale), so the greedy's rank and prefix sums come from a broadcast
-    triangular self-join on the grid (the unimax/xs39 pattern: no
-    window, no global sort, nothing corpus-grain past the caller's one
-    token aggregate).
+    scale), so the greedy's prefix sums come from a single-reducer
+    window over the grid (the unimax r16 pattern: one pass, nothing
+    corpus-grain past the caller's one token aggregate).
 
     Output: (source, tokens_available, epochs_full, epoch_fraction,
     tokens_allocated, effective_tokens); sum(tokens_allocated) =
@@ -661,31 +667,19 @@ def repeat_decay_mix(
     grid = per.select(
         "__src", "__t", F.explode(ks).alias("__k")
     ).withColumn("__val", F.col("__t") * pow_of_k)
-    rhs = F.broadcast(
-        grid.select(
-            F.col("__src").alias("__src2"),
-            F.col("__t").alias("__t2"),
-            F.col("__k").alias("__k2"),
-            F.col("__val").alias("__val2"),
-        )
-    )
-    before = (
-        (F.col("__val2") > F.col("__val"))
-        | (
-            (F.col("__val2") == F.col("__val"))
-            & (
-                (F.col("__src2") < F.col("__src"))
-                | (
-                    (F.col("__src2") == F.col("__src"))
-                    & (F.col("__k2") < F.col("__k"))
-                )
-            )
-        )
-    )
-    walked = (
-        grid.join(rhs, before, "left")
-        .groupBy("__src", "__t", "__k")
-        .agg(F.coalesce(F.sum("__t2"), F.lit(0)).alias("__cum"))
+    # exclusive prefix sum of __t in descending-value greedy order —
+    # previously a broadcast triangular self-join whose second grid
+    # reference re-executed the caller's upstream (r16: window over the
+    # same single-partition pass; bounded grain #sources x max_epochs,
+    # pre-aggregated input, the lint-sanctioned single-reducer shape)
+    w_walk = Window.orderBy(
+        F.col("__val").desc(), F.col("__src").asc(), F.col("__k").asc()
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    walked = grid.select(
+        "__src",
+        "__t",
+        "__k",
+        F.coalesce(F.sum("__t").over(w_walk), F.lit(0)).alias("__cum"),
     )
     full = (F.col("__cum") + F.col("__t")) <= F.lit(b)
     frac = F.when(
