@@ -12747,7 +12747,12 @@ def xs26_delta_source_weights(spark: SparkSession, sf: str) -> DataFrame:
         )
         # materialized (r16 plan audit): consumed twice (softmax
         # normalizer + final select); un-materialized, each reference
-        # re-executed the entire two-LM delta chain. Source grain.
+        # re-executed the entire two-LM delta chain (84-Exchange plan).
+        # Source grain. The checkpoint-free window-normalizer variant
+        # was measured SLOWER here (interleaved medians 7.5 vs 7.0 s
+        # loaded / 6.9 vs 2.8 s quiet) — the delta chain is expensive
+        # enough that pinning its result once wins, unlike the tiny
+        # mixer frames where the window form wins.
         .transform(materialize)
     )
     z = per.agg(F.sum(F.exp(F.col("__avg") / _XS26_T)).alias("__z"))

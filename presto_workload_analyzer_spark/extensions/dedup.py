@@ -1121,11 +1121,16 @@ def sorted_neighborhood_pairs(
         raise ValueError(f"window must be >= 2, got {window}")
     k = key if key is not None else normalized_text(text_col)
     base = df.select(F.col(id_col).alias("id"), k.alias("__key"))
-    # materialized: both explode sides below read the global rank frame —
-    # (id, rank) grain, narrow. The ranker's INPUT is left un-materialized
-    # (materialize_input=False): it is a cheap scan+normalize whose __key
-    # column is corpus bytes — checkpointing it costs more than the second
-    # scan it saves (measured, x56 warm-solo; r15).
+    # NOT materialized (r16, measured — this closes the r15 advice item
+    # about the stale comment here): both explode sides below read the
+    # global rank frame, but the duplicated ranker subtrees are identical,
+    # so runtime exchange reuse already dedups them — re-adding the narrow
+    # (id, rank) checkpoint regressed x56 4.90 -> 5.30 s and x65
+    # 4.29 -> 4.56 s in interleaved A/B medians (call-time eager stage run
+    # + block IO, nothing saved). The ranker's INPUT is likewise left
+    # un-materialized (materialize_input=False): its __key column is
+    # corpus bytes — checkpointing it costs more than the second scan it
+    # saves (measured, x56 warm-solo; r15).
     ranked = _hierarchical_row_number(
         base,
         [],

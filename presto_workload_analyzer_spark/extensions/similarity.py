@@ -652,6 +652,11 @@ def ann_recall(ann: DataFrame, exact: DataFrame, k: int) -> DataFrame:
     query-grain aggregation — both proportional to #queries x k, never to
     corpus size.
     """
+    # NOT materialized (r16, measured): the exact side is consumed twice
+    # (overlap join + per-query denominator), but a checkpoint here
+    # regressed x44 2.67 -> 3.48 s in interleaved A/B medians — the
+    # call-time eager stage run + block IO costs more than the shared
+    # brute-force subtree, which runtime exchange reuse largely dedups.
     ex = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     an = ann.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
     hits = ex.join(an, on=["query_id", "neighbor_id"]).groupBy("query_id").agg(
