@@ -638,9 +638,12 @@ def repeat_decay_mix(
     Input: a SOURCE-GRAIN table (one row per source, tokens >= 1 — the
     unimax_mix precondition). The (source x epoch) grid is bounded
     (#sources x max_epochs — sources are a curated enum at any corpus
-    scale), so the greedy's prefix sums come from a single-reducer
-    window over the grid (the unimax r16 pattern: one pass, nothing
-    corpus-grain past the caller's one token aggregate).
+    scale), so the greedy's rank and prefix sums come from a broadcast
+    triangular self-join on the grid (kept deliberately: the r16
+    window form tripped the STAGED-query lint, which is stricter than
+    the registered one — every staged window must carry a partition
+    spec — and this operator's only consumer, xs41, is staged; nothing
+    corpus-grain past the caller's one token aggregate either way).
 
     Output: (source, tokens_available, epochs_full, epoch_fraction,
     tokens_allocated, effective_tokens); sum(tokens_allocated) =
@@ -667,19 +670,31 @@ def repeat_decay_mix(
     grid = per.select(
         "__src", "__t", F.explode(ks).alias("__k")
     ).withColumn("__val", F.col("__t") * pow_of_k)
-    # exclusive prefix sum of __t in descending-value greedy order —
-    # previously a broadcast triangular self-join whose second grid
-    # reference re-executed the caller's upstream (r16: window over the
-    # same single-partition pass; bounded grain #sources x max_epochs,
-    # pre-aggregated input, the lint-sanctioned single-reducer shape)
-    w_walk = Window.orderBy(
-        F.col("__val").desc(), F.col("__src").asc(), F.col("__k").asc()
-    ).rowsBetween(Window.unboundedPreceding, -1)
-    walked = grid.select(
-        "__src",
-        "__t",
-        "__k",
-        F.coalesce(F.sum("__t").over(w_walk), F.lit(0)).alias("__cum"),
+    rhs = F.broadcast(
+        grid.select(
+            F.col("__src").alias("__src2"),
+            F.col("__t").alias("__t2"),
+            F.col("__k").alias("__k2"),
+            F.col("__val").alias("__val2"),
+        )
+    )
+    before = (
+        (F.col("__val2") > F.col("__val"))
+        | (
+            (F.col("__val2") == F.col("__val"))
+            & (
+                (F.col("__src2") < F.col("__src"))
+                | (
+                    (F.col("__src2") == F.col("__src"))
+                    & (F.col("__k2") < F.col("__k"))
+                )
+            )
+        )
+    )
+    walked = (
+        grid.join(rhs, before, "left")
+        .groupBy("__src", "__t", "__k")
+        .agg(F.coalesce(F.sum("__t2"), F.lit(0)).alias("__cum"))
     )
     full = (F.col("__cum") + F.col("__t")) <= F.lit(b)
     frac = F.when(
