@@ -11648,15 +11648,29 @@ from pyspark.sql import Column  # noqa: E402
 _LINE_WIDTH = 8
 
 
+def _toked(df: DataFrame, *keep: str) -> DataFrame:
+    """Pre-project the whitespace tokenization into a real `__toks`
+    column (plus the named passthrough columns). r16 hoist rule: a
+    higher-order-function lambda re-evaluates any row-dependent
+    expression it CLOSES OVER once per array element — transform(
+    sequence(...), lambda i: slice(split(text), ...)) re-splits the
+    document per line/gram, O(len^2) per doc. Hoisting the split into
+    its own Project makes the lambda close over an attribute instead
+    (CollapseProject does not inline multi-referenced non-trivial
+    aliases), measured 2.5-6x on the chunk/gram explodes (r16)."""
+    return df.select(
+        *keep, F.split(F.trim(F.col("text")), r"\s+").alias("__toks")
+    )
+
+
 def _chunk_lines(markers: bool) -> Column:
-    """doc text -> array of 8-token lines, optionally with the C4 trigger
+    """doc `__toks` array (pre-projected via _toked — see the hoist rule
+    there) -> array of 8-token lines, optionally with the C4 trigger
     markers ('lorem ipsum ' prefix on line 0 of doc_id%37==0 docs, ' {'
     on line 1 of %23 docs, ' javascript' on line 2 of %29 docs) and the
     deterministic terminal '.' on lines with (doc_id + i) % 3 != 0 —
     arithmetic on (doc_id, line index) only, replayed verbatim in SQL."""
-    from presto_workload_analyzer_spark.extensions import textstats
-
-    toks = textstats.tokens("text")
+    toks = F.col("__toks")
     n_lines = F.ceil(F.size(toks) / F.lit(float(_LINE_WIDTH)))
     did = F.col("doc_id")
 
@@ -11717,7 +11731,7 @@ def _xs14(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.sources import read_table
 
     docs = read_table(spark, f"{sf}/documents.parquet")
-    synth = docs.select(
+    synth = _toked(docs, "doc_id").select(
         "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
     )
     return textstats.c4_line_stats(synth, "doc_id", "text").withColumnRenamed(
@@ -11769,7 +11783,7 @@ def _xs15(spark: SparkSession, sf: str) -> DataFrame:
     from presto_workload_analyzer_spark.sources import read_table
 
     docs = read_table(spark, f"{sf}/documents.parquet")
-    synth = docs.select(
+    synth = _toked(docs, "doc_id").select(
         "doc_id", F.array_join(_chunk_lines(markers=False), "\n").alias("text")
     )
     return dedup.duplicated_line_removal(synth, "doc_id", "text").withColumnRenamed(
@@ -11976,7 +11990,7 @@ def _xs18(spark: SparkSession, sf: str) -> DataFrame:
     losers = cc.filter(F.col("id") != F.col("cluster_id")).select(
         F.col("id").alias("doc_id")
     )
-    synth = docs.select(
+    synth = _toked(docs, "doc_id").select(
         "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
     )
     quality = (
@@ -12098,6 +12112,7 @@ def _s19(spark: SparkSession, sf: str) -> DataFrame:
     corpus = (
         read_table(spark, f"{sf}/documents.parquet")
         .filter(F.col("doc_id") % 2 == 0)
+        .transform(_toked)
         .select(F.explode(_chunk_lines(markers=False)).alias("__line"))
         .select(F.md5("__line").alias("dig"))
         .distinct()
@@ -12106,6 +12121,7 @@ def _s19(spark: SparkSession, sf: str) -> DataFrame:
     incoming = (
         stream_sf_table(spark, sf, "documents")
         .filter(F.col("doc_id") % 2 == 1)
+        .transform(lambda d: _toked(d, "doc_id"))
         .select(
             "doc_id",
             F.posexplode(_chunk_lines(markers=False)).alias("idx", "__line"),
@@ -12168,6 +12184,7 @@ def _s20(spark: SparkSession, sf: str) -> DataFrame:
     corpus = (
         read_table(spark, f"{sf}/documents.parquet")
         .filter(F.col("doc_id") % 2 == 0)
+        .transform(_toked)
         .select(F.explode(_chunk_lines(markers=False)).alias("__line"))
         .select(F.md5("__line").alias("dig"))
         .distinct()
@@ -12175,6 +12192,7 @@ def _s20(spark: SparkSession, sf: str) -> DataFrame:
     novel = (
         stream_sf_table(spark, sf, "documents")
         .filter(F.col("doc_id") % 2 == 1)
+        .transform(lambda d: _toked(d, "source"))
         .select(
             "source",
             F.explode(_chunk_lines(markers=False)).alias("__line"),
@@ -12360,7 +12378,7 @@ def xs21_quality_ensemble(spark: SparkSession, sf: str) -> DataFrame:
     gop = textstats.gopher_rules(cand, "doc_id", "text").select(
         F.col("id").alias("doc_id"), F.col("ok_word_count").alias("wc_ok")
     )
-    synth = cand.select(
+    synth = _toked(cand, "doc_id").select(
         "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
     )
     c4 = textstats.c4_line_stats(synth, "doc_id", "text").select(
@@ -12436,7 +12454,7 @@ def xs22_fineweb_funnel(spark: SparkSession, sf: str) -> DataFrame:
     gop = textstats.gopher_rules(docs, "doc_id", "text").select(
         F.col("id").alias("doc_id"), F.col("ok_word_count").alias("__q")
     )
-    synth = docs.select(
+    synth = _toked(docs, "doc_id").select(
         "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
     )
     c4 = textstats.c4_line_stats(synth, "doc_id", "text").select(
@@ -12626,11 +12644,15 @@ _XS25_K = 8
 
 
 def _xs25_grams() -> "F.Column":
-    """The decontamination k-gram Column (text -> array of space-joined
-    k-grams, slice-in-transform form), shared by xs25 AND its streaming
-    twin s21 so the batch and stream contracts cannot drift."""
+    """The decontamination k-gram Column (`__toks` array -> array of
+    space-joined k-grams, slice-in-transform form), shared by xs25 AND
+    its streaming twin s21 so the batch and stream contracts cannot
+    drift. Expects the tokenization pre-projected via _toked (r16 hoist
+    rule — see _toked: the slice lambda closing over a raw split() expr
+    re-split the doc PER GRAM, O(len^2); measured 2.9 -> 0.5 s on the
+    sf0.1 pool-gram explode alone)."""
     k = _XS25_K
-    toks = F.split(F.trim(F.col("text")), r"\s+")
+    toks = F.col("__toks")
     m = F.size(toks) - (k - 1)
     return F.when(
         m > 0,
@@ -12663,13 +12685,14 @@ def xs25_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     docs = read_table(spark, f"{sf}/documents.parquet")
     grams = _xs25_grams()
     ev = (
-        docs.filter(F.col("doc_id") % 10 == 0)
+        _toked(docs.filter(F.col("doc_id") % 10 == 0))
         .select(F.explode(grams).alias("gram"))
         .distinct()
     )
     pool = docs.filter(F.col("doc_id") % 10 != 0)
     hits = (
-        pool.select("doc_id", F.explode(grams).alias("gram"))
+        _toked(pool, "doc_id")
+        .select("doc_id", F.explode(grams).alias("gram"))
         .join(F.broadcast(ev), "gram")
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).cast("long").alias("__n"))
@@ -12827,7 +12850,7 @@ def xs27_curation_v2_chain(spark: SparkSession, sf: str) -> DataFrame:
         .filter(F.col("ok_word_count"))
         .select(F.col("id").alias("doc_id"))
     )
-    synth = docs.select(
+    synth = _toked(docs, "doc_id").select(
         "doc_id", F.array_join(_chunk_lines(markers=True), "\n").alias("text")
     )
     c4 = (
@@ -13489,13 +13512,14 @@ def s21_stream_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
 
     docs = read_table(spark, f"{sf}/documents.parquet")
     ev = (
-        docs.filter(F.col("doc_id") % 10 == 0)
+        _toked(docs.filter(F.col("doc_id") % 10 == 0))
         .select(F.explode(_xs25_grams()).alias("gram"))
         .distinct()
     )
     hits = (
         stream_sf_table(spark, sf, "documents")
         .filter(F.col("doc_id") % 10 != 0)
+        .transform(lambda d: _toked(d, "doc_id"))
         .select("doc_id", F.explode(_xs25_grams()).alias("gram"))
         .join(F.broadcast(ev), "gram")
         .groupBy("doc_id")

@@ -924,15 +924,24 @@ def strip_duplicate_spans(
         "__covered",
         F.coalesce(F.col("__covered"), F.array().cast("array<int>")),
     )
-    toks2 = F.split(F.trim(F.col("__text")), r"\s+")
-    kept = F.filter(
-        toks2, lambda t, i: ~F.array_contains(F.col("__covered"), i.cast("int"))
+    # r16 hoist: __toks2 is referenced 3x and __kept 2x below — as raw
+    # split()/filter() expressions each reference re-derives the array
+    # per row; explicit columns make them attribute reads (CollapseProject
+    # keeps multi-referenced non-trivial aliases).
+    staged = joined.withColumn(
+        "__toks2", F.split(F.trim(F.col("__text")), r"\s+")
+    ).withColumn(
+        "__kept",
+        F.filter(
+            F.col("__toks2"),
+            lambda t, i: ~F.array_contains(F.col("__covered"), i.cast("int")),
+        ),
     )
-    return joined.select(
+    return staged.select(
         "id",
-        F.size(toks2).cast("long").alias("n_tokens"),
-        (F.size(toks2) - F.size(kept)).cast("long").alias("n_removed"),
-        F.array_join(kept, " ").alias("clean_text"),
+        F.size("__toks2").cast("long").alias("n_tokens"),
+        (F.size("__toks2") - F.size("__kept")).cast("long").alias("n_removed"),
+        F.array_join("__kept", " ").alias("clean_text"),
     )
 
 
@@ -1919,14 +1928,20 @@ def exactsubstr_removal(
         "__covered",
         F.coalesce(F.col("__covered"), F.array().cast("array<bigint>")),
     )
-    toks = F.split(F.trim(F.col("__text")), r"\s+")
-    kept = F.filter(
-        toks,
-        lambda t, i: ~F.array_contains(F.col("__covered"), i.cast("bigint")),
+    # r16 hoist: multi-referenced token/kept arrays as explicit columns
+    # (see strip_duplicate_spans above for the rule).
+    staged = joined.withColumn(
+        "__toksx", F.split(F.trim(F.col("__text")), r"\s+")
+    ).withColumn(
+        "__keptx",
+        F.filter(
+            F.col("__toksx"),
+            lambda t, i: ~F.array_contains(F.col("__covered"), i.cast("bigint")),
+        ),
     )
-    return joined.select(
+    return staged.select(
         "id",
-        F.size(toks).cast("long").alias("n_tokens"),
-        (F.size(toks) - F.size(kept)).cast("long").alias("n_removed"),
-        F.md5(F.array_join(kept, " ")).alias("cleaned_digest"),
+        F.size("__toksx").cast("long").alias("n_tokens"),
+        (F.size("__toksx") - F.size("__keptx")).cast("long").alias("n_removed"),
+        F.md5(F.array_join("__keptx", " ")).alias("cleaned_digest"),
     )
