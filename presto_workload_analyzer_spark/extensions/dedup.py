@@ -576,9 +576,13 @@ def simhash16(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
     h = F.md5(F.col("tok"))
     # hex digit d = conv(substr(h, 1+j/4, 1)); bit = (d >> (3 - j%4)) & 1
+    # r16 hoist: the 16 bit aggregates read the PROJECTED "h" column —
+    # closing over the raw md5 expression instead re-hashed every token
+    # 16x inside the aggregate's input projection.
+    hcol = F.col("h")
     bit_aggs = []
     for j in range(16):
-        digit = F.conv(F.substring(h, 1 + j // 4, 1), 16, 10).cast("int")
+        digit = F.conv(F.substring(hcol, 1 + j // 4, 1), 16, 10).cast("int")
         bit = F.floor(digit / (2 ** (3 - j % 4))).cast("int") % 2
         contrib = F.when(bit == 1, 1).otherwise(-1)
         bit_aggs.append(F.sum(contrib).alias(f"b{j}"))

@@ -116,16 +116,29 @@ def language_id(text: Column | str) -> Column:
     A deterministic n-gram-style heuristic (the classic stopword-profile
     language detector); on corpora with no marker hits everything scores 0
     and the first language wins.
+
+    r16 shape fix: the previous when/otherwise fold embedded the running
+    `best` tree TWICE per language (once in the comparison, once in the
+    otherwise branch), so the expression tree — and the per-row work,
+    since each score re-tokenizes the text — grew 2^(N-1)-fold. One
+    array_max over (score, -index, lang) structs references each score
+    once: struct comparison is lexicographic, so the max is the highest
+    score with ties to the smallest index — exactly the old fold's
+    "first language whose score >= max of all later scores". NULL text
+    (all scores NULL) returned the LAST language under the old fold
+    (every NULL comparison fell through to the initializer); the
+    explicit isNull guard preserves that.
     """
     scores = language_scores(text)
     langs = list(scores)
-    expr = F.lit(langs[-1])
-    best = scores[langs[-1]]
-    for lang in reversed(langs[:-1]):
-        cond = scores[lang] >= best
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-        best = F.when(cond, scores[lang]).otherwise(best)
-    return expr
+    items = [
+        F.struct(
+            s.alias("s"), F.lit(-i).alias("ni"), F.lit(lang).alias("l")
+        )
+        for i, (lang, s) in enumerate(scores.items())
+    ]
+    best = F.array_max(F.array(*items))["l"]
+    return F.when(scores[langs[0]].isNull(), F.lit(langs[-1])).otherwise(best)
 
 
 def normalized_text(text: Column | str) -> Column:
