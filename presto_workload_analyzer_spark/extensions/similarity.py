@@ -866,12 +866,24 @@ def _kmeans_assign_cols(v: Column, cents: list[list[float]]) -> tuple[Column, Co
     ties broken to the LOWEST cluster index (strict < keeps the earlier
     winner)."""
     dists = [_sqdist_to_literal(v, c) for c in cents]
-    best_i: Column = F.lit(0)
-    best_d: Column = dists[0]
-    for j in range(1, len(dists)):
-        best_i = F.when(dists[j] < best_d, F.lit(j)).otherwise(best_i)
-        best_d = F.least(best_d, dists[j])
-    return best_i.cast("long"), best_d
+    # r16 shape fix: the previous when/least fold referenced each dist
+    # expression up to 3x (when-cond + least chain + the otherwise
+    # accumulation), so the k full dot products evaluated ~k^2/2 times
+    # per row. array_min over (dist, index) structs references each
+    # once; lexicographic struct comparison IS the old argmin (strict <
+    # keeps the earlier winner: equal dists compare on the index, lowest
+    # wins — and a NULL vector yields NULL dists in every slot, where
+    # NULL-first field ordering picks index 0 with a NULL dist, exactly
+    # the old fold's result).
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(d.alias("d"), F.lit(j).alias("j"))
+                for j, d in enumerate(dists)
+            ]
+        )
+    )
+    return best["j"].cast("long"), best["d"]
 
 
 def kmeans_centroids(
