@@ -667,11 +667,11 @@ def _synth_sentence_docs(spark: SparkSession, sf: str) -> DataFrame:
     convention, markers=True — the deterministic terminal '.' on
     (doc_id + i) % 3 != 0 lines is what gives this corpus sentence
     structure), joined with ' ' so sentence splits run on one string."""
-    from presto_workload_analyzer_spark.driver_queries import _chunk_lines
+    from presto_workload_analyzer_spark.driver_queries import _chunk_lines, _toked
     from presto_workload_analyzer_spark.sources import read_table
 
     docs = read_table(spark, f"{sf}/documents.parquet")
-    return docs.select(
+    return _toked(docs, "doc_id", "source").select(
         "doc_id",
         "source",
         F.array_join(_chunk_lines(markers=True), " ").alias("text"),

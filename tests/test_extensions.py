@@ -5389,3 +5389,82 @@ def test_histogram_quantiles_ignores_null_values(spark):
     out = sketches.histogram_quantiles(df, "g", "value", qs=(0.5, 0.99))
     r = out.collect()[0]
     assert (r.n, r.p50, r.p99) == (3, 2.0, 3.0), r
+
+
+def test_language_id_argmax_equals_old_fold(spark):
+    """r16 shape fix pin: the array_max struct argmax must reproduce the
+    original when/otherwise fold exactly — highest marker ratio wins,
+    ties break to LIST ORDER, NULL text yields the LAST language."""
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        LANG_MARKERS,
+        language_scores,
+    )
+
+    def old_fold(text):
+        scores = language_scores(text)
+        langs = list(scores)
+        expr = F.lit(langs[-1])
+        best = scores[langs[-1]]
+        for lang in reversed(langs[:-1]):
+            cond = scores[lang] >= best
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+            best = F.when(cond, scores[lang]).otherwise(best)
+        return expr
+
+    rows = [
+        Row(doc_id=0, text=None),                      # NULL -> last lang
+        Row(doc_id=1, text=""),                        # all-zero tie -> first
+        Row(doc_id=2, text="zzz qqq xxx"),             # no markers -> first
+        Row(doc_id=3, text="the of and to in is it"),  # en
+        Row(doc_id=4, text="der die das und ist"),     # de
+        Row(doc_id=5, text="le la les et est une"),    # fr
+        Row(doc_id=6, text="el los y es una no"),      # es
+        Row(doc_id=7, text="de shi le bu wo"),         # zh markers alias de/fr
+        Row(doc_id=8, text="the der le el de"),        # cross-language tie mix
+        Row(doc_id=9, text="la le de"),                # fr/es/zh collision
+    ]
+    df = spark.createDataFrame(rows)
+    out = df.select(
+        "doc_id",
+        textstats.language_id("text").alias("new"),
+        old_fold("text").alias("old"),
+    ).collect()
+    for r in out:
+        assert r.new == r.old, (r.doc_id, r.new, r.old)
+    assert [r.new for r in out if r.doc_id == 0] == [list(LANG_MARKERS)[-1]]
+
+
+def test_xs25_gram_hoist_parity(spark):
+    """r16 hoist pin: grams built from the pre-projected __toks column
+    equal grams built by slicing a raw split() expression in-lambda."""
+    from presto_workload_analyzer_spark.driver_queries import _XS25_K, _toked, _xs25_grams
+
+    rows = [
+        Row(doc_id=1, text="a b c d e f g h i j k"),
+        Row(doc_id=2, text="  one   two\tthree "),
+        Row(doc_id=3, text="short"),
+        Row(doc_id=4, text=""),
+        Row(doc_id=5, text=None),
+    ]
+    df = spark.createDataFrame(rows)
+    k = _XS25_K
+    raw_toks = F.split(F.trim(F.col("text")), r"\s+")
+    m = F.size(raw_toks) - (k - 1)
+    raw_grams = F.when(
+        m > 0,
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda i: F.array_join(F.slice(raw_toks, i + 1, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    a = sorted(
+        (r.doc_id, r.g)
+        for r in df.select("doc_id", F.explode(raw_grams).alias("g")).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.g)
+        for r in _toked(df, "doc_id")
+        .select("doc_id", F.explode(_xs25_grams()).alias("g"))
+        .collect()
+    )
+    assert a == b
