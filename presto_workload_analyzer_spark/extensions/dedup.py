@@ -72,7 +72,17 @@ def gram_array(text_col: str | Column, k: int) -> Column:
     shingles() (set semantics) and strip_duplicate_spans() (positioned).
     """
     col = F.col(text_col) if isinstance(text_col, str) else text_col
-    toks = F.split(F.trim(col), r"\s+")
+    return gram_array_of(F.split(F.trim(col), r"\s+"), k)
+
+
+def gram_array_of(toks: Column, k: int) -> Column:
+    """gram_array over an ALREADY-TOKENIZED array column — the r16 path
+    for callers that hold a `__toks` projection (the LM scorers built
+    gram_array(array_join(__toks, ' '), 2), paying a join + k+1 re-splits
+    per row for tokens that whitespace-splitting guarantees contain no
+    whitespace, so join-then-resplit is the identity; a NULL array yields
+    an empty gram array where the string path yielded NULL — identical to
+    every consumer, which explodes the result)."""
     m = F.size(toks) - (k - 1)
     grams = F.slice(toks, 1, m)
     for j in range(1, k):

@@ -31,6 +31,23 @@ def tokens(text: Column | str) -> Column:
     return F.split(F.trim(col), r"\s+")
 
 
+def _bigram_toks(toks: Column) -> Column:
+    """Normalize a token array to what join-then-resplit would yield —
+    the exact input the LM scorers' historical bigram builder
+    (gram_array(array_join(toks, ' '), 2)) saw. trim() trims SPACES
+    only, so whitespace-only text tokenizes to ['', ''] (leading split
+    artifact survives a \\t/\\n edge); the joined string ' ' then
+    re-trimmed/re-split collapsed every empty token, i.e.
+    resplit(join(toks)) == [t for t in toks if t != ''] or [''].
+    Replicating that with one filter keeps the r16 gram_array_of
+    switch (no join + k+1 re-splits per row) bit-identical on the
+    degenerate corpus, where the divergence produced a phantom
+    ' ' bigram that shifted every KN count (caught by the degen gate).
+    NULL arrays pass through NULL (grams become [] either way)."""
+    kept = F.filter(toks, lambda t: t != "")
+    return F.when(F.size(kept) > 0, kept).otherwise(F.slice(toks, 1, 1))
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace token count (empty string counts 1 split artifact like SQL)."""
     return F.size(tokens(text))
@@ -1139,7 +1156,7 @@ def bigram_logprob(
     (key-partitioned, AQE-skew-handled — identical posture to
     unigram_logprob and tfidf); N broadcasts.
     """
-    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array_of
 
     lower = F.transform(tokens(text_col), lambda t: F.lower(t))
     base = df.select(F.col(id_col).alias("id"), lower.alias("__toks"))
@@ -1160,7 +1177,7 @@ def bigram_logprob(
 
     bi_inst = base.select(
         "id",
-        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+        F.explode(gram_array_of(_bigram_toks(F.col("__toks")), 2)).alias("bg"),
     ).select(
         "id",
         F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
@@ -1248,7 +1265,7 @@ def heldout_bigram_nll(
     cross join. Output: (id, n_scored, sum_nll) doc-grain UNROUNDED sums
     so callers can aggregate to any grain before rounding.
     """
-    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array_of
 
     lower = F.transform(tokens(text_col), lambda t: F.lower(t))
     base = df.select(
@@ -1282,7 +1299,7 @@ def heldout_bigram_nll(
     )
     bi = (
         train.select(
-            F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg")
+            F.explode(gram_array_of(_bigram_toks(F.col("__toks")), 2)).alias("bg")
         )
         .select(
             F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
@@ -1304,7 +1321,7 @@ def heldout_bigram_nll(
 
     held_bi = held.select(
         "id",
-        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+        F.explode(gram_array_of(_bigram_toks(F.col("__toks")), 2)).alias("bg"),
     ).select(
         "id",
         F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
@@ -1934,7 +1951,7 @@ def reference_delta_scores(
     the doc-grain join outright (both sums come out of one groupBy).
     Everything is Column expressions — no UDF, no collect.
     """
-    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array_of
 
     lower = F.transform(tokens(text_col), lambda t: F.lower(t))
     base = df.select(
@@ -1982,7 +1999,7 @@ def reference_delta_scores(
     bi = (
         train.select(
             F.explode(
-                gram_array(F.array_join(F.col("__toks"), " "), 2)
+                gram_array_of(_bigram_toks(F.col("__toks")), 2)
             ).alias("bg"),
             "__trb",
             "__trt",
@@ -2023,7 +2040,7 @@ def reference_delta_scores(
     held_bi = held.select(
         "id",
         F.explode(
-            gram_array(F.array_join(F.col("__toks"), " "), 2)
+            gram_array_of(_bigram_toks(F.col("__toks")), 2)
         ).alias("bg"),
     ).select(
         "id",
@@ -2127,7 +2144,7 @@ def kneser_ney_nll(
     two scalars (T, V) broadcast via a 1-row cross join. Output:
     (id, n_scored, sum_nll) doc-grain UNROUNDED sums.
     """
-    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array_of
 
     d = float(discount)
     if not 0.0 < d < 1.0:
@@ -2151,7 +2168,7 @@ def kneser_ney_nll(
     )
     bi = (
         train.select(
-            F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg")
+            F.explode(gram_array_of(_bigram_toks(F.col("__toks")), 2)).alias("bg")
         )
         .select(
             F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
@@ -2182,7 +2199,7 @@ def kneser_ney_nll(
 
     held_bi = held.select(
         "id",
-        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+        F.explode(gram_array_of(_bigram_toks(F.col("__toks")), 2)).alias("bg"),
     ).select(
         "id",
         F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
@@ -2231,7 +2248,7 @@ def heldout_jm_kn_nll(
 
     Output: (id, n_scored, sum_nll_jm, sum_nll_kn) doc-grain UNROUNDED.
     """
-    from presto_workload_analyzer_spark.extensions.dedup import gram_array
+    from presto_workload_analyzer_spark.extensions.dedup import gram_array_of
 
     d = float(discount)
     if not 0.0 < d < 1.0:
@@ -2256,7 +2273,7 @@ def heldout_jm_kn_nll(
     )
     bi = (
         train.select(
-            F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg")
+            F.explode(gram_array_of(_bigram_toks(F.col("__toks")), 2)).alias("bg")
         )
         .select(
             F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),
@@ -2300,7 +2317,7 @@ def heldout_jm_kn_nll(
 
     held_bi = held.select(
         "id",
-        F.explode(gram_array(F.array_join(F.col("__toks"), " "), 2)).alias("bg"),
+        F.explode(gram_array_of(_bigram_toks(F.col("__toks")), 2)).alias("bg"),
     ).select(
         "id",
         F.split(F.col("bg"), " ", 2)[0].alias("w_prev"),

@@ -5468,3 +5468,53 @@ def test_xs25_gram_hoist_parity(spark):
         .collect()
     )
     assert a == b
+
+
+def test_bigram_toks_resplit_equivalence(spark):
+    """r16 pin: gram_array_of(_bigram_toks(toks), 2) must equal the
+    historical string path gram_array(array_join(toks, ' '), 2) for
+    every token-array shape tokens() can produce — including the
+    whitespace-only ['',''] artifact (trim trims spaces only) whose
+    phantom ' ' bigram shifted the KN count tables on the degenerate
+    corpus when the direct path skipped the join-resplit collapse."""
+    from presto_workload_analyzer_spark.extensions.dedup import (
+        gram_array,
+        gram_array_of,
+    )
+    from presto_workload_analyzer_spark.extensions.textstats import (
+        _bigram_toks,
+        tokens,
+    )
+
+    rows = [
+        Row(doc_id=1, text="a b c d"),
+        Row(doc_id=2, text="one"),
+        Row(doc_id=3, text=""),
+        Row(doc_id=4, text="   "),
+        Row(doc_id=5, text="\t \n "),       # the degen-gate witness
+        Row(doc_id=6, text=" x \t y "),
+        Row(doc_id=7, text=None),
+        Row(doc_id=8, text="a b c"),   # non-ASCII ws stays in-token
+    ]
+    df = spark.createDataFrame(rows)
+    lower = F.transform(tokens("text"), lambda t: F.lower(t))
+    base = df.select("doc_id", lower.alias("__toks"))
+    a = sorted(
+        (r.doc_id, r.bg)
+        for r in base.select(
+            "doc_id",
+            F.explode(
+                gram_array(F.array_join(F.col("__toks"), " "), 2)
+            ).alias("bg"),
+        ).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.bg)
+        for r in base.select(
+            "doc_id",
+            F.explode(
+                gram_array_of(_bigram_toks(F.col("__toks")), 2)
+            ).alias("bg"),
+        ).collect()
+    )
+    assert a == b, (a, b)
